@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graft.{Bridge, CosineSimilarity, DotProduct, EuclideanDistance, HammingDistance, JaccardSimilarity}
+
+/** Column-API + SQL-registration facade over the codegen'd distance
+  * expressions, mirroring the reference's metric dispatch
+  * (distance.rs:64-72) and its `higher_is_better` direction flag
+  * (distance.rs:76-81) used for ORDER BY direction and threshold
+  * comparison inversion (query/mod.rs:396-417).
+  */
+object VectorFunctions {
+  import org.apache.spark.sql.functions.typedlit
+
+  private def wrap(f: (Expression, Expression) => Expression)(a: Column, b: Column): Column =
+    Bridge.column(f(Bridge.expression(a), Bridge.expression(b)))
+
+  def cosine_sim(a: Column, b: Column): Column = wrap(CosineSimilarity.apply)(a, b)
+  def dot_product(a: Column, b: Column): Column = wrap(DotProduct.apply)(a, b)
+  def l2_dist(a: Column, b: Column): Column = wrap(EuclideanDistance.apply)(a, b)
+  def hamming_dist(a: Column, b: Column): Column = wrap(HammingDistance.apply)(a, b)
+  def jaccard_sim(a: Column, b: Column): Column = wrap(JaccardSimilarity.apply)(a, b)
+
+  /** Literal query vector as ArrayType(FloatType) column. */
+  def vecLit(v: Seq[Float]): Column = typedlit(v)
+
+  /** Deterministic synthetic query vector (for tests/benches/oracles). */
+  def syntheticQuery(dim: Int): Seq[Float] =
+    (0 until dim).map(i => (math.sin(i * 0.7) * 0.5 + 0.1).toFloat)
+
+  /** Metric → (scoreFn, higherIsBetter). Encodes distance.rs:76-81 once. */
+  val metrics: Map[String, ((Column, Column) => Column, Boolean)] = Map(
+    "cosine" -> ((cosine_sim _, true)),
+    "dot" -> ((dot_product _, true)),
+    "euclidean" -> ((l2_dist _, false)),
+    "hamming" -> ((hamming_dist _, false)),
+    "jaccard" -> ((jaccard_sim _, true)))
+
+  /** Register the metric expressions for SQL use. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def create(name: String, b: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    create("cosine_sim", es => CosineSimilarity(es(0), es(1)))
+    create("dot_product", es => DotProduct(es(0), es(1)))
+    create("l2_dist", es => EuclideanDistance(es(0), es(1)))
+    create("hamming_dist", es => HammingDistance(es(0), es(1)))
+    create("jaccard_sim", es => JaccardSimilarity(es(0), es(1)))
+  }
+}

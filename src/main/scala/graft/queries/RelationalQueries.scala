@@ -1,0 +1,498 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** The relational operator surface (SURVEY.md §2.2, §2.4-2.7): projections,
+  * predicates, joins, aggregates, windows, set ops, subqueries, temporal.
+  * All stock Catalyst — filters and projections push into the parquet scan,
+  * small dimension tables are broadcast, aggregates run partial+final.
+  *
+  * Numeric-parity discipline: money/quantity sums are computed over
+  * per-row DECIMAL casts (exact, order-independent) then cast back to
+  * DOUBLE, in both the Spark plan and the DuckDB oracle SQL — float sums
+  * over shuffled partitions would otherwise diverge in low-order bits at
+  * scale. Averages are exact-decimal sums divided by counts.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.table(s, d, n)
+
+  /** sum over an exact decimal cast, returned as double (order-independent). */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- A1-A7: the complete aggregate set, GROUP BY, ORDER BY (TPC-H Q1 shape)
+    // reference: collection/search/query/aggregation.rs:115-323
+    QueryDef(
+      "q01_tpch_q1",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) * CAST(1 + l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 4))
+            * (lit(1) + col("l_tax")).cast(DecimalType(8, 2))).cast("double").as("sum_charge"),
+          (dsum(col("l_quantity")) / count(col("l_quantity"))).as("avg_qty"),
+          (dsum(col("l_extendedprice")) / count(col("l_extendedprice"))).as("avg_price"),
+          (dsum(col("l_discount")) / count(col("l_discount"))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // ---- P1: projection with aliases + computed column (per-row float math is
+    // bit-deterministic across engines; only aggregation order is not)
+    QueryDef(
+      "q02_project_alias",
+      """SELECT c_custkey AS custkey, c_name AS name,
+        |       c_acctbal * 1.1 AS bal_up
+        |FROM customer""".stripMargin) { (s, d) =>
+      t(s, d, "customer").select(
+        col("c_custkey").as("custkey"),
+        col("c_name").as("name"),
+        (col("c_acctbal") * lit(1.1)).as("bal_up"))
+    },
+
+    // ---- P4: comparison predicates (pushed into parquet scan)
+    QueryDef(
+      "q03_filter_cmp",
+      """SELECT p_partkey, p_name, p_size, p_retailprice FROM part
+        |WHERE p_size > 40 AND p_retailprice <= 910.5 AND p_size <> 43""".stripMargin) { (s, d) =>
+      t(s, d, "part")
+        .where(col("p_size") > 40 && col("p_retailprice") <= 910.5 && col("p_size") =!= 43)
+        .select("p_partkey", "p_name", "p_size", "p_retailprice")
+    },
+
+    // ---- P5: IN (…) list membership
+    QueryDef(
+      "q04_filter_in",
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+        |WHERE o_orderstatus IN ('F') AND o_orderpriority IN ('1-URGENT','2-HIGH')""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .where(col("o_orderstatus").isin("F") &&
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+    },
+
+    // ---- P6: BETWEEN (inclusive bounds, SQL semantics)
+    QueryDef(
+      "q05_between",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice BETWEEN 100000 AND 200000""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .where(col("o_totalprice").between(100000, 200000))
+        .select("o_orderkey", "o_totalprice")
+    },
+
+    // ---- P7: LIKE with % and _ wildcards
+    QueryDef(
+      "q06_like",
+      """SELECT p_partkey, p_name, p_brand FROM part
+        |WHERE p_name LIKE '%wid%' AND p_brand LIKE 'Brand#1_'""".stripMargin) { (s, d) =>
+      t(s, d, "part")
+        .where(col("p_name").like("%wid%") && col("p_brand").like("Brand#1_"))
+        .select("p_partkey", "p_name", "p_brand")
+    },
+
+    // ---- P7: ILIKE (case-insensitive)
+    QueryDef(
+      "q07_ilike",
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_name ILIKE '%WIDGET%'""".stripMargin) { (s, d) =>
+      t(s, d, "part")
+        .where(col("p_name").ilike("%WIDGET%"))
+        .select("p_partkey", "p_name")
+    },
+
+    // ---- P9 + anti-join: IS NULL on the null-producing side of a left join
+    // (customers with no orders)
+    QueryDef(
+      "q08_null_anti",
+      """SELECT c.c_custkey, c.c_name FROM customer c
+        |LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        |  ON c.c_custkey = o.o_custkey
+        |WHERE o.o_orderkey IS NULL""".stripMargin) { (s, d) =>
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").where(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .where(o("o_orderkey").isNull)
+        .select(c("c_custkey"), c("c_name"))
+    },
+
+    // ---- P10: AND / OR / NOT / parens
+    QueryDef(
+      "q09_and_or_not",
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |WHERE (o_orderstatus = 'F' OR o_totalprice > 300000)
+        |  AND NOT (o_orderpriority = '5-LOW')""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .where((col("o_orderstatus") === "F" || col("o_totalprice") > 300000)
+          && !(col("o_orderpriority") === "5-LOW"))
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    },
+
+    // ---- J1: inner equi-join (fact-to-fact, shuffle hash/sort-merge)
+    QueryDef(
+      "q10_join_inner",
+      """SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate, l.l_extendedprice
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_quantity > 45""".stripMargin) { (s, d) =>
+      val l = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      l.where(col("l_quantity") > 45)
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .select(l("l_orderkey"), l("l_linenumber"), o("o_orderdate"), l("l_extendedprice"))
+    },
+
+    // ---- J1: left outer join + aggregate over the nullable side
+    QueryDef(
+      "q11_join_left",
+      """SELECT c.c_custkey, count(o.o_orderkey) AS order_cnt
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_custkey""".stripMargin) { (s, d) =>
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(c("c_custkey"))
+        .agg(count(o("o_orderkey")).as("order_cnt"))
+    },
+
+    // ---- J1: right outer join
+    QueryDef(
+      "q12_join_right",
+      """SELECT n.n_name, s.s_name FROM supplier s
+        |RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey""".stripMargin) { (s, d) =>
+      val sup = t(s, d, "supplier")
+      val n = t(s, d, "nation")
+      sup.join(n, sup("s_nationkey") === n("n_nationkey"), "right")
+        .select(n("n_name"), sup("s_name"))
+    },
+
+    // ---- J1: full outer join of two aggregated sides
+    QueryDef(
+      "q13_join_full",
+      """SELECT coalesce(cs.nk, ss.nk) AS nationkey, cs.cust_cnt, ss.supp_cnt FROM
+        |  (SELECT c_nationkey AS nk, count(*) AS cust_cnt FROM customer GROUP BY c_nationkey) cs
+        |FULL JOIN
+        |  (SELECT s_nationkey AS nk, count(*) AS supp_cnt FROM supplier GROUP BY s_nationkey) ss
+        |ON cs.nk = ss.nk""".stripMargin) { (s, d) =>
+      val cs = t(s, d, "customer").groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("cust_cnt"))
+      val ss = t(s, d, "supplier").groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("supp_cnt"))
+      cs.join(ss, cs("nk") === ss("nk"), "full")
+        .select(coalesce(cs("nk"), ss("nk")).as("nationkey"),
+          col("cust_cnt"), col("supp_cnt"))
+    },
+
+    // ---- J2: JOIN ... USING (the reference parses but never executes this —
+    // query/join.rs:129-139 warns and returns empty; we implement it for real)
+    QueryDef(
+      "q14_join_using",
+      """SELECT nationkey, c_name, n_name FROM
+        |  (SELECT c_nationkey AS nationkey, c_name FROM customer) c
+        |JOIN
+        |  (SELECT n_nationkey AS nationkey, n_name FROM nation) n
+        |USING (nationkey)""".stripMargin) { (s, d) =>
+      val c = t(s, d, "customer")
+        .select(col("c_nationkey").as("nationkey"), col("c_name"))
+      val n = t(s, d, "nation")
+        .select(col("n_nationkey").as("nationkey"), col("n_name"))
+      c.join(n, Seq("nationkey")).select("nationkey", "c_name", "n_name")
+    },
+
+    // ---- J4: self-join via aliases
+    QueryDef(
+      "q15_self_join",
+      """SELECT n1.n_name AS name_a, n2.n_name AS name_b, n1.n_regionkey AS regionkey
+        |FROM nation n1 JOIN nation n2
+        |  ON n1.n_regionkey = n2.n_regionkey AND n1.n_name < n2.n_name""".stripMargin) { (s, d) =>
+      val n1 = t(s, d, "nation").as("n1")
+      val n2 = t(s, d, "nation").as("n2")
+      n1.join(n2, col("n1.n_regionkey") === col("n2.n_regionkey")
+          && col("n1.n_name") < col("n2.n_name"))
+        .select(col("n1.n_name").as("name_a"), col("n2.n_name").as("name_b"),
+          col("n1.n_regionkey").as("regionkey"))
+    },
+
+    // ---- J1+A: 5-table star join (TPC-H Q5 shape). Dimension tables are
+    // broadcast — at 100 TB the only shuffle is lineitem⋈orders.
+    QueryDef(
+      "q16_star_join",
+      """SELECT n.n_name,
+        |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |GROUP BY n.n_name
+        |ORDER BY revenue DESC, n.n_name""".stripMargin) { (s, d) =>
+      val l = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      val r = t(s, d, "region")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .where(r("r_name") === "ASIA")
+        .groupBy(n("n_name"))
+        .agg(dsum(l("l_extendedprice") * (lit(1) - l("l_discount")), 4).as("revenue"))
+        .orderBy(col("revenue").desc, n("n_name"))
+    },
+
+    // ---- A4+A5: GROUP BY + HAVING (reference folds HAVING chains strictly
+    // left-to-right — aggregation.rs:611-644; single condition here, SQL-equal)
+    QueryDef(
+      "q17_having",
+      """SELECT o_custkey, count(*) AS order_cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM orders GROUP BY o_custkey
+        |HAVING count(*) >= 12 AND sum(CAST(o_totalprice AS DECIMAL(18,2))) > 1500000""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("order_cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("dec_spend"))
+        .where(col("order_cnt") >= 12 && col("dec_spend") > 1500000)
+        .select(col("o_custkey"), col("order_cnt"),
+          col("dec_spend").cast("double").as("total_spend"))
+    },
+
+    // ---- W1+W3: multi-column ORDER BY + LIMIT + OFFSET (deterministic via key)
+    QueryDef(
+      "q18_topn_offset",
+      """SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10 OFFSET 5""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .offset(5).limit(10)
+    },
+
+    // ---- W5: SELECT DISTINCT (typed equality, not the reference's
+    // string-concat dedup key — search/query/distinct.rs:12-35)
+    QueryDef(
+      "q19_distinct",
+      "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer") { (s, d) =>
+      t(s, d, "customer").select("c_nationkey", "c_mktsegment").distinct()
+    },
+
+    // ---- U1: set operations (parsed-but-unexecuted in the reference —
+    // ast/mod.rs:98-117; fully implemented here)
+    QueryDef(
+      "q20_union_all",
+      """SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000""".stripMargin) { (s, d) =>
+      val c = t(s, d, "customer")
+      c.where(col("c_mktsegment") === "BUILDING").select("c_custkey", "c_mktsegment")
+        .unionAll(c.where(col("c_acctbal") > 5000).select("c_custkey", "c_mktsegment"))
+    },
+
+    QueryDef(
+      "q21_union",
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000""".stripMargin) { (s, d) =>
+      val c = t(s, d, "customer")
+      c.where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        .union(c.where(col("c_acctbal") > 5000).select("c_custkey"))
+        .distinct()
+    },
+
+    QueryDef(
+      "q22_intersect",
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 2000""".stripMargin) { (s, d) =>
+      val c = t(s, d, "customer")
+      c.where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        .intersect(c.where(col("c_acctbal") > 2000).select("c_custkey"))
+    },
+
+    QueryDef(
+      "q23_except",
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 2000""".stripMargin) { (s, d) =>
+      val c = t(s, d, "customer")
+      c.where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        .except(c.where(col("c_acctbal") > 2000).select("c_custkey"))
+    },
+
+    // ---- Scalar subquery in WHERE (ast/values.rs:70-87)
+    QueryDef(
+      "q24_scalar_subquery",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 1.9 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) FROM orders)""".stripMargin) { (s, d) =>
+      val o = t(s, d, "orders")
+      val avgPrice = o.agg(
+        (sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          / count(lit(1))).as("a"))
+      o.join(broadcast(avgPrice))
+        .where(col("o_totalprice") > lit(1.9) * col("a"))
+        .select("o_orderkey", "o_totalprice")
+    },
+
+    // ---- EXISTS → left-semi join
+    QueryDef(
+      "q25_exists_semi",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""".stripMargin) { (s, d) =>
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").where(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    },
+
+    // ---- P11: temporal predicate, timestamp - INTERVAL arithmetic
+    // (reference months = 30 days — ast/values.rs:136-163; we use day units)
+    QueryDef(
+      "q26_temporal",
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-22 00:00:00' - INTERVAL 7 DAY
+        |  AND ts < TIMESTAMP '2024-01-22 00:00:00'
+        |GROUP BY event_type""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .where(col("ts") >= to_timestamp(lit("2024-01-22 00:00:00")) - expr("INTERVAL 7 DAY")
+          && col("ts") < to_timestamp(lit("2024-01-22 00:00:00")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value"), 6).as("total_value"))
+    },
+
+    // ---- W6: ranking window function (row_number per partition, top-3)
+    QueryDef(
+      "q27_window_rank",
+      """SELECT * FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        |  FROM customer) WHERE rn <= 3""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      t(s, d, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          row_number().over(w).as("rn"))
+        .where(col("rn") <= 3)
+    },
+
+    // ---- Window frame: running sum per customer over order history
+    QueryDef(
+      "q28_window_running",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast("double").as("running_spend"))
+    },
+
+    // ---- COUNT(DISTINCT) — exact distinct aggregation
+    QueryDef(
+      "q29_count_distinct",
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        |       count(DISTINCT l_partkey) AS n_part
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"))
+    },
+
+    // ---- CASE WHEN expression + aggregation over the derived column
+    QueryDef(
+      "q30_case_when",
+      """SELECT CASE WHEN o_totalprice > 300000 THEN 'big'
+        |            WHEN o_totalprice > 100000 THEN 'mid'
+        |            ELSE 'small' END AS bucket,
+        |       count(*) AS cnt
+        |FROM orders GROUP BY 1""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .select(when(col("o_totalprice") > 300000, "big")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("small").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+    },
+
+    // ---- Temporal grouping: date_trunc to day
+    QueryDef(
+      "q31_date_trunc",
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS cnt
+        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+    },
+
+    // ---- Grouping by a derived temporal expression (year)
+    QueryDef(
+      "q32_group_by_year",
+      """SELECT CAST(year(o_orderdate) AS INT) AS order_year, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("order_year"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+    },
+
+    // ---- A1: min/max over numbers and strings
+    QueryDef(
+      "q33_minmax",
+      """SELECT s_nationkey, min(s_acctbal) AS min_bal, max(s_acctbal) AS max_bal,
+        |       min(s_name) AS first_name, max(s_name) AS last_name, count(*) AS cnt
+        |FROM supplier GROUP BY s_nationkey""".stripMargin) { (s, d) =>
+      t(s, d, "supplier")
+        .groupBy(col("s_nationkey"))
+        .agg(min(col("s_acctbal")).as("min_bal"), max(col("s_acctbal")).as("max_bal"),
+          min(col("s_name")).as("first_name"), max(col("s_name")).as("last_name"),
+          count(lit(1)).as("cnt"))
+    },
+
+    // ---- P2/P3-analog: JSON payload field extraction (the reference stores
+    // payloads as JSON — velesql/json_path.rs; events.props is a JSON string)
+    QueryDef(
+      "q34_json_extract",
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        |       count(*) AS cnt
+        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .select((get_json_object(col("props"), "$.k").cast("bigint") % 10).as("k_mod"))
+        .groupBy(col("k_mod"))
+        .agg(count(lit(1)).as("cnt"))
+    }
+  )
+}

@@ -1,0 +1,116 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+
+import graft.functions.VectorKernels
+
+/** Codegen'd Catalyst expressions for the five reference distance metrics
+  * (reference: crates/velesdb-core/src/distance.rs:16-81). Lives in an
+  * `org.apache.spark.sql` subpackage to access `private[sql]` Catalyst
+  * API (AbstractDataType, ExpressionUtils); the public facade is
+  * [[graft.functions.VectorFunctions]].
+  *
+  * The expressions stay inside whole-stage codegen — generated Java calls
+  * the static [[graft.functions.VectorKernels]] loops, and when the query
+  * vector is a foldable literal it is materialized ONCE as a `float[]`
+  * reference object instead of being re-decoded per row.
+  */
+abstract class VectorDistanceExpression extends BinaryExpression with ExpectsInputTypes {
+  /** Static method name on graft.functions.VectorKernels. */
+  def kernel: String
+  protected def compute(a: Array[Float], b: Array[Float]): Double
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData].toFloatArray(),
+      b.asInstanceOf[ArrayData].toFloatArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val constRight: Option[Array[Float]] =
+      if (right.foldable) {
+        Option(right.eval(null)).map(_.asInstanceOf[ArrayData].toFloatArray())
+      } else None
+    constRight match {
+      case Some(q) =>
+        val qRef = ctx.addReferenceObj("queryVec", q, "float[]")
+        val leftGen = left.genCode(ctx)
+        ev.copy(code = code"""
+          ${leftGen.code}
+          boolean ${ev.isNull} = ${leftGen.isNull};
+          double ${ev.value} = 0.0;
+          if (!${ev.isNull}) {
+            ${ev.value} = graft.functions.VectorKernels.$kernel(
+              ${leftGen.value}.toFloatArray(), $qRef);
+          }""")
+      case None =>
+        nullSafeCodeGen(ctx, ev, (a, b) =>
+          s"${ev.value} = graft.functions.VectorKernels.$kernel(" +
+            s"$a.toFloatArray(), $b.toFloatArray());")
+    }
+  }
+}
+
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends VectorDistanceExpression {
+  override def kernel: String = "cosine"
+  override protected def compute(a: Array[Float], b: Array[Float]): Double =
+    VectorKernels.cosine(a, b)
+  override def prettyName: String = "cosine_sim"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class DotProduct(left: Expression, right: Expression)
+    extends VectorDistanceExpression {
+  override def kernel: String = "dot"
+  override protected def compute(a: Array[Float], b: Array[Float]): Double =
+    VectorKernels.dot(a, b)
+  override def prettyName: String = "dot_product"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class EuclideanDistance(left: Expression, right: Expression)
+    extends VectorDistanceExpression {
+  override def kernel: String = "l2"
+  override protected def compute(a: Array[Float], b: Array[Float]): Double =
+    VectorKernels.l2(a, b)
+  override def prettyName: String = "l2_dist"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class HammingDistance(left: Expression, right: Expression)
+    extends VectorDistanceExpression {
+  override def kernel: String = "hamming"
+  override protected def compute(a: Array[Float], b: Array[Float]): Double =
+    VectorKernels.hamming(a, b)
+  override def prettyName: String = "hamming_dist"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class JaccardSimilarity(left: Expression, right: Expression)
+    extends VectorDistanceExpression {
+  override def kernel: String = "jaccard"
+  override protected def compute(a: Array[Float], b: Array[Float]): Double =
+    VectorKernels.jaccard(a, b)
+  override def prettyName: String = "jaccard_sim"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Column ↔ Expression bridge for code outside org.apache.spark.sql. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.{VectorFunctions, VectorKernels}
+import graft.operators.Knn
+import org.apache.spark.sql.functions._
+
+/** Distance kernels + exact top-k vs brute-force Scala oracles
+  * (SURVEY.md §5.2 item 2 — exact-oracle tests, mirroring the reference's
+  * recall_validation.rs but in exact mode: recall must be 100%). */
+class VectorSpec extends SparkSpecBase {
+
+  private val eps = 1e-12
+
+  test("kernel correctness on hand-computed vectors") {
+    val a = Array(1.0f, 2.0f, 3.0f)
+    val b = Array(4.0f, 5.0f, 6.0f)
+    assert(math.abs(VectorKernels.dot(a, b) - 32.0) < eps)
+    assert(math.abs(VectorKernels.l2(a, b) - math.sqrt(27.0)) < eps)
+    val cos = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(VectorKernels.cosine(a, b) - cos) < eps)
+    assert(VectorKernels.hamming(a, b) == 3.0)
+    assert(VectorKernels.hamming(a, a) == 0.0)
+    assert(VectorKernels.jaccard(a, b) == 1.0) // all non-zero both sides
+    assert(VectorKernels.jaccard(Array(1f, 0f), Array(1f, 1f)) == 0.5)
+    assert(VectorKernels.cosine(Array(0f, 0f), b) == 0.0) // zero-norm guard
+  }
+
+  test("codegen expression equals kernel on real data") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val q = VectorFunctions.syntheticQuery(64)
+    val got = emb
+      .withColumn("score", VectorFunctions.cosine_sim(col("embedding"), VectorFunctions.vecLit(q)))
+      .select("vec_id", "embedding", "score").collect()
+    got.foreach { r =>
+      val v = r.getSeq[Float](1).toArray
+      val expect = VectorKernels.cosine(v, q.toArray)
+      assert(math.abs(r.getDouble(2) - expect) < eps, s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("exact top-k matches brute-force oracle for every metric") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val q = VectorFunctions.syntheticQuery(64).toArray
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val kernels: Map[String, (Array[Float], Array[Float]) => Double] = Map(
+      "cosine" -> VectorKernels.cosine,
+      "dot" -> VectorKernels.dot,
+      "euclidean" -> VectorKernels.l2,
+      "hamming" -> VectorKernels.hamming,
+      "jaccard" -> VectorKernels.jaccard)
+    for ((metric, (_, higherBetter)) <- VectorFunctions.metrics) {
+      val oracle = all.map { case (id, v) => (id, kernels(metric)(v, q)) }
+        .sortBy { case (id, s) => (if (higherBetter) -s else s, id) }
+        .take(10).map(_._1).toSeq
+      val got = Knn.topK(emb, "embedding", q.toSeq, 10, metric, idCol = "vec_id")
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(got == oracle, s"metric=$metric got=$got oracle=$oracle")
+    }
+  }
+
+  test("threshold filter with metric-direction inversion") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val q = VectorFunctions.syntheticQuery(64)
+    // similarity(v,q) > 0.2 under euclidean metric must become l2 < 0.2
+    val got = Knn.thresholdFilter(emb, "embedding", q, 3.0, "euclidean", ">")
+    val manual = emb.withColumn("s",
+        VectorFunctions.l2_dist(col("embedding"), VectorFunctions.vecLit(q)))
+      .where(col("s") < 3.0)
+    assert(got.count() == manual.count())
+  }
+}
