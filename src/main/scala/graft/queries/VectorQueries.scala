@@ -1,0 +1,298 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.VectorFunctions
+import graft.operators.Knn
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Vector search + fusion operator surface (SURVEY.md §2.3, §2.8).
+  *
+  * All exact mode: score every row with a codegen'd distance expression,
+  * then `orderBy(score).limit(k)` — Catalyst compiles that to
+  * `TakeOrderedAndProject` (per-partition size-k heap + driver merge: no
+  * global sort, no shuffle of the scored rows; scales linearly with
+  * executors at 100 TB). The reference's over-fetch heuristics
+  * (4×/10× — query/mod.rs:163-230) are unnecessary in exact mode.
+  *
+  * DuckDB oracles compute the same metric over `CAST(embedding AS
+  * DOUBLE[])` — float→double widening is exact, and both engines
+  * accumulate in f64, so values agree to the last bit (verified ≤1e-16).
+  *
+  * Reference semantics: `vector NEAR $v` (grammar.pest:169-171),
+  * `similarity(field,$v) OP t` with metric-direction inversion
+  * (query/mod.rs:396-417), fusion strategies (fusion/strategy.rs:155-300),
+  * RRF rank is 1-based: score = Σ 1/(k + rank) (strategy.rs:230-250).
+  */
+object VectorQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.table(s, d, n)
+
+  /** Exact double value of each float rendered for SQL (Float.toString
+    * would round-trip as float but NOT as double — 0.1f ≠ 0.1d). */
+  private def sqlVec(v: Seq[Float]): String =
+    v.map(_.toDouble.toString).mkString("[", ",", "]::DOUBLE[]")
+
+  private val q64: Seq[Float] = VectorFunctions.syntheticQuery(64)
+  /** Second/third query vectors for batch + fused search. */
+  private val q64b: Seq[Float] = (0 until 64).map(i => (math.cos(i * 0.31) * 0.4 - 0.05).toFloat)
+  private val q64c: Seq[Float] = (0 until 64).map(i => (math.sin(i * 1.3 + 0.5) * 0.3).toFloat)
+
+  private val E = "CAST(embedding AS DOUBLE[])"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- V1: `vector NEAR $v LIMIT k` — exact top-k, cosine
+    QueryDef(
+      "q40_knn_cosine",
+      s"""SELECT vec_id, list_cosine_similarity($E, ${sqlVec(q64)}) AS score
+         |FROM embeddings ORDER BY score DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      Knn.topK(t(s, d, "embeddings"), "embedding", q64, 10, "cosine", idCol = "vec_id")
+        .select("vec_id", "score")
+    },
+
+    // ---- V1: euclidean — lower is better, ORDER BY ASC (distance.rs:95-103)
+    QueryDef(
+      "q41_knn_l2",
+      s"""SELECT vec_id, list_distance($E, ${sqlVec(q64)}) AS score
+         |FROM embeddings ORDER BY score ASC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      Knn.topK(t(s, d, "embeddings"), "embedding", q64, 10, "euclidean", idCol = "vec_id")
+        .select("vec_id", "score")
+    },
+
+    // ---- V1: dot product
+    QueryDef(
+      "q42_knn_dot",
+      s"""SELECT vec_id, list_dot_product($E, ${sqlVec(q64)}) AS score
+         |FROM embeddings ORDER BY score DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      Knn.topK(t(s, d, "embeddings"), "embedding", q64, 10, "dot", idCol = "vec_id")
+        .select("vec_id", "score")
+    },
+
+    // ---- V7: filtered ANN (search_with_filter, vector.rs:164-239) — we
+    // filter BEFORE top-k: exact, no 4× over-fetch
+    QueryDef(
+      "q43_knn_filtered",
+      s"""SELECT vec_id, label, list_cosine_similarity($E, ${sqlVec(q64)}) AS score
+         |FROM embeddings WHERE label IN (1, 3, 5)
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      Knn.topK(t(s, d, "embeddings"), "embedding", q64, 10, "cosine", idCol = "vec_id",
+          filter = Some(col("label").isin(1, 3, 5)))
+        .select("vec_id", "label", "score")
+    },
+
+    // ---- V2: similarity(field,$v) > t threshold filter
+    QueryDef(
+      "q44_sim_threshold",
+      s"""SELECT vec_id, list_cosine_similarity($E, ${sqlVec(q64)}) AS score
+         |FROM embeddings
+         |WHERE list_cosine_similarity($E, ${sqlVec(q64)}) > 0.25""".stripMargin) { (s, d) =>
+      Knn.thresholdFilter(t(s, d, "embeddings"), "embedding", q64, 0.25, "cosine", ">")
+        .select("vec_id", "score")
+    },
+
+    // ---- V2: metric-direction inversion — similarity > t under euclidean
+    // becomes distance < t (query/mod.rs:396-417)
+    QueryDef(
+      "q45_sim_threshold_l2",
+      s"""SELECT vec_id, list_distance($E, ${sqlVec(q64)}) AS score
+         |FROM embeddings
+         |WHERE list_distance($E, ${sqlVec(q64)}) < 2.4""".stripMargin) { (s, d) =>
+      Knn.thresholdFilter(t(s, d, "embeddings"), "embedding", q64, 2.4, "euclidean", ">")
+        .select("vec_id", "score")
+    },
+
+    // ---- V4: NOT similarity(...) — full scan, inverted threshold
+    // (query/mod.rs:635-748)
+    QueryDef(
+      "q46_not_similarity",
+      s"""SELECT vec_id, list_cosine_similarity($E, ${sqlVec(q64)}) AS score
+         |FROM embeddings
+         |WHERE NOT (list_cosine_similarity($E, ${sqlVec(q64)}) > 0.25)""".stripMargin) { (s, d) =>
+      val sc = Knn.scored(t(s, d, "embeddings"), "embedding", q64, "cosine")
+      sc.where(!(col("score") > 0.25)).select("vec_id", "score")
+    },
+
+    // ---- V5: similarity() OR metadata union mode — score keeps the
+    // similarity when the vector leg matched, else constant 1.0
+    // (query/mod.rs:434-529: dedup by id keeping similarity score)
+    QueryDef(
+      "q47_union_mode",
+      s"""SELECT vec_id,
+         |  CASE WHEN list_cosine_similarity($E, ${sqlVec(q64)}) > 0.3
+         |       THEN list_cosine_similarity($E, ${sqlVec(q64)}) ELSE 1.0 END AS score
+         |FROM embeddings
+         |WHERE list_cosine_similarity($E, ${sqlVec(q64)}) > 0.3 OR label = 7""".stripMargin) { (s, d) =>
+      val sc = Knn.scored(t(s, d, "embeddings"), "embedding", q64, "cosine")
+      sc.where(col("score") > 0.3 || col("label") === 7)
+        .select(col("vec_id"),
+          when(col("score") > 0.3, col("score")).otherwise(lit(1.0)).as("score"))
+    },
+
+    // ---- V12: hamming metric (count of differing positions)
+    QueryDef(
+      "q48_knn_hamming",
+      s"""SELECT vec_id,
+         |  CAST(len(list_filter(range(1, len(embedding) + 1),
+         |       i -> $E[i] <> (${sqlVec(q64)})[i])) AS DOUBLE) AS score
+         |FROM embeddings ORDER BY score ASC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      Knn.topK(t(s, d, "embeddings"), "embedding", q64, 10, "hamming", idCol = "vec_id")
+        .select("vec_id", "score")
+    },
+
+    // ---- V12: jaccard over non-zero support sets
+    QueryDef(
+      "q49_knn_jaccard",
+      s"""SELECT vec_id,
+         |  len(list_filter(range(1, len(embedding) + 1),
+         |      i -> embedding[i] <> 0 AND (${sqlVec(q64)})[i] <> 0)) * 1.0
+         |  / len(list_filter(range(1, len(embedding) + 1),
+         |      i -> embedding[i] <> 0 OR (${sqlVec(q64)})[i] <> 0)) AS score
+         |FROM embeddings ORDER BY score DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      Knn.topK(t(s, d, "embeddings"), "embedding", q64, 10, "jaccard", idCol = "vec_id")
+        .select("vec_id", "score")
+    },
+
+    // ---- V10: batch search — one scored pass per query vector, per-query
+    // top-5 via ranked window (the distributed batch-knn shape: partition
+    // by query id, no driver loop)
+    QueryDef(
+      "q50_batch_search",
+      s"""SELECT * FROM (
+         |  SELECT 0 AS query_id, vec_id,
+         |         list_cosine_similarity($E, ${sqlVec(q64)}) AS score
+         |  FROM embeddings ORDER BY score DESC, vec_id LIMIT 5)
+         |UNION ALL
+         |SELECT * FROM (
+         |  SELECT 1 AS query_id, vec_id,
+         |         list_cosine_similarity($E, ${sqlVec(q64b)}) AS score
+         |  FROM embeddings ORDER BY score DESC, vec_id LIMIT 5)
+         |UNION ALL
+         |SELECT * FROM (
+         |  SELECT 2 AS query_id, vec_id,
+         |         list_cosine_similarity($E, ${sqlVec(q64c)}) AS score
+         |  FROM embeddings ORDER BY score DESC, vec_id LIMIT 5)""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val legs = Seq(q64, q64b, q64c).zipWithIndex.map { case (q, i) =>
+        Knn.topK(emb, "embedding", q, 5, "cosine", idCol = "vec_id")
+          .select(lit(i).as("query_id"), col("vec_id"), col("score"))
+      }
+      legs.reduce(_.unionAll(_))
+    },
+
+    // ---- F1: RRF fusion of two legs (cosine top-20, dot top-20);
+    // rank is 1-based, score = Σ 1/(60 + rank) — strategy.rs:230-250
+    QueryDef(
+      "q51_fusion_rrf",
+      s"""WITH la AS (
+         |  SELECT vec_id, row_number() OVER (
+         |    ORDER BY list_cosine_similarity($E, ${sqlVec(q64)}) DESC, vec_id) AS rnk
+         |  FROM embeddings QUALIFY rnk <= 20),
+         |lb AS (
+         |  SELECT vec_id, row_number() OVER (
+         |    ORDER BY list_dot_product($E, ${sqlVec(q64)}) DESC, vec_id) AS rnk
+         |  FROM embeddings QUALIFY rnk <= 20)
+         |SELECT vec_id, sum(1.0 / (60 + rnk)) AS score
+         |FROM (SELECT * FROM la UNION ALL SELECT * FROM lb)
+         |GROUP BY vec_id""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      def leg(metric: String): DataFrame = {
+        val (_, hib) = VectorFunctions.metrics(metric)
+        val sc = Knn.scored(emb, "embedding", q64, metric)
+        val ord = if (hib) col("score").desc else col("score").asc
+        sc.select(col("vec_id"),
+            row_number().over(Window.orderBy(ord, col("vec_id"))).as("rnk"))
+          .where(col("rnk") <= 20)
+      }
+      leg("cosine").unionAll(leg("dot"))
+        .groupBy("vec_id")
+        .agg(sum(lit(1.0) / (lit(60) + col("rnk"))).as("score"))
+    },
+
+    // ---- F2: average fusion (mean of per-leg scores where doc appears —
+    // strategy.rs:170-203)
+    QueryDef(
+      "q52_fusion_avg",
+      s"""WITH la AS (
+         |  SELECT vec_id, list_cosine_similarity($E, ${sqlVec(q64)}) AS score
+         |  FROM embeddings ORDER BY score DESC, vec_id LIMIT 20),
+         |lb AS (
+         |  SELECT vec_id, list_cosine_similarity($E, ${sqlVec(q64b)}) AS score
+         |  FROM embeddings ORDER BY score DESC, vec_id LIMIT 20)
+         |SELECT vec_id, avg(score) AS score
+         |FROM (SELECT * FROM la UNION ALL SELECT * FROM lb)
+         |GROUP BY vec_id""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val la = Knn.topK(emb, "embedding", q64, 20, "cosine", idCol = "vec_id")
+        .select("vec_id", "score")
+      val lb = Knn.topK(emb, "embedding", q64b, 20, "cosine", idCol = "vec_id")
+        .select("vec_id", "score")
+      la.unionAll(lb).groupBy("vec_id").agg(avg(col("score")).as("score"))
+    },
+
+    // ---- F2: maximum fusion (strategy.rs:205-221)
+    QueryDef(
+      "q53_fusion_max",
+      s"""WITH la AS (
+         |  SELECT vec_id, list_cosine_similarity($E, ${sqlVec(q64)}) AS score
+         |  FROM embeddings ORDER BY score DESC, vec_id LIMIT 20),
+         |lb AS (
+         |  SELECT vec_id, list_cosine_similarity($E, ${sqlVec(q64b)}) AS score
+         |  FROM embeddings ORDER BY score DESC, vec_id LIMIT 20)
+         |SELECT vec_id, max(score) AS score
+         |FROM (SELECT * FROM la UNION ALL SELECT * FROM lb)
+         |GROUP BY vec_id""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val la = Knn.topK(emb, "embedding", q64, 20, "cosine", idCol = "vec_id")
+        .select("vec_id", "score")
+      val lb = Knn.topK(emb, "embedding", q64b, 20, "cosine", idCol = "vec_id")
+        .select("vec_id", "score")
+      la.unionAll(lb).groupBy("vec_id").agg(max(col("score")).as("score"))
+    },
+
+    // ---- F3: weighted fusion — avg_w·avg + max_w·max + hit_w·(hits/legs),
+    // weights sum to 1 (strategy.rs:252-300; ast/fusion.rs:80-106)
+    QueryDef(
+      "q54_fusion_weighted",
+      s"""WITH la AS (
+         |  SELECT vec_id, list_cosine_similarity($E, ${sqlVec(q64)}) AS score
+         |  FROM embeddings ORDER BY score DESC, vec_id LIMIT 20),
+         |lb AS (
+         |  SELECT vec_id, list_cosine_similarity($E, ${sqlVec(q64b)}) AS score
+         |  FROM embeddings ORDER BY score DESC, vec_id LIMIT 20)
+         |SELECT vec_id,
+         |  0.5 * avg(score) + 0.3 * max(score) + 0.2 * (count(*) / 2.0) AS score
+         |FROM (SELECT * FROM la UNION ALL SELECT * FROM lb)
+         |GROUP BY vec_id""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val la = Knn.topK(emb, "embedding", q64, 20, "cosine", idCol = "vec_id")
+        .select("vec_id", "score")
+      val lb = Knn.topK(emb, "embedding", q64b, 20, "cosine", idCol = "vec_id")
+        .select("vec_id", "score")
+      la.unionAll(lb).groupBy("vec_id")
+        .agg((lit(0.5) * avg(col("score")) + lit(0.3) * max(col("score"))
+          + lit(0.2) * (count(lit(1)) / lit(2.0))).as("score"))
+    },
+
+    // ---- V6: NEAR_FUSED multi-vector — exact mode scores EVERY row per
+    // query vector then fuses (average), so no tiered over-fetch
+    // (batch.rs:231-352) is needed; top-10 of the fused score
+    QueryDef(
+      "q55_near_fused_avg",
+      s"""SELECT vec_id,
+         |  (list_cosine_similarity($E, ${sqlVec(q64)})
+         |   + list_cosine_similarity($E, ${sqlVec(q64b)})
+         |   + list_cosine_similarity($E, ${sqlVec(q64c)})) / 3.0 AS score
+         |FROM embeddings ORDER BY score DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      def sim(q: Seq[Float]): Column =
+        VectorFunctions.cosine_sim(col("embedding"), VectorFunctions.vecLit(q))
+      emb.select(col("vec_id"),
+          ((sim(q64) + sim(q64b) + sim(q64c)) / lit(3.0)).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    }
+  )
+}
