@@ -1,0 +1,365 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Full-text (BM25) + text-analysis + deduplication operator surface
+  * (SURVEY.md §2.9 and the training-data-pipeline tier).
+  *
+  * BM25 parity with the reference (index/bm25.rs): tokenizer = lowercase,
+  * split on non-alphanumeric, DROP tokens of length ≤ 1 (bm25.rs:114-120);
+  * params k1=1.2 b=0.75 (bm25.rs:45-58); idf = ln((N - df + 0.5)/(df +
+  * 0.5) + 1) (bm25.rs:294-305). All math in f64 in both engines.
+  *
+  * Scale shape: tokenization is a flatMap (no shuffle); doc stats and term
+  * stats are partial+final aggregations; scoring is a posting⋈stats join
+  * keyed on term/doc_id. The small per-query term set makes the term-stats
+  * side broadcast-able. Nothing here collects to the driver.
+  *
+  * Cross-engine hashing: md5 (identical hex in Spark and DuckDB); 60-bit
+  * ints from the first 15 hex chars via conv()/CAST('0x…') — verified to
+  * parse identically.
+  */
+object TextQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.table(s, d, n)
+
+  /** BM25 tokens per doc (reference tokenizer: bm25.rs:114-120). */
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+        t => length(t) > 1)).as("term"))
+
+  private val duckTok =
+    """SELECT doc_id, u.t AS term
+      |  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+      |  WHERE len(u.t) > 1""".stripMargin
+
+  /** BM25 top-k as a DataFrame pipeline. */
+  private def bm25(docs: DataFrame, queryTerms: Seq[String], k: Int): DataFrame = {
+    val tok = tokens(docs)
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
+    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dlen").cast("double")).as("avgdl"))
+    val tf = tok.where(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score",
+        idf * (col("tf") * (lit(1.2) + 1.0))
+          / (col("tf") + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dlen") / col("avgdl"))))
+      .groupBy("doc_id").agg(sum(col("term_score")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  private def bm25Sql(terms: Seq[String], k: Int, docFilter: String = ""): String = {
+    val termList = terms.map(x => s"'$x'").mkString(", ")
+    s"""WITH docs0 AS (SELECT * FROM documents $docFilter),
+       |tok AS (SELECT doc_id, u.t AS term
+       |  FROM docs0, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+       |  WHERE len(u.t) > 1),
+       |dl AS (SELECT doc_id, count(*) AS dlen FROM tok GROUP BY doc_id),
+       |stats AS (SELECT count(*) AS n, avg(CAST(dlen AS DOUBLE)) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       |       WHERE term IN ($termList) GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term)
+       |SELECT tf.doc_id, sum(
+       |    ln((n - df + 0.5) / (df + 0.5) + 1.0)
+       |    * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dlen / avgdl))
+       |  ) AS score
+       |FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       |GROUP BY tf.doc_id
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  /** 3-word shingles per doc (distinct), from len>1 tokens. */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 1).as("tks"))
+      .where(size(col("tks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tks) - 3), i -> concat(tks[i], ' ', tks[i+1], ' ', tks[i+2]))"))
+        .as("shingle"))
+      .distinct()
+
+  private val duckShingles =
+    """SELECT DISTINCT doc_id, sh AS shingle FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(tks) - 1),
+      |         i -> tks[i] || ' ' || tks[i+1] || ' ' || tks[i+2])) AS sh
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                      t -> len(t) > 1) AS tks
+      |        FROM documents)
+      |  WHERE len(tks) >= 3)""".stripMargin
+
+  /** 60-bit integer hash of a string column — identical in DuckDB via
+    * CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT). */
+  private def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- T1: `col MATCH 'query'` → BM25 top-10 (index/bm25.rs)
+    QueryDef(
+      "q60_bm25",
+      bm25Sql(Seq("spark", "join", "filter"), 10)) { (s, d) =>
+      bm25(t(s, d, "documents"), Seq("spark", "join", "filter"), 10)
+    },
+
+    // ---- T3: BM25 with metadata filter — filter BEFORE indexing/scoring
+    // (exact; the reference over-fetches 4× then post-filters, text.rs:56-91)
+    QueryDef(
+      "q61_bm25_filtered",
+      bm25Sql(Seq("vector", "query"), 10, "WHERE lang = 'en'")) { (s, d) =>
+      bm25(t(s, d, "documents").where(col("lang") === "en"),
+        Seq("vector", "query"), 10)
+    },
+
+    // ---- F4: hybrid text+vector RRF — BM25 leg + cosine leg over the
+    // 1:1 doc_id↔vec_id pairing, weighted w/(60+rank) + (1-w)/(60+rank),
+    // w = 0.5 (text.rs:113-203, weights at 133-134)
+    QueryDef(
+      "q62_hybrid_rrf",
+      s"""WITH bm AS (${bm25Sql(Seq("spark", "join", "filter"), 50).replace("\n", "\n  ")}),
+         |bmr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM bm),
+         |vec AS (
+         |  SELECT vec_id AS doc_id, row_number() OVER (
+         |    ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+         |             [${graft.functions.VectorFunctions.syntheticQuery(64).map(_.toDouble.toString).mkString(",")}]::DOUBLE[]) DESC,
+         |    vec_id) AS rnk
+         |  FROM embeddings QUALIFY rnk <= 50)
+         |SELECT doc_id, sum(w / (60 + rnk)) AS score FROM (
+         |  SELECT doc_id, rnk, 0.5 AS w FROM bmr
+         |  UNION ALL SELECT doc_id, rnk, 0.5 AS w FROM vec)
+         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val q = graft.functions.VectorFunctions.syntheticQuery(64)
+      val bmLeg = bm25(t(s, d, "documents"), Seq("spark", "join", "filter"), 50)
+        .select(col("doc_id"),
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).as("rnk"))
+      val vecLeg = graft.operators.Knn
+        .topK(t(s, d, "embeddings"), "embedding", q, 50, "cosine", idCol = "vec_id")
+        .select(col("vec_id").as("doc_id"),
+          row_number().over(Window.orderBy(col("score").desc, col("vec_id"))).as("rnk"))
+      bmLeg.select(col("doc_id"), col("rnk"), lit(0.5).as("w"))
+        .unionAll(vecLeg.select(col("doc_id"), col("rnk"), lit(0.5).as("w")))
+        .groupBy("doc_id").agg(sum(col("w") / (lit(60) + col("rnk"))).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+    },
+
+    // ---- Text analysis: language-ID heuristic (stopword ratio over
+    // whitespace tokens) — training-data-pipeline tier
+    QueryDef(
+      "q63_lang_id",
+      """SELECT doc_id,
+        |  round(len(list_filter(string_split_regex(text, '\s+'),
+        |        t -> lower(t) IN ('the','a','of','to','and','in','is','it')))
+        |    * 1.0 / len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)), 6)
+        |    AS stop_ratio,
+        |  CASE WHEN len(list_filter(string_split_regex(text, '\s+'),
+        |        t -> lower(t) IN ('the','a','of','to','and','in','is','it')))
+        |    * 1.0 / len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) > 0.08
+        |    THEN 'en' ELSE 'other' END AS pred_lang
+        |FROM documents""".stripMargin) { (s, d) =>
+      val stop = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+      val ws = filter(split(col("text"), "\\s+"), x => length(x) > 0)
+      val nStop = size(filter(split(col("text"), "\\s+"),
+        x => lower(x).isin(stop.map(lit(_)): _*)))
+      val ratio = nStop * lit(1.0) / size(ws)
+      t(s, d, "documents").select(col("doc_id"),
+        round(ratio, 6).as("stop_ratio"),
+        when(ratio > 0.08, "en").otherwise("other").as("pred_lang"))
+    },
+
+    // ---- Text analysis: quality scoring (length / token stats / digit ratio)
+    QueryDef(
+      "q64_quality_score",
+      """SELECT doc_id, n_chars,
+        |  len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS n_tokens,
+        |  round(CAST(n_chars AS DOUBLE)
+        |    / len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)), 6) AS chars_per_token,
+        |  round(len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / n_chars, 6) AS digit_ratio
+        |FROM documents WHERE n_chars > 0""".stripMargin) { (s, d) =>
+      val nTok = size(filter(split(col("text"), "\\s+"), x => length(x) > 0))
+      t(s, d, "documents").where(col("n_chars") > 0)
+        .select(col("doc_id"), col("n_chars"), nTok.as("n_tokens"),
+          round(col("n_chars").cast("double") / nTok, 6).as("chars_per_token"),
+          round(length(regexp_replace(col("text"), "[^0-9]", "")) * lit(1.0)
+            / col("n_chars"), 6).as("digit_ratio"))
+    },
+
+    // ---- Text analysis: token counting histogram (whitespace + wordpiece-ish
+    // len>1 alnum tokens)
+    QueryDef(
+      "q65_token_hist",
+      """SELECT len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |          t -> len(t) > 1)) // 10 AS bucket,
+        |       count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select((size(filter(split(lower(col("text")), "[^a-z0-9]+"),
+          x => length(x) > 1)).cast(LongType) / 10).cast(LongType).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+    },
+
+    // ---- Dedup: exact (hash-groupBy on normalized 40-char prefix —
+    // collision groups planted in the testdata)
+    QueryDef(
+      "q66_exact_dedup",
+      """SELECT md5(substr(text, 1, 40)) AS h, count(*) AS n, min(doc_id) AS keeper
+        |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .groupBy(md5(substring(col("text"), 1, 40)).as("h"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+        .where(col("n") > 1)
+    },
+
+    // ---- Dedup: n-gram (3-shingle) Jaccard via inverted shingle join —
+    // the distributed shape: explode→join on shingle→count intersections;
+    // no O(n²) pair enumeration
+    QueryDef(
+      "q67_ngram_jaccard",
+      s"""WITH sh AS ($duckTokToShingles),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+         |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT a, b, round(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+         |FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+         |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8""".stripMargin) { (s, d) =>
+      val sh = shingles(t(s, d, "documents"))
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val x = sh.select(col("doc_id").as("a"), col("shingle"))
+      val y = sh.select(col("doc_id").as("b"), col("shingle"))
+      val inter = x.join(y, Seq("shingle")).where(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("i"))
+      val j = col("i") * lit(1.0) /
+        (col("ca.n") + col("cb.n") - col("i"))
+      inter
+        .join(cnt.as("ca"), col("a") === col("ca.doc_id"))
+        .join(cnt.as("cb"), col("b") === col("cb.doc_id"))
+        .where(j >= 0.8)
+        .select(col("a"), col("b"), round(j, 6).as("jaccard"))
+    },
+
+    // ---- Dedup: MinHash + LSH (16 hashes = 4 bands × 4 rows, banded
+    // bucket-join for candidates, exact-Jaccard verify ≥ 0.8). The
+    // scale path: signatures are one groupBy, candidates come from the
+    // band-bucket join — never all-pairs.
+    QueryDef(
+      "q68_minhash_lsh",
+      s"""WITH sh AS ($duckTokToShingles),
+         |mh AS (
+         |  SELECT doc_id, g.h // 4 AS band, g.h % 4 AS row_in_band,
+         |         min(CAST(concat('0x', substr(md5(CAST(g.h AS VARCHAR) || '|' || shingle), 1, 15)) AS BIGINT)) AS minhash
+         |  FROM sh, (SELECT unnest(range(0, 16)) AS h) g
+         |  GROUP BY doc_id, g.h),
+         |sig AS (
+         |  SELECT doc_id, band, string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY row_in_band) AS band_sig
+         |  FROM mh GROUP BY doc_id, band),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM sig x JOIN sig y ON x.band = y.band AND x.band_sig = y.band_sig
+         |                        AND x.doc_id < y.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.a, c.b, count(*) AS i
+         |          FROM cand c JOIN sh x ON x.doc_id = c.a
+         |                      JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+         |          GROUP BY c.a, c.b)
+         |SELECT a, b, round(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+         |FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+         |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8""".stripMargin) { (s, d) =>
+      val sh = shingles(t(s, d, "documents")).cache()
+      val hashIdx = (0 until 16).map(h => lit(h)).toArray
+      val mh = sh.crossJoin(broadcast(
+          s.range(16).select(col("id").as("h"))))
+        .groupBy(col("doc_id"), (col("h") / 4).cast(LongType).as("band"),
+          (col("h") % 4).as("row_in_band"))
+        .agg(min(hash60(concat(col("h").cast("string"), lit("|"), col("shingle"))))
+          .as("minhash"))
+      val sig = mh.groupBy("doc_id", "band")
+        .agg(concat_ws(",", transform(
+          array_sort(collect_list(struct(col("row_in_band"), col("minhash")))),
+          x => x.getField("minhash").cast("string"))).as("band_sig"))
+      val cand = sig.as("x").join(sig.as("y"),
+          col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.as("sx"), col("a") === col("sx.doc_id"))
+        .join(sh.as("sy"), col("b") === col("sy.doc_id")
+          && col("sy.shingle") === col("sx.shingle"))
+        .groupBy("a", "b").agg(count(lit(1)).as("i"))
+      val j = col("i") * lit(1.0) / (col("ca.n") + col("cb.n") - col("i"))
+      inter
+        .join(cnt.as("ca"), col("a") === col("ca.doc_id"))
+        .join(cnt.as("cb"), col("b") === col("cb.doc_id"))
+        .where(j >= 0.8)
+        .select(col("a"), col("b"), round(j, 6).as("jaccard"))
+    },
+
+    // ---- Dedup: SimHash 32-bit fingerprint per doc (bit j = sign of
+    // Σ_tokens tf·(2·bit_j(md5(token)) − 1))
+    QueryDef(
+      "q69_simhash",
+      """WITH tok AS (
+        |  SELECT doc_id, u.t AS term, count(*) AS tf
+        |  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+        |  WHERE len(u.t) > 1 GROUP BY doc_id, u.t),
+        |bits AS (
+        |  SELECT doc_id, b.j,
+        |    sum(tf * (2 * ((strpos('0123456789abcdef', substr(md5(term), 1 + j // 4, 1)) - 1)
+        |                   // CAST(pow(2, 3 - j % 4) AS BIGINT) % 2) - 1)) AS w
+        |  FROM tok, (SELECT unnest(range(0, 32)) AS j) b
+        |  GROUP BY doc_id, b.j)
+        |SELECT doc_id,
+        |  sum(CASE WHEN w > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS simhash
+        |FROM bits GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val tok = tokens(t(s, d, "documents"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val bits = tok.crossJoin(broadcast(s.range(32).select(col("id").as("j"))))
+        .withColumn("hexval",
+          instr(lit("0123456789abcdef"),
+            substring(md5(col("term")), (lit(1) + col("j") / 4).cast("int"), lit(1))) - 1)
+        .withColumn("bit",
+          (col("hexval") / pow(lit(2), lit(3) - col("j") % 4).cast(LongType)).cast(LongType) % 2)
+        .groupBy("doc_id", "j")
+        .agg(sum(col("tf") * (lit(2) * col("bit") - 1)).as("w"))
+      bits.groupBy("doc_id")
+        .agg(sum(when(col("w") > 0, pow(lit(2), col("j")).cast(LongType))
+          .otherwise(lit(0L))).as("simhash"))
+    },
+
+    // ---- Near-dup: embedding cosine pairs over label blocking (the
+    // blocked all-pairs shape; blocking key bounds the quadratic term)
+    QueryDef(
+      "q70_embedding_neardup",
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+        |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                         CAST(b.embedding AS DOUBLE[])) AS cos_sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) > 0.4""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val a = emb.select(col("vec_id").as("a"), col("label"), col("embedding").as("ea"))
+      val b = emb.select(col("vec_id").as("b"), col("label"), col("embedding").as("eb"))
+      val cs = graft.functions.VectorFunctions.cosine_sim(col("ea"), col("eb"))
+      a.join(b, Seq("label")).where(col("a") < col("b"))
+        .withColumn("cos_sim", cs)
+        .where(col("cos_sim") > 0.4)
+        .select("a", "b", "cos_sim")
+    }
+  )
+
+  /** DuckDB shingle CTE body reused by q67/q68. */
+  private lazy val duckTokToShingles: String =
+    duckShingles.replace("\n", "\n  ")
+}
