@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.Graph
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph / MATCH operator surface (SURVEY.md §2.10) over the derived
+  * customer→order→part→supplier property graph.
+  *
+  * Fixed-length patterns compile to joins; var-length `*1..n` compiles to
+  * the iterative BFS in [[Graph.bfsVarLength]] and is oracle-checked
+  * against a DuckDB `WITH RECURSIVE` min-depth walk.
+  */
+object GraphQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.table(s, d, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- S5/G9: degree — out-degree per (node, label)
+    // (graph_api.rs:270-299: degree = count of outgoing edges)
+    QueryDef(
+      "q80_out_degree",
+      s"""WITH edges AS (${Graph.edgesSql})
+         |SELECT label, src, count(*) AS degree FROM edges
+         |GROUP BY label, src ORDER BY degree DESC, src LIMIT 20""".stripMargin) { (s, d) =>
+      Graph.edges(s, d)
+        .groupBy("label", "src").agg(count(lit(1)).as("degree"))
+        .orderBy(col("degree").desc, col("src")).limit(20)
+    },
+
+    // ---- G1/G5: fixed 2-hop MATCH
+    // (c:Customer {mktsegment:'BUILDING'})-[:placed]->(o)-[:contains]->(p)
+    // RETURN c, count(DISTINCT p) — node property filter on the start node,
+    // typed relationships, RETURN projection (match_exec.rs:61-81, 221-290)
+    QueryDef(
+      "q81_match_2hop",
+      s"""WITH edges AS (${Graph.edgesSql})
+         |SELECT c.c_custkey AS custkey, count(DISTINCT e2.dst) AS n_parts
+         |FROM customer c
+         |JOIN edges e1 ON e1.label = 'placed' AND e1.src = c.c_custkey
+         |JOIN edges e2 ON e2.label = 'contains' AND e2.src = e1.dst
+         |WHERE c.c_mktsegment = 'BUILDING'
+         |GROUP BY c.c_custkey""".stripMargin) { (s, d) =>
+      val c = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+      val e = Graph.edges(s, d)
+      val e1 = e.where(col("label") === "placed")
+        .select(col("src").as("s1"), col("dst").as("d1"))
+      val e2 = e.where(col("label") === "contains")
+        .select(col("src").as("s2"), col("dst").as("d2"))
+      c.join(e1, c("c_custkey") === col("s1"))
+        .join(e2, col("d1") === col("s2"))
+        .groupBy(c("c_custkey").as("custkey"))
+        .agg(countDistinct(col("d2")).as("n_parts"))
+    },
+
+    // ---- G3: var-length traversal *1..3 with min-depth semantics,
+    // BFS loop-of-joins vs DuckDB recursive CTE
+    QueryDef(
+      "q82_bfs_varlength",
+      s"""WITH RECURSIVE edges AS (${Graph.edgesSql}),
+         |starts AS (SELECT c_custkey AS start FROM customer WHERE c_custkey < 20),
+         |walk(start, node, depth) AS (
+         |  SELECT s.start, e.dst, 1 FROM starts s JOIN edges e ON e.src = s.start
+         |  UNION
+         |  SELECT w.start, e.dst, w.depth + 1 FROM walk w
+         |  JOIN edges e ON e.src = w.node WHERE w.depth < 3)
+         |SELECT start, node, min(depth) AS depth FROM walk GROUP BY start, node""".stripMargin) { (s, d) =>
+      val starts = t(s, d, "customer").where(col("c_custkey") < 20)
+        .select(col("c_custkey").as("start"))
+      Graph.bfsVarLength(Graph.edges(s, d), starts, 3)
+        .select("start", "node", "depth")
+    },
+
+    // ---- G3: typed var-length — only 'placed'/'contains' edges, *1..2
+    QueryDef(
+      "q83_bfs_typed",
+      s"""WITH RECURSIVE edges AS (${Graph.edgesSql}),
+         |te AS (SELECT * FROM edges WHERE label IN ('placed', 'contains')),
+         |starts AS (SELECT c_custkey AS start FROM customer WHERE c_custkey < 50),
+         |walk(start, node, depth) AS (
+         |  SELECT s.start, e.dst, 1 FROM starts s JOIN te e ON e.src = s.start
+         |  UNION
+         |  SELECT w.start, e.dst, w.depth + 1 FROM walk w
+         |  JOIN te e ON e.src = w.node WHERE w.depth < 2)
+         |SELECT start, node, min(depth) AS depth FROM walk GROUP BY start, node""".stripMargin) { (s, d) =>
+      val starts = t(s, d, "customer").where(col("c_custkey") < 50)
+        .select(col("c_custkey").as("start"))
+      Graph.bfsVarLength(Graph.edges(s, d), starts, 2,
+          relTypes = Seq("placed", "contains"))
+        .select("start", "node", "depth")
+    },
+
+    // ---- G2/G4: MATCH with WHERE similarity() on the start node's
+    // embedding (match_exec.rs:340-399) — vector-guarded traversal:
+    // (c)-[:placed]->(o) WHERE similarity(c.vec, $q) > 0.2
+    QueryDef(
+      "q84_match_similarity",
+      s"""WITH edges AS (${Graph.edgesSql})
+         |SELECT c.c_custkey AS custkey, count(*) AS n_orders
+         |FROM customer c
+         |JOIN embeddings v ON v.vec_id = c.c_custkey
+         |JOIN edges e ON e.label = 'placed' AND e.src = c.c_custkey
+         |WHERE list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+         |  [${graft.functions.VectorFunctions.syntheticQuery(64).map(_.toDouble.toString).mkString(",")}]::DOUBLE[]) > 0.2
+         |GROUP BY c.c_custkey""".stripMargin) { (s, d) =>
+      val q = graft.functions.VectorFunctions.syntheticQuery(64)
+      val c = t(s, d, "customer")
+      val v = t(s, d, "embeddings")
+      val e = Graph.edges(s, d).where(col("label") === "placed")
+      val sim = graft.functions.VectorFunctions.cosine_sim(
+        col("embedding"), graft.functions.VectorFunctions.vecLit(q))
+      c.join(v, v("vec_id") === c("c_custkey"))
+        .where(sim > 0.2)
+        .join(e, e("src") === c("c_custkey"))
+        .groupBy(c("c_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+    },
+
+    // ---- G1: undirected / incoming direction — in-degree of suppliers
+    // via reversed 'supplied_by' edges (edge.rs incoming index)
+    QueryDef(
+      "q85_in_degree",
+      s"""WITH edges AS (${Graph.edgesSql})
+         |SELECT dst AS node, count(*) AS in_degree FROM edges
+         |WHERE label = 'supplied_by'
+         |GROUP BY dst""".stripMargin) { (s, d) =>
+      Graph.edges(s, d).where(col("label") === "supplied_by")
+        .groupBy(col("dst").as("node"))
+        .agg(count(lit(1)).as("in_degree"))
+    }
+  )
+}
