@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 full-text scoring (SURVEY.md §2.9 T1).
+  *
+  * Parity with the reference (index/bm25.rs): tokenizer = lowercase,
+  * split on non-alphanumeric, drop tokens of length ≤ 1 (bm25.rs:114-120);
+  * k1 = 1.2, b = 0.75 (bm25.rs:45-58); idf = ln((N − df + 0.5)/(df + 0.5)
+  * + 1) (bm25.rs:294-305). All math in f64.
+  *
+  * Distributed shape: tokenize is a flatMap (no shuffle); doc/term stats
+  * are partial+final aggregations; scoring joins the tf table (already
+  * keyed by doc) with a broadcast term-stats side. The per-query term set
+  * is tiny, so everything after tokenization is proportional to matching
+  * docs, not the corpus.
+  */
+object Bm25 {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** (doc_id, term) token stream under the reference tokenizer. */
+  def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+        t => length(t) > 1)).as("term"))
+
+  /** BM25 scores for `queryText` over `docs(idCol, textCol)`:
+    * returns (doc_id, score) for every matching doc, top-k when k > 0. */
+  def score(docs: DataFrame, queryText: String, k: Int = 0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val queryTerms = queryText.toLowerCase.split("[^a-z0-9]+")
+      .filter(_.length > 1).toSeq.distinct
+    val tok = tokens(docs, idCol, textCol)
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
+    val stats = dl.agg(count(lit(1)).as("n"),
+      avg(col("dlen").cast("double")).as("avgdl"))
+    val tf = tok.where(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val scored = tf.join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score",
+        idf * (col("tf") * (lit(K1) + 1.0))
+          / (col("tf") + lit(K1) * (lit(1.0) - B + lit(B) * col("dlen") / col("avgdl"))))
+      .groupBy("doc_id").agg(sum(col("term_score")).as("score"))
+    if (k > 0) scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+    else scored
+  }
+}

@@ -38,25 +38,9 @@ object TextQueries {
       |  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
       |  WHERE len(u.t) > 1""".stripMargin
 
-  /** BM25 top-k as a DataFrame pipeline. */
-  private def bm25(docs: DataFrame, queryTerms: Seq[String], k: Int): DataFrame = {
-    val tok = tokens(docs)
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
-    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dlen").cast("double")).as("avgdl"))
-    val tf = tok.where(col("term").isin(queryTerms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
-    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-    tf.join(broadcast(dfreq), "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .withColumn("term_score",
-        idf * (col("tf") * (lit(1.2) + 1.0))
-          / (col("tf") + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dlen") / col("avgdl"))))
-      .groupBy("doc_id").agg(sum(col("term_score")).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
-  }
+  /** BM25 top-k via the shared operator. */
+  private def bm25(docs: DataFrame, queryTerms: Seq[String], k: Int): DataFrame =
+    graft.operators.Bm25.score(docs, queryTerms.mkString(" "), k)
 
   private def bm25Sql(terms: Seq[String], k: Int, docFilter: String = ""): String = {
     val termList = terms.map(x => s"'$x'").mkString(", ")

@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.velesql.{Catalog, Compiler}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** End-to-end VelesQL language surface: each query here is VelesQL TEXT
+  * run through Parser → Compiler → Catalyst, oracle-checked in DuckDB.
+  * This is the "switch engines and keep your queries" proof.
+  */
+object VelesqlQueries {
+
+  private def vql(name: String, oracle: String, text: String,
+      params: Map[String, Any] = Map.empty,
+      nowEpoch: Option[Long] = None): QueryDef =
+    QueryDef(name, oracle) { (s, d) =>
+      new Compiler(s, new Catalog(s, d), params, nowEpoch).run(text)
+    }
+
+  private val qvec: Seq[Float] = graft.functions.VectorFunctions.syntheticQuery(64)
+  private val qvecSql = qvec.map(_.toDouble.toString).mkString("[", ",", "]::DOUBLE[]")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- core SELECT: predicates (incl. reference Neq-on-NULL), ORDER, LIMIT
+    vql("q90_vql_select",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice BETWEEN 100000 AND 200000
+        |  AND (o_orderstatus IS NULL OR o_orderstatus <> 'P')
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice BETWEEN 100000 AND 200000 AND o_orderstatus != 'P'
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin),
+
+    // ---- aggregates + GROUP BY + HAVING with reference result naming
+    // (`count`, `{fn}_{col}`, alias) — sum over small-int quantities is
+    // order-independent in f64, so the oracle hash is exact
+    vql("q91_vql_agg",
+      """SELECT l_returnflag, count(*) AS count, sum(l_quantity) AS total_qty,
+        |       max(l_quantity) AS max_l_quantity
+        |FROM lineitem GROUP BY l_returnflag
+        |HAVING count(*) > 100 AND sum(l_quantity) > 1000
+        |ORDER BY l_returnflag""".stripMargin,
+      """SELECT l_returnflag, COUNT(*), SUM(l_quantity) AS total_qty, MAX(l_quantity)
+        |FROM lineitem GROUP BY l_returnflag
+        |HAVING COUNT(*) > 100 AND SUM(l_quantity) > 1000
+        |ORDER BY l_returnflag ASC""".stripMargin),
+
+    // ---- vector NEAR with $param binding, default metric from collection
+    // meta, NEAR default LIMIT 10 via explicit LIMIT
+    vql("q92_vql_near",
+      s"""SELECT vec_id, score FROM (
+         |  SELECT vec_id, list_cosine_similarity(CAST(embedding AS DOUBLE[]), $qvecSql) AS score
+         |  FROM embeddings ORDER BY score DESC, vec_id LIMIT 10)""".stripMargin,
+      "SELECT vec_id, score FROM embeddings WHERE vector NEAR $q LIMIT 10",
+      params = Map("q" -> qvec)),
+
+    // ---- the flagship shape (reference README.md:163-176): similarity
+    // threshold + metadata filter + ORDER BY similarity DESC + top-k
+    vql("q93_vql_flagship",
+      s"""SELECT vec_id, label FROM embeddings
+         |WHERE list_cosine_similarity(CAST(embedding AS DOUBLE[]), $qvecSql) > 0.2
+         |  AND label IN (1, 2, 3, 4, 5)
+         |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), $qvecSql) DESC,
+         |         vec_id LIMIT 10""".stripMargin,
+      """SELECT vec_id, label FROM embeddings
+        |WHERE similarity(embedding, $q) > 0.2 AND label IN (1, 2, 3, 4, 5)
+        |ORDER BY similarity(embedding, $q) DESC, vec_id ASC LIMIT 10""".stripMargin,
+      params = Map("q" -> qvec)),
+
+    // ---- text MATCH (BM25 membership) + metadata filter
+    vql("q94_vql_match_text",
+      """SELECT doc_id, lang FROM documents
+        |WHERE len(list_intersect(
+        |        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 1),
+        |        ['spark', 'stream'])) > 0
+        |  AND lang = 'en' ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, lang FROM documents
+        |WHERE text MATCH 'spark stream' AND lang = 'en'
+        |ORDER BY doc_id ASC""".stripMargin),
+
+    // ---- JOIN through the language (all four types parse; inner here)
+    vql("q95_vql_join",
+      """SELECT c_name, n_name FROM customer
+        |JOIN nation ON customer.c_nationkey = nation.n_nationkey
+        |WHERE c_acctbal > 9900 ORDER BY c_name""".stripMargin,
+      """SELECT c_name, n_name FROM customer
+        |JOIN nation ON customer.c_nationkey = nation.n_nationkey
+        |WHERE c_acctbal > 9900.0 ORDER BY c_name ASC""".stripMargin),
+
+    // ---- compound UNION (parsed-only in the reference — executed here)
+    vql("q96_vql_union",
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 9000""".stripMargin,
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0""".stripMargin),
+
+    // ---- Cypher-subset MATCH: label + property start filter, typed rel,
+    // RETURN with AS
+    vql("q97_vql_graph",
+      s"""WITH edges AS (${graft.operators.Graph.edgesSql})
+         |SELECT c.c_custkey AS custkey, e.dst AS order_node FROM customer c
+         |JOIN edges e ON e.label = 'placed' AND e.src = c.c_custkey
+         |WHERE c.c_mktsegment = 'MACHINERY'
+         |ORDER BY custkey, order_node""".stripMargin,
+      """MATCH (c:Customer {segment: 'MACHINERY'})-[:placed]->(o:Order)
+        |RETURN c.id AS custkey, o.id AS order_node
+        |ORDER BY custkey ASC, order_node ASC""".stripMargin),
+
+    // ---- temporal: NOW()/INTERVAL arithmetic with folded NOW
+    // (2024-01-22T00:00:00Z = 1705881600)
+    vql("q98_vql_temporal",
+      """SELECT event_type, count(*) AS count FROM events
+        |WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+      """SELECT event_type, COUNT(*) FROM events
+        |WHERE ts > NOW() - INTERVAL '7 days'
+        |GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
+      nowEpoch = Some(1705881600L)),
+
+    // ---- quoted identifiers + DISTINCT (grammar.pest:236-253)
+    vql("q99_vql_quoted",
+      "SELECT DISTINCT o_orderstatus FROM orders",
+      "SELECT DISTINCT `o_orderstatus` FROM \"orders\"")
+  )
+}

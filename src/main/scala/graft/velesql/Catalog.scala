@@ -1,0 +1,65 @@
+package graft.velesql
+
+import graft.Tables
+import graft.operators.Graph
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Collection catalog: name → DataFrame + the metadata the reference keeps
+  * in each collection's config.json (dimension, metric, id column —
+  * reference: crates/velesdb-core/src/lib.rs:230-306,
+  * collection/types.rs:32-61).
+  *
+  * `MetadataOnly` collections are plain tables; `Vector` collections name
+  * their vector column + metric; `Graph` collections add an edges frame.
+  */
+final case class CollectionMeta(
+    idCol: String = "id",
+    vectorCol: Option[String] = None,
+    metric: String = "cosine",
+    textCol: Option[String] = None)
+
+class Catalog(spark: SparkSession, dir: String) {
+
+  /** Testdata collection registry: every driver table, with vector/text
+    * metadata where the table carries embeddings or documents. */
+  val meta: Map[String, CollectionMeta] = Map(
+    "embeddings" -> CollectionMeta("vec_id", Some("embedding"), "cosine"),
+    "documents" -> CollectionMeta("doc_id", None, "cosine", Some("text")),
+    "events" -> CollectionMeta("event_id"),
+    "orders" -> CollectionMeta("o_orderkey"),
+    "lineitem" -> CollectionMeta("l_orderkey"),
+    "customer" -> CollectionMeta("c_custkey"),
+    "supplier" -> CollectionMeta("s_suppkey"),
+    "part" -> CollectionMeta("p_partkey"),
+    "nation" -> CollectionMeta("n_nationkey"),
+    "region" -> CollectionMeta("r_regionkey"))
+
+  def table(name: String): DataFrame =
+    Tables.table(spark, dir, name)
+
+  def metaOf(name: String): CollectionMeta =
+    meta.getOrElse(name, CollectionMeta())
+
+  /** Graph node table for MATCH queries: typed nodes from the derived
+    * customer→order→part→supplier graph, labels as an array column
+    * (the reference stores labels in payload `_labels` —
+    * match_exec.rs:242-247). */
+  lazy val graphNodes: DataFrame = {
+    val c = table("customer").select(col("c_custkey").as("id"),
+      array(lit("Customer")).as("labels"),
+      col("c_name").as("name"), col("c_mktsegment").as("segment"))
+    val o = table("orders").select((col("o_orderkey") + Graph.OrderOffset).as("id"),
+      array(lit("Order")).as("labels"),
+      col("o_orderstatus").as("name"), col("o_orderpriority").as("segment"))
+    val p = table("part").select((col("p_partkey") + Graph.PartOffset).as("id"),
+      array(lit("Part")).as("labels"),
+      col("p_name").as("name"), col("p_brand").as("segment"))
+    val s = table("supplier").select((col("s_suppkey") + Graph.SuppOffset).as("id"),
+      array(lit("Supplier")).as("labels"),
+      col("s_name").as("name"), lit(null).cast("string").as("segment"))
+    c.unionAll(o).unionAll(p).unionAll(s)
+  }
+
+  lazy val graphEdges: DataFrame = Graph.edges(spark, dir)
+}

@@ -1,0 +1,487 @@
+package graft.velesql
+
+import graft.functions.VectorFunctions
+import graft.operators.{Bm25, Graph, Knn}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Ast._
+
+/** VelesQL → DataFrame compiler.
+  *
+  * This is the architectural inversion of the reference: where VelesDB
+  * interprets the AST directly over in-memory structures (match-arm
+  * dispatch at collection/search/query/mod.rs:163-336), we LOWER the AST
+  * to declarative DataFrame transformations and let Catalyst pick the
+  * physical plan — filters push into the parquet scan, top-k compiles to
+  * TakeOrderedAndProject, joins broadcast/shuffle by size.
+  *
+  * Replicated reference semantics:
+  *  - `Neq` is TRUE on a missing/NULL field (filter/matching.rs:9-43
+  *    `is_none_or`) → compiled as `col.isNull || col =!= v`.
+  *  - metric-direction inversion for similarity thresholds and ORDER BY
+  *    (query/mod.rs:396-417, distance.rs:76-103).
+  *  - LIMIT defaults to 10 when NEAR is present, capped at 100_000
+  *    (query/mod.rs:61, 84-87).
+  *  - HAVING chains fold strictly left-to-right with no AND/OR precedence
+  *    (query/aggregation.rs:611-644).
+  *  - aggregate result naming: `count` / `{fn}_{col}` / alias
+  *    (query/aggregation.rs:273-289).
+  *  - interval months = 30 days (ast/values.rs:136-163).
+  *  - scan score = 1.0 (query/mod.rs:778-819); similarity score wins on
+  *    the score column when a similarity condition is present.
+  */
+class Compiler(
+    spark: SparkSession,
+    catalog: Catalog,
+    params: Map[String, Any] = Map.empty,
+    /** NOW() folded once per query for determinism (reference folds at
+      * eval time — ast/values.rs:102-122). Epoch seconds. */
+    fixedNowEpoch: Option[Long] = None) {
+
+  private val LimitCap = 100000
+  private val NearDefaultLimit = 10
+
+  def run(sql: String): DataFrame =
+    Parser.parse(sql).fold(e => throw new IllegalArgumentException(e), compile)
+
+  def compile(q: Query): DataFrame = q match {
+    case Query(Some(sel), None, None) => compileSelect(sel)
+    case Query(Some(sel), Some(Compound(op, right)), None) =>
+      val l = compileSelect(sel)
+      val r = compileSelect(right)
+      op match {
+        case "union" => l.union(r).distinct()
+        case "union_all" => l.unionAll(r)
+        case "intersect" => l.intersect(r)
+        case "except" => l.except(r)
+      }
+    case Query(None, None, Some(m)) => compileMatch(m)
+    case other => throw new IllegalArgumentException(s"unsupported query: $other")
+  }
+
+  // =================== SELECT ===================
+
+  def compileSelect(sel: Select): DataFrame = {
+    val meta = catalog.metaOf(sel.from)
+    // alias every frame by its table name (or AS alias) so qualified
+    // refs like `customer.c_nationkey` resolve
+    var df = catalog.table(sel.from).as(sel.fromAlias.getOrElse(sel.from))
+
+    // joins (grammar.pest:99-107; reference executes only the PK inner
+    // join — query/join.rs:123-198; we execute all four types + USING)
+    for (j <- sel.joins) {
+      val right = catalog.table(j.table).as(j.alias.getOrElse(j.table))
+      df =
+        if (j.using.nonEmpty) df.join(right, j.using, j.joinType)
+        else {
+          val (lc, rc) = j.on.get
+          df.join(right, resolve(df, lc) === col(rc), j.joinType)
+        }
+    }
+
+    // WHERE: extract NEAR / NEAR_FUSED (top-k drivers), compile the rest
+    val (near, residual) = sel.where.map(extractNear).getOrElse((None, None))
+    val simScore = sel.where.flatMap(lastSimilarity)
+    val textScore = sel.where.flatMap(firstTextMatch)
+
+    // score column (reference score conventions: W1/V2/S6)
+    val scored: DataFrame = near match {
+      case Some(VectorNear(v)) =>
+        val vec = vecOf(v)
+        val (fn, _) = VectorFunctions.metrics(meta.metric)
+        df.withColumn("score", fn(col(meta.vectorCol.getOrElse(
+          fail("NEAR on a collection without a vector column"))), VectorFunctions.vecLit(vec)))
+      case Some(VectorNearFused(vs, fusion)) =>
+        val vecs = vs.map(vecOf)
+        val (fn, _) = VectorFunctions.metrics(meta.metric)
+        val vcol = col(meta.vectorCol.getOrElse(fail("NEAR_FUSED needs a vector column")))
+        val sims = vecs.map(v => fn(vcol, VectorFunctions.vecLit(v)))
+        val strategy = fusion.map(_.strategy).getOrElse("average")
+        val fused = strategy match {
+          case "average" => sims.reduce(_ + _) / lit(sims.size.toDouble)
+          case "maximum" => greatest(sims: _*)
+          case "rrf" => // exact-mode RRF over full scoring: rank each leg
+            fail("rrf NEAR_FUSED requires ranked legs; use maximum/average or the fusion operators")
+          case other => fail(s"unknown fusion strategy $other")
+        }
+        df.withColumn("score", fused)
+      case _ =>
+        (simScore, textScore) match {
+          case (Some(SimilarityCond(field, v, _, _)), _) =>
+            val (fn, _) = VectorFunctions.metrics(meta.metric)
+            df.withColumn("score", fn(col(field), VectorFunctions.vecLit(vecOf(v))))
+          case (None, Some(TextMatch(_, qtext))) =>
+            val scores = Bm25.score(df, qtext, 0, meta.idCol, meta.textCol.getOrElse("text"))
+              .withColumnRenamed("doc_id", "__bm25_id")
+            df.join(scores, df(meta.idCol) === col("__bm25_id"))
+              .drop("__bm25_id")
+          case _ => df.withColumn("score", lit(1.0)) // scan score (S6)
+        }
+    }
+
+    // residual predicate (metadata + similarity thresholds + text match)
+    val filtered = residual.orElse(sel.where.filter(_ => near.isEmpty)) match {
+      case Some(cond) => scored.where(compileCond(cond, scored, meta))
+      case None => scored
+    }
+
+    // aggregation or plain projection
+    val hasAggs = sel.selectList match {
+      case SelectItems(items) => items.exists(_.isRight)
+      case _ => false
+    }
+
+    var out: DataFrame =
+      if (sel.groupBy.nonEmpty || hasAggs) compileAgg(sel, filtered)
+      else filtered
+
+    // ORDER BY
+    if (sel.orderBy.nonEmpty) {
+      val sorts = sel.orderBy.map(o => orderCol(o, meta))
+      out = out.orderBy(sorts: _*)
+    } else if (near.isDefined) {
+      // NEAR default ordering by metric direction (distance.rs:95-103)
+      val (_, hib) = VectorFunctions.metrics(meta.metric)
+      val ord = if (hib) col("score").desc else col("score").asc
+      out = out.orderBy(ord, col(meta.idCol).asc)
+    }
+
+    // projection (after ORDER BY so sort can reference unselected cols)
+    if (!hasAggs && sel.groupBy.isEmpty) {
+      sel.selectList match {
+        case SelectAll => // keep everything incl. score
+        case SelectItems(items) =>
+          val cols = items.collect { case Left(ColumnItem(n, a)) =>
+            val c = resolve(out, n)
+            a.map(c.as).getOrElse(c)
+          }
+          out = out.select(cols: _*)
+      }
+      if (sel.distinct) out = out.dropDuplicates()
+    }
+
+    // LIMIT / OFFSET (+ NEAR default 10, cap 100_000 — query/mod.rs:61,84-87)
+    val effLimit = sel.limit.map(l => math.min(l, LimitCap))
+      .orElse(if (near.isDefined) Some(NearDefaultLimit) else None)
+    sel.offset.foreach(o => out = out.offset(o))
+    effLimit.foreach(l => out = out.limit(l))
+    out
+  }
+
+  private def compileAgg(sel: Select, df: DataFrame): DataFrame = {
+    val items = sel.selectList match {
+      case SelectItems(is) => is
+      case SelectAll => fail("SELECT * with GROUP BY is not valid VelesQL")
+    }
+    val aggs = items.collect { case Right(a) => a } ++
+      sel.having.toSeq.flatMap(h => (h.first +: h.rest.map(_._2)).map(_.agg)) ++
+      sel.orderBy.collect { case OrderByItem(OrderByAggregate(a), _) => a }
+    val aggCols = aggs.distinctBy(_.resultName).map(aggColumn)
+    val hasGroup = sel.groupBy.nonEmpty
+
+    var out =
+      if (hasGroup) df.groupBy(sel.groupBy.map(resolve(df, _)): _*).agg(aggCols.head, aggCols.tail: _*)
+      else df.agg(aggCols.head, aggCols.tail: _*)
+
+    // HAVING: strictly left-to-right fold (query/aggregation.rs:611-644);
+    // HAVING without GROUP BY is an error (aggregation.rs:144-149)
+    sel.having.foreach { h =>
+      if (!hasGroup) fail("HAVING requires GROUP BY")
+      val first = havingCol(h.first)
+      val folded = h.rest.foldLeft(first) { case (acc, (op, term)) =>
+        if (op == "AND") acc && havingCol(term) else acc || havingCol(term)
+      }
+      out = out.where(folded)
+    }
+
+    // project in declared order: group cols (as named) + aggregates
+    val proj = items.map {
+      case Left(ColumnItem(n, a)) => a.map(resolve(out, n).as).getOrElse(resolve(out, n))
+      case Right(a) => col(a.resultName)
+    }
+    out.select(proj: _*)
+  }
+
+  private def aggColumn(a: AggregateItem): Column = {
+    val c = a match {
+      case AggregateItem("count", "*", _) => count(lit(1))
+      case AggregateItem("count", arg, _) => count(resolveName(arg))
+      case AggregateItem("sum", arg, _) => sum(resolveName(arg))
+      case AggregateItem("avg", arg, _) => avg(resolveName(arg))
+      case AggregateItem("min", arg, _) => min(resolveName(arg))
+      case AggregateItem("max", arg, _) => max(resolveName(arg))
+      case other => fail(s"unknown aggregate $other")
+    }
+    c.as(a.resultName)
+  }
+
+  private def havingCol(t: HavingTerm): Column =
+    cmp(col(t.agg.resultName), t.op, literal(t.value))
+
+  private def orderCol(o: OrderByItem, meta: CollectionMeta): Column = {
+    val base = o.expr match {
+      case OrderByColumn(n) => col(n)
+      case OrderByAggregate(a) => col(a.resultName)
+      case OrderBySimilarity(field, v) =>
+        val (fn, hib) = VectorFunctions.metrics(meta.metric)
+        val c = fn(col(field), VectorFunctions.vecLit(vecOf(v)))
+        // distance metrics invert the direction (ordering.rs:147-162)
+        return o.ascending match {
+          case Some(true) => if (hib) c.asc else c.desc
+          case _ => if (hib) c.desc else c.asc
+        }
+    }
+    o.ascending match {
+      case Some(true) | None => base.asc
+      case Some(false) => base.desc
+    }
+  }
+
+  // =================== conditions ===================
+
+  /** Pull a top-level (AND-composed) NEAR/NEAR_FUSED out of the tree. */
+  private def extractNear(c: Condition): (Option[Condition], Option[Condition]) = c match {
+    case n: VectorNear => (Some(n), None)
+    case n: VectorNearFused => (Some(n), None)
+    case And(l, r) =>
+      val (nl, rl) = extractNear(l)
+      val (nr, rr) = extractNear(r)
+      val near = nl.orElse(nr)
+      val residual = (rl, rr) match {
+        case (Some(a), Some(b)) => Some(And(a, b))
+        case (a, b) => a.orElse(b)
+      }
+      (near, residual)
+    case other => (None, Some(other))
+  }
+
+  /** Last similarity() condition (its score wins — query/mod.rs:419-425). */
+  private def lastSimilarity(c: Condition): Option[SimilarityCond] = c match {
+    case s: SimilarityCond => Some(s)
+    case And(l, r) => lastSimilarity(r).orElse(lastSimilarity(l))
+    case Or(l, r) => lastSimilarity(r).orElse(lastSimilarity(l))
+    case Not(i) => lastSimilarity(i)
+    case _ => None
+  }
+
+  private def firstTextMatch(c: Condition): Option[TextMatch] = c match {
+    case t: TextMatch => Some(t)
+    case And(l, r) => firstTextMatch(l).orElse(firstTextMatch(r))
+    case Or(l, r) => firstTextMatch(l).orElse(firstTextMatch(r))
+    case Not(i) => firstTextMatch(i)
+    case _ => None
+  }
+
+  def compileCond(c: Condition, df: DataFrame, meta: CollectionMeta): Column = c match {
+    case Compare(column, op, v) =>
+      val cc = resolve(df, column)
+      op match {
+        // Neq passes on missing field (matching.rs is_none_or)
+        case "!=" | "<>" => cc.isNull || cc =!= literal(v)
+        case _ => cmp(cc, op, literal(v))
+      }
+    case In(column, vs) => resolve(df, column).isin(vs.map(rawLiteral): _*)
+    case Between(column, lo, hi) =>
+      resolve(df, column).between(literal(lo), literal(hi))
+    case Like(column, pat, ci) =>
+      if (ci) resolve(df, column).ilike(pat) else resolve(df, column).like(pat)
+    case IsNull(column, neg) =>
+      if (neg) resolve(df, column).isNotNull else resolve(df, column).isNull
+    case And(l, r) => compileCond(l, df, meta) && compileCond(r, df, meta)
+    case Or(l, r) => compileCond(l, df, meta) || compileCond(r, df, meta)
+    case Not(i) => !compileCond(i, df, meta)
+    case SimilarityCond(field, v, op, t) =>
+      val (fn, hib) = VectorFunctions.metrics(meta.metric)
+      val score = fn(col(field), VectorFunctions.vecLit(vecOf(v)))
+      // metric-direction inversion (query/mod.rs:396-417)
+      val effOp = if (hib) op else op match {
+        case ">" => "<"; case ">=" => "<="; case "<" => ">"; case "<=" => ">="
+        case o => o
+      }
+      cmp(score, effOp, lit(t))
+    case TextMatch(_, qtext) =>
+      // membership in the BM25 match set (any query term present)
+      val terms = qtext.toLowerCase.split("[^a-z0-9]+").filter(_.length > 1)
+      val toks = filter(split(lower(col(meta.textCol.getOrElse("text"))), "[^a-z0-9]+"),
+        t => length(t) > 1)
+      terms.map(t => array_contains(toks, t)).reduce(_ || _)
+    case _: VectorNear | _: VectorNearFused =>
+      fail("NEAR must be AND-composed at the top level of WHERE")
+  }
+
+  private def cmp(c: Column, op: String, v: Column): Column = op match {
+    case "=" => c === v
+    case "!=" | "<>" => c =!= v
+    case ">" => c > v
+    case ">=" => c >= v
+    case "<" => c < v
+    case "<=" => c <= v
+  }
+
+  // =================== values ===================
+
+  private def vecOf(v: VectorValue): Seq[Float] = v match {
+    case VectorValue(Some(lit), _) => lit
+    case VectorValue(_, Some(p)) => params.get(p) match {
+      case Some(s: Seq[_]) => s.map(x => x.asInstanceOf[Number].floatValue())
+      case Some(a: Array[Float]) => a.toSeq
+      case other => fail(s"parameter $$$p is not a vector: $other")
+    }
+    case _ => fail("empty vector value")
+  }
+
+  def literal(v: Value): Column = v match {
+    case IntValue(x) => lit(x)
+    case FloatValue(x) => lit(x)
+    case StringValue(x) => lit(x)
+    case BoolValue(x) => lit(x)
+    case NullValue => lit(null)
+    case Parameter(name) => params.get(name) match {
+      case Some(x) => lit(x)
+      case None => fail(s"unbound parameter $$$name")
+    }
+    case TemporalValue(t) => timestamp_seconds(lit(epochOf(t)))
+    case SubqueryValue(sq) =>
+      // scalar subquery: evaluate eagerly (single value, e.g. an aggregate)
+      val res = compileSelect(sq).collect()
+      if (res.length != 1 || res.head.size != 1) fail("scalar subquery must return 1 value")
+      lit(res.head.get(0))
+  }
+
+  private def rawLiteral(v: Value): Any = v match {
+    case IntValue(x) => x
+    case FloatValue(x) => x
+    case StringValue(x) => x
+    case BoolValue(x) => x
+    case NullValue => null
+    case Parameter(name) => params.getOrElse(name, fail(s"unbound parameter $$$name"))
+    case other => fail(s"unsupported IN value $other")
+  }
+
+  /** Evaluate temporal arithmetic to epoch seconds (ast/values.rs:91-163;
+    * month = 30 days at values.rs:136-163). */
+  private def epochOf(t: Temporal): Long = t match {
+    case Now => fixedNowEpoch.getOrElse(System.currentTimeMillis() / 1000)
+    case Interval(raw) => intervalSeconds(raw)
+    case TemporalArith(l, op, r) =>
+      val (a, b) = (epochOf(l), epochOf(r))
+      if (op == '+') a + b else a - b
+  }
+
+  private def intervalSeconds(raw: String): Long = {
+    val m = """(\d+)\s*(\w+)""".r.findFirstMatchIn(raw.trim)
+      .getOrElse(fail(s"bad interval '$raw'"))
+    val n = m.group(1).toLong
+    m.group(2).toLowerCase match {
+      case s if s.startsWith("sec") => n
+      case s if s.startsWith("min") => n * 60
+      case s if s.startsWith("hour") => n * 3600
+      case s if s.startsWith("day") => n * 86400
+      case s if s.startsWith("week") => n * 604800
+      case s if s.startsWith("month") => n * 2592000 // 30 days (values.rs:163)
+      case u => fail(s"unknown interval unit $u")
+    }
+  }
+
+  // =================== MATCH (graph) ===================
+
+  /** Compile a Cypher-subset MATCH to joins over nodes/edges
+    * (match_exec.rs:104-218). Fixed-length hops become per-hop joins;
+    * var-length hops use the BFS loop. */
+  def compileMatch(m: MatchQuery): DataFrame = {
+    val nodes = catalog.graphNodes
+    val edges = catalog.graphEdges
+
+    // internal binding columns use `alias__prop` (dots would collide with
+    // Spark's nested-field resolution); RETURN restores `alias.prop` names
+    def nodeFrame(np: NodePattern, idx: Int): DataFrame = {
+      val alias = np.alias.getOrElse(s"_n$idx")
+      var df = nodes
+      np.labels.foreach(l => df = df.where(array_contains(col("labels"), l)))
+      np.properties.foreach { case (k, v) => df = df.where(col(k) === literal(v)) }
+      df.select(df.columns.map(c => col(c).as(s"${alias}__$c")): _*)
+    }
+
+    val aliases = m.pattern.nodes.zipWithIndex.map { case (np, i) =>
+      np.alias.getOrElse(s"_n$i")
+    }
+    var acc = nodeFrame(m.pattern.nodes.head, 0)
+    for (((rel, node), i) <- m.pattern.rels.zip(m.pattern.nodes.tail).zipWithIndex) {
+      val fromAlias = aliases(i)
+      val toAlias = node.alias.getOrElse(s"_n${i + 1}")
+      val nf = nodeFrame(node, i + 1)
+      val e0 = if (rel.types.nonEmpty) edges.where(col("label").isin(rel.types: _*)) else edges
+      if (rel.minHops == 1 && rel.maxHops == 1) {
+        val (sCol, dCol) = rel.direction match {
+          case "in" => ("dst", "src")
+          case _ => ("src", "dst") // undirected treated as outgoing + reverse union
+        }
+        val e =
+          if (rel.direction == "undirected")
+            e0.select(col("src").as("s"), col("dst").as("d"))
+              .unionAll(e0.select(col("dst").as("s"), col("src").as("d")))
+          else e0.select(col(sCol).as("s"), col(dCol).as("d"))
+        acc = acc.join(e, col(s"${fromAlias}__id") === col("s"))
+          .join(nf, col("d") === col(s"${toAlias}__id"))
+          .drop("s", "d")
+      } else {
+        // var-length: BFS from the current binding of `fromAlias`
+        val starts = acc.select(col(s"${fromAlias}__id").as("start")).distinct()
+        val reach = Graph.bfsVarLength(e0, starts, rel.maxHops, rel.types)
+          .where(col("depth") >= rel.minHops)
+          .select(col("start"), col("node"))
+        acc = acc.join(reach, col(s"${fromAlias}__id") === col("start"))
+          .join(nf, col("node") === col(s"${toAlias}__id"))
+          .drop("start", "node")
+      }
+    }
+
+    m.where.foreach { w =>
+      acc = acc.where(compileMatchCond(w, acc))
+    }
+
+    var out = acc
+    if (m.returns.exists(_.expr == ReturnAll)) {
+      // keep all bound columns
+    } else {
+      val cols = m.returns.map { r =>
+        val c = r.expr match {
+          case ReturnProperty(a, p) => col(s"${a}__$p").as(r.as.getOrElse(s"$a.$p"))
+          case ReturnAlias(a) => col(s"${a}__id").as(r.as.getOrElse(a))
+          case ReturnSimilarity => fail("similarity() RETURN requires a vector leg")
+          case ReturnAll => col("*")
+        }
+        c
+      }
+      out = out.select(cols: _*)
+    }
+    m.orderBy.foreach { o => out = out.orderBy(orderCol(o, CollectionMeta())) }
+    m.limit.foreach(l => out = out.limit(l))
+    out
+  }
+
+  /** MATCH WHERE over `alias.property` columns (match_exec.rs:340-399). */
+  private def compileMatchCond(c: Condition, df: DataFrame): Column = c match {
+    case Compare(column, op, v) => cmp(mcol(column), op, literal(v))
+    case In(column, vs) => mcol(column).isin(vs.map(rawLiteral): _*)
+    case Between(column, lo, hi) => mcol(column).between(literal(lo), literal(hi))
+    case Like(column, p, ci) => if (ci) mcol(column).ilike(p) else mcol(column).like(p)
+    case IsNull(column, neg) => if (neg) mcol(column).isNotNull else mcol(column).isNull
+    case And(l, r) => compileMatchCond(l, df) && compileMatchCond(r, df)
+    case Or(l, r) => compileMatchCond(l, df) || compileMatchCond(r, df)
+    case Not(i) => !compileMatchCond(i, df)
+    case other => fail(s"unsupported MATCH condition $other")
+  }
+
+  private def mcol(name: String): Column = col(name.replace(".", "__"))
+
+  // =================== util ===================
+
+  /** Resolve a possibly alias-qualified column name against `df`. */
+  private def resolve(df: DataFrame, name: String): Column = col(name)
+  private def resolveName(name: String): Column = col(name)
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"VelesQL: $msg")
+}

@@ -1,0 +1,125 @@
+package graft
+
+import graft.velesql.{Ast, Catalog, Compiler, Parser}
+import org.apache.spark.sql.functions._
+
+/** Parser corpus + compiler semantics checks (SURVEY.md §5.2 item 4).
+  * Value-level verification of the full queries runs in the DuckDB oracle
+  * gate (q90-q99); this spec covers parse shapes and the reference's
+  * semantic quirks. */
+class VelesqlSpec extends SparkSpecBase {
+
+  private def parseOk(q: String): Ast.Query =
+    Parser.parse(q).fold(e => fail(s"parse failed for: $q\n$e"), identity)
+
+  test("parser corpus: representative queries from the reference spec parse") {
+    val corpus = Seq(
+      "SELECT * FROM products",
+      "SELECT id, name AS n FROM products WHERE price > 100 LIMIT 5",
+      "SELECT * FROM docs WHERE vector NEAR [0.1, 0.2, 0.3] LIMIT 10",
+      "SELECT * FROM docs WHERE vector NEAR $query_vec",
+      "SELECT * FROM docs WHERE similarity(vector, $v) > 0.8 AND category = 'tech' ORDER BY similarity(vector, $v) DESC LIMIT 10",
+      "SELECT * FROM docs WHERE vector NEAR_FUSED [[0.1,0.2],[0.3,0.4]] USING FUSION 'rrf' (k=60)",
+      "SELECT * FROM articles WHERE content MATCH 'rust database'",
+      "SELECT category, COUNT(*), AVG(price) FROM products GROUP BY category HAVING COUNT(*) > 5 OR AVG(price) > 10.5",
+      "SELECT * FROM orders AS o JOIN customers AS c ON o.cust_id = c.id WHERE o.total > 50",
+      "SELECT * FROM t LEFT JOIN u ON t.a = u.b",
+      "SELECT * FROM t JOIN u USING (a, b)",
+      "SELECT a FROM t UNION SELECT a FROM u",
+      "SELECT a FROM t UNION ALL SELECT a FROM u",
+      "SELECT a FROM t INTERSECT SELECT a FROM u",
+      "SELECT a FROM t EXCEPT SELECT a FROM u",
+      "SELECT * FROM events WHERE ts > NOW() - INTERVAL '7 days'",
+      "SELECT * FROM t WHERE a IN (1, 2, 3) AND b BETWEEN 1 AND 10",
+      "SELECT * FROM t WHERE name LIKE '%foo_%' OR name ILIKE 'BAR%'",
+      "SELECT * FROM t WHERE x IS NOT NULL AND y IS NULL",
+      "SELECT * FROM t WHERE NOT (a = 1 OR b = 2)",
+      "SELECT `select`, \"from\" FROM `order`",
+      "SELECT * FROM t WHERE price > (SELECT AVG(price) FROM t)",
+      "SELECT * FROM t LIMIT 10 OFFSET 5",
+      "SELECT * FROM t WITH (mode='accurate', ef_search=256)",
+      "SELECT DISTINCT category FROM products",
+      "MATCH (a:Person)-[:KNOWS]->(b) RETURN a.name, b.name",
+      "MATCH (a:Person {name: 'Alice'})-[r:KNOWS|LIKES*1..3]->(b) WHERE b.age > 20 RETURN a.name AS x ORDER BY x LIMIT 5",
+      "MATCH (a)<-[:FOLLOWS]-(b) RETURN a.id",
+      "SELECT * FROM t -- trailing comment\nWHERE a = 1;")
+    corpus.foreach(parseOk)
+  }
+
+  test("parser rejects malformed queries") {
+    val bad = Seq(
+      "SELECT FROM t",
+      "SELECT * FROM",
+      "SELECT * FROM t WHERE",
+      "SELECT * FROM t WHERE a >",
+      "MATCH (a RETURN a.name",
+      "SELECT * FROM t GROUP",
+      "garbage")
+    bad.foreach(q => assert(Parser.parse(q).isLeft, s"should not parse: $q"))
+  }
+
+  test("HAVING folds strictly left-to-right (no AND/OR precedence)") {
+    // (c1 OR c2) AND c3 — SQL precedence would be c1 OR (c2 AND c3)
+    val q = parseOk(
+      "SELECT a, COUNT(*) FROM t GROUP BY a HAVING COUNT(*) > 5 OR MIN(a) > 1 AND MAX(a) < 9")
+    val h = q.select.get.having.get
+    assert(h.rest.map(_._1) == Seq("OR", "AND"))
+  }
+
+  test("NEAR default limit is 10 (query/mod.rs:61)") {
+    val c = new Compiler(spark, new Catalog(spark, sfDir),
+      Map("q" -> graft.functions.VectorFunctions.syntheticQuery(64)))
+    val df = c.run("SELECT vec_id FROM embeddings WHERE vector NEAR $q")
+    assert(df.count() == 10)
+  }
+
+  test("Neq is true on NULL fields (matching.rs is_none_or)") {
+    import spark.implicits._
+    val cat = new Catalog(spark, sfDir) {
+      override def table(name: String) =
+        Seq((1L, Some("a")), (2L, None), (3L, Some("b")))
+          .toDF("id", "v")
+    }
+    val c = new Compiler(spark, cat)
+    val ids = c.run("SELECT id FROM x WHERE v != 'a' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(2L, 3L)) // NULL row passes Neq, unlike ANSI SQL
+  }
+
+  test("similarity threshold inverts for distance metrics") {
+    val cat = new Catalog(spark, sfDir) {
+      override val meta = Map(
+        "embeddings" -> graft.velesql.CollectionMeta("vec_id", Some("embedding"), "euclidean"))
+    }
+    val c = new Compiler(spark, cat, Map("q" -> graft.functions.VectorFunctions.syntheticQuery(64)))
+    val viaLang = c.run("SELECT vec_id FROM embeddings WHERE similarity(embedding, $q) > 3.5")
+    val manual = graft.operators.Knn.thresholdFilter(
+      Tables.table(spark, sfDir, "embeddings"), "embedding",
+      graft.functions.VectorFunctions.syntheticQuery(64), 3.5, "euclidean", ">")
+    assert(viaLang.count() == manual.count())
+    assert(viaLang.count() > 0)
+  }
+
+  test("aggregate result naming parity: count / fn_col / alias") {
+    val c = new Compiler(spark, new Catalog(spark, sfDir))
+    val df = c.run("SELECT o_orderstatus, COUNT(*), SUM(o_totalprice), MIN(o_totalprice) AS lo FROM orders GROUP BY o_orderstatus")
+    assert(df.columns.toSeq == Seq("o_orderstatus", "count", "sum_o_totalprice", "lo"))
+  }
+
+  test("NEAR_FUSED average fusion equals hand-built expression") {
+    val q1 = Seq.fill(64)(0.1f)
+    val q2 = graft.functions.VectorFunctions.syntheticQuery(64)
+    val c = new Compiler(spark, new Catalog(spark, sfDir),
+      Map("a" -> q1, "b" -> q2))
+    val df = c.run("SELECT vec_id, score FROM embeddings WHERE vector NEAR_FUSED [$a, $b] USING FUSION 'average' LIMIT 5")
+    val rows = df.collect()
+    assert(rows.length == 5)
+    import graft.functions.{VectorFunctions => VF}
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val manual = emb.select(col("vec_id"),
+        ((VF.cosine_sim(col("embedding"), VF.vecLit(q1))
+          + VF.cosine_sim(col("embedding"), VF.vecLit(q2))) / lit(2.0)).as("score"))
+      .orderBy(col("score").desc, col("vec_id")).limit(5).collect()
+    assert(rows.map(_.getLong(0)).toSeq == manual.map(_.getLong(0)).toSeq)
+  }
+}
