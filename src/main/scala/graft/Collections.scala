@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Collection lifecycle + point CRUD (SURVEY.md §2.1 S1-S4).
+  *
+  * Reference: `Database { data_dir, collections }` with create/open/list/
+  * delete (lib.rs:230-346) and `Collection::upsert/get/delete`
+  * (collection/core/crud.rs:19-341). Spark shape: a collection is a
+  * parquet directory + a JSON meta sidecar; upsert is batch
+  * merge-by-id (latest batch wins), delete is an anti-join — Spark is
+  * batch-first, so index structures (BM25 postings, LSH buckets) are
+  * derived tables rebuilt per batch rather than incrementally mutated.
+  */
+class Collections(spark: SparkSession, dataDir: String) {
+
+  private def root: Path = Paths.get(dataDir)
+  private def colDir(name: String): Path = root.resolve(name)
+  private def dataPath(name: String): String = colDir(name).resolve("points").toString
+  private def metaPath(name: String): Path = colDir(name).resolve("meta.json")
+
+  /** S1: create — empty collection with metadata sidecar. */
+  def create(name: String, idCol: String = "id",
+      vectorCol: Option[String] = None, metric: String = "cosine"): Unit = {
+    require(!exists(name), s"collection $name already exists")
+    Files.createDirectories(colDir(name))
+    val vc = vectorCol.map(v => s""""$v"""").getOrElse("null")
+    Files.writeString(metaPath(name),
+      s"""{"idCol": "$idCol", "vectorCol": $vc, "metric": "$metric"}""")
+  }
+
+  def exists(name: String): Boolean = Files.exists(metaPath(name))
+
+  def list(): Seq[String] =
+    if (!Files.exists(root)) Nil
+    else Files.list(root).iterator().asScala
+      .filter(p => Files.exists(p.resolve("meta.json")))
+      .map(_.getFileName.toString).toSeq.sorted
+
+  /** S1: drop (lib.rs:337-346). */
+  def drop(name: String): Unit = {
+    def rm(p: Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rm)
+      Files.deleteIfExists(p)
+    }
+    rm(colDir(name))
+  }
+
+  private def idColOf(name: String): String = {
+    val meta = Files.readString(metaPath(name))
+    """"idCol":\s*"([^"]+)"""".r.findFirstMatchIn(meta).map(_.group(1)).getOrElse("id")
+  }
+
+  /** S3: read all points (empty frame with no schema if never written). */
+  def table(name: String): Option[DataFrame] = {
+    val p = Paths.get(dataPath(name))
+    if (Files.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** S2: upsert — insert-or-replace by id (crud.rs:19-127). Batch
+    * semantics: the incoming batch wins over stored rows; within a batch,
+    * later rows win (matching upsert ordering). */
+  def upsert(name: String, batch: DataFrame): Unit = {
+    val idCol = idColOf(name)
+    val merged = table(name) match {
+      case Some(existing) =>
+        val incoming = batch.withColumn("__pri", lit(1))
+        val old = existing.withColumn("__pri", lit(0))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col(idCol)).orderBy(col("__pri").desc)
+        incoming.unionByName(old)
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1)
+          .drop("__pri", "__rn")
+      case None => batch
+    }
+    // write to a temp dir then swap (parquet can't overwrite its own input)
+    val tmp = colDir(name).resolve("points.tmp").toString
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val target = Paths.get(dataPath(name))
+    if (Files.exists(target)) {
+      def rm(p: Path): Unit = {
+        if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rm)
+        Files.deleteIfExists(p)
+      }
+      rm(target)
+    }
+    Files.move(Paths.get(tmp), target)
+  }
+
+  /** S3: get by ids (crud.rs:250). */
+  def get(name: String, ids: Seq[Long]): DataFrame = {
+    val idCol = idColOf(name)
+    table(name).map(_.where(col(idCol).isin(ids: _*)))
+      .getOrElse(spark.emptyDataFrame)
+  }
+
+  /** S3: delete by ids → anti-join rewrite (crud.rs:291). */
+  def delete(name: String, ids: Seq[Long]): Unit = {
+    val idCol = idColOf(name)
+    table(name).foreach { df =>
+      upsertReplaceAll(name, df.where(!col(idCol).isin(ids: _*)))
+    }
+  }
+
+  /** S3: count (crud.rs:328 len). */
+  def count(name: String): Long = table(name).map(_.count()).getOrElse(0L)
+
+  private def upsertReplaceAll(name: String, df: DataFrame): Unit = {
+    val tmp = colDir(name).resolve("points.tmp").toString
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val target = Paths.get(dataPath(name))
+    def rm(p: Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rm)
+      Files.deleteIfExists(p)
+    }
+    if (Files.exists(target)) rm(target)
+    Files.move(Paths.get(tmp), target)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.functions.{VectorFunctions, VectorKernels}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Approximate-nearest-neighbor tier (SURVEY.md §2.3 V8/V11, §7.1 step 8).
+  *
+  * The reference's HNSW (index/hnsw/native_index.rs) is a single-node
+  * pointer graph — wrong shape for a cluster. The Spark-native scale path
+  * is bucketed LSH: a deterministic random-hyperplane signature assigns
+  * every vector to a bucket; search probes the query's bucket plus its
+  * Hamming neighbors and exact-reranks only those candidates. The index
+  * is just a DataFrame (bucket, id, vector) — written as parquet
+  * partitioned by bucket, probing becomes partition pruning, and index
+  * build is one distributed pass (vs 52 s single-node HNSW build for
+  * 100K×768D — benchmarks/README.md:20-22).
+  *
+  * `ef_search`-style quality knobs (vector.rs:69-115 Fast/Balanced/
+  * Accurate/Perfect) map to the probe radius: more probed buckets →
+  * higher recall, linearly more work.
+  */
+object Ann {
+
+  /** Deterministic pseudo-random hyperplane component (plane p, dim i):
+    * a splitmix64-style integer hash mapped to [-1, 1). Reproducible
+    * across engines and runs — no RNG state. */
+  private def planeComponent(p: Int, i: Int): Double = {
+    var z = p.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z.toDouble / Long.MaxValue.toDouble)
+  }
+
+  def planes(nPlanes: Int, dim: Int): Array[Array[Float]] =
+    Array.tabulate(nPlanes)(p => Array.tabulate(dim)(i => planeComponent(p, i).toFloat))
+
+  /** Signature of one vector under the planes: bit p = sign(v·plane_p). */
+  def signature(v: Array[Float], planes: Array[Array[Float]]): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < planes.length) {
+      if (VectorKernels.dot(v, planes(p)) >= 0.0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** Build the LSH index frame: input plus a `bucket` column. Persist
+    * with `.write.partitionBy("bucket")` to turn probes into partition
+    * pruning at scale. */
+  def buildIndex(df: DataFrame, vecCol: String, nPlanes: Int): DataFrame = {
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val ps = planes(nPlanes, dim)
+    // signature as a sum of per-plane bit terms — stays in codegen
+    val bits: Seq[Column] = ps.toIndexedSeq.zipWithIndex.map { case (plane, p) =>
+      when(VectorFunctions.dot_product(col(vecCol),
+        VectorFunctions.vecLit(plane.toSeq)) >= 0.0, lit(1L << p)).otherwise(lit(0L))
+    }
+    df.withColumn("bucket", bits.reduce(_ + _).cast(LongType))
+  }
+
+  /** Buckets within Hamming radius `r` of the query signature, nearest
+    * first (the multi-probe sequence). */
+  def probeBuckets(sig: Long, nPlanes: Int, radius: Int): Seq[Long] = {
+    val all = (0L until (1L << nPlanes))
+      .map(b => (b, java.lang.Long.bitCount(b ^ sig)))
+      .filter(_._2 <= radius)
+      .sortBy { case (b, d) => (d, b) }
+    all.map(_._1)
+  }
+
+  /** ANN top-k: probe buckets within `radius`, exact-rerank candidates.
+    * radius = nPlanes recovers exact search (all buckets probed). */
+  def search(index: DataFrame, vecCol: String, query: Seq[Float], k: Int,
+      nPlanes: Int, radius: Int, metric: String = "cosine",
+      idCol: String = "id"): DataFrame = {
+    val sig = signature(query.toArray, planes(nPlanes, query.length))
+    val buckets = probeBuckets(sig, nPlanes, radius)
+    val cands = index.where(col("bucket").isin(buckets: _*))
+    Knn.topK(cands, vecCol, query, k, metric, idCol)
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Quantized two-phase search (SURVEY.md §2.3 V11).
+  *
+  * Reference: StorageMode::{Full, SQ8, Binary} (quantization.rs:20-29) —
+  * binary = sign-bit packing (quantization.rs:48-58), SQ8 = per-vector
+  * min/max u8 (quantization.rs:209-216); dual-precision search = quantized
+  * candidate generation + f32 rerank with an oversampling factor
+  * (ast/with_clause.rs:112-131).
+  *
+  * Spark shape: the binary sketch is a packed LongType column (64 dims →
+  * one long); phase 1 ranks by Hamming distance on `bit_count(a XOR b)` —
+  * pure codegen integer ops, 32× less data than the float vectors — and
+  * keeps `k × oversampling` candidates; phase 2 exact-reranks only those.
+  * At 100 TB the sketch column is the only thing the phase-1 scan reads
+  * (column pruning), so the heavy vector column is touched for candidates
+  * only.
+  */
+object Quantization {
+
+  /** Add a sign-bit sketch column packing up to 64 dims per long.
+    * (For dims > 64 extend to an array of longs; testdata is 64-D.) */
+  def withBinarySketch(df: DataFrame, vecCol: String, dim: Int,
+      sketchCol: String = "sketch"): DataFrame = {
+    require(dim <= 64, "single-long sketch supports up to 64 dims")
+    val bits = (0 until dim).map { i =>
+      when(element_at(col(vecCol), i + 1) >= 0.0f, lit(1L << i)).otherwise(lit(0L))
+    }
+    df.withColumn(sketchCol, bits.reduce(_ + _).cast(LongType))
+  }
+
+  /** Sketch of a query vector (same packing). */
+  def sketchOf(q: Seq[Float]): Long = {
+    var s = 0L
+    q.zipWithIndex.foreach { case (x, i) => if (x >= 0.0f) s |= (1L << i) }
+    s
+  }
+
+  /** Two-phase search: Hamming-on-sketch candidate generation with
+    * `oversampling`, then exact rerank under `metric`. */
+  def search(df: DataFrame, vecCol: String, query: Seq[Float], k: Int,
+      oversampling: Int = 4, metric: String = "cosine",
+      idCol: String = "id", sketchCol: String = "sketch"): DataFrame = {
+    val qs = sketchOf(query)
+    val phase1 = df
+      .withColumn("__ham", bit_count(col(sketchCol).bitwiseXOR(lit(qs))))
+      .orderBy(col("__ham").asc, col(idCol).asc)
+      .limit(k * oversampling)
+      .drop("__ham")
+    Knn.topK(phase1, vecCol, query, k, metric, idCol)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming tier (SURVEY.md §2.11 L5 — beyond-reference: the
+  * reference has NO event streaming; its "streaming" is O(1)-memory
+  * aggregation (velesql/aggregator.rs:1-5) and lazy BFS iterators
+  * (graph/streaming.rs:69-99). This module supplies the real thing over
+  * the `events` table shape: watermarked event-time windows, session
+  * windows, and custom keyed state — all stock Structured Streaming,
+  * which scales to 100 TB/day by partitioning on the grouping key.)
+  */
+object StreamingOps {
+
+  /** Watermarked sliding-window aggregation:
+    * counts + value sums per (window, event_type); late data beyond
+    * `watermark` is dropped, state is bounded. */
+  def windowedAgg(events: DataFrame, windowDur: String = "1 hour",
+      slide: String = "30 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur, slide), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("cnt"), col("total_value"))
+
+  /** Session windows per user: events within `gap` of each other merge
+    * into one session (built-in session_window — state bounded by the
+    * watermark). */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  case class UserEvent(user_id: Long, ts: Timestamp, value: Double)
+  case class UserState(count: Long, total: Double)
+  case class UserSnapshot(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state via mapGroupsWithState: a running per-user
+    * (count, total) — the KeyValueGroupedDataset state machine shape for
+    * anything session_window can't express. */
+  def runningUserState(events: Dataset[UserEvent]): Dataset[UserSnapshot] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserSnapshot](GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[UserEvent], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var c = prev.count
+          var t = prev.total
+          evs.foreach { e => c += 1; t += e.value }
+          state.update(UserState(c, t))
+          UserSnapshot(uid, c, t)
+      }
+  }
+
+  /** Read the events parquet directory as a stream (file source — at
+    * scale this is the landing-zone pattern: new files appear, Spark
+    * incrementally processes them). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file source needs a directory; glob-filter to the events file
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    // events.ts is parquet TIMESTAMP(NANOS) read as long nanos under
+    // spark.sql.legacy.parquet.nanosAsLong — re-derive (see Tables.table)
+    if (schema.fields.exists(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType))
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+}

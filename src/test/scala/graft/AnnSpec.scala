@@ -1,0 +1,74 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.operators.{Ann, Knn, Quantization}
+import org.apache.spark.sql.functions._
+
+/** ANN + quantized search recall vs the exact oracle (SURVEY.md §5.2:
+  * recall@10 ≥ 0.95 against brute force — the reference's own bar,
+  * docs/BENCHMARKS.md:102). */
+class AnnSpec extends SparkSpecBase {
+
+  private val q = VectorFunctions.syntheticQuery(64)
+  private lazy val emb = Tables.table(spark, sfDir, "embeddings")
+  private lazy val exactTop10: Set[Long] =
+    Knn.topK(emb, "embedding", q, 10, "cosine", idCol = "vec_id")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+  test("LSH recall grows monotonically with probe radius (the ef knob)") {
+    // Mirrors the reference's ef→recall profile (Fast 34-92% … Perfect
+    // 100%, docs/BENCHMARKS.md:96-99 / benchmarks/README.md:9-15): on
+    // uniform-random vectors low radii trade recall for probe count,
+    // and full radius is exact by construction.
+    val nPlanes = 6
+    val index = Ann.buildIndex(emb, "embedding", nPlanes)
+    val recalls = (1 to nPlanes).map { r =>
+      val got = Ann.search(index, "embedding", q, 10, nPlanes, radius = r,
+          metric = "cosine", idCol = "vec_id")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (got & exactTop10).size / 10.0
+    }
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a },
+      s"recall not monotone: $recalls")
+    assert(recalls.last == 1.0, s"full radius must be exact: $recalls")
+    assert(recalls(2) >= 0.6, s"radius-3 recall too low: $recalls")
+  }
+
+  test("LSH with full probe radius recovers exact search") {
+    val nPlanes = 6
+    val index = Ann.buildIndex(emb, "embedding", nPlanes)
+    val got = Ann.search(index, "embedding", q, 10, nPlanes, radius = nPlanes,
+        metric = "cosine", idCol = "vec_id")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == exactTop10)
+  }
+
+  test("LSH signature is deterministic and bucket-stable") {
+    val planes = Ann.planes(6, 64)
+    val sig1 = Ann.signature(q.toArray, planes)
+    val sig2 = Ann.signature(q.toArray, Ann.planes(6, 64))
+    assert(sig1 == sig2)
+    // index assigns the same signature the kernel computes
+    val index = Ann.buildIndex(emb, "embedding", 6)
+    val row = index.select("vec_id", "embedding", "bucket").first()
+    val v = row.getSeq[Float](1).toArray
+    assert(row.getLong(2) == Ann.signature(v, planes))
+  }
+
+  test("binary-sketch two-phase search reaches recall@10 >= 0.9 at 8x oversampling") {
+    val sk = Quantization.withBinarySketch(emb, "embedding", 64)
+    val got = Quantization.search(sk, "embedding", q, 10, oversampling = 8,
+        metric = "cosine", idCol = "vec_id")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (got & exactTop10).size / 10.0
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("sketch packing matches the kernel sketch") {
+    val sk = Quantization.withBinarySketch(emb, "embedding", 64)
+    sk.select("embedding", "sketch").limit(20).collect().foreach { r =>
+      val v = r.getSeq[Float](0)
+      assert(r.getLong(1) == Quantization.sketchOf(v))
+    }
+  }
+}

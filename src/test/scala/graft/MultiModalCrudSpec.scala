@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.MultiModal
+import org.apache.spark.sql.functions._
+
+/** Multimodal binary-column plumbing + collection CRUD lifecycle. */
+class MultiModalCrudSpec extends SparkSpecBase {
+
+  test("media table has the binary schema and deterministic content") {
+    val media = MultiModal.mediaFromDocuments(spark, sfDir)
+    assert(media.schema("bytes").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val r = media.where(col("media_id") === 1).first()
+    assert(r.getAs[String]("kind") == "audio") // 1 % 3 = 1 → audio
+    assert(r.getAs[Array[Byte]]("bytes").nonEmpty)
+  }
+
+  test("stub feature extraction: histogram sums to 1, bytes column dropped") {
+    val media = MultiModal.mediaFromDocuments(spark, sfDir)
+    val feats = MultiModal.extractFeatures(media)
+    assert(!feats.columns.contains("bytes"))
+    val r = feats.where(col("media_id") === 0).first()
+    val hist = r.getSeq[Double](r.fieldIndex("feat_hist"))
+    assert(hist.length == 16)
+    assert(math.abs(hist.sum - 1.0) < 1e-9)
+    assert(r.getAs[Double]("feat_mean") > 0.0)
+    // deterministic across runs
+    val again = MultiModal.extractFeatures(media)
+      .where(col("media_id") === 0).first()
+    assert(again.getSeq[Double](again.fieldIndex("feat_hist")) == hist)
+  }
+
+  test("frame sampling explodes video rows into declared_frames chunks") {
+    val media = MultiModal.mediaFromDocuments(spark, sfDir)
+    val frames = MultiModal.sampleFrames(media)
+    val perVideo = frames.groupBy("media_id").agg(count(lit(1)).as("n"))
+    val expected = media.where(col("kind") === "video")
+      .select(col("media_id"), col("meta.declared_frames").as("n"))
+    val joined = perVideo.as("got").join(expected.as("exp"), "media_id")
+      .where(col("got.n") =!= col("exp.n"))
+    assert(joined.count() == 0)
+  }
+
+  test("collection CRUD lifecycle: create/upsert/get/delete/drop") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_collections").toString
+    val cols = new Collections(spark, dir)
+    cols.create("points", idCol = "id", vectorCol = Some("vec"))
+    assert(cols.list() == Seq("points"))
+    assert(cols.count("points") == 0)
+
+    cols.upsert("points", Seq((1L, "a"), (2L, "b")).toDF("id", "payload"))
+    assert(cols.count("points") == 2)
+
+    // upsert replaces by id (crud.rs:19-127)
+    cols.upsert("points", Seq((2L, "b2"), (3L, "c")).toDF("id", "payload"))
+    assert(cols.count("points") == 3)
+    assert(cols.get("points", Seq(2L)).select("payload").first().getString(0) == "b2")
+
+    cols.delete("points", Seq(1L))
+    assert(cols.count("points") == 2)
+    assert(cols.get("points", Seq(1L)).count() == 0)
+
+    cols.drop("points")
+    assert(cols.list().isEmpty)
+  }
+}
