@@ -60,8 +60,10 @@ object Graph {
   def bfsVarLength(edges: DataFrame, starts: DataFrame, maxDepth: Int,
       relTypes: Seq[String] = Nil): DataFrame = {
     require(maxDepth <= 10, "depth capped at 10 (match_exec.rs:310)")
+    // the edge frame is joined once per depth — cache it across iterations
+    // (at cluster scale: persist bucketed by src instead)
     val e = (if (relTypes.nonEmpty) edges.where(col("label").isin(relTypes: _*))
-             else edges).select("src", "dst")
+             else edges).select("src", "dst").cache()
     var frontier = starts.select(col("start"), col("start").as("node")).distinct()
     var visited = frontier
     var acc: DataFrame = null

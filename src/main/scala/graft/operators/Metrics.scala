@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Retrieval quality metrics (SURVEY.md §2.13 — reference metrics.rs via
+  * lib.rs:223-227: recall@k, precision@k, MRR, NDCG, MAP + latency
+  * percentiles).
+  *
+  * Inputs are DataFrames, so evaluation distributes: `preds(query_id,
+  * doc_id, rank)` (rank 1-based) vs `truth(query_id, doc_id)`. Every
+  * metric is one join + one groupBy — no driver-side loops.
+  */
+object Metrics {
+
+  private def hits(preds: DataFrame, truth: DataFrame, k: Int): DataFrame =
+    preds.where(col("rank") <= k)
+      .join(truth, Seq("query_id", "doc_id"), "left_semi")
+
+  /** recall@k = |top-k ∩ relevant| / |relevant| per query, then mean. */
+  def recallAtK(preds: DataFrame, truth: DataFrame, k: Int): Double = {
+    val rel = truth.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val h = hits(preds, truth, k).groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    rel.join(h, Seq("query_id"), "left")
+      .select(avg(coalesce(col("n_hit"), lit(0L)) / col("n_rel")))
+      .first().getDouble(0)
+  }
+
+  /** precision@k = |top-k ∩ relevant| / k per query, then mean. */
+  def precisionAtK(preds: DataFrame, truth: DataFrame, k: Int): Double = {
+    val q = preds.select("query_id").distinct()
+    val h = hits(preds, truth, k).groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    q.join(h, Seq("query_id"), "left")
+      .select(avg(coalesce(col("n_hit"), lit(0L)) / lit(k.toDouble)))
+      .first().getDouble(0)
+  }
+
+  /** MRR = mean over queries of 1/rank of the first relevant hit. */
+  def mrr(preds: DataFrame, truth: DataFrame): Double = {
+    val q = preds.select("query_id").distinct()
+    val first = preds.join(truth, Seq("query_id", "doc_id"), "left_semi")
+      .groupBy("query_id").agg(min(col("rank")).as("first_rank"))
+    q.join(first, Seq("query_id"), "left")
+      .select(avg(coalesce(lit(1.0) / col("first_rank"), lit(0.0))))
+      .first().getDouble(0)
+  }
+
+  /** NDCG@k with binary gains: DCG = Σ 1/log2(rank+1) over relevant hits;
+    * IDCG = Σ_{i=1..min(k,|rel|)} 1/log2(i+1). */
+  def ndcgAtK(preds: DataFrame, truth: DataFrame, k: Int): Double = {
+    val dcg = hits(preds, truth, k)
+      .groupBy("query_id")
+      .agg(sum(lit(1.0) / log2(col("rank") + 1)).as("dcg"))
+    val idcg = truth.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+      .withColumn("ideal_n", least(col("n_rel"), lit(k)))
+      .withColumn("idcg", expr(
+        "aggregate(sequence(1, int(ideal_n)), 0.0D, (acc, i) -> acc + 1.0 / log2(i + 1))"))
+    idcg.join(dcg, Seq("query_id"), "left")
+      .select(avg(coalesce(col("dcg"), lit(0.0)) / col("idcg")))
+      .first().getDouble(0)
+  }
+
+  /** MAP@k: mean over queries of average precision at each relevant hit. */
+  def mapAtK(preds: DataFrame, truth: DataFrame, k: Int): Double = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy("rank")
+    val marked = preds.where(col("rank") <= k)
+      .join(truth.withColumn("rel", lit(1)), Seq("query_id", "doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0)))
+      .withColumn("cum_hits", sum(col("rel")).over(w))
+      .where(col("rel") === 1)
+      .withColumn("prec_at_hit", col("cum_hits") / col("rank"))
+    val nRel = truth.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val ap = marked.groupBy("query_id").agg(sum("prec_at_hit").as("sum_prec"))
+    val q = preds.select("query_id").distinct()
+    q.join(ap, Seq("query_id"), "left").join(nRel, Seq("query_id"), "left")
+      .select(avg(coalesce(col("sum_prec"), lit(0.0)) /
+        least(col("n_rel"), lit(k.toLong)).cast("double")))
+      .first().getDouble(0)
+  }
+}

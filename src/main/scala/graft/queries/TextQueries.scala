@@ -217,11 +217,14 @@ object TextQueries {
          |SELECT a, b, round(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
          |FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
          |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8""".stripMargin) { (s, d) =>
+      // join on 64-bit shingle hashes: same intersection counts (collision
+      // odds ~(n_shingles)²/2^65), ~2.5× narrower shuffle than strings
       val sh = shingles(t(s, d, "documents"))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("sh")).cache()
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val x = sh.select(col("doc_id").as("a"), col("shingle"))
-      val y = sh.select(col("doc_id").as("b"), col("shingle"))
-      val inter = x.join(y, Seq("shingle")).where(col("a") < col("b"))
+      val x = sh.select(col("doc_id").as("a"), col("sh"))
+      val y = sh.select(col("doc_id").as("b"), col("sh"))
+      val inter = x.join(y, Seq("sh")).where(col("a") < col("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("i"))
       val j = col("i") * lit(1.0) /
         (col("ca.n") + col("cb.n") - col("i"))

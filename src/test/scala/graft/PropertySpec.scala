@@ -1,0 +1,118 @@
+package graft
+
+import graft.functions.VectorKernels
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck properties (SURVEY.md §5.2 item 3): kernel invariants,
+  * metric-direction inversion, fusion invariances, LIKE-vs-regex.
+  * Deterministic sampling (fixed seed) — no scalatestplus bridge in the
+  * offline dependency set, so a tiny forAll shim drives the generators. */
+class PropertySpec extends SparkSpecBase {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private def forAll[A](g: Gen[A])(f: A => Unit): Unit =
+    samples(g, 50).foreach(f)
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    samples(Gen.zip(g1, g2), 50).foreach { case (a, b) => f(a, b) }
+  private def forAll[A, B, C](g1: Gen[A], g2: Gen[B], g3: Gen[C])(f: (A, B, C) => Unit): Unit =
+    samples(Gen.zip(g1, g2, g3), 50).foreach { case (a, b, c) => f(a, b, c) }
+
+  private val vecGen: Gen[Array[Float]] =
+    Gen.choose(1, 32).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-10.0f, 10.0f)).map(_.toArray))
+
+  test("cosine is symmetric, bounded, and 1 on self (non-zero vectors)") {
+    forAll(vecGen, vecGen) { (a: Array[Float], b: Array[Float]) =>
+      val ab = VectorKernels.cosine(a, b)
+      val ba = VectorKernels.cosine(b, a)
+      assert(math.abs(ab - ba) < 1e-12)
+      assert(ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9)
+      if (a.exists(_ != 0.0f))
+        assert(math.abs(VectorKernels.cosine(a, a) - 1.0) < 1e-9)
+    }
+  }
+
+  test("l2 satisfies identity and symmetry; dot is bilinear in scale") {
+    forAll(vecGen, vecGen) { (a: Array[Float], b: Array[Float]) =>
+      assert(VectorKernels.l2(a, a) == 0.0)
+      assert(math.abs(VectorKernels.l2(a, b) - VectorKernels.l2(b, a)) < 1e-12)
+      val scaled = a.map(_ * 2.0f)
+      assert(math.abs(VectorKernels.dot(scaled, b) - 2.0 * VectorKernels.dot(a, b)) < 1e-6)
+    }
+  }
+
+  test("hamming/jaccard bounds") {
+    forAll(vecGen, vecGen) { (a: Array[Float], b: Array[Float]) =>
+      val h = VectorKernels.hamming(a, b)
+      assert(h >= 0.0 && h <= math.max(a.length, b.length))
+      val j = VectorKernels.jaccard(a, b)
+      assert(j >= 0.0 && j <= 1.0)
+      assert(VectorKernels.jaccard(a, a) == 1.0 || a.forall(_ == 0.0f))
+    }
+  }
+
+  test("metric-direction inversion: threshold filter = brute-force set (V2)") {
+    val rows = (0 until 50).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.37 + d).toFloat)))
+    val q = Array.tabulate(8)(d => math.cos(d * 0.21).toFloat)
+    import spark.implicits._
+    val df = rows.toDF("id", "vec")
+    forAll(Gen.choose(0.5, 3.0)) { (t: Double) =>
+      val got = graft.operators.Knn
+        .thresholdFilter(df, "vec", q.toSeq, t, "euclidean", ">")
+        .select("id").collect().map(_.getLong(0)).toSet
+      // similarity > t under euclidean ≡ distance < t
+      val expect = rows.filter { case (_, v) => VectorKernels.l2(v, q) < t }
+        .map(_._1).toSet
+      assert(got == expect)
+    }
+  }
+
+  test("average/maximum fusion are invariant under leg permutation (F2)") {
+    val legGen = Gen.listOfN(10,
+      Gen.zip(Gen.choose(0L, 20L), Gen.choose(0.0, 1.0)))
+    forAll(legGen, legGen, legGen) { (a, b, c) =>
+      def fuseAvg(legs: Seq[Seq[(Long, Double)]]): Map[Long, Double] = {
+        // per-leg best-score dedup then mean across legs (strategy.rs:170-203)
+        val perLeg = legs.map(_.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max })
+        perLeg.flatten.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum / v.size }
+      }
+      val legs = Seq(a, b, c)
+      val perm = Seq(c, a, b)
+      val f1 = fuseAvg(legs)
+      val f2 = fuseAvg(perm)
+      assert(f1.keySet == f2.keySet)
+      f1.foreach { case (k, v) => assert(math.abs(v - f2(k)) < 1e-12) }
+    }
+  }
+
+  test("RRF contribution is monotone decreasing in rank and in k (F1)") {
+    forAll(Gen.choose(1, 100), Gen.choose(1, 100), Gen.choose(1, 200)) {
+      (r1: Int, r2: Int, k: Int) =>
+        def rrf(k: Int, rank: Int) = 1.0 / (k + rank)
+        if (r1 < r2) assert(rrf(k, r1) > rrf(k, r2))
+        assert(rrf(k, r1) > rrf(k + 1, r1))
+    }
+  }
+
+  test("Spark LIKE agrees with a regex oracle") {
+    import spark.implicits._
+    val strGen = Gen.listOfN(6, Gen.oneOf('a', 'b', '_', '%', 'x')).map(_.mkString)
+    val patGen = Gen.listOfN(4, Gen.oneOf("a", "b", "%", "_")).map(_.mkString)
+    forAll(Gen.listOfN(20, strGen), patGen) { (strs: List[String], pat: String) =>
+      val df = strs.toDF("s")
+      val got = df.where(org.apache.spark.sql.functions.col("s").like(pat))
+        .collect().map(_.getString(0)).toSeq.sorted
+      val rx = ("^" + pat.flatMap {
+        case '%' => ".*"
+        case '_' => "."
+        case c => java.util.regex.Pattern.quote(c.toString)
+      } + "$").r
+      val expect = strs.filter(s => rx.findFirstIn(s).isDefined).sorted
+      assert(got == expect)
+    }
+  }
+}
