@@ -41,6 +41,24 @@ object Quantization {
     s
   }
 
+  /** SQ8 scalar quantization (quantization.rs:209-216: per-vector min/max
+    * + 256-level codes). Adds `sq8_codes` (tinyint array), `sq8_min`,
+    * `sq8_scale` — 4× smaller than float32. */
+  def withSq8(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("sq8_min", array_min(col(vecCol)).cast("double"))
+      .withColumn("sq8_scale",
+        when(array_max(col(vecCol)) > array_min(col(vecCol)),
+          (array_max(col(vecCol)) - array_min(col(vecCol))).cast("double") / 255.0)
+          .otherwise(lit(1.0)))
+      .withColumn("sq8_codes", transform(col(vecCol), x =>
+        round((x.cast("double") - col("sq8_min")) / col("sq8_scale")).cast("int")))
+
+  /** Dequantized approximate vector from SQ8 codes (for candidate scoring
+    * or storage-dropped rerank). */
+  def sq8Decode(df: DataFrame, outCol: String = "vec_approx"): DataFrame =
+    df.withColumn(outCol, transform(col("sq8_codes"), c =>
+      (c.cast("double") * col("sq8_scale") + col("sq8_min")).cast("float")))
+
   /** Two-phase search: Hamming-on-sketch candidate generation with
     * `oversampling`, then exact rerank under `metric`. */
   def search(df: DataFrame, vecCol: String, query: Seq[Float], k: Int,

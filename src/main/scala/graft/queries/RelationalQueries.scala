@@ -482,6 +482,22 @@ object RelationalQueries {
           count(lit(1)).as("cnt"))
     },
 
+    // ---- L1: TTL row expiry as a live-rows view — the reference mutates
+    // storage (column_store row_expiry, types.rs:158-164); Spark-side the
+    // idiomatic shape is a WHERE over expiry, with compaction left to the
+    // table format. Expiry = ts + 10-day TTL, "now" fixed for determinism.
+    QueryDef(
+      "q35_ttl_live_rows",
+      """SELECT event_type, count(*) AS live_cnt FROM events
+        |WHERE ts + INTERVAL 10 DAY > TIMESTAMP '2024-01-25 00:00:00'
+        |GROUP BY event_type""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .where(col("ts") + expr("INTERVAL 10 DAY")
+          > to_timestamp(lit("2024-01-25 00:00:00")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("live_cnt"))
+    },
+
     // ---- P2/P3-analog: JSON payload field extraction (the reference stores
     // payloads as JSON — velesql/json_path.rs; events.props is a JSON string)
     QueryDef(

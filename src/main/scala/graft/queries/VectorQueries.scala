@@ -293,6 +293,28 @@ object VectorQueries {
           ((sim(q64) + sim(q64b) + sim(q64c)) / lit(3.0)).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
         .limit(10)
+    },
+
+    // ---- F5: multi-score breakdown fusion — weighted strategy with a
+    // multiplicative metadata boost (score_fusion.rs:14-41,144-227)
+    QueryDef(
+      "q56_score_breakdown",
+      s"""SELECT vec_id,
+         |  (list_cosine_similarity($E, ${sqlVec(q64)}) * 0.6
+         |   + list_cosine_similarity($E, ${sqlVec(q64b)}) * 0.3
+         |   + 0.5 * 0.1)
+         |  * (CASE WHEN label IN (1, 2) THEN 1.2 ELSE 1.0 END) AS score
+         |FROM embeddings ORDER BY score DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      import graft.operators.ScoreFusion
+      def sim(q: Seq[Float]): Column =
+        VectorFunctions.cosine_sim(col("embedding"), VectorFunctions.vecLit(q))
+      val b = ScoreFusion.breakdown(
+        vectorSim = sim(q64), graphDist = sim(q64b), pathScore = lit(0.5),
+        metadataBoost = when(col("label").isin(1, 2), lit(1.2)).otherwise(lit(1.0)))
+      t(s, d, "embeddings")
+        .select(col("vec_id"), ScoreFusion.fuse(b, "weighted",
+          Map("vector" -> 0.6, "graph" -> 0.3, "path" -> 0.1)).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(10)
     }
   )
 }
