@@ -109,6 +109,13 @@ class Collections(spark: SparkSession, dataDir: String) {
   /** S3: count (crud.rs:328 len). */
   def count(name: String): Long = table(name).map(_.count()).getOrElse(0L)
 
+  /** L2: compaction — rewrite the collection into `numFiles` parquet files
+    * (the reference's vacuum/compaction, column_store/mod.rs:420-573 /
+    * storage/compaction.rs; with parquet rewrite there are no tombstones
+    * to reclaim, only small-file consolidation). */
+  def compact(name: String, numFiles: Int = 1): Unit =
+    table(name).foreach(df => upsertReplaceAll(name, df.coalesce(numFiles)))
+
   private def upsertReplaceAll(name: String, df: DataFrame): Unit = {
     val tmp = colDir(name).resolve("points.tmp").toString
     df.write.mode(SaveMode.Overwrite).parquet(tmp)

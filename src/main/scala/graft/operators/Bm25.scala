@@ -51,4 +51,40 @@ object Bm25 {
     if (k > 0) scored.orderBy(col("score").desc, col("doc_id")).limit(k)
     else scored
   }
+
+  /** Materialized index tables (T2 — the reference's batch-built inverted
+    * index, index/bm25.rs posting lists + doc stats, as parquet-able
+    * DataFrames). Build once per batch; `searchIndex` then touches only
+    * postings for the query terms — no re-tokenization per query. At
+    * scale, write `postings` partitioned by a term-hash bucket so a query
+    * prunes to its terms' partitions. */
+  final case class Index(postings: DataFrame, docStats: DataFrame, corpusStats: DataFrame)
+
+  def buildIndex(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): Index = {
+    val tok = tokens(docs, idCol, textCol)
+    val postings = tok.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val docStats = tok.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
+    val corpusStats = docStats.agg(count(lit(1)).as("n"),
+      avg(col("dlen").cast("double")).as("avgdl"))
+    Index(postings, docStats, corpusStats)
+  }
+
+  /** BM25 over a prebuilt index — same scores as [[score]]. */
+  def searchIndex(index: Index, queryText: String, k: Int = 0): DataFrame = {
+    val queryTerms = queryText.toLowerCase.split("[^a-z0-9]+")
+      .filter(_.length > 1).toSeq.distinct
+    val tf = index.postings.where(col("term").isin(queryTerms: _*))
+    val dfreq = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val scored = tf.join(broadcast(dfreq), "term")
+      .join(index.docStats, "doc_id")
+      .crossJoin(broadcast(index.corpusStats))
+      .withColumn("term_score",
+        idf * (col("tf") * (lit(K1) + 1.0))
+          / (col("tf") + lit(K1) * (lit(1.0) - B + lit(B) * col("dlen") / col("avgdl"))))
+      .groupBy("doc_id").agg(sum(col("term_score")).as("score"))
+    if (k > 0) scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+    else scored
+  }
 }

@@ -90,8 +90,25 @@ class Compiler(
       case Some(VectorNear(v)) =>
         val vec = vecOf(v)
         val (fn, _) = VectorFunctions.metrics(meta.metric)
-        df.withColumn("score", fn(col(meta.vectorCol.getOrElse(
-          fail("NEAR on a collection without a vector column"))), VectorFunctions.vecLit(vec)))
+        val vcolName = meta.vectorCol.getOrElse(
+          fail("NEAR on a collection without a vector column"))
+        // WITH (quantization='binary'|'dual', oversampling=N) selects the
+        // two-phase sketch path (ast/with_clause.rs:112-131): hamming
+        // prefilter keeps k×oversampling candidates, exact scores rerank.
+        val base = sel.withOptions.get("quantization") match {
+          case Some("binary") | Some("dual") if vec.length <= 64 =>
+            val oversample = sel.withOptions.get("oversampling")
+              .map(_.toDouble.toInt).getOrElse(4)
+            val k = sel.limit.getOrElse(NearDefaultLimit)
+            val sk = graft.operators.Quantization.withBinarySketch(df, vcolName, vec.length)
+            val qs = graft.operators.Quantization.sketchOf(vec)
+            sk.withColumn("__ham", bit_count(col("sketch").bitwiseXOR(lit(qs))))
+              .orderBy(col("__ham").asc, col(meta.idCol).asc)
+              .limit(k * oversample)
+              .drop("__ham", "sketch")
+          case _ => df // 'f32' / absent / >64 dims → exact scan
+        }
+        base.withColumn("score", fn(col(vcolName), VectorFunctions.vecLit(vec)))
       case Some(VectorNearFused(vs, fusion)) =>
         val vecs = vs.map(vecOf)
         val (fn, _) = VectorFunctions.metrics(meta.metric)

@@ -51,6 +51,52 @@ class GraftSpec extends SparkSpecBase {
     }
   }
 
+  test("WITH quantization='binary' runs the two-phase path with high recall") {
+    val q = graft.functions.VectorFunctions.syntheticQuery(64)
+    val exact = g.sql(
+      "SELECT vec_id FROM embeddings WHERE vector NEAR $q LIMIT 10", Map("q" -> q))
+      .collect().map(_.getLong(0)).toSet
+    val quant = g.sql(
+      "SELECT vec_id FROM embeddings WHERE vector NEAR $q LIMIT 10 WITH (quantization='binary', oversampling=8)",
+      Map("q" -> q)).collect().map(_.getLong(0)).toSet
+    assert(quant.size == 10)
+    assert((quant & exact).size >= 9, s"recall too low: ${(quant & exact).size}/10")
+    // mode knobs are accepted-and-ignored in exact mode (vector.rs:69-115)
+    val modeOk = g.sql(
+      "SELECT vec_id FROM embeddings WHERE vector NEAR $q LIMIT 5 WITH (mode='fast', ef_search=64)",
+      Map("q" -> q))
+    assert(modeOk.count() == 5)
+  }
+
+  test("BM25 materialized index gives identical scores to direct scoring") {
+    import graft.operators.Bm25
+    val docs = Tables.table(spark, sfDir, "documents")
+    val direct = Bm25.score(docs, "spark join filter", 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val idx = Bm25.buildIndex(docs)
+    val viaIndex = Bm25.searchIndex(idx, "spark join filter", 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(direct.keySet == viaIndex.keySet)
+    direct.foreach { case (id, s) => assert(math.abs(s - viaIndex(id)) < 1e-12) }
+  }
+
+  test("compaction consolidates collection files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val cols = new Collections(spark, dir)
+    cols.create("c")
+    cols.upsert("c", (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+      .repartition(8))
+    cols.compact("c", 1)
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/c/points"))
+      .iterator()
+    val parquets = scala.jdk.CollectionConverters.IteratorHasAsScala(files).asScala
+      .count(_.toString.endsWith(".parquet"))
+    assert(parquets == 1)
+    assert(cols.count("c") == 100)
+    cols.drop("c")
+  }
+
   test("SQ8 codes stay within [0, 255]") {
     val emb = Tables.table(spark, sfDir, "embeddings")
     val sq = Quantization.withSq8(emb, "embedding")
