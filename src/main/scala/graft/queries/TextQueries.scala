@@ -263,17 +263,19 @@ object TextQueries {
          |FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
          |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8""".stripMargin) { (s, d) =>
       val sh = shingles(t(s, d, "documents")).cache()
-      val hashIdx = (0 until 16).map(h => lit(h)).toArray
-      val mh = sh.crossJoin(broadcast(
-          s.range(16).select(col("id").as("h"))))
-        .groupBy(col("doc_id"), (col("h") / 4).cast(LongType).as("band"),
-          (col("h") % 4).as("row_in_band"))
-        .agg(min(hash60(concat(col("h").cast("string"), lit("|"), col("shingle"))))
-          .as("minhash"))
-      val sig = mh.groupBy("doc_id", "band")
-        .agg(concat_ws(",", transform(
-          array_sort(collect_list(struct(col("row_in_band"), col("minhash")))),
-          x => x.getField("minhash").cast("string"))).as("band_sig"))
+      // all 16 minhashes in ONE partial+final aggregation (no 16× row
+      // explosion): min over md5-derived 60-bit hashes, then bands of 4
+      // assembled column-wise
+      val mhCols = (0 until 16).map(h =>
+        min(hash60(concat(lit(h.toString), lit("|"), col("shingle")))).as(s"mh$h"))
+      val mh16 = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+      val bandStructs = (0 until 4).map { b =>
+        struct(lit(b.toLong).as("band"),
+          concat_ws(",", (0 until 4).map(r => col(s"mh${b * 4 + r}").cast("string")): _*)
+            .as("band_sig"))
+      }
+      val sig = mh16.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
       val cand = sig.as("x").join(sig.as("y"),
           col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig")
             && col("x.doc_id") < col("y.doc_id"))

@@ -167,15 +167,18 @@ class Compiler(
     // projection (after ORDER BY so sort can reference unselected cols)
     if (!hasAggs && sel.groupBy.isEmpty) {
       sel.selectList match {
-        case SelectAll => // keep everything incl. score
+        case SelectAll =>
+          // DISTINCT * dedups by id (search/query/distinct.rs:12-35: `*`
+          // dedups on point id, not the full row)
+          if (sel.distinct) out = out.dropDuplicates(meta.idCol)
         case SelectItems(items) =>
           val cols = items.collect { case Left(ColumnItem(n, a)) =>
             val c = resolve(out, n)
             a.map(c.as).getOrElse(c)
           }
           out = out.select(cols: _*)
+          if (sel.distinct) out = out.dropDuplicates()
       }
-      if (sel.distinct) out = out.dropDuplicates()
     }
 
     // LIMIT / OFFSET (+ NEAR default 10, cap 100_000 — query/mod.rs:61,84-87)

@@ -228,13 +228,28 @@ object Parser extends RegexParsers {
     K("WITH") ~> "(" ~> rep1sep(identifier ~ ("=" ~> withValue), ",") <~ ")" ^^
       (_.map { case k ~ v => k.toLowerCase -> v }.toMap)
 
+  /** Select-level USING FUSION clause (grammar.pest:77-83): option list
+    * `(strategy = 'rrf', k = 60, …)`, all parts optional. Distinct from
+    * the NEAR_FUSED-level `USING FUSION 'strategy' (params)` form. */
+  private val usingFusionSelect: Parser[FusionClause] =
+    K("USING") ~> K("FUSION") ~> opt(
+      "(" ~> rep1sep(identifier ~ ("=" ~>
+        ((stringLit ^^ (Left(_))) | (floatLit ^^ (x => Right(x))) |
+          (intLit ^^ (x => Right(x.toDouble))))), ",") <~ ")") ^^ { opts =>
+      val kvs = opts.getOrElse(Nil).map { case k ~ v => k.toLowerCase -> v }
+      val strategy = kvs.collectFirst { case ("strategy", Left(s)) => s.toLowerCase }
+        .getOrElse("rrf")
+      val params = kvs.collect { case (k, Right(d)) => k -> d }.toMap
+      FusionClause(strategy, params)
+    }
+
   // ---- select statement (grammar.pest:59-66)
   lazy val selectStmt: Parser[Select] =
     K("SELECT") ~> opt(K("DISTINCT")) ~ selectList ~ (K("FROM") ~> identifier) ~
       opt(K("AS") ~> identifier) ~ rep(joinClause) ~ opt(whereClause) ~
       opt(groupByClause) ~ opt(havingClause) ~ opt(orderByClause) ~
       opt(K("LIMIT") ~> intLit) ~ opt(K("OFFSET") ~> intLit) ~
-      opt(withClause) ~ opt(fusionClause) ^^ {
+      opt(withClause) ~ opt(usingFusionSelect) ^^ {
         case d ~ sl ~ from ~ fa ~ js ~ w ~ g ~ h ~ o ~ l ~ off ~ wo ~ fu =>
           Select(d.isDefined, sl, from, fa, js, w, g.getOrElse(Nil), h,
             o.getOrElse(Nil), l.map(_.toInt), off.map(_.toInt),

@@ -46,6 +46,56 @@ class VelesqlSpec extends SparkSpecBase {
     corpus.foreach(parseOk)
   }
 
+  test("reference parser_tests corpus: exact inputs from the reference's own tests parse") {
+    // harvested verbatim from velesql/parser_tests.rs, complex_parser_tests.rs,
+    // fusion_clause_tests.rs (reference test expectations for valid queries)
+    val refCorpus = Seq(
+      "SELECT * FROM DOCUMENTS WHERE VECTOR NEAR $V LIMIT 10",
+      "SELECT * FROM docs LIMIT 10 WITH (mode = accurate)",
+      "SELECT * FROM docs LIMIT 10 WITH (rerank = true)",
+      "SELECT * FROM docs LIMIT 10 WITH (threshold = 0.95)",
+      "SELECT * FROM docs ORDER BY `order` DESC",
+      "SELECT * FROM docs WHERE `from` LIKE '%pattern%'",
+      "SELECT * FROM docs WHERE `limit` BETWEEN 1 AND 10",
+      "SELECT * FROM docs WHERE `order` IN (1, 2, 3)",
+      "SELECT * FROM docs WHERE `select` = 'value'",
+      "SELECT * FROM docs WHERE `select` MATCH 'query'",
+      "SELECT * FROM docs WHERE name ilike 'test%'",
+      "SELECT * FROM docs WHERE status != 'deleted'",
+      "SELECT * FROM docs WHERE vector NEAR $v LIMIT 10 WITH (mode = 'fast', ef_search = 512, timeout_ms = 5000)",
+      "SELECT * FROM products JOIN prices AS pr ON pr.product_id = products.id",
+      "SELECT * FROM trips JOIN prices ON prices.trip_id = trips.id JOIN availability ON availability.trip_id = trips.id",
+      "SELECT * FROM t WHERE SIMILARITY(vec, $v) > 0.8",
+      "SELECT * FROM t WHERE active = True",
+      "SELECT * FROM t WHERE x = NULL",
+      "SELECT * FROM docs USING FUSION",
+      "SELECT * FROM docs USING FUSION(strategy = 'maximum')",
+      "SELECT * FROM docs USING FUSION(strategy = 'rrf', k = 30)",
+      "SELECT * FROM docs USING FUSION(strategy = 'weighted', vector_weight = 0.7, graph_weight = 0.3)",
+      "SELECT * FROM docs WHERE category = 'tech' USING FUSION(strategy = 'rrf', k = 60)",
+      "SELECT COUNT(*) AS total, AVG(price) AS avg_price FROM products",
+      "SELECT COUNT(*), SUM(price), AVG(rating), MIN(stock), MAX(price) FROM products",
+      "SELECT brand, AVG(price) FROM products GROUP BY brand HAVING AVG(price) > 100",
+      "SELECT category, COUNT(*) FROM products WHERE vector NEAR $query GROUP BY category",
+      "SELECT id, title FROM docs WHERE vector NEAR $v ORDER BY similarity(vector, $v) DESC LIMIT 5",
+      "SELECT payload.title, metadata.author FROM docs",
+      "SELECT `order`, `select` FROM docs",
+      "SELECT id AS `order` FROM docs",
+      "SELECT COUNT(*) FROM docs GROUP BY `group`",
+      "select * from a join b on b.id = a.b_id",
+      "select * from docs limit 10 with (mode = 'fast')",
+      "select category, count(*) from items group by category having count(*) > 5",
+      "SELECT * FROM docs WHERE title = 'Hello, World!' LIMIT 10")
+    refCorpus.foreach(parseOk)
+    // fusion strategy + params land in the AST
+    val f = parseOk("SELECT * FROM docs USING FUSION(strategy = 'rrf', k = 30)")
+      .select.get.fusion.get
+    assert(f.strategy == "rrf" && f.params("k") == 30.0)
+    // reference's invalid-query expectations stay invalid
+    Seq("SELECT * FROM ", "SELECT * docs", "SELECT * FROM docs WHERE ")
+      .foreach(q => assert(Parser.parse(q).isLeft, s"should not parse: $q"))
+  }
+
   test("parser rejects malformed queries") {
     val bad = Seq(
       "SELECT FROM t",
