@@ -123,6 +123,46 @@ object VelesqlQueries {
     // ---- quoted identifiers + DISTINCT (grammar.pest:236-253)
     vql("q99_vql_quoted",
       "SELECT DISTINCT o_orderstatus FROM orders",
-      "SELECT DISTINCT `o_orderstatus` FROM \"orders\"")
+      "SELECT DISTINCT `o_orderstatus` FROM \"orders\""),
+
+    // ---- LEFT JOIN through the language with IS NULL on the outer side
+    vql("q100_vql_left_join",
+      """SELECT n_name, s_suppkey FROM nation
+        |LEFT JOIN supplier ON nation.n_nationkey = supplier.s_nationkey
+        |ORDER BY n_name, s_suppkey""".stripMargin,
+      """SELECT n_name, s_suppkey FROM nation
+        |LEFT JOIN supplier ON nation.n_nationkey = supplier.s_nationkey
+        |ORDER BY n_name ASC, s_suppkey ASC""".stripMargin),
+
+    // ---- HAVING chain with left-assoc OR then AND: ((c1 OR c2) AND c3)
+    // — matches SQL parenthesization of the reference's sequential fold
+    vql("q101_vql_having_chain",
+      """SELECT o_orderpriority, count(*) AS count FROM orders
+        |GROUP BY o_orderpriority
+        |HAVING ((count(*) > 100000 OR min(o_totalprice) < 2000) AND max(o_totalprice) > 300000)
+        |ORDER BY o_orderpriority""".stripMargin,
+      """SELECT o_orderpriority, COUNT(*) FROM orders
+        |GROUP BY o_orderpriority
+        |HAVING COUNT(*) > 100000 OR MIN(o_totalprice) < 2000.0 AND MAX(o_totalprice) > 300000.0
+        |ORDER BY o_orderpriority ASC""".stripMargin),
+
+    // ---- LIMIT/OFFSET through the language
+    vql("q102_vql_offset",
+      """SELECT o_orderkey FROM orders
+        |ORDER BY o_orderkey LIMIT 15 OFFSET 30""".stripMargin,
+      "SELECT o_orderkey FROM orders ORDER BY o_orderkey ASC LIMIT 15 OFFSET 30"),
+
+    // ---- NEAR_FUSED multi-vector through the language (maximum fusion)
+    vql("q103_vql_near_fused",
+      s"""SELECT vec_id, score FROM (
+         |  SELECT vec_id, greatest(
+         |    list_cosine_similarity(CAST(embedding AS DOUBLE[]), $qvecSql),
+         |    list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+         |      [${(0 until 64).map(i => (math.cos(i * 0.31) * 0.4 - 0.05).toFloat.toDouble.toString).mkString(",")}]::DOUBLE[])) AS score
+         |  FROM embeddings ORDER BY score DESC, vec_id LIMIT 10)""".stripMargin,
+      "SELECT vec_id, score FROM embeddings WHERE vector NEAR_FUSED [$a, $b] USING FUSION 'maximum' LIMIT 10",
+      params = Map(
+        "a" -> qvec,
+        "b" -> (0 until 64).map(i => (math.cos(i * 0.31) * 0.4 - 0.05).toFloat)))
   )
 }

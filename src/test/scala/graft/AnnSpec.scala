@@ -64,6 +64,31 @@ class AnnSpec extends SparkSpecBase {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("IVF: recall grows with nprobe; full probe is exact; assignment is nearest-centroid") {
+    import graft.operators.Ivf
+    val k = 8
+    val centroids = Ivf.trainCentroids(emb, "embedding", k, iters = 3)
+    assert(centroids.length == k)
+    val index = Ivf.buildIndex(emb, "embedding", centroids).cache()
+    // every vector sits in its nearest centroid's cell
+    val sample = index.select("embedding", "cell").limit(20).collect()
+    sample.foreach { r =>
+      val v = r.getSeq[Float](0).toArray
+      val best = centroids.minBy { case (c, cen) =>
+        (graft.functions.VectorKernels.l2Squared(v, cen), c) }._1
+      assert(r.getInt(1) == best)
+    }
+    val recalls = Seq(1, 4, 8).map { np =>
+      val got = Ivf.search(index, "embedding", q, 10, centroids, np,
+          metric = "cosine", idCol = "vec_id")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (got & exactTop10).size / 10.0
+    }
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a },
+      s"recall not monotone in nprobe: $recalls")
+    assert(recalls.last == 1.0, s"nprobe=k must be exact: $recalls")
+  }
+
   test("sketch packing matches the kernel sketch") {
     val sk = Quantization.withBinarySketch(emb, "embedding", 64)
     sk.select("embedding", "sketch").limit(20).collect().foreach { r =>
