@@ -82,6 +82,15 @@ object TextQueries {
       |        FROM documents)
       |  WHERE len(tks) >= 3)""".stripMargin
 
+
+  /** Carter-Wegman MinHash family over a 60-bit md5 base: h_i = ((base %%
+    * P) * A_i + B_i) %% P with P = 2^31-1 — products stay < 2^62, so the
+    * arithmetic is portable to any engine with exact i64 (DuckDB parity).
+    */
+  private val MinhashP = 2147483647L
+  private val MinhashA: Seq[Long] = Seq(1103527590L, 59559188L, 1163074433L, 119106031L, 1222621276L, 178652874L, 1282168119L, 238199717L, 1341714962L, 297746560L, 1401261805L, 357293403L, 1460808648L, 416840246L, 1520355491L, 476387089L)
+  private val MinhashB: Seq[Long] = Seq(471684861L, 1459339182L, 299509856L, 1287164177L, 127334851L, 1114989172L, 2102643493L, 942814167L, 1930468488L, 770639162L, 1758293483L, 598464157L, 1586118478L, 426289152L, 1413943473L, 254114147L)
+
   /** 60-bit integer hash of a string column — identical in DuckDB via
     * CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT). */
   private def hash60(c: Column): Column =
@@ -242,14 +251,33 @@ object TextQueries {
     QueryDef(
       "q68_minhash_lsh",
       s"""WITH sh AS ($duckTokToShingles),
-         |mh AS (
-         |  SELECT doc_id, g.h // 4 AS band, g.h % 4 AS row_in_band,
-         |         min(CAST(concat('0x', substr(md5(CAST(g.h AS VARCHAR) || '|' || shingle), 1, 15)) AS BIGINT)) AS minhash
-         |  FROM sh, (SELECT unnest(range(0, 16)) AS h) g
-         |  GROUP BY doc_id, g.h),
+         |shb AS (SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS base,
+         |    shingle FROM sh),
+         |mh16 AS (
+         |  SELECT doc_id,
+         |    min(((base % 2147483647) * 1103527590 + 471684861) % 2147483647) AS mh0,
+         |    min(((base % 2147483647) * 59559188 + 1459339182) % 2147483647) AS mh1,
+         |    min(((base % 2147483647) * 1163074433 + 299509856) % 2147483647) AS mh2,
+         |    min(((base % 2147483647) * 119106031 + 1287164177) % 2147483647) AS mh3,
+         |    min(((base % 2147483647) * 1222621276 + 127334851) % 2147483647) AS mh4,
+         |    min(((base % 2147483647) * 178652874 + 1114989172) % 2147483647) AS mh5,
+         |    min(((base % 2147483647) * 1282168119 + 2102643493) % 2147483647) AS mh6,
+         |    min(((base % 2147483647) * 238199717 + 942814167) % 2147483647) AS mh7,
+         |    min(((base % 2147483647) * 1341714962 + 1930468488) % 2147483647) AS mh8,
+         |    min(((base % 2147483647) * 297746560 + 770639162) % 2147483647) AS mh9,
+         |    min(((base % 2147483647) * 1401261805 + 1758293483) % 2147483647) AS mh10,
+         |    min(((base % 2147483647) * 357293403 + 598464157) % 2147483647) AS mh11,
+         |    min(((base % 2147483647) * 1460808648 + 1586118478) % 2147483647) AS mh12,
+         |    min(((base % 2147483647) * 416840246 + 426289152) % 2147483647) AS mh13,
+         |    min(((base % 2147483647) * 1520355491 + 1413943473) % 2147483647) AS mh14,
+         |    min(((base % 2147483647) * 476387089 + 254114147) % 2147483647) AS mh15
+         |  FROM shb GROUP BY doc_id),
          |sig AS (
-         |  SELECT doc_id, band, string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY row_in_band) AS band_sig
-         |  FROM mh GROUP BY doc_id, band),
+         |  SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || ',' || CAST(mh1 AS VARCHAR) || ',' || CAST(mh2 AS VARCHAR) || ',' || CAST(mh3 AS VARCHAR) AS band_sig FROM mh16 UNION ALL
+         |  SELECT doc_id, 1 AS band, CAST(mh4 AS VARCHAR) || ',' || CAST(mh5 AS VARCHAR) || ',' || CAST(mh6 AS VARCHAR) || ',' || CAST(mh7 AS VARCHAR) AS band_sig FROM mh16 UNION ALL
+         |  SELECT doc_id, 2 AS band, CAST(mh8 AS VARCHAR) || ',' || CAST(mh9 AS VARCHAR) || ',' || CAST(mh10 AS VARCHAR) || ',' || CAST(mh11 AS VARCHAR) AS band_sig FROM mh16 UNION ALL
+         |  SELECT doc_id, 3 AS band, CAST(mh12 AS VARCHAR) || ',' || CAST(mh13 AS VARCHAR) || ',' || CAST(mh14 AS VARCHAR) || ',' || CAST(mh15 AS VARCHAR) AS band_sig FROM mh16),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |  FROM sig x JOIN sig y ON x.band = y.band AND x.band_sig = y.band_sig
@@ -263,12 +291,13 @@ object TextQueries {
          |FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
          |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8""".stripMargin) { (s, d) =>
       val sh = shingles(t(s, d, "documents")).cache()
-      // all 16 minhashes in ONE partial+final aggregation (no 16× row
-      // explosion): min over md5-derived 60-bit hashes, then bands of 4
-      // assembled column-wise
-      val mhCols = (0 until 16).map(h =>
-        min(hash60(concat(lit(h.toString), lit("|"), col("shingle")))).as(s"mh$h"))
-      val mh16 = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+      // ONE md5 per shingle, then 16 Carter-Wegman hashes h_i = ((base%P)
+      // *A_i + B_i) % P as pure mod-p arithmetic — overflow-free i64 in
+      // both engines, all 16 mins in one partial+final aggregation
+      val shb = sh.withColumn("base", hash60(col("shingle")))
+      val mhCols = (0 until 16).map(i =>
+        min(((col("base") % MinhashP) * MinhashA(i) + MinhashB(i)) % MinhashP).as(s"mh$i"))
+      val mh16 = shb.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
       val bandStructs = (0 until 4).map { b =>
         struct(lit(b.toLong).as("band"),
           concat_ws(",", (0 until 4).map(r => col(s"mh${b * 4 + r}").cast("string")): _*)

@@ -98,6 +98,22 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("salted join equals plain join on skewed data") {
+    import spark.implicits._
+    // one celebrity key (0) with 10k rows, long tail of singletons
+    val left = ((1 to 10000).map(i => (0L, i)) ++ (1 to 500).map(i => (i.toLong, i)))
+      .toDF("k", "v")
+    val right = (0 to 500).map(i => (i.toLong, s"dim$i")).toDF("k", "name")
+    val plain = left.join(right, "k").agg(
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.sum("v")).first()
+    val salted = graft.operators.Skew.saltedJoin(left, right, "k", salt = 8).agg(
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.sum("v")).first()
+    assert(plain.getLong(0) == salted.getLong(0))
+    assert(plain.getLong(1) == salted.getLong(1))
+  }
+
   test("Spark LIKE agrees with a regex oracle") {
     import spark.implicits._
     val strGen = Gen.listOfN(6, Gen.oneOf('a', 'b', '_', '%', 'x')).map(_.mkString)
