@@ -163,6 +163,42 @@ object VelesqlQueries {
       "SELECT vec_id, score FROM embeddings WHERE vector NEAR_FUSED [$a, $b] USING FUSION 'maximum' LIMIT 10",
       params = Map(
         "a" -> qvec,
-        "b" -> (0 until 64).map(i => (math.cos(i * 0.31) * 0.4 - 0.05).toFloat)))
+        "b" -> (0 until 64).map(i => (math.cos(i * 0.31) * 0.4 - 0.05).toFloat))),
+
+    // ---- hybrid text+vector through the language (F4, text.rs:113-203):
+    // MATCH is a fused leg (weighted RRF), NOT a filter; lang filter stays
+    vql("q104_vql_hybrid",
+      s"""WITH corpus AS (
+         |  SELECT d.doc_id, d.text, d.lang, e.embedding
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+         |vr AS (
+         |  SELECT doc_id, lang, row_number() OVER (
+         |    ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+         |      [${qvec.map(_.toDouble.toString).mkString(",")}]::DOUBLE[]) DESC, doc_id) AS vrank
+         |  FROM corpus),
+         |tok AS (SELECT doc_id, u.t AS term
+         |  FROM corpus, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+         |  WHERE len(u.t) > 1),
+         |dl AS (SELECT doc_id, count(*) AS dlen FROM tok GROUP BY doc_id),
+         |stats AS (SELECT count(*) AS n, avg(CAST(dlen AS DOUBLE)) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       WHERE term IN ('spark', 'stream') GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+         |bm AS (SELECT tf.doc_id, sum(
+         |    ln((n - df + 0.5) / (df + 0.5) + 1.0)
+         |    * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dlen / avgdl))) AS score
+         |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         |  GROUP BY tf.doc_id),
+         |tr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS trank FROM bm)
+         |SELECT vr.doc_id,
+         |  0.5 / (60 + vrank) + coalesce(0.5 / (60 + trank), 0.0) AS score
+         |FROM vr LEFT JOIN tr ON tr.doc_id = vr.doc_id
+         |WHERE vr.lang = 'en'
+         |ORDER BY score DESC, vr.doc_id LIMIT 10""".stripMargin,
+      """SELECT doc_id, score FROM corpus
+        |WHERE text MATCH 'spark stream' AND vector NEAR $q AND lang = 'en'
+        |LIMIT 10
+        |USING FUSION(strategy = 'rrf', k = 60, vector_weight = 0.5)""".stripMargin,
+      params = Map("q" -> qvec))
   )
 }

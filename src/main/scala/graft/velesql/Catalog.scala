@@ -33,10 +33,17 @@ class Catalog(spark: SparkSession, dir: String) {
     "supplier" -> CollectionMeta("s_suppkey"),
     "part" -> CollectionMeta("p_partkey"),
     "nation" -> CollectionMeta("n_nationkey"),
-    "region" -> CollectionMeta("r_regionkey"))
+    "region" -> CollectionMeta("r_regionkey"),
+    // derived multi-modal collection: text + vector on one table (the
+    // reference's Collection bundles both — collection/types.rs:132-165)
+    "corpus" -> CollectionMeta("doc_id", Some("embedding"), "cosine", Some("text")))
 
   def table(name: String): DataFrame =
-    Tables.table(spark, dir, name)
+    if (name == "corpus") {
+      val d = Tables.table(spark, dir, "documents")
+      val e = Tables.table(spark, dir, "embeddings")
+      d.join(e, d("doc_id") === e("vec_id")).drop("vec_id")
+    } else Tables.table(spark, dir, name)
 
   def metaOf(name: String): CollectionMeta =
     meta.getOrElse(name, CollectionMeta())

@@ -85,8 +85,37 @@ class Compiler(
     val simScore = sel.where.flatMap(lastSimilarity)
     val textScore = sel.where.flatMap(firstTextMatch)
 
+    // hybrid text+vector search (F4, text.rs:113-203): `MATCH … AND
+    // vector NEAR … USING FUSION(…)` merges the two legs by weighted RRF
+    // (vector leg w/(k+rank), text leg (1-w)/(k+rank), w default 0.5) —
+    // the MATCH is a leg, not a filter, so it leaves the residual tree
+    val hybridText: Option[TextMatch] =
+      if (sel.fusion.isDefined &&
+          near.exists(_.isInstanceOf[VectorNear])) textScore else None
+
     // score column (reference score conventions: W1/V2/S6)
     val scored: DataFrame = near match {
+      case Some(VectorNear(v)) if hybridText.isDefined =>
+        val vec = vecOf(v)
+        val (fn, hib) = VectorFunctions.metrics(meta.metric)
+        val vcolName = meta.vectorCol.getOrElse(fail("hybrid NEAR needs a vector column"))
+        val fusion = sel.fusion.get
+        val kParam = fusion.params.getOrElse("k", 60.0)
+        val w = fusion.params.getOrElse("vector_weight", 0.5)
+        val sim = fn(col(vcolName), VectorFunctions.vecLit(vec))
+        val vOrd = if (hib) sim.desc else sim.asc
+        val vRanked = df.withColumn("__vrank",
+          row_number().over(Window.orderBy(vOrd, col(meta.idCol))))
+        val tRanked = Bm25.score(df, hybridText.get.query, 0, meta.idCol,
+            meta.textCol.getOrElse("text"))
+          .select(col("doc_id").as("__tid"),
+            row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+              .as("__trank"))
+        vRanked.join(tRanked, vRanked(meta.idCol) === col("__tid"), "left")
+          .withColumn("score",
+            lit(w) / (lit(kParam) + col("__vrank")) +
+              coalesce(lit(1.0 - w) / (lit(kParam) + col("__trank")), lit(0.0)))
+          .drop("__vrank", "__trank", "__tid")
       case Some(VectorNear(v)) =>
         val vec = vecOf(v)
         val (fn, _) = VectorFunctions.metrics(meta.metric)
@@ -111,18 +140,31 @@ class Compiler(
         base.withColumn("score", fn(col(vcolName), VectorFunctions.vecLit(vec)))
       case Some(VectorNearFused(vs, fusion)) =>
         val vecs = vs.map(vecOf)
-        val (fn, _) = VectorFunctions.metrics(meta.metric)
+        val (fn, hib) = VectorFunctions.metrics(meta.metric)
         val vcol = col(meta.vectorCol.getOrElse(fail("NEAR_FUSED needs a vector column")))
         val sims = vecs.map(v => fn(vcol, VectorFunctions.vecLit(v)))
         val strategy = fusion.map(_.strategy).getOrElse("average")
-        val fused = strategy match {
-          case "average" => sims.reduce(_ + _) / lit(sims.size.toDouble)
-          case "maximum" => greatest(sims: _*)
-          case "rrf" => // exact-mode RRF over full scoring: rank each leg
-            fail("rrf NEAR_FUSED requires ranked legs; use maximum/average or the fusion operators")
+        strategy match {
+          case "average" =>
+            df.withColumn("score", sims.reduce(_ + _) / lit(sims.size.toDouble))
+          case "maximum" =>
+            df.withColumn("score", greatest(sims: _*))
+          case "rrf" =>
+            // exact-mode RRF: every leg ranks ALL rows (window over the
+            // per-vector score), fused = Σ 1/(k + rank) — strategy.rs:224-250
+            val kParam = fusion.flatMap(_.params.get("k")).getOrElse(60.0)
+            val ord = (c: Column) =>
+              if (hib) c.desc else c.asc
+            val ranked = sims.zipWithIndex.foldLeft(df) { case (acc, (sim, i)) =>
+              acc.withColumn(s"__rank$i",
+                row_number().over(Window.orderBy(ord(sim), col(meta.idCol))))
+            }
+            val rrf = sims.indices.map(i => lit(1.0) / (lit(kParam) + col(s"__rank$i")))
+              .reduce(_ + _)
+            ranked.withColumn("score", rrf)
+              .drop(sims.indices.map(i => s"__rank$i"): _*)
           case other => fail(s"unknown fusion strategy $other")
         }
-        df.withColumn("score", fused)
       case _ =>
         (simScore, textScore) match {
           case (Some(SimilarityCond(field, v, _, _)), _) =>
@@ -137,8 +179,11 @@ class Compiler(
         }
     }
 
-    // residual predicate (metadata + similarity thresholds + text match)
-    val filtered = residual.orElse(sel.where.filter(_ => near.isEmpty)) match {
+    // residual predicate (metadata + similarity thresholds + text match);
+    // in hybrid mode the MATCH leg is fused, not filtered
+    val residualCond = residual.orElse(sel.where.filter(_ => near.isEmpty))
+      .flatMap(c => if (hybridText.isDefined) stripTextMatch(c) else Some(c))
+    val filtered = residualCond match {
       case Some(cond) => scored.where(compileCond(cond, scored, meta))
       case None => scored
     }
@@ -158,9 +203,12 @@ class Compiler(
       val sorts = sel.orderBy.map(o => orderCol(o, meta))
       out = out.orderBy(sorts: _*)
     } else if (near.isDefined) {
-      // NEAR default ordering by metric direction (distance.rs:95-103)
+      // NEAR default ordering by metric direction (distance.rs:95-103);
+      // fused scores (RRF/hybrid) are always higher-is-better
+      val fusedScore = hybridText.isDefined ||
+        near.exists(_.isInstanceOf[VectorNearFused])
       val (_, hib) = VectorFunctions.metrics(meta.metric)
-      val ord = if (hib) col("score").desc else col("score").asc
+      val ord = if (hib || fusedScore) col("score").desc else col("score").asc
       out = out.orderBy(ord, col(meta.idCol).asc)
     }
 
@@ -283,6 +331,22 @@ class Compiler(
     case Or(l, r) => lastSimilarity(r).orElse(lastSimilarity(l))
     case Not(i) => lastSimilarity(i)
     case _ => None
+  }
+
+  /** Remove TextMatch nodes from a condition tree (hybrid mode fuses the
+    * MATCH leg instead of filtering on it); None if nothing remains. */
+  private def stripTextMatch(c: Condition): Option[Condition] = c match {
+    case _: TextMatch => None
+    case And(l, r) => (stripTextMatch(l), stripTextMatch(r)) match {
+      case (Some(a), Some(b)) => Some(And(a, b))
+      case (a, b) => a.orElse(b)
+    }
+    case Or(l, r) => (stripTextMatch(l), stripTextMatch(r)) match {
+      case (Some(a), Some(b)) => Some(Or(a, b))
+      case (a, b) => a.orElse(b)
+    }
+    case Not(i) => stripTextMatch(i).map(Not.apply)
+    case other => Some(other)
   }
 
   private def firstTextMatch(c: Condition): Option[TextMatch] = c match {

@@ -156,6 +156,33 @@ class VelesqlSpec extends SparkSpecBase {
     assert(df.columns.toSeq == Seq("o_orderstatus", "count", "sum_o_totalprice", "lo"))
   }
 
+  test("NEAR_FUSED rrf fusion: exact-mode ranks, score = sum 1/(k+rank)") {
+    val q1 = Seq.fill(64)(0.1f)
+    val q2 = graft.functions.VectorFunctions.syntheticQuery(64)
+    val c = new Compiler(spark, new Catalog(spark, sfDir), Map("a" -> q1, "b" -> q2))
+    val rows = c.run(
+      "SELECT vec_id, score FROM embeddings WHERE vector NEAR_FUSED [$a, $b] USING FUSION 'rrf' (k=60) LIMIT 5")
+      .collect()
+    assert(rows.length == 5)
+    // brute-force oracle
+    import graft.functions.VectorKernels
+    val all = Tables.table(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def ranks(q: Array[Float]): Map[Long, Int] =
+      all.map { case (id, v) => id -> VectorKernels.cosine(v, q) }
+        .sortBy { case (id, s) => (-s, id) }.zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val (r1, r2) = (ranks(q1.toArray), ranks(q2.toArray))
+    val expect = all.map(_._1)
+      .map(id => id -> (1.0 / (60 + r1(id)) + 1.0 / (60 + r2(id))))
+      .sortBy { case (id, s) => (-s, id) }.take(5)
+    rows.zip(expect).foreach { case (got, (eid, es)) =>
+      assert(got.getLong(0) == eid)
+      assert(math.abs(got.getDouble(1) - es) < 1e-12)
+    }
+  }
+
   test("NEAR_FUSED average fusion equals hand-built expression") {
     val q1 = Seq.fill(64)(0.1f)
     val q2 = graft.functions.VectorFunctions.syntheticQuery(64)
