@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Agent-memory convenience SDK (SURVEY.md §1.1 — reference
+  * crates/velesdb-core/src/agent/mod.rs:1-14: semantic / episodic /
+  * procedural memories with TTL and snapshots, as a thin layer over
+  * collections).
+  *
+  * Spark shape: one memory collection `(id, kind, content, embedding,
+  * ts, ttl_seconds)`; each memory type is a filtered view, recall is
+  * exact knn over the live view, expiry is a predicate (storage-level
+  * deletion is [[Collections.delete]] + [[Collections.compact]]).
+  */
+class AgentMemory(spark: SparkSession, collections: Collections,
+    name: String = "agent_memory") {
+
+  def create(): Unit =
+    if (!collections.exists(name))
+      collections.create(name, idCol = "id", vectorCol = Some("embedding"))
+
+  /** Store a batch of memories (upsert by id). */
+  def remember(batch: DataFrame): Unit = collections.upsert(name, batch)
+
+  /** Live (non-expired) memories at `nowEpoch`; NULL TTL = keep forever. */
+  def live(nowEpoch: Long): DataFrame = {
+    val df = collections.table(name)
+      .getOrElse(throw new IllegalStateException(s"$name not created"))
+    df.where(col("ttl_seconds").isNull ||
+      unix_timestamp(col("ts")) + col("ttl_seconds") > nowEpoch)
+  }
+
+  def semantic(nowEpoch: Long): DataFrame = live(nowEpoch).where(col("kind") === "semantic")
+  def episodic(nowEpoch: Long): DataFrame = live(nowEpoch).where(col("kind") === "episodic")
+  def procedural(nowEpoch: Long): DataFrame = live(nowEpoch).where(col("kind") === "procedural")
+
+  /** Recall: exact top-k over live memories of a kind. */
+  def recall(kind: String, query: Seq[Float], k: Int, nowEpoch: Long): DataFrame =
+    operators.Knn.topK(live(nowEpoch).where(col("kind") === kind),
+      "embedding", query, k, "cosine", idCol = "id")
+
+  /** Expire: physically delete dead rows (agent snapshot hygiene). */
+  def expire(nowEpoch: Long): Unit = {
+    collections.table(name).foreach { df =>
+      val dead = df.where(col("ttl_seconds").isNotNull &&
+          unix_timestamp(col("ts")) + col("ttl_seconds") <= nowEpoch)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      if (dead.nonEmpty) collections.delete(name, dead)
+    }
+  }
+}

@@ -80,6 +80,9 @@ object Graph {
       visited = visited.unionAll(fresh).localCheckpoint(eager = true)
       frontier = fresh
     }
+    // every depth is eagerly checkpointed, so the cached edges are no
+    // longer referenced — release them (callers may loop over many BFS's)
+    e.unpersist(blocking = false)
     acc
   }
 }

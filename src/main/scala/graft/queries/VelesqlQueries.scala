@@ -199,6 +199,25 @@ object VelesqlQueries {
         |WHERE text MATCH 'spark stream' AND vector NEAR $q AND lang = 'en'
         |LIMIT 10
         |USING FUSION(strategy = 'rrf', k = 60, vector_weight = 0.5)""".stripMargin,
-      params = Map("q" -> qvec))
+      params = Map("q" -> qvec)),
+
+    // ---- var-length MATCH through the language: *1..2 over typed edges,
+    // BFS loop vs recursive-CTE oracle (reachable pairs)
+    vql("q105_vql_varlength",
+      s"""WITH RECURSIVE edges AS (${graft.operators.Graph.edgesSql}),
+         |te AS (SELECT * FROM edges WHERE label IN ('placed', 'contains')),
+         |starts AS (SELECT c_custkey AS start FROM customer
+         |           WHERE c_mktsegment = 'FURNITURE' AND c_custkey < 100),
+         |walk(start, node, depth) AS (
+         |  SELECT s.start, e.dst, 1 FROM starts s JOIN te e ON e.src = s.start
+         |  UNION
+         |  SELECT w.start, e.dst, w.depth + 1 FROM walk w
+         |  JOIN te e ON e.src = w.node WHERE w.depth < 2)
+         |SELECT DISTINCT start, node FROM walk
+         |ORDER BY start, node""".stripMargin,
+      """MATCH (c:Customer {segment: 'FURNITURE'})-[:placed|contains*1..2]->(x)
+        |WHERE c.id < 100
+        |RETURN c.id AS start, x.id AS node
+        |ORDER BY start ASC, node ASC""".stripMargin)
   )
 }

@@ -41,6 +41,30 @@ class MultiModalCrudSpec extends SparkSpecBase {
     assert(joined.count() == 0)
   }
 
+  test("agent memory: typed views, TTL expiry, vector recall") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_agent").toString
+    val cols = new Collections(spark, dir)
+    val mem = new AgentMemory(spark, cols)
+    mem.create()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = Seq(
+      (1L, "semantic", "spark is an engine", Seq(1.0f, 0.0f), t0, null.asInstanceOf[java.lang.Long]),
+      (2L, "episodic", "ran q1 at 9am", Seq(0.0f, 1.0f), t0, java.lang.Long.valueOf(3600L)),
+      (3L, "procedural", "to bench: sbt run", Seq(0.7f, 0.7f), t0, null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "kind", "content", "embedding", "ts", "ttl_seconds")
+    mem.remember(rows)
+    val now = t0.toInstant.getEpochSecond + 7200 // 2h later: episodic expired
+    assert(mem.live(now).count() == 2)
+    assert(mem.episodic(now).count() == 0)
+    assert(mem.semantic(now).count() == 1)
+    val recalled = mem.recall("semantic", Seq(0.9f, 0.1f), 1, now).collect()
+    assert(recalled.head.getAs[Long]("id") == 1L)
+    mem.expire(now)
+    assert(cols.count("agent_memory") == 2) // dead row physically gone
+    cols.drop("agent_memory")
+  }
+
   test("collection CRUD lifecycle: create/upsert/get/delete/drop") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_collections").toString
