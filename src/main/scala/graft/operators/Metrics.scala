@@ -60,6 +60,16 @@ object Metrics {
       .first().getDouble(0)
   }
 
+  /** Latency percentiles over a `(name, seconds)` timing frame
+    * (lib.rs:223-227's latency percentile metrics): p50/p90/p99. */
+  def latencyPercentiles(timings: DataFrame, valueCol: String = "seconds"): Map[String, Double] = {
+    val r = timings.select(
+      percentile_approx(col(valueCol), lit(0.5), lit(10000)).as("p50"),
+      percentile_approx(col(valueCol), lit(0.9), lit(10000)).as("p90"),
+      percentile_approx(col(valueCol), lit(0.99), lit(10000)).as("p99")).first()
+    Map("p50" -> r.getDouble(0), "p90" -> r.getDouble(1), "p99" -> r.getDouble(2))
+  }
+
   /** MAP@k: mean over queries of average precision at each relevant hit. */
   def mapAtK(preds: DataFrame, truth: DataFrame, k: Int): Double = {
     import org.apache.spark.sql.expressions.Window

@@ -355,6 +355,43 @@ object TextQueries {
           .otherwise(lit(0L))).as("simhash"))
     },
 
+    // ---- T4: trigram similarity ranking (pg_trgm-style, the reference's
+    // trigram LIKE-acceleration index re-expressed as a ranking query:
+    // index/trigram/mod.rs:1-36 — char 3-grams, Jaccard to the pattern)
+    QueryDef(
+      "q71_trigram_similarity",
+      """WITH tg AS (
+        |  SELECT p_partkey, u.g AS gram FROM (
+        |    SELECT p_partkey, list_distinct(list_transform(
+        |      range(1, len(lower(p_name)) - 1),
+        |      i -> substr(lower(p_name), CAST(i AS INT), 3))) AS grams
+        |    FROM part WHERE len(p_name) >= 3) , unnest(grams) AS u(g)),
+        |qg AS (SELECT DISTINCT substr('widget steel', CAST(i AS INT), 3) AS gram
+        |       FROM range(1, len('widget steel') - 1) t(i)),
+        |cnt AS (SELECT p_partkey, count(*) AS n FROM tg GROUP BY p_partkey),
+        |qn AS (SELECT count(*) AS m FROM qg),
+        |inter AS (SELECT p_partkey, count(*) AS i FROM tg JOIN qg USING (gram)
+        |          GROUP BY p_partkey)
+        |SELECT p_partkey, round(i * 1.0 / (n + m - i), 6) AS sim
+        |FROM inter JOIN cnt USING (p_partkey) CROSS JOIN qn
+        |ORDER BY sim DESC, p_partkey LIMIT 20""".stripMargin) { (s, d) =>
+      val pattern = "widget steel"
+      val part = t(s, d, "part").where(length(col("p_name")) >= 3)
+      val tg = part.select(col("p_partkey"),
+          explode(array_distinct(expr(
+            "transform(sequence(1, length(lower(p_name)) - 2), i -> substring(lower(p_name), i, 3))")))
+            .as("gram"))
+      val qGrams = pattern.toLowerCase.sliding(3).toSeq.distinct
+      val m = qGrams.size
+      val cnt = tg.groupBy("p_partkey").agg(count(lit(1)).as("n"))
+      val inter = tg.where(col("gram").isin(qGrams: _*))
+        .groupBy("p_partkey").agg(count(lit(1)).as("i"))
+      val sim = col("i") * lit(1.0) / (col("n") + lit(m) - col("i"))
+      inter.join(cnt, "p_partkey")
+        .select(col("p_partkey"), round(sim, 6).as("sim"))
+        .orderBy(col("sim").desc, col("p_partkey")).limit(20)
+    },
+
     // ---- Near-dup: embedding cosine pairs over label blocking (the
     // blocked all-pairs shape; blocking key bounds the quadratic term)
     QueryDef(

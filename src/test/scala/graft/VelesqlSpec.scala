@@ -156,6 +156,45 @@ class VelesqlSpec extends SparkSpecBase {
     assert(df.columns.toSeq == Seq("o_orderstatus", "count", "sum_o_totalprice", "lo"))
   }
 
+  test("differential fuzz: random WHERE trees agree with hand-built DataFrame filters") {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{col => c}
+    val rnd = new scala.util.Random(42)
+    val orders = Tables.table(spark, sfDir, "orders")
+    // (velesql fragment, equivalent Column) leaf pool over orders columns
+    def leaf(): (String, Column) = rnd.nextInt(6) match {
+      case 0 => ("o_totalprice > 150000", c("o_totalprice") > 150000)
+      case 1 => ("o_orderstatus = 'F'", c("o_orderstatus") === "F")
+      case 2 => ("o_orderpriority IN ('1-URGENT', '2-HIGH')",
+        c("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      case 3 => ("o_totalprice BETWEEN 50000 AND 250000",
+        c("o_totalprice").between(50000, 250000))
+      case 4 => ("o_orderpriority LIKE '%HIGH'", c("o_orderpriority").like("%HIGH"))
+      case 5 => ("o_custkey IS NOT NULL", c("o_custkey").isNotNull)
+    }
+    def tree(depth: Int): (String, Column) =
+      if (depth == 0) leaf()
+      else rnd.nextInt(4) match {
+        case 0 => leaf()
+        case 1 =>
+          val (ls, lc) = tree(depth - 1); val (rs, rc) = tree(depth - 1)
+          (s"($ls AND $rs)", lc && rc)
+        case 2 =>
+          val (ls, lc) = tree(depth - 1); val (rs, rc) = tree(depth - 1)
+          (s"($ls OR $rs)", lc || rc)
+        case 3 =>
+          val (is, ic) = tree(depth - 1)
+          (s"NOT ($is)", !ic)
+      }
+    val compiler = new Compiler(spark, new Catalog(spark, sfDir))
+    (1 to 25).foreach { _ =>
+      val (sql, expect) = tree(3)
+      val got = compiler.run(s"SELECT o_orderkey FROM orders WHERE $sql").count()
+      val want = orders.where(expect).count()
+      assert(got == want, s"mismatch for WHERE $sql: $got vs $want")
+    }
+  }
+
   test("NEAR_FUSED rrf fusion: exact-mode ranks, score = sum 1/(k+rank)") {
     val q1 = Seq.fill(64)(0.1f)
     val q2 = graft.functions.VectorFunctions.syntheticQuery(64)
