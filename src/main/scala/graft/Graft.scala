@@ -38,7 +38,8 @@ class Graft(
     val cached = parseCache.get(sql)
     if (cached != null) cached
     else {
-      val q = Parser.parse(sql).fold(e => throw new IllegalArgumentException(e), identity)
+      val q = Parser.parse(sql)
+        .fold(e => throw new velesql.SyntaxError(e), identity)
       parseCache.put(sql, q)
       q
     }
@@ -51,12 +52,29 @@ class Graft(
     new Guardrails(counts, maxCost)
   }
 
-  /** Execute VelesQL text with optional parameters. */
+  /** Execute VelesQL text with optional parameters. Errors follow the
+    * reference taxonomy (velesql/error.rs): SyntaxError from the parser,
+    * NotFoundError for unknown collections, SemanticError for invalid
+    * plans, CostLimitError from guardrails. */
   def sql(query: String, params: Map[String, Any] = Map.empty,
       fixedNowEpoch: Option[Long] = None): DataFrame = {
     val ast = parse(query)
-    if (maxCost != Long.MaxValue) guardrails.admit(ast)
-    new Compiler(spark, catalog, params, fixedNowEpoch).compile(ast)
+    ast.select.foreach { sel =>
+      (sel.from +: sel.joins.map(_.table)).foreach { t =>
+        if (!catalog.meta.contains(t))
+          throw new velesql.NotFoundError(s"collection not found: $t")
+      }
+    }
+    if (maxCost != Long.MaxValue) {
+      try guardrails.admit(ast)
+      catch { case e: IllegalStateException =>
+        throw new velesql.CostLimitError(e.getMessage) }
+    }
+    try new Compiler(spark, catalog, params, fixedNowEpoch).compile(ast)
+    catch {
+      case e: velesql.VelesError => throw e
+      case e: IllegalArgumentException => throw new velesql.SemanticError(e.getMessage)
+    }
   }
 
   /** Plan-intent summary (velesql/explain.rs shape). */

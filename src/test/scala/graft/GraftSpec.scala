@@ -33,9 +33,18 @@ class GraftSpec extends SparkSpecBase {
 
   test("guardrails wired through the facade reject huge queries") {
     val strict = new Graft(spark, sfDir, maxCost = 1L)
-    intercept[IllegalStateException] {
+    intercept[graft.velesql.CostLimitError] {
       strict.sql("SELECT * FROM lineitem")
     }
+  }
+
+  test("error taxonomy matches the reference (error.rs)") {
+    intercept[graft.velesql.SyntaxError](g.sql("SELEC * FROM orders"))
+    intercept[graft.velesql.NotFoundError](g.sql("SELECT * FROM no_such_table"))
+    intercept[graft.velesql.SemanticError](
+      g.sql("SELECT o_custkey, COUNT(*) FROM orders HAVING COUNT(*) > 1"))
+    intercept[graft.velesql.SemanticError](
+      g.sql("SELECT vec_id FROM embeddings WHERE vector NEAR $missing"))
   }
 
   test("SQ8 quantization round-trips within one code step") {
