@@ -70,18 +70,21 @@ object Graph {
     for (d <- 1 to maxDepth) {
       val next = frontier.join(e, frontier("node") === e("src"))
         .select(frontier("start"), e("dst").as("node")).distinct()
-      // first-arrival-wins: drop nodes already reached at a smaller depth
+      // first-arrival-wins: drop nodes already reached at a smaller depth.
+      // The eager per-depth checkpoint does double duty: truncates lineage
+      // AND regenerates attribute ids so re-joining the same edge frame
+      // next depth isn't an ambiguous self-join.
       val fresh = next.join(visited,
           next("start") === visited("start") && next("node") === visited("node"),
           "left_anti")
-        .localCheckpoint(eager = true) // truncate lineage across iterations
+        .localCheckpoint(eager = true)
       val step = fresh.withColumn("depth", lit(d))
       acc = if (acc == null) step else acc.unionAll(step)
       visited = visited.unionAll(fresh).localCheckpoint(eager = true)
       frontier = fresh
     }
-    // every depth is eagerly checkpointed, so the cached edges are no
-    // longer referenced — release them (callers may loop over many BFS's)
+    // every depth is materialized, so the cached edges are no longer
+    // referenced — release them (callers may loop over many BFS's)
     e.unpersist(blocking = false)
     acc
   }
