@@ -218,6 +218,47 @@ object VelesqlQueries {
       """MATCH (c:Customer {segment: 'FURNITURE'})-[:placed|contains*1..2]->(x)
         |WHERE c.id < 100
         |RETURN c.id AS start, x.id AS node
-        |ORDER BY start ASC, node ASC""".stripMargin)
+        |ORDER BY start ASC, node ASC""".stripMargin),
+
+    // ---- G4 via language: similarity() guard inside MATCH WHERE
+    vql("q106_vql_match_sim",
+      s"""WITH edges AS (${graft.operators.Graph.edgesSql})
+         |SELECT c.c_custkey AS custkey, count(*) AS n_orders
+         |FROM customer c
+         |JOIN embeddings v ON v.vec_id = c.c_custkey
+         |JOIN edges e ON e.label = 'placed' AND e.src = c.c_custkey
+         |WHERE list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), $qvecSql) > 0.2
+         |GROUP BY c.c_custkey ORDER BY custkey""".stripMargin,
+      """MATCH (c:Customer)-[:placed]->(o:Order)
+        |WHERE similarity(c.embedding, $q) > 0.2
+        |RETURN c.id AS custkey, o.id AS order_node""".stripMargin,
+      params = Map("q" -> qvec)) match {
+      case qd => // wrap: count orders per customer for a stable aggregate shape
+        QueryDef(qd.name, qd.oracle.get) { (s, d) =>
+          qd.fn(s, d).groupBy("custkey")
+            .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n_orders"))
+            .orderBy("custkey")
+        }
+    },
+
+    // ---- A6 via language: ORDER BY an aggregate
+    vql("q107_vql_order_by_agg",
+      """SELECT o_custkey, count(*) AS count FROM orders
+        |GROUP BY o_custkey
+        |ORDER BY count(*) DESC, o_custkey LIMIT 10""".stripMargin,
+      """SELECT o_custkey, COUNT(*) FROM orders
+        |GROUP BY o_custkey
+        |ORDER BY COUNT(*) DESC, o_custkey ASC LIMIT 10""".stripMargin),
+
+    // ---- P12: scalar $params inside IN lists
+    vql("q108_vql_in_params",
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_totalprice > 350000
+        |ORDER BY o_orderkey""".stripMargin,
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE o_orderpriority IN ($p1, $p2) AND o_totalprice > $minprice
+        |ORDER BY o_orderkey ASC""".stripMargin,
+      params = Map("p1" -> "1-URGENT", "p2" -> "2-HIGH", "minprice" -> 350000.0))
   )
 }

@@ -555,6 +555,12 @@ class Compiler(
     case And(l, r) => compileMatchCond(l, df) && compileMatchCond(r, df)
     case Or(l, r) => compileMatchCond(l, df) || compileMatchCond(r, df)
     case Not(i) => !compileMatchCond(i, df)
+    case SimilarityCond(field, v, op, t) =>
+      // similarity(alias.embedding, $v) on node payloads
+      // (match_exec.rs:340-399); cosine — higher is better, no inversion
+      val score = VectorFunctions.cosine_sim(mcol(field),
+        VectorFunctions.vecLit(vecOf(v)))
+      cmp(score, op, lit(t))
     case other => fail(s"unsupported MATCH condition $other")
   }
 
