@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, EuclideanDistance, HammingDistance, JaccardSimilarity}
+
+/** Session-extension entry point: injects the five distance metrics into
+  * a session's function registry at build time, so `spark.sql("SELECT
+  * cosine_sim(a, b) …")` works with no imperative registration call.
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)          // programmatic
+  *   // or: .config("spark.sql.extensions", "graft.GraftExtensions")
+  *   .getOrCreate()
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fn(name: String, builder: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo("graft", name),
+      builder)
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(fn("cosine_sim", es => CosineSimilarity(es(0), es(1))))
+    e.injectFunction(fn("dot_product", es => DotProduct(es(0), es(1))))
+    e.injectFunction(fn("l2_dist", es => EuclideanDistance(es(0), es(1))))
+    e.injectFunction(fn("hamming_dist", es => HammingDistance(es(0), es(1))))
+    e.injectFunction(fn("jaccard_sim", es => JaccardSimilarity(es(0), es(1))))
+  }
+}

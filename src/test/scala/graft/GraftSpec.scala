@@ -38,6 +38,30 @@ class GraftSpec extends SparkSpecBase {
     }
   }
 
+  test("distance functions usable from SQL via registry and via extensions") {
+    // imperative registry path
+    graft.functions.VectorFunctions.register(spark)
+    Tables.table(spark, sfDir, "embeddings").createOrReplaceTempView("emb_sql")
+    val viaRegistry = spark.sql(
+      """SELECT vec_id, cosine_sim(embedding, array(0.5f, 0.5f)) FROM emb_sql LIMIT 1""")
+    assert(viaRegistry.count() == 1)
+
+    // SparkSessionExtensions path: a sibling session built with
+    // withExtensions shares the SparkContext but gets its own registry
+    val extSession = org.apache.spark.sql.SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master("local[2]")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    try {
+      Tables.table(extSession, sfDir, "embeddings").createOrReplaceTempView("emb_ext")
+      val r = extSession.sql(
+        """SELECT vec_id, l2_dist(embedding, embedding) AS d FROM emb_ext LIMIT 5""")
+        .collect()
+      assert(r.length == 5 && r.forall(_.getDouble(1) == 0.0))
+    } finally ()
+  }
+
   test("error taxonomy matches the reference (error.rs)") {
     intercept[graft.velesql.SyntaxError](g.sql("SELEC * FROM orders"))
     intercept[graft.velesql.NotFoundError](g.sql("SELECT * FROM no_such_table"))
