@@ -29,5 +29,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("l2_dist", es => EuclideanDistance(es(0), es(1))))
     e.injectFunction(fn("hamming_dist", es => HammingDistance(es(0), es(1))))
     e.injectFunction(fn("jaccard_sim", es => JaccardSimilarity(es(0), es(1))))
+    // opt-in ANN top-k rewrite (SURVEY §4.3): bucket-prunes similarity
+    // sorts over LSH-indexed frames when graft.ann.rewrite=true
+    e.injectPreCBORule { session =>
+      org.apache.spark.sql.graft.AnnTopKRule(() => (
+        session.conf.get("graft.ann.rewrite", "false").toBoolean,
+        session.conf.get("graft.ann.planes", "6").toInt,
+        session.conf.get("graft.ann.radius", "2").toInt))
+    }
   }
 }
