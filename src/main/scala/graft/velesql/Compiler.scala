@@ -248,8 +248,12 @@ class Compiler(
     val aggCols = aggs.distinctBy(_.resultName).map(aggColumn)
     val hasGroup = sel.groupBy.nonEmpty
 
+    // alias each group expression to its literal path so projections can
+    // re-reference it (indexed paths like items[0].sku aren't re-resolvable
+    // against the aggregated frame)
     var out =
-      if (hasGroup) df.groupBy(sel.groupBy.map(resolve(df, _)): _*).agg(aggCols.head, aggCols.tail: _*)
+      if (hasGroup) df.groupBy(sel.groupBy.map(g => resolve(df, g).as(g)): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
       else df.agg(aggCols.head, aggCols.tail: _*)
 
     // HAVING: strictly left-to-right fold (query/aggregation.rs:611-644);
@@ -263,9 +267,12 @@ class Compiler(
       out = out.where(folded)
     }
 
-    // project in declared order: group cols (as named) + aggregates
+    // project in declared order: group cols (exact-name lookup — they were
+    // aliased to their literal paths above) + aggregates
     val proj = items.map {
-      case Left(ColumnItem(n, a)) => a.map(resolve(out, n).as).getOrElse(resolve(out, n))
+      case Left(ColumnItem(n, a)) =>
+        val c = if (sel.groupBy.contains(n)) out.col(s"`$n`") else resolve(out, n)
+        a.map(c.as).getOrElse(c)
       case Right(a) => col(a.resultName)
     }
     out.select(proj: _*)
@@ -568,9 +575,20 @@ class Compiler(
 
   // =================== util ===================
 
-  /** Resolve a possibly alias-qualified column name against `df`. */
-  private def resolve(df: DataFrame, name: String): Column = col(name)
-  private def resolveName(name: String): Column = col(name)
+  /** Resolve a possibly alias-qualified column path against `df`,
+    * including `items[0].sku`-style array indices (json_path.rs:36-61,
+    * 0-based like the reference). */
+  private def resolve(df: DataFrame, name: String): Column = resolveName(name)
+
+  private val segRx = """([^\[\]]+)(?:\[(\d+)\])?""".r
+  private def resolveName(name: String): Column =
+    if (!name.contains("[")) col(name)
+    else name.split("\\.").foldLeft(null: Column) { (acc, seg) =>
+      val m = segRx.findFirstMatchIn(seg)
+        .getOrElse(fail(s"bad path segment '$seg' in $name"))
+      val base = if (acc == null) col(m.group(1)) else acc.getField(m.group(1))
+      Option(m.group(2)).map(i => base.getItem(i.toInt)).getOrElse(base)
+    }
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"VelesQL: $msg")

@@ -43,10 +43,19 @@ object Parser extends RegexParsers {
         }
       }
 
+  /** Path segment with optional array index: `items[0]` (json_path.rs:36-61). */
+  private val pathSegment: Parser[String] =
+    identifier ~ opt("[" ~> """\d+""".r <~ "]") ^^ {
+      case id ~ idx => id + idx.map(i => s"[$i]").getOrElse("")
+    }
   private val columnName: Parser[String] =
-    rep1sep(identifier, ".") ^^ (_.mkString("."))
+    rep1sep(pathSegment, ".") ^^ (_.mkString("."))
   private val bareColumnName: Parser[String] =
-    bareIdent ~ rep("." ~> identifier) ^^ { case h ~ t => (h +: t).mkString(".") }
+    Parser { in =>
+      (bareIdent ~ opt("[" ~> """\d+""".r <~ "]") ~ rep("." ~> pathSegment))(in)
+    } ^^ { case h ~ idx ~ t =>
+      ((h + idx.map(i => s"[$i]").getOrElse("")) +: t).mkString(".")
+    }
 
   // ---- literals (grammar.pest:224-231)
   private val floatLit: Parser[Double] = """-?\d+\.\d+""".r ^^ (_.toDouble)

@@ -156,6 +156,32 @@ class VelesqlSpec extends SparkSpecBase {
     assert(df.columns.toSeq == Seq("o_orderstatus", "count", "sum_o_totalprice", "lo"))
   }
 
+  test("JSON-path array indices: items[0].sku in SELECT, WHERE and GROUP BY (P3)") {
+    import spark.implicits._
+    val cat = new Catalog(spark, sfDir) {
+      override def table(name: String) = Seq(
+        (1L, Seq(("a", 2), ("b", 3))),
+        (2L, Seq(("a", 5))),
+        (3L, Seq(("c", 1), ("a", 9))))
+        .toDF("id", "raw")
+        .selectExpr("id",
+          "transform(raw, x -> named_struct('sku', x._1, 'qty', x._2)) AS items")
+    }
+    val c = new Compiler(spark, cat)
+    // WHERE on an indexed path
+    val ids = c.run("SELECT id FROM t WHERE items[0].sku = 'a' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L, 2L))
+    // GROUP BY an indexed path (json_path.rs array-index grouping)
+    val grouped = c.run("SELECT items[0].sku, COUNT(*) FROM t GROUP BY items[0].sku")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(grouped == Map("a" -> 2L, "c" -> 1L))
+    // projection of an indexed path
+    val skus = c.run("SELECT items[1].sku AS second FROM t WHERE id = 1")
+      .collect().map(_.getString(0)).toSeq
+    assert(skus == Seq("b"))
+  }
+
   test("differential fuzz: random WHERE trees agree with hand-built DataFrame filters") {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions.{col => c}
