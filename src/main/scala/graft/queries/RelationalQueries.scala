@@ -482,6 +482,17 @@ object RelationalQueries {
           count(lit(1)).as("cnt"))
     },
 
+    // ---- P8: CONTAINS substring filter (the reference's filter-API-only
+    // operator, filter/mod.rs:107-112 — not in the grammar)
+    QueryDef(
+      "q36_contains",
+      """SELECT p_partkey, p_name FROM part
+        |WHERE instr(p_name, 'steel') > 0""".stripMargin) { (s, d) =>
+      t(s, d, "part")
+        .where(col("p_name").contains("steel"))
+        .select("p_partkey", "p_name")
+    },
+
     // ---- L1: TTL row expiry as a live-rows view — the reference mutates
     // storage (column_store row_expiry, types.rs:158-164); Spark-side the
     // idiomatic shape is a WHERE over expiry, with compaction left to the
