@@ -63,13 +63,33 @@ object Ann {
   }
 
   /** Buckets within Hamming radius `r` of the query signature, nearest
-    * first (the multi-probe sequence). */
+    * first (the multi-probe sequence). Enumerated combinatorially —
+    * Σ_d C(nPlanes, d) masks, NOT a 2^nPlanes scan (the r1 full scan
+    * hung the driver past ~24 planes; ≥63 overflowed the shift). */
   def probeBuckets(sig: Long, nPlanes: Int, radius: Int): Seq[Long] = {
-    val all = (0L until (1L << nPlanes))
-      .map(b => (b, java.lang.Long.bitCount(b ^ sig)))
-      .filter(_._2 <= radius)
-      .sortBy { case (b, d) => (d, b) }
-    all.map(_._1)
+    require(nPlanes >= 1 && nPlanes <= 62,
+      s"nPlanes must be in [1, 62], got $nPlanes (one sign bit per plane in a long)")
+    val r = math.min(radius, nPlanes)
+    val total = (0 to r).map(d =>
+      (0 until d).foldLeft(1.0)((acc, i) => acc * (nPlanes - i) / (i + 1))).sum
+    require(total <= 2e6,
+      f"probe set too large: ~$total%.0f buckets for nPlanes=$nPlanes radius=$r")
+    val out = Seq.newBuilder[Long]
+    for (d <- 0 to r) {
+      val layer = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def combos(start: Int, left: Int, mask: Long): Unit =
+        if (left == 0) layer += (sig ^ mask)
+        else {
+          var i = start
+          while (i <= nPlanes - left) {
+            combos(i + 1, left - 1, mask | (1L << i))
+            i += 1
+          }
+        }
+      combos(0, d, 0L)
+      out ++= layer.sorted // keep the (distance, bucket) probe order
+    }
+    out.result()
   }
 
   /** ANN top-k: probe buckets within `radius`, exact-rerank candidates.

@@ -23,23 +23,51 @@ import org.apache.spark.sql.types.LongType
   */
 object Quantization {
 
-  /** Add a sign-bit sketch column packing up to 64 dims per long.
-    * (For dims > 64 extend to an array of longs; testdata is 64-D.) */
+  /** 64-bit words needed for `dim` sign bits. */
+  def words(dim: Int): Int = (dim + 63) / 64
+
+  /** Sign-bit sketch column: one packed long for dims ≤ 64, an
+    * `array<bigint>` of ⌈dim/64⌉ words above that (reference quantizes
+    * any dimension — quantization.rs:48-58; real embeddings are 768+). */
   def withBinarySketch(df: DataFrame, vecCol: String, dim: Int,
       sketchCol: String = "sketch"): DataFrame = {
-    require(dim <= 64, "single-long sketch supports up to 64 dims")
-    val bits = (0 until dim).map { i =>
-      when(element_at(col(vecCol), i + 1) >= 0.0f, lit(1L << i)).otherwise(lit(0L))
+    def word(w: Int) = {
+      val bits = (w * 64 until math.min(dim, w * 64 + 64)).map { i =>
+        when(element_at(col(vecCol), i + 1) >= 0.0f, lit(1L << (i % 64)))
+          .otherwise(lit(0L))
+      }
+      bits.reduce(_ + _).cast(LongType)
     }
-    df.withColumn(sketchCol, bits.reduce(_ + _).cast(LongType))
+    if (dim <= 64) df.withColumn(sketchCol, word(0))
+    else df.withColumn(sketchCol, array((0 until words(dim)).map(word): _*))
   }
 
-  /** Sketch of a query vector (same packing). */
+  /** Sketch of a ≤64-dim query vector (single-long packing). */
   def sketchOf(q: Seq[Float]): Long = {
     var s = 0L
-    q.zipWithIndex.foreach { case (x, i) => if (x >= 0.0f) s |= (1L << i) }
+    q.zipWithIndex.foreach { case (x, i) => if (x >= 0.0f) s |= (1L << (i % 64)) }
     s
   }
+
+  /** Sketch words of a query vector of any dimension. */
+  def sketchWordsOf(q: Seq[Float]): Array[Long] = {
+    val ws = new Array[Long](words(q.length))
+    q.zipWithIndex.foreach { case (x, i) => if (x >= 0.0f) ws(i / 64) |= (1L << (i % 64)) }
+    ws
+  }
+
+  /** Hamming distance of the `sketchCol` to `query`'s sketch as `outCol`
+    * — `bit_count(xor)` per word, summed; pure codegen integer ops. */
+  def hammingToQuery(df: DataFrame, query: Seq[Float],
+      sketchCol: String = "sketch", outCol: String = "__ham"): DataFrame =
+    if (query.length <= 64)
+      df.withColumn(outCol, bit_count(col(sketchCol).bitwiseXOR(lit(sketchOf(query)))))
+    else {
+      val ham = sketchWordsOf(query).zipWithIndex.map { case (w, i) =>
+        bit_count(element_at(col(sketchCol), i + 1).bitwiseXOR(lit(w)))
+      }.reduce(_ + _)
+      df.withColumn(outCol, ham)
+    }
 
   /** SQ8 scalar quantization (quantization.rs:209-216: per-vector min/max
     * + 256-level codes). Adds `sq8_codes` (tinyint array), `sq8_min`,
@@ -60,13 +88,13 @@ object Quantization {
       (c.cast("double") * col("sq8_scale") + col("sq8_min")).cast("float")))
 
   /** Two-phase search: Hamming-on-sketch candidate generation with
-    * `oversampling`, then exact rerank under `metric`. */
+    * `oversampling`, then exact rerank under `metric`. Callers apply any
+    * metadata filter to `df` BEFORE this (filter-then-search contract —
+    * a post-filter could empty the candidate pool). */
   def search(df: DataFrame, vecCol: String, query: Seq[Float], k: Int,
       oversampling: Int = 4, metric: String = "cosine",
       idCol: String = "id", sketchCol: String = "sketch"): DataFrame = {
-    val qs = sketchOf(query)
-    val phase1 = df
-      .withColumn("__ham", bit_count(col(sketchCol).bitwiseXOR(lit(qs))))
+    val phase1 = hammingToQuery(df, query, sketchCol)
       .orderBy(col("__ham").asc, col(idCol).asc)
       .limit(k * oversampling)
       .drop("__ham")

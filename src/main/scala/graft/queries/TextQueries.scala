@@ -132,14 +132,19 @@ object TextQueries {
          |  UNION ALL SELECT doc_id, rnk, 0.5 AS w FROM vec)
          |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
+      // legs are already limited to top-50 (TakeOrderedAndProject); the
+      // rank window runs over those 50 rows only, pinned to one explicit
+      // partition (Ranks.one), not an unpartitioned global window.
       val q = graft.functions.VectorFunctions.syntheticQuery(64)
       val bmLeg = bm25(t(s, d, "documents"), Seq("spark", "join", "filter"), 50)
         .select(col("doc_id"),
-          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).as("rnk"))
+          row_number().over(Window.partitionBy(graft.operators.Ranks.one(col("doc_id")))
+            .orderBy(col("score").desc, col("doc_id"))).as("rnk"))
       val vecLeg = graft.operators.Knn
         .topK(t(s, d, "embeddings"), "embedding", q, 50, "cosine", idCol = "vec_id")
         .select(col("vec_id").as("doc_id"),
-          row_number().over(Window.orderBy(col("score").desc, col("vec_id"))).as("rnk"))
+          row_number().over(Window.partitionBy(graft.operators.Ranks.one(col("vec_id")))
+            .orderBy(col("score").desc, col("vec_id"))).as("rnk"))
       bmLeg.select(col("doc_id"), col("rnk"), lit(0.5).as("w"))
         .unionAll(vecLeg.select(col("doc_id"), col("rnk"), lit(0.5).as("w")))
         .groupBy("doc_id").agg(sum(col("w") / (lit(60) + col("rnk"))).as("score"))
@@ -324,7 +329,9 @@ object TextQueries {
     },
 
     // ---- Dedup: SimHash 32-bit fingerprint per doc (bit j = sign of
-    // Σ_tokens tf·(2·bit_j(md5(token)) − 1))
+    // Σ_tokens tf·(2·bit_j(md5(token)) − 1)); bit j comes from the first
+    // 8 md5 hex chars as a 32-bit int — integer shifts only, no float
+    // round-trip (the r1 pow()/division version hash-mismatched)
     QueryDef(
       "q69_simhash",
       """WITH tok AS (
@@ -333,25 +340,22 @@ object TextQueries {
         |  WHERE len(u.t) > 1 GROUP BY doc_id, u.t),
         |bits AS (
         |  SELECT doc_id, b.j,
-        |    sum(tf * (2 * ((strpos('0123456789abcdef', substr(md5(term), 1 + j // 4, 1)) - 1)
-        |                   // CAST(pow(2, 3 - j % 4) AS BIGINT) % 2) - 1)) AS w
+        |    sum(tf * (2 * ((CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT) >> j) % 2) - 1)) AS w
         |  FROM tok, (SELECT unnest(range(0, 32)) AS j) b
         |  GROUP BY doc_id, b.j)
         |SELECT doc_id,
-        |  sum(CASE WHEN w > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS simhash
+        |  sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
         |FROM bits GROUP BY doc_id""".stripMargin) { (s, d) =>
       val tok = tokens(t(s, d, "documents"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val bits = tok.crossJoin(broadcast(s.range(32).select(col("id").as("j"))))
-        .withColumn("hexval",
-          instr(lit("0123456789abcdef"),
-            substring(md5(col("term")), (lit(1) + col("j") / 4).cast("int"), lit(1))) - 1)
-        .withColumn("bit",
-          (col("hexval") / pow(lit(2), lit(3) - col("j") % 4).cast(LongType)).cast(LongType) % 2)
+      val bits = tok
+        .withColumn("h", conv(substring(md5(col("term")), 1, 8), 16, 10).cast(LongType))
+        .crossJoin(broadcast(s.range(32).select(col("id").cast("int").as("j"))))
+        .withColumn("bit", expr("shiftright(h, j) % 2"))
         .groupBy("doc_id", "j")
         .agg(sum(col("tf") * (lit(2) * col("bit") - 1)).as("w"))
       bits.groupBy("doc_id")
-        .agg(sum(when(col("w") > 0, pow(lit(2), col("j")).cast(LongType))
+        .agg(sum(when(col("w") > 0, expr("shiftleft(cast(1 as bigint), j)"))
           .otherwise(lit(0L))).as("simhash"))
     },
 

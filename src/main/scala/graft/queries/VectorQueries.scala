@@ -198,13 +198,16 @@ object VectorQueries {
          |FROM (SELECT * FROM la UNION ALL SELECT * FROM lb)
          |GROUP BY vec_id""".stripMargin) { (s, d) =>
       val emb = t(s, d, "embeddings")
+      // top-20 per leg via TakeOrderedAndProject FIRST, then rank the
+      // 20-row result — the r1 global rank window over every row is gone
       def leg(metric: String): DataFrame = {
         val (_, hib) = VectorFunctions.metrics(metric)
-        val sc = Knn.scored(emb, "embedding", q64, metric)
         val ord = if (hib) col("score").desc else col("score").asc
-        sc.select(col("vec_id"),
-            row_number().over(Window.orderBy(ord, col("vec_id"))).as("rnk"))
-          .where(col("rnk") <= 20)
+        Knn.topK(emb, "embedding", q64, 20, metric, idCol = "vec_id")
+          .select(col("vec_id"),
+            row_number().over(
+              Window.partitionBy(graft.operators.Ranks.one(col("vec_id")))
+                .orderBy(ord, col("vec_id"))).as("rnk"))
       }
       leg("cosine").unionAll(leg("dot"))
         .groupBy("vec_id")

@@ -166,16 +166,19 @@ object VelesqlQueries {
         "b" -> (0 until 64).map(i => (math.cos(i * 0.31) * 0.4 - 0.05).toFloat))),
 
     // ---- hybrid text+vector through the language (F4, text.rs:113-203):
-    // MATCH is a fused leg (weighted RRF), NOT a filter; lang filter stays
+    // MATCH is a fused leg (weighted RRF), NOT a filter; lang filter
+    // stays. Candidate-K semantics: each leg contributes its top-2000
+    // only (reference bounded fetch, text.rs:133-134), candidates = the
+    // union of the legs' top-K, missing leg contributes 0.
     vql("q104_vql_hybrid",
       s"""WITH corpus AS (
          |  SELECT d.doc_id, d.text, d.lang, e.embedding
          |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
          |vr AS (
-         |  SELECT doc_id, lang, row_number() OVER (
+         |  SELECT doc_id, row_number() OVER (
          |    ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
          |      [${qvec.map(_.toDouble.toString).mkString(",")}]::DOUBLE[]) DESC, doc_id) AS vrank
-         |  FROM corpus),
+         |  FROM corpus QUALIFY vrank <= 2000),
          |tok AS (SELECT doc_id, u.t AS term
          |  FROM corpus, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
          |  WHERE len(u.t) > 1),
@@ -189,12 +192,16 @@ object VelesqlQueries {
          |    * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dlen / avgdl))) AS score
          |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
          |  GROUP BY tf.doc_id),
-         |tr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS trank FROM bm)
-         |SELECT vr.doc_id,
-         |  0.5 / (60 + vrank) + coalesce(0.5 / (60 + trank), 0.0) AS score
-         |FROM vr LEFT JOIN tr ON tr.doc_id = vr.doc_id
-         |WHERE vr.lang = 'en'
-         |ORDER BY score DESC, vr.doc_id LIMIT 10""".stripMargin,
+         |tr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS trank
+         |       FROM bm QUALIFY trank <= 2000),
+         |cand AS (
+         |  SELECT coalesce(vr.doc_id, tr.doc_id) AS doc_id,
+         |    coalesce(0.5 / (60 + vrank), 0.0) + coalesce(0.5 / (60 + trank), 0.0) AS score
+         |  FROM vr FULL JOIN tr ON tr.doc_id = vr.doc_id)
+         |SELECT cand.doc_id, score
+         |FROM cand JOIN corpus ON corpus.doc_id = cand.doc_id
+         |WHERE corpus.lang = 'en'
+         |ORDER BY score DESC, cand.doc_id LIMIT 10""".stripMargin,
       """SELECT doc_id, score FROM corpus
         |WHERE text MATCH 'spark stream' AND vector NEAR $q AND lang = 'en'
         |LIMIT 10

@@ -41,6 +41,11 @@ class Compiler(
 
   private val LimitCap = 100000
   private val NearDefaultLimit = 10
+  /** Per-leg candidate pool for rank-based fusion (RRF/hybrid). The
+    * reference fetches a bounded candidate set per leg (text.rs:133-134);
+    * ranking only the top-K per leg keeps the rank window over K rows
+    * instead of single-tasking the whole collection. */
+  private val CandidateK = 2000
 
   def run(sql: String): DataFrame =
     Parser.parse(sql).fold(e => throw new IllegalArgumentException(e), compile)
@@ -93,6 +98,16 @@ class Compiler(
       if (sel.fusion.isDefined &&
           near.exists(_.isInstanceOf[VectorNear])) textScore else None
 
+    // residual predicate (metadata + similarity thresholds + text match);
+    // in hybrid mode the MATCH leg is fused, not filtered
+    val residualCond = residual.orElse(sel.where.filter(_ => near.isEmpty))
+      .flatMap(c => if (hybridText.isDefined) stripTextMatch(c) else Some(c))
+
+    // Set when a branch below already applied `residualCond` (the
+    // filter-before-top-k contract) / left-joined a BM25 match flag.
+    var residualApplied = false
+    var scoredTm: Option[(TextMatch, Column)] = None
+
     // score column (reference score conventions: W1/V2/S6)
     val scored: DataFrame = near match {
       case Some(VectorNear(v)) if hybridText.isDefined =>
@@ -103,39 +118,56 @@ class Compiler(
         val kParam = fusion.params.getOrElse("k", 60.0)
         val w = fusion.params.getOrElse("vector_weight", 0.5)
         val sim = fn(col(vcolName), VectorFunctions.vecLit(vec))
-        val vOrd = if (hib) sim.desc else sim.asc
-        val vRanked = df.withColumn("__vrank",
-          row_number().over(Window.orderBy(vOrd, col(meta.idCol))))
-        val tRanked = Bm25.score(df, hybridText.get.query, 0, meta.idCol,
+        // candidate-K legs: top-K per leg via TakeOrderedAndProject, THEN
+        // rank the K-row result. Rows in neither leg's top-K are not
+        // candidates (reference parity: bounded fetch per leg,
+        // text.rs:133-134) — and no global rank window over the table.
+        val kCand = math.max(sel.limit.getOrElse(NearDefaultLimit), CandidateK)
+        val vOrd = if (hib) col("__vs").desc else col("__vs").asc
+        val vLeg = df.select(col(meta.idCol).as("__vid"), sim.as("__vs"))
+          .orderBy(vOrd, col("__vid")).limit(kCand)
+          .select(col("__vid"), row_number().over(
+            Window.partitionBy(graft.operators.Ranks.one(col("__vid")))
+              .orderBy(vOrd, col("__vid"))).as("__vrank"))
+        val tLeg = Bm25.score(df, hybridText.get.query, kCand, meta.idCol,
             meta.textCol.getOrElse("text"))
-          .select(col("doc_id").as("__tid"),
-            row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
-              .as("__trank"))
-        vRanked.join(tRanked, vRanked(meta.idCol) === col("__tid"), "left")
-          .withColumn("score",
-            lit(w) / (lit(kParam) + col("__vrank")) +
-              coalesce(lit(1.0 - w) / (lit(kParam) + col("__trank")), lit(0.0)))
-          .drop("__vrank", "__trank", "__tid")
+          .select(col("doc_id").as("__tid"), row_number().over(
+            Window.partitionBy(graft.operators.Ranks.one(col("doc_id")))
+              .orderBy(col("score").desc, col("doc_id")))
+            .as("__trank"))
+        val legs = vLeg.join(tLeg, col("__vid") === col("__tid"), "full_outer")
+          .select(coalesce(col("__vid"), col("__tid")).as("__cid"),
+            (coalesce(lit(w) / (lit(kParam) + col("__vrank")), lit(0.0))
+              + coalesce(lit(1.0 - w) / (lit(kParam) + col("__trank")), lit(0.0)))
+              .as("score"))
+        df.join(legs, df(meta.idCol) === col("__cid")).drop("__cid")
       case Some(VectorNear(v)) =>
         val vec = vecOf(v)
         val (fn, _) = VectorFunctions.metrics(meta.metric)
         val vcolName = meta.vectorCol.getOrElse(
           fail("NEAR on a collection without a vector column"))
+        // Residual filters run BEFORE the sketch/top-k phase (the
+        // filter-then-search contract — Knn.scala, vector.rs:164-239);
+        // a post-filter could empty the k×oversampling candidate pool.
+        val dfF = residualCond match {
+          case Some(c) => residualApplied = true; df.where(compileCond(c, df, meta))
+          case None => df
+        }
         // WITH (quantization='binary'|'dual', oversampling=N) selects the
         // two-phase sketch path (ast/with_clause.rs:112-131): hamming
         // prefilter keeps k×oversampling candidates, exact scores rerank.
         val base = sel.withOptions.get("quantization") match {
-          case Some("binary") | Some("dual") if vec.length <= 64 =>
+          case Some("binary") | Some("dual") =>
             val oversample = sel.withOptions.get("oversampling")
               .map(_.toDouble.toInt).getOrElse(4)
             val k = sel.limit.getOrElse(NearDefaultLimit)
-            val sk = graft.operators.Quantization.withBinarySketch(df, vcolName, vec.length)
-            val qs = graft.operators.Quantization.sketchOf(vec)
-            sk.withColumn("__ham", bit_count(col("sketch").bitwiseXOR(lit(qs))))
+            val sk = graft.operators.Quantization.withBinarySketch(dfF, vcolName, vec.length)
+            graft.operators.Quantization
+              .hammingToQuery(sk, vec)
               .orderBy(col("__ham").asc, col(meta.idCol).asc)
               .limit(k * oversample)
               .drop("__ham", "sketch")
-          case _ => df // 'f32' / absent / >64 dims → exact scan
+          case _ => dfF // 'f32' / absent → exact scan
         }
         base.withColumn("score", fn(col(vcolName), VectorFunctions.vecLit(vec)))
       case Some(VectorNearFused(vs, fusion)) =>
@@ -150,19 +182,25 @@ class Compiler(
           case "maximum" =>
             df.withColumn("score", greatest(sims: _*))
           case "rrf" =>
-            // exact-mode RRF: every leg ranks ALL rows (window over the
-            // per-vector score), fused = Σ 1/(k + rank) — strategy.rs:224-250
+            // RRF over candidate-K legs: each leg keeps its top-K
+            // (TakeOrderedAndProject), ranks those K rows, fused =
+            // Σ 1/(k + rank) over legs the row appears in
+            // (strategy.rs:224-250; bounded candidate fetch as in hybrid)
             val kParam = fusion.flatMap(_.params.get("k")).getOrElse(60.0)
-            val ord = (c: Column) =>
-              if (hib) c.desc else c.asc
-            val ranked = sims.zipWithIndex.foldLeft(df) { case (acc, (sim, i)) =>
-              acc.withColumn(s"__rank$i",
-                row_number().over(Window.orderBy(ord(sim), col(meta.idCol))))
+            val kCand = math.max(sel.limit.getOrElse(NearDefaultLimit), CandidateK)
+            val ord = (c: Column) => if (hib) c.desc else c.asc
+            val legs = sims.map { sim =>
+              df.select(col(meta.idCol).as("__fid"), sim.as("__fs"))
+                .orderBy(ord(col("__fs")), col("__fid")).limit(kCand)
+                .select(col("__fid"), row_number().over(
+                  Window.partitionBy(graft.operators.Ranks.one(col("__fid")))
+                    .orderBy(ord(col("__fs")), col("__fid")))
+                  .as("__frank"))
             }
-            val rrf = sims.indices.map(i => lit(1.0) / (lit(kParam) + col(s"__rank$i")))
-              .reduce(_ + _)
-            ranked.withColumn("score", rrf)
-              .drop(sims.indices.map(i => s"__rank$i"): _*)
+            val fused = legs.reduce(_ unionAll _)
+              .groupBy("__fid")
+              .agg(sum(lit(1.0) / (lit(kParam) + col("__frank"))).as("score"))
+            df.join(fused, df(meta.idCol) === col("__fid")).drop("__fid")
           case other => fail(s"unknown fusion strategy $other")
         }
       case _ =>
@@ -170,23 +208,30 @@ class Compiler(
           case (Some(SimilarityCond(field, v, _, _)), _) =>
             val (fn, _) = VectorFunctions.metrics(meta.metric)
             df.withColumn("score", fn(col(field), VectorFunctions.vecLit(vecOf(v))))
-          case (None, Some(TextMatch(_, qtext))) =>
+          case (None, Some(tm @ TextMatch(_, qtext))) =>
+            // MATCH is an ordinary boolean leaf of WHERE: LEFT-join the
+            // BM25 scores so rows with no matching term survive for
+            // NOT/OR branches (reference filter semantics evaluate MATCH
+            // per-row); score falls back to 0.0 when the text leg missed.
+            // The `__tm` flag feeds the residual filter, so a top-level
+            // AND MATCH lets Catalyst convert the join back to inner.
             val scores = Bm25.score(df, qtext, 0, meta.idCol, meta.textCol.getOrElse("text"))
-              .withColumnRenamed("doc_id", "__bm25_id")
-            df.join(scores, df(meta.idCol) === col("__bm25_id"))
+              .select(col("doc_id").as("__bm25_id"), col("score"))
+            scoredTm = Some((tm, col("__tm")))
+            df.join(scores, df(meta.idCol) === col("__bm25_id"), "left")
+              .withColumn("__tm", col("__bm25_id").isNotNull)
+              .withColumn("score", coalesce(col("score"), lit(0.0)))
               .drop("__bm25_id")
           case _ => df.withColumn("score", lit(1.0)) // scan score (S6)
         }
     }
 
-    // residual predicate (metadata + similarity thresholds + text match);
-    // in hybrid mode the MATCH leg is fused, not filtered
-    val residualCond = residual.orElse(sel.where.filter(_ => near.isEmpty))
-      .flatMap(c => if (hybridText.isDefined) stripTextMatch(c) else Some(c))
-    val filtered = residualCond match {
-      case Some(cond) => scored.where(compileCond(cond, scored, meta))
-      case None => scored
+    val filtered0 = residualCond match {
+      case Some(cond) if !residualApplied =>
+        scored.where(compileCond(cond, scored, meta, scoredTm))
+      case _ => scored
     }
+    val filtered = if (scoredTm.isDefined) filtered0.drop("__tm") else filtered0
 
     // aggregation or plain projection
     val hasAggs = sel.selectList match {
@@ -322,6 +367,10 @@ class Compiler(
     case And(l, r) =>
       val (nl, rl) = extractNear(l)
       val (nr, rr) = extractNear(r)
+      // two AND-composed NEARs would silently drop one — reject like the
+      // OR-composed case (use NEAR_FUSED for multi-vector queries)
+      if (nl.isDefined && nr.isDefined)
+        fail("multiple NEAR conditions in one WHERE — use NEAR_FUSED")
       val near = nl.orElse(nr)
       val residual = (rl, rr) match {
         case (Some(a), Some(b)) => Some(And(a, b))
@@ -364,7 +413,8 @@ class Compiler(
     case _ => None
   }
 
-  def compileCond(c: Condition, df: DataFrame, meta: CollectionMeta): Column = c match {
+  def compileCond(c: Condition, df: DataFrame, meta: CollectionMeta,
+      scoredTm: Option[(TextMatch, Column)] = None): Column = c match {
     case Compare(column, op, v) =>
       val cc = resolve(df, column)
       op match {
@@ -379,9 +429,11 @@ class Compiler(
       if (ci) resolve(df, column).ilike(pat) else resolve(df, column).like(pat)
     case IsNull(column, neg) =>
       if (neg) resolve(df, column).isNotNull else resolve(df, column).isNull
-    case And(l, r) => compileCond(l, df, meta) && compileCond(r, df, meta)
-    case Or(l, r) => compileCond(l, df, meta) || compileCond(r, df, meta)
-    case Not(i) => !compileCond(i, df, meta)
+    case And(l, r) =>
+      compileCond(l, df, meta, scoredTm) && compileCond(r, df, meta, scoredTm)
+    case Or(l, r) =>
+      compileCond(l, df, meta, scoredTm) || compileCond(r, df, meta, scoredTm)
+    case Not(i) => !compileCond(i, df, meta, scoredTm)
     case SimilarityCond(field, v, op, t) =>
       val (fn, hib) = VectorFunctions.metrics(meta.metric)
       val score = fn(col(field), VectorFunctions.vecLit(vecOf(v)))
@@ -391,6 +443,10 @@ class Compiler(
         case o => o
       }
       cmp(score, effOp, lit(t))
+    case t: TextMatch if scoredTm.exists(_._1 == t) =>
+      // the scored frame already carries this MATCH's membership flag
+      // (left-joined BM25 hit) — no per-row re-tokenization
+      scoredTm.get._2
     case TextMatch(_, qtext) =>
       // membership in the BM25 match set (any query term present)
       val terms = qtext.toLowerCase.split("[^a-z0-9]+").filter(_.length > 1)

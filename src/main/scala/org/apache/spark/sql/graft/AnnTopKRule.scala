@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.catalyst.expressions.{Add, Attribute, Expression, GreaterThanOrEqual, If, In, InSet, Literal, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Add, Ascending, Attribute, Descending, Expression, GreaterThanOrEqual, If, In, InSet, Literal, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -51,27 +51,37 @@ case class AnnTopKRule(annConf: () => (Boolean, Int, Int)) extends Rule[LogicalP
   /** Insert the probe filter under a qualifying similarity Sort; returns
     * the sort unchanged when it does not qualify. */
   private def rewriteSort(s: Sort, nPlanes: Int, radius: Int): Sort = s match {
-    case Sort(SortOrder(simExpr, _, _, _) +: _, true, child, _) =>
+    case Sort(SortOrder(simExpr, direction, _, _) +: _, true, child, _) =>
       simVec(simExpr) match {
-        case Some((vecAttr, q)) =>
+        // only a NEAREST-first top-k qualifies: Descending for
+        // higher-is-better metrics (cosine/dot/jaccard), Ascending for
+        // distances (l2/hamming). A farthest-first sort over the nearest
+        // buckets would not approximate the requested query at all.
+        case Some((vecAttr, q, higherIsBetter)) if
+            (if (higherIsBetter) direction == Descending else direction == Ascending) =>
           val sig = Ann.signature(q, Ann.planes(nPlanes, q.length))
           val probes = Ann.probeBuckets(sig, nPlanes, radius)
           if (alreadyProbed(child, probes)) s
           else s.copy(child = Filter(
             In(signatureExpr(vecAttr, nPlanes, q.length),
               probes.map(b => Literal(b, LongType))), child))
-        case None => s
+        case _ => s
       }
     case other => other
   }
 
-  /** (vector attribute, query literal) of a distance-ordered sort key. */
-  private def simVec(e: Expression): Option[(Attribute, Array[Float])] = e match {
+  /** (vector attribute, query literal, higher-is-better) of a
+    * distance-ordered sort key. */
+  private def simVec(e: Expression): Option[(Attribute, Array[Float], Boolean)] = e match {
     case d: VectorDistanceExpression if d.right.foldable =>
+      val higherIsBetter = d match {
+        case _: EuclideanDistance | _: HammingDistance => false
+        case _ => true
+      }
       d.left match {
         case a: Attribute =>
           Option(d.right.eval(null))
-            .map(arr => (a, arr.asInstanceOf[ArrayData].toFloatArray()))
+            .map(arr => (a, arr.asInstanceOf[ArrayData].toFloatArray(), higherIsBetter))
         case _ => None
       }
     case _ => None
