@@ -79,8 +79,53 @@ class Graft(
 
   /** Plan-intent summary (velesql/explain.rs shape). */
   def explain(query: String): String = Explain.render(parse(query))
+
+  /** Execute eagerly, honoring `WITH (timeout_ms = N)`
+    * (ast/with_clause.rs:97-101): the collect runs inside a dedicated
+    * job group; a watchdog cancels the group at the deadline and the
+    * call surfaces [[velesql.TimeoutError]]. Without the option this is
+    * a plain collect. */
+  def collect(query: String, params: Map[String, Any] = Map.empty,
+      fixedNowEpoch: Option[Long] = None): Array[org.apache.spark.sql.Row] = {
+    val timeoutMs = parse(query).select
+      .flatMap(_.withOptions.get("timeout_ms")).map(_.toDouble.toLong)
+    val df = sql(query, params, fixedNowEpoch)
+    timeoutMs match {
+      case None => df.collect()
+      case Some(ms) => Graft.withTimeout(spark, ms)(df.collect())
+    }
+  }
 }
 
 object Graft {
   def apply(spark: SparkSession, dataDir: String): Graft = new Graft(spark, dataDir)
+
+  /** Run `body` (Spark actions) under a job group cancelled after `ms`
+    * milliseconds — the Spark-native rendering of the reference's query
+    * timeout (with_clause.rs:97-101): running stages are interrupted
+    * cluster-wide via `cancelJobGroup`, not just abandoned. */
+  def withTimeout[T](spark: SparkSession, ms: Long)(body: => T): T = {
+    val group = s"graft-timeout-${java.util.UUID.randomUUID()}"
+    val sc = spark.sparkContext
+    sc.setJobGroup(group, s"graft query (timeout ${ms}ms)", interruptOnCancel = true)
+    @volatile var timedOut = false
+    val timer = new java.util.Timer("graft-timeout", true)
+    timer.schedule(new java.util.TimerTask {
+      override def run(): Unit = {
+        timedOut = true
+        // ...AndFutureJobs: jobs submitted after the deadline (multi-job
+        // queries, e.g. BFS loops) are cancelled too — no race between
+        // the watchdog and job submission
+        sc.cancelJobGroupAndFutureJobs(group, s"graft timeout after ${ms}ms")
+      }
+    }, ms)
+    try body
+    catch {
+      case e: Throwable if timedOut =>
+        throw new velesql.TimeoutError(s"query exceeded ${ms} ms: ${e.getMessage}")
+    } finally {
+      timer.cancel()
+      sc.clearJobGroup()
+    }
+  }
 }

@@ -48,18 +48,24 @@ object Ann {
     sig
   }
 
+  /** The LSH signature of a vector column as a Column expression —
+    * identical values to [[signature]]/[[buildIndex]]'s `bucket`, and a
+    * sum of per-plane bit terms so it stays in codegen. */
+  def signatureCol(vecCol: Column, nPlanes: Int, dim: Int): Column = {
+    val ps = planes(nPlanes, dim)
+    val bits: Seq[Column] = ps.toIndexedSeq.zipWithIndex.map { case (plane, p) =>
+      when(VectorFunctions.dot_product(vecCol,
+        VectorFunctions.vecLit(plane.toSeq)) >= 0.0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _).cast(LongType)
+  }
+
   /** Build the LSH index frame: input plus a `bucket` column. Persist
     * with `.write.partitionBy("bucket")` to turn probes into partition
     * pruning at scale. */
   def buildIndex(df: DataFrame, vecCol: String, nPlanes: Int): DataFrame = {
     val dim = df.select(size(col(vecCol))).first().getInt(0)
-    val ps = planes(nPlanes, dim)
-    // signature as a sum of per-plane bit terms — stays in codegen
-    val bits: Seq[Column] = ps.toIndexedSeq.zipWithIndex.map { case (plane, p) =>
-      when(VectorFunctions.dot_product(col(vecCol),
-        VectorFunctions.vecLit(plane.toSeq)) >= 0.0, lit(1L << p)).otherwise(lit(0L))
-    }
-    df.withColumn("bucket", bits.reduce(_ + _).cast(LongType))
+    df.withColumn("bucket", signatureCol(col(vecCol), nPlanes, dim))
   }
 
   /** Buckets within Hamming radius `r` of the query signature, nearest

@@ -28,16 +28,25 @@ object Graph {
   val SuppOffset = 30000000L
 
   /** The derived property graph over the TPC-H tables, un-materialized:
-    * customer -placed-> order -contains-> part -supplied_by-> supplier. */
+    * customer -placed-> order -contains-> part -supplied_by-> supplier.
+    * Every edge carries a `weight` property (the reference's
+    * `GraphEdge.properties`, edge.rs:36-42): placed = order total price,
+    * contains / supplied_by = summed line quantity (small exact ints in
+    * f64 — order-independent, unlike a money sum). */
   def deriveEdges(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.table(spark, dir, "orders")
     val l = Tables.table(spark, dir, "lineitem")
     val placed = o.select(col("o_custkey").as("src"),
-      (col("o_orderkey") + OrderOffset).as("dst"), lit("placed").as("label"))
-    val contains = l.select((col("l_orderkey") + OrderOffset).as("src"),
-      (col("l_partkey") + PartOffset).as("dst"), lit("contains").as("label")).distinct()
-    val suppliedBy = l.select((col("l_partkey") + PartOffset).as("src"),
-      (col("l_suppkey") + SuppOffset).as("dst"), lit("supplied_by").as("label")).distinct()
+      (col("o_orderkey") + OrderOffset).as("dst"), lit("placed").as("label"),
+      col("o_totalprice").cast("double").as("weight"))
+    val contains = l.groupBy((col("l_orderkey") + OrderOffset).as("src"),
+        (col("l_partkey") + PartOffset).as("dst"))
+      .agg(sum(col("l_quantity")).cast("double").as("weight"))
+      .select(col("src"), col("dst"), lit("contains").as("label"), col("weight"))
+    val suppliedBy = l.groupBy((col("l_partkey") + PartOffset).as("src"),
+        (col("l_suppkey") + SuppOffset).as("dst"))
+      .agg(sum(col("l_quantity")).cast("double").as("weight"))
+      .select(col("src"), col("dst"), lit("supplied_by").as("label"), col("weight"))
     placed.unionAll(contains).unionAll(suppliedBy)
   }
 
@@ -54,7 +63,8 @@ object Graph {
       val f = new java.io.File(s"$dir/$t.parquet")
       s"${f.lastModified()}_${f.length()}"
     }.mkString("_")
-    val key = s"${dir.replaceAll("[^A-Za-z0-9._-]", "_")}__$stamp"
+    // v2: edges carry the weight property — new cache namespace
+    val key = s"v2_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}__$stamp"
     val path = s"${sys.props("java.io.tmpdir")}/graft-edges/$key"
     this.synchronized {
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))) {
@@ -68,11 +78,14 @@ object Graph {
 
   /** Same graph as DuckDB SQL (for oracles). */
   val edgesSql: String =
-    """SELECT o_custkey AS src, o_orderkey + 10000000 AS dst, 'placed' AS label FROM orders
+    """SELECT o_custkey AS src, o_orderkey + 10000000 AS dst, 'placed' AS label,
+      |         CAST(o_totalprice AS DOUBLE) AS weight FROM orders
       |  UNION ALL
-      |  SELECT DISTINCT l_orderkey + 10000000, l_partkey + 20000000, 'contains' FROM lineitem
+      |  SELECT l_orderkey + 10000000, l_partkey + 20000000, 'contains',
+      |         CAST(sum(l_quantity) AS DOUBLE) FROM lineitem GROUP BY 1, 2
       |  UNION ALL
-      |  SELECT DISTINCT l_partkey + 20000000, l_suppkey + 30000000, 'supplied_by' FROM lineitem""".stripMargin
+      |  SELECT l_partkey + 20000000, l_suppkey + 30000000, 'supplied_by',
+      |         CAST(sum(l_quantity) AS DOUBLE) FROM lineitem GROUP BY 1, 2""".stripMargin
 
   /** Var-length BFS `-[*1..maxDepth]->` from `starts(start)` over
     * `edges(src,dst,label)`: returns (start, node, depth) with the MINIMUM

@@ -258,6 +258,96 @@ object VelesqlQueries {
         |GROUP BY o_custkey
         |ORDER BY COUNT(*) DESC, o_custkey ASC LIMIT 10""".stripMargin),
 
+    // ---- G1 via language: rel-property threshold through a bound rel
+    // alias — `[r:contains]` binds the edge's properties, WHERE filters
+    // on r.weight (graph_pattern.rs:86-87; edge properties edge.rs:36-42)
+    vql("q109_vql_match_relprop",
+      s"""WITH edges AS (${graft.operators.Graph.edgesSql})
+         |SELECT src AS order_node, dst AS part_node, weight AS qty FROM edges
+         |WHERE label = 'contains' AND weight > 48""".stripMargin,
+      """MATCH (o:Order)-[r:contains]->(p:Part)
+        |WHERE r.weight > 48
+        |RETURN o.id AS order_node, p.id AS part_node, r.weight AS qty""".stripMargin),
+
+    // ---- G5 via language: RETURN similarity(alias.field, $v) projects
+    // the score out of a MATCH (match_exec.rs:61-81)
+    vql("q110_vql_match_retsim",
+      s"""WITH edges AS (${graft.operators.Graph.edgesSql})
+         |SELECT c.c_custkey AS custkey, e.dst AS order_node,
+         |  list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), $qvecSql) AS sim
+         |FROM customer c
+         |JOIN embeddings v ON v.vec_id = c.c_custkey
+         |JOIN edges e ON e.label = 'placed' AND e.src = c.c_custkey
+         |WHERE list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), $qvecSql) > 0.25""".stripMargin,
+      """MATCH (c:Customer)-[:placed]->(o:Order)
+        |WHERE similarity(c.embedding, $q) > 0.25
+        |RETURN c.id AS custkey, o.id AS order_node, similarity(c.embedding, $q) AS sim""".stripMargin,
+      params = Map("q" -> qvec)),
+
+    // ---- correlated scalar subquery, decorrelated to a groupBy ⋈ join
+    // (ast/values.rs CorrelatedColumn; subquery_optimizer.rs RewriteAsJoin)
+    vql("q111_vql_corr_subquery",
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_acctbal > (SELECT min(o_totalprice) FROM orders
+        |                   WHERE o_custkey = customer.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_acctbal > (SELECT MIN(o_totalprice) FROM orders
+        |                   WHERE o_custkey = customer.c_custkey)
+        |ORDER BY c_custkey ASC""".stripMargin),
+
+    // ---- uncorrelated scalar subquery through the language — lowered to
+    // a NATIVE Spark scalar subquery (no compile-time collect)
+    vql("q112_vql_subquery",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders
+        |                      WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY o_orderkey""".stripMargin,
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders
+        |                      WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY o_orderkey ASC""".stripMargin),
+
+    // ---- in-pattern rel property equality `[r:contains {weight: 50.0}]`
+    vql("q113_vql_match_relprop_eq",
+      s"""WITH edges AS (${graft.operators.Graph.edgesSql})
+         |SELECT src AS order_node, dst AS part_node FROM edges
+         |WHERE label = 'contains' AND weight = 50.0""".stripMargin,
+      """MATCH (o:Order)-[r:contains {weight: 50.0}]->(p:Part)
+        |RETURN o.id AS order_node, p.id AS part_node""".stripMargin),
+
+    // ---- named path `p = (…)` binds the array of bound node ids
+    // (graph_pattern.rs:24-25)
+    vql("q114_vql_named_path",
+      s"""WITH edges AS (${graft.operators.Graph.edgesSql})
+         |SELECT c.c_custkey AS custkey, [c.c_custkey, e.dst] AS p
+         |FROM customer c
+         |JOIN edges e ON e.label = 'placed' AND e.src = c.c_custkey
+         |WHERE c.c_mktsegment = 'MACHINERY'""".stripMargin,
+      """MATCH p = (c:Customer {segment: 'MACHINERY'})-[:placed]->(o:Order)
+        |RETURN c.id AS custkey, p""".stripMargin),
+
+    // ---- WITH (quantization='binary') two-phase NEAR on 128-dim vectors
+    // — the multi-word (array<bigint>) sketch path; the oracle replicates
+    // phase 1 (sign-bit hamming, k×oversampling candidates) and phase 2
+    // (exact cosine rerank) explicitly
+    vql("q115_vql_quantized_wide", {
+      val qw = (qvec ++ qvec).map(_.toDouble.toString).mkString("[", ",", "]::DOUBLE[]")
+      s"""WITH wide AS (
+         |  SELECT vec_id, embedding || embedding AS embedding FROM embeddings),
+         |cand AS (
+         |  SELECT vec_id, embedding,
+         |    len(list_filter(range(1, 129),
+         |        i -> (embedding[i] >= 0) <> (($qw)[i] >= 0))) AS ham
+         |  FROM wide ORDER BY ham, vec_id LIMIT 40)
+         |SELECT vec_id, list_cosine_similarity(CAST(embedding AS DOUBLE[]), $qw) AS score
+         |FROM cand ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    },
+      """SELECT vec_id, score FROM embeddings_wide
+        |WHERE vector NEAR $q LIMIT 10
+        |WITH (quantization = 'binary', oversampling = 4)""".stripMargin,
+      params = Map("q" -> (qvec ++ qvec))),
+
     // ---- P12: scalar $params inside IN lists
     vql("q108_vql_in_params",
       """SELECT o_orderkey, o_orderpriority FROM orders

@@ -15,6 +15,9 @@ object Ast {
   case class BoolValue(v: Boolean) extends Value
   case object NullValue extends Value
   case class Parameter(name: String) extends Value
+  /** Column reference on the value side (`a.x = b.y`, correlated
+    * subquery predicates — ast/values.rs CorrelatedColumn). */
+  case class ColumnRef(name: String) extends Value
   /** NOW()/INTERVAL arithmetic evaluated to epoch seconds
     * (ast/values.rs:91-122; units at 136-163, month = 30 days). */
   case class TemporalValue(expr: Temporal) extends Value
@@ -98,12 +101,19 @@ object Ast {
       properties: Map[String, Value])
   case class RelPattern(alias: Option[String], types: Seq[String],
       direction: String, // "out" | "in" | "undirected"
-      minHops: Int, maxHops: Int)
-  case class GraphPattern(nodes: Seq[NodePattern], rels: Seq[RelPattern])
+      minHops: Int, maxHops: Int,
+      /** `[r:TYPE {prop: v}]` equality filters on the edge
+        * (graph_pattern.rs:86-87, grammar.pest:34-45). */
+      properties: Map[String, Value] = Map.empty)
+  case class GraphPattern(nodes: Seq[NodePattern], rels: Seq[RelPattern],
+      /** `p = (a)-[…]->(b)` named path (graph_pattern.rs:24-25). */
+      name: Option[String] = None)
   sealed trait ReturnExpr
   case class ReturnProperty(alias: String, property: String) extends ReturnExpr
   case class ReturnAlias(alias: String) extends ReturnExpr
   case object ReturnSimilarity extends ReturnExpr
+  /** `RETURN similarity(alias.field, $v)` (match_exec.rs:61-81). */
+  case class ReturnSimilarityOf(field: String, vector: VectorValue) extends ReturnExpr
   case object ReturnAll extends ReturnExpr
   case class ReturnItem(expr: ReturnExpr, as: Option[String])
   case class MatchQuery(pattern: GraphPattern, where: Option[Condition],

@@ -36,13 +36,20 @@ class Catalog(spark: SparkSession, dir: String) {
     "region" -> CollectionMeta("r_regionkey"),
     // derived multi-modal collection: text + vector on one table (the
     // reference's Collection bundles both — collection/types.rs:132-165)
-    "corpus" -> CollectionMeta("doc_id", Some("embedding"), "cosine", Some("text")))
+    "corpus" -> CollectionMeta("doc_id", Some("embedding"), "cosine", Some("text")),
+    // derived 128-dim collection (embedding ∥ embedding): exercises the
+    // multi-word binary sketch path (real embeddings are 768+ dims)
+    "embeddings_wide" -> CollectionMeta("vec_id", Some("embedding"), "cosine"))
 
   def table(name: String): DataFrame =
     if (name == "corpus") {
       val d = Tables.table(spark, dir, "documents")
       val e = Tables.table(spark, dir, "embeddings")
       d.join(e, d("doc_id") === e("vec_id")).drop("vec_id")
+    } else if (name == "embeddings_wide") {
+      val e = Tables.table(spark, dir, "embeddings")
+      e.select(col("vec_id"), col("label"),
+        concat(col("embedding"), col("embedding")).as("embedding"))
     } else Tables.table(spark, dir, name)
 
   def metaOf(name: String): CollectionMeta =

@@ -68,6 +68,13 @@ class Compiler(
   // =================== SELECT ===================
 
   def compileSelect(sel: Select): DataFrame = {
+    // validation parity (validation.rs:226-257): >1 vector-search legs
+    // OR-combined is rejected (needs a union of vector searches); one
+    // similarity() OR metadata stays supported (union mode, q47)
+    sel.where.foreach { w =>
+      if (countVectorConds(w) > 1 && hasMultiSimInOr(w))
+        fail("Multiple similarity() in OR are not supported. Use AND instead.")
+    }
     val meta = catalog.metaOf(sel.from)
     // alias every frame by its table name (or AS alias) so qualified
     // refs like `customer.c_nationkey` resolve
@@ -100,8 +107,21 @@ class Compiler(
 
     // residual predicate (metadata + similarity thresholds + text match);
     // in hybrid mode the MATCH leg is fused, not filtered
-    val residualCond = residual.orElse(sel.where.filter(_ => near.isEmpty))
+    val residualAll = residual.orElse(sel.where.filter(_ => near.isEmpty))
       .flatMap(c => if (hybridText.isDefined) stripTextMatch(c) else Some(c))
+
+    // CORRELATED scalar subqueries (top-level AND conjuncts) decorrelate
+    // to groupBy-on-correlation-keys + join (subquery_optimizer.rs
+    // RewriteAsJoin — the distributed strategy; PerRow is a driver loop)
+    val (corrConjs, residualCond) = residualAll match {
+      case Some(cond) if near.isEmpty =>
+        val (corr, plain) = flattenAnd(cond).partition {
+          case Compare(_, _, SubqueryValue(sq)) => isCorrelated(sq)
+          case _ => false
+        }
+        (corr, plain.reduceOption(And.apply))
+      case other => (Seq.empty[Condition], other)
+    }
 
     // Set when a branch below already applied `residualCond` (the
     // filter-before-top-k contract) / left-joined a BM25 match flag.
@@ -149,9 +169,32 @@ class Compiler(
         // Residual filters run BEFORE the sketch/top-k phase (the
         // filter-then-search contract — Knn.scala, vector.rs:164-239);
         // a post-filter could empty the k×oversampling candidate pool.
-        val dfF = residualCond match {
+        val dfF0 = residualCond match {
           case Some(c) => residualApplied = true; df.where(compileCond(c, df, meta))
           case None => df
+        }
+        // WITH (mode=…) / (ef_search=N) routes the ANN tier through the
+        // language: the reference's quality tiers (vector.rs:84-91 —
+        // ef ≤64 Fast, ≤128 Balanced, ≤256 Accurate, else Perfect) map
+        // to the LSH probe radius; 'perfect' / absent = exact scan.
+        val tier: Option[String] = sel.withOptions.get("mode")
+          .orElse(sel.withOptions.get("ef_search").map(_.toDouble.toInt match {
+            case e if e <= 64 => "fast"
+            case e if e <= 128 => "balanced"
+            case e if e <= 256 => "accurate"
+            case _ => "perfect"
+          }))
+        val dfF = tier match {
+          case Some(t @ ("fast" | "balanced" | "accurate")) =>
+            import graft.operators.Ann
+            val nPlanes = spark.conf.get("graft.ann.planes", "6").toInt
+            val radius = t match { case "fast" => 0; case "balanced" => 1; case _ => 2 }
+            val sig = Ann.signature(vec.toArray, Ann.planes(nPlanes, vec.length))
+            val probes = Ann.probeBuckets(sig, nPlanes, radius)
+            dfF0.where(Ann.signatureCol(col(vcolName), nPlanes, vec.length)
+              .isin(probes: _*))
+          case Some("perfect") | Some("exact") | None => dfF0
+          case Some(other) => fail(s"unknown WITH mode '$other'")
         }
         // WITH (quantization='binary'|'dual', oversampling=N) selects the
         // two-phase sketch path (ast/with_clause.rs:112-131): hamming
@@ -231,7 +274,13 @@ class Compiler(
         scored.where(compileCond(cond, scored, meta, scoredTm))
       case _ => scored
     }
-    val filtered = if (scoredTm.isDefined) filtered0.drop("__tm") else filtered0
+    val filtered1 = if (scoredTm.isDefined) filtered0.drop("__tm") else filtered0
+    // decorrelated scalar-subquery conjuncts: aggregate ⋈ outer + compare
+    val filtered = corrConjs.foldLeft(filtered1) {
+      case (acc0, Compare(outerCol, op, SubqueryValue(sq))) =>
+        applyCorrelatedScalar(acc0, outerCol, op, sq)
+      case (_, other) => fail(s"unsupported correlated condition $other")
+    }
 
     // aggregation or plain projection
     val hasAggs = sel.selectList match {
@@ -457,6 +506,90 @@ class Compiler(
       fail("NEAR must be AND-composed at the top level of WHERE")
   }
 
+  // ---- validation (validation.rs:226-257 parity) ----
+
+  private def countVectorConds(c: Condition): Int = c match {
+    case _: SimilarityCond | _: VectorNear | _: VectorNearFused => 1
+    case And(l, r) => countVectorConds(l) + countVectorConds(r)
+    case Or(l, r) => countVectorConds(l) + countVectorConds(r)
+    case Not(i) => countVectorConds(i)
+    case _ => 0
+  }
+
+  private def hasMultiSimInOr(c: Condition): Boolean = c match {
+    case Or(l, r) => (countVectorConds(l) > 0 && countVectorConds(r) > 0) ||
+      hasMultiSimInOr(l) || hasMultiSimInOr(r)
+    case And(l, r) => hasMultiSimInOr(l) || hasMultiSimInOr(r)
+    case Not(i) => hasMultiSimInOr(i)
+    case _ => false
+  }
+
+  // ---- correlated scalar subqueries (ast/values.rs CorrelatedColumn,
+  //      subquery_optimizer.rs strategies) ----
+
+  private def flattenAnd(c: Condition): Seq[Condition] = c match {
+    case And(l, r) => flattenAnd(l) ++ flattenAnd(r)
+    case other => Seq(other)
+  }
+
+  /** Tables/aliases visible inside the subquery's own scope. */
+  private def subScope(sq: Select): Set[String] =
+    Set(sq.from) ++ sq.fromAlias ++ sq.joins.map(_.table) ++ sq.joins.flatMap(_.alias)
+
+  private def isOuterRef(sq: Select, name: String): Boolean = {
+    val parts = name.split("\\.")
+    parts.length > 1 && !subScope(sq).contains(parts.head)
+  }
+
+  private def isCorrelated(sq: Select): Boolean = {
+    def walk(c: Condition): Boolean = c match {
+      case Compare(_, _, ColumnRef(n)) => isOuterRef(sq, n)
+      case And(l, r) => walk(l) || walk(r)
+      case Or(l, r) => walk(l) || walk(r)
+      case Not(i) => walk(i)
+      case _ => false
+    }
+    sq.where.exists(walk)
+  }
+
+  /** Decorrelate `outerCol OP (SELECT agg(x) FROM t WHERE t.k = outer.k
+    * AND …)` into `groupBy(k).agg ⋈ outer` + compare — ONE distributed
+    * aggregation and a key join instead of a per-row subquery
+    * (subquery_optimizer.rs RewriteAsJoin; PerRow would be a driver
+    * loop). Inner join reproduces SQL semantics for missing groups
+    * (empty scalar subquery → NULL → comparison is false). */
+  private def applyCorrelatedScalar(outer: DataFrame, outerCol: String,
+      op: String, sq: Select): DataFrame = {
+    if (sq.groupBy.nonEmpty || sq.having.isDefined || sq.joins.nonEmpty ||
+        sq.limit.isDefined || sq.orderBy.nonEmpty)
+      fail("correlated scalar subquery supports the single-table aggregate shape")
+    val aggItem = sq.selectList match {
+      case SelectItems(Seq(Right(a))) => a
+      case _ => fail("correlated scalar subquery must select exactly one aggregate")
+    }
+    val conjs = sq.where.map(flattenAnd).getOrElse(Nil)
+    val (corrs, innerPreds) = conjs.partition {
+      case Compare(_, "=", ColumnRef(n)) => isOuterRef(sq, n)
+      case _ => false
+    }
+    if (corrs.isEmpty) fail("correlated subquery: no equality correlation found")
+    val pairs = corrs.collect { case Compare(ic, _, ColumnRef(on)) => (ic, on) }
+    val subMeta = catalog.metaOf(sq.from)
+    val sub0 = catalog.table(sq.from).as(sq.fromAlias.getOrElse(sq.from))
+    val sub = innerPreds.reduceOption(And.apply)
+      .map(c => sub0.where(compileCond(c, sub0, subMeta))).getOrElse(sub0)
+    val keyCols = pairs.zipWithIndex.map { case ((ic, _), i) =>
+      resolve(sub, ic).as(s"__ck$i") }
+    val grouped = sub.groupBy(keyCols: _*).agg(aggColumn(aggItem))
+      .withColumnRenamed(aggItem.resultName, "__sq")
+    val cond = pairs.zipWithIndex.map { case ((_, on), i) =>
+      grouped(s"__ck$i") === resolve(outer, on) }.reduce(_ && _)
+    outer.join(grouped, cond, "inner")
+      .where(cmp(resolve(outer, outerCol), op, col("__sq")))
+      .drop("__sq")
+      .drop(pairs.indices.map(i => s"__ck$i"): _*)
+  }
+
   private def cmp(c: Column, op: String, v: Column): Column = op match {
     case "=" => c === v
     case "!=" | "<>" => c =!= v
@@ -489,11 +622,13 @@ class Compiler(
       case None => fail(s"unbound parameter $$$name")
     }
     case TemporalValue(t) => timestamp_seconds(lit(epochOf(t)))
+    case ColumnRef(n) => resolveName(n)
     case SubqueryValue(sq) =>
-      // scalar subquery: evaluate eagerly (single value, e.g. an aggregate)
-      val res = compileSelect(sq).collect()
-      if (res.length != 1 || res.head.size != 1) fail("scalar subquery must return 1 value")
-      lit(res.head.get(0))
+      // NATIVE Spark scalar subquery (subquery_optimizer.rs CacheResult
+      // strategy): the subquery plan executes inside the outer query —
+      // Catalyst evaluates an uncorrelated scalar subquery once and
+      // broadcasts the value. The r1 shape collect()ed at compile time.
+      org.apache.spark.sql.graft.Bridge.scalarSubquery(compileSelect(sq))
   }
 
   private def rawLiteral(v: Value): Any = v match {
@@ -559,23 +694,35 @@ class Compiler(
       val toAlias = node.alias.getOrElse(s"_n${i + 1}")
       val nf = nodeFrame(node, i + 1)
       val e0 = if (rel.types.nonEmpty) edges.where(col("label").isin(rel.types: _*)) else edges
+      // `[r:TYPE {prop: v}]` — equality filters on edge properties,
+      // applied to the edge frame before the join (graph_pattern.rs:86-87)
+      val e1 = rel.properties.foldLeft(e0) { case (f, (k, v)) =>
+        f.where(col(k) === literal(v))
+      }
       if (rel.minHops == 1 && rel.maxHops == 1) {
+        // a bound rel alias `[r:…]` carries the edge's property columns
+        // into the match frame as r__<prop> (WHERE r.weight > …, RETURN)
+        val propCols = rel.alias.toSeq.flatMap { a =>
+          e1.columns.filterNot(c => c == "src" || c == "dst").toSeq
+            .map(c => col(c).as(s"${a}__$c"))
+        }
         val (sCol, dCol) = rel.direction match {
           case "in" => ("dst", "src")
           case _ => ("src", "dst") // undirected treated as outgoing + reverse union
         }
         val e =
           if (rel.direction == "undirected")
-            e0.select(col("src").as("s"), col("dst").as("d"))
-              .unionAll(e0.select(col("dst").as("s"), col("src").as("d")))
-          else e0.select(col(sCol).as("s"), col(dCol).as("d"))
+            e1.select(col("src").as("s") +: col("dst").as("d") +: propCols: _*)
+              .unionAll(e1.select(col("dst").as("s") +: col("src").as("d") +: propCols: _*))
+          else e1.select(col(sCol).as("s") +: col(dCol).as("d") +: propCols: _*)
         acc = acc.join(e, col(s"${fromAlias}__id") === col("s"))
           .join(nf, col("d") === col(s"${toAlias}__id"))
           .drop("s", "d")
       } else {
-        // var-length: BFS from the current binding of `fromAlias`
+        // var-length: BFS from the current binding of `fromAlias`; a
+        // property filter constrains EVERY traversed edge
         val starts = acc.select(col(s"${fromAlias}__id").as("start")).distinct()
-        val reach = Graph.bfsVarLength(e0, starts, rel.maxHops, rel.types)
+        val reach = Graph.bfsVarLength(e1, starts, rel.maxHops, rel.types)
           .where(col("depth") >= rel.minHops)
           .select(col("start"), col("node"))
         acc = acc.join(reach, col(s"${fromAlias}__id") === col("start"))
@@ -588,18 +735,34 @@ class Compiler(
       acc = acc.where(compileMatchCond(w, acc))
     }
 
+    // `p = (a)-[…]->(b)`: the named path binds to the array of node ids
+    // along the pattern's bound nodes (graph_pattern.rs:24-25)
+    def pathArray: Column = array(aliases.map(a => col(s"${a}__id")): _*)
+    def simColOf(field: String, v: VectorValue): Column =
+      VectorFunctions.cosine_sim(mcol(field), VectorFunctions.vecLit(vecOf(v)))
+
     var out = acc
     if (m.returns.exists(_.expr == ReturnAll)) {
       // keep all bound columns
     } else {
       val cols = m.returns.map { r =>
-        val c = r.expr match {
+        r.expr match {
           case ReturnProperty(a, p) => col(s"${a}__$p").as(r.as.getOrElse(s"$a.$p"))
+          case ReturnAlias(a) if m.pattern.name.contains(a) =>
+            pathArray.as(r.as.getOrElse(a))
           case ReturnAlias(a) => col(s"${a}__id").as(r.as.getOrElse(a))
-          case ReturnSimilarity => fail("similarity() RETURN requires a vector leg")
+          // RETURN similarity(alias.field, $v) (match_exec.rs:61-81)
+          case ReturnSimilarityOf(f, v) =>
+            simColOf(f, v).as(r.as.getOrElse("similarity"))
+          // bare similarity(): the score of the WHERE clause's similarity
+          case ReturnSimilarity => m.where.flatMap(lastSimilarity) match {
+            case Some(SimilarityCond(f, v, _, _)) =>
+              simColOf(f, v).as(r.as.getOrElse("similarity"))
+            case None =>
+              fail("similarity() RETURN requires similarity(field, $v) or a similarity() in WHERE")
+          }
           case ReturnAll => col("*")
         }
-        c
       }
       out = out.select(cols: _*)
     }

@@ -83,7 +83,10 @@ object Parser extends RegexParsers {
       (stringLit ^^ StringValue.apply) |
       boolLit ^^ BoolValue.apply |
       (K("NULL") ^^^ NullValue) |
-      (paramRef ^^ Parameter.apply)
+      (paramRef ^^ Parameter.apply) |
+      // column on the value side: `a.x = b.y` comparisons and correlated
+      // subquery predicates (ast/values.rs CorrelatedColumn)
+      (bareColumnName ^^ ColumnRef.apply)
 
   private lazy val subqueryValue: Parser[Value] =
     "(" ~> selectStmt <~ ")" ^^ SubqueryValue.apply
@@ -291,27 +294,31 @@ object Parser extends RegexParsers {
         (intLit ^^ (n => (n.toInt, n.toInt)))) ^^ (_.getOrElse((1, 10)))
   private val relTypes: Parser[Seq[String]] =
     ":" ~> rep1sep(identifier, "|")
-  private val relDetails: Parser[(Option[String], Seq[String], Option[(Int, Int)])] =
-    ("[" ~> (opt(regularIdent) ~ opt(relTypes) ~ opt(relRange)) <~ (opt(nodeProperties) ~ "]")) ^^ {
-      case a ~ t ~ r => (a, t.getOrElse(Nil), r)
+  private val relDetails: Parser[(Option[String], Seq[String], Option[(Int, Int)], Map[String, Value])] =
+    ("[" ~> (opt(regularIdent) ~ opt(relTypes) ~ opt(relRange) ~ opt(nodeProperties)) <~ "]") ^^ {
+      case a ~ t ~ r ~ p => (a, t.getOrElse(Nil), r, p.getOrElse(Map.empty))
     }
   private val relPattern: Parser[RelPattern] =
     ("<-" ~> opt(relDetails) <~ "-" ^^ (d => mkRel(d, "in"))) |
       ("-" ~> opt(relDetails) ~ (("->" ^^^ "out") | ("-" ^^^ "undirected")) ^^ {
         case d ~ dir => mkRel(d, dir)
       })
-  private def mkRel(d: Option[(Option[String], Seq[String], Option[(Int, Int)])],
+  private def mkRel(d: Option[(Option[String], Seq[String], Option[(Int, Int)], Map[String, Value])],
       dir: String): RelPattern = {
-    val (a, t, r) = d.getOrElse((None, Nil, None))
+    val (a, t, r, p) = d.getOrElse((None, Nil, None, Map.empty[String, Value]))
     val (lo, hi) = r.getOrElse((1, 1))
-    RelPattern(a, t, dir, lo, hi)
+    RelPattern(a, t, dir, lo, hi, p)
   }
   private val graphPattern: Parser[GraphPattern] =
-    nodePattern ~ rep(relPattern ~ nodePattern) ^^ { case n0 ~ rest =>
-      GraphPattern(n0 +: rest.map(_._2), rest.map(_._1))
+    opt(Parser { in => (regularIdent <~ "=")(in) }) ~
+      nodePattern ~ rep(relPattern ~ nodePattern) ^^ { case nm ~ n0 ~ rest =>
+      GraphPattern(n0 +: rest.map(_._2), rest.map(_._1), nm)
     }
   private val returnExpr: Parser[ReturnExpr] =
-    (K("similarity") ~ "(" ~ ")" ^^^ ReturnSimilarity) |
+    (K("similarity") ~> ("(" ~> columnName) ~ ("," ~> vectorValue <~ ")") ^^ {
+      case f ~ v => ReturnSimilarityOf(f, v)
+    }) |
+      (K("similarity") ~ "(" ~ ")" ^^^ ReturnSimilarity) |
       ("*" ^^^ ReturnAll) |
       (identifier ~ ("." ~> identifier) ^^ { case a ~ p => ReturnProperty(a, p) }) |
       (identifier ^^ ReturnAlias.apply)

@@ -113,4 +113,12 @@ case class JaccardSimilarity(left: Expression, right: Expression)
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** A NATIVE scalar-subquery Column over `df`'s plan: Catalyst executes
+    * the subquery inside the outer query (once, broadcast) instead of a
+    * driver-side collect at plan-build time. */
+  def scalarSubquery(df: org.apache.spark.sql.DataFrame): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+        df.queryExecution.analyzed))
 }

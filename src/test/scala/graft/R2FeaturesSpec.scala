@@ -1,0 +1,143 @@
+package graft
+
+import graft.velesql.{Ast, Catalog, Compiler, Parser}
+import org.apache.spark.sql.functions._
+
+/** Round-2 feature specs: MATCH rel properties / named paths / RETURN
+  * similarity, correlated + native scalar subqueries, WITH mode/ef
+  * routing to the ANN probe tier, timeout enforcement, multi-word
+  * binary sketches, and the multiple-similarity-in-OR validation rule. */
+class R2FeaturesSpec extends SparkSpecBase {
+
+  private def parseOk(q: String): Ast.Query =
+    Parser.parse(q).fold(e => fail(s"parse failed for: $q\n$e"), identity)
+
+  private def compiler(params: Map[String, Any] = Map.empty) =
+    new Compiler(spark, new Catalog(spark, sfDir), params)
+
+  private val qvec: Seq[Float] = functions.VectorFunctions.syntheticQuery(64)
+
+  test("parser: rel properties, named paths, RETURN similarity(field, $v)") {
+    val q1 = parseOk("MATCH (a)-[r:KNOWS {since: 2020}]->(b) RETURN a.id")
+    val rel = q1.matchQuery.get.pattern.rels.head
+    assert(rel.alias.contains("r"))
+    assert(rel.properties == Map("since" -> Ast.IntValue(2020)))
+
+    val q2 = parseOk("MATCH p = (a)-[*1..5]->(b) RETURN p")
+    assert(q2.matchQuery.get.pattern.name.contains("p"))
+
+    val q3 = parseOk("MATCH (a)-[:KNOWS]->(b) RETURN similarity(a.embedding, $v) AS s")
+    val ret = q3.matchQuery.get.returns.head
+    assert(ret.expr.isInstanceOf[Ast.ReturnSimilarityOf])
+    assert(ret.as.contains("s"))
+
+    // column-to-column comparison on the value side
+    val q4 = parseOk("SELECT * FROM t WHERE a = u.b")
+    assert(q4.select.get.where.contains(
+      Ast.Compare("a", "=", Ast.ColumnRef("u.b"))))
+  }
+
+  test("validation: multiple similarity() in OR rejected, AND + union mode allowed") {
+    val c = compiler(Map("q" -> qvec))
+    val orQ = """SELECT vec_id FROM embeddings
+                |WHERE similarity(embedding, $q) > 0.5 OR similarity(embedding, $q) > 0.1""".stripMargin
+    val e = intercept[IllegalArgumentException](c.run(orQ))
+    assert(e.getMessage.contains("OR"))
+    // one similarity OR metadata (union mode, q47 shape) still compiles
+    c.run("SELECT vec_id FROM embeddings WHERE similarity(embedding, $q) > 0.5 OR label = 7")
+    // AND-cascaded similarity still compiles
+    c.run("SELECT vec_id FROM embeddings WHERE similarity(embedding, $q) > 0.1 AND similarity(embedding, $q) < 0.9")
+  }
+
+  test("two AND-composed NEARs are rejected (not silently dropped)") {
+    val c = compiler(Map("a" -> qvec, "b" -> qvec))
+    val e = intercept[IllegalArgumentException](
+      c.run("SELECT vec_id FROM embeddings WHERE vector NEAR $a AND vector NEAR $b"))
+    assert(e.getMessage.contains("NEAR_FUSED"))
+  }
+
+  test("WITH mode/ef_search routes NEAR through the LSH probe tier") {
+    val c = compiler(Map("q" -> qvec))
+    def plan(mode: String): String =
+      c.run(s"SELECT vec_id, score FROM embeddings WHERE vector NEAR $$q LIMIT 5 WITH (mode = '$mode')")
+        .queryExecution.optimizedPlan.toString
+    // probe tiers inject the hyperplane-signature filter (dot_product
+    // against the plane literals); exact tiers don't
+    assert(plan("fast").contains("dot_product"))
+    assert(plan("balanced").contains("dot_product"))
+    assert(!plan("perfect").contains("dot_product"))
+
+    def planEf(ef: Int): String =
+      c.run(s"SELECT vec_id, score FROM embeddings WHERE vector NEAR $$q LIMIT 5 WITH (ef_search = $ef)")
+        .queryExecution.optimizedPlan.toString
+    assert(planEf(32).contains("dot_product"))   // ≤64 → fast
+    assert(!planEf(1000).contains("dot_product")) // >256 → perfect/exact
+
+    // probed results are a subset of the exact top-k universe: every
+    // returned row must carry a true score computed from the vector
+    val fast = c.run(
+      "SELECT vec_id, score FROM embeddings WHERE vector NEAR $q LIMIT 5 WITH (mode = 'fast')")
+      .collect()
+    assert(fast.length <= 5)
+  }
+
+  test("WITH (timeout_ms) cancels the job group and raises TimeoutError") {
+    val g = Graft(spark, sfDir)
+    // var-length BFS = a multi-job query; cancelJobGroupAndFutureJobs
+    // kills jobs submitted after the deadline too
+    intercept[velesql.TimeoutError] {
+      g.collect(
+        """SELECT l_orderkey, count(*) AS n FROM lineitem
+          |JOIN orders ON lineitem.l_orderkey = orders.o_orderkey
+          |GROUP BY l_orderkey LIMIT 10 WITH (timeout_ms = 1)""".stripMargin)
+    }
+    // without the option the same query runs
+    val ok = g.collect(
+      """SELECT l_orderkey, count(*) AS n FROM lineitem
+        |JOIN orders ON lineitem.l_orderkey = orders.o_orderkey
+        |GROUP BY l_orderkey LIMIT 10""".stripMargin)
+    assert(ok.length == 10)
+  }
+
+  test("multi-word binary sketch (256 dims): recall ≥ 0.9 at 8× oversampling") {
+    import operators.{Knn, Quantization}
+    val dim = 256
+    // deterministic 256-dim fixture: 400 vectors with structured signs
+    val rows = (0 until 400).map { i =>
+      val v = Array.tabulate(dim)(j =>
+        (math.sin(i * 0.37 + j * 0.11) + math.cos(i * j * 0.013)).toFloat)
+      (i.toLong, v)
+    }
+    val df = spark.createDataFrame(rows).toDF("id", "vec")
+    val query = Array.tabulate(dim)(j => math.sin(5 * 0.37 + j * 0.11).toFloat).toSeq
+
+    val sk = Quantization.withBinarySketch(df, "vec", dim)
+    assert(sk.schema("sketch").dataType.typeName == "array", "256 dims → array<bigint> sketch")
+    val approx = Quantization.search(sk, "vec", query, k = 10, oversampling = 8,
+      idCol = "id").select("id").collect().map(_.getLong(0)).toSet
+    val exact = Knn.topK(df, "vec", query, 10, "cosine", idCol = "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall < 0.9")
+  }
+
+  test("correlated scalar subquery decorrelates (values match a manual join)") {
+    val c = compiler()
+    val got = c.run(
+      """SELECT c_custkey FROM customer
+        |WHERE c_acctbal > (SELECT MIN(o_totalprice) FROM orders
+        |                   WHERE o_custkey = customer.c_custkey)
+        |ORDER BY c_custkey ASC""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    val cust = Tables.table(spark, sfDir, "customer")
+    val ords = Tables.table(spark, sfDir, "orders")
+    val expect = cust.join(
+        ords.groupBy(col("o_custkey")).agg(min("o_totalprice").as("m")),
+        col("c_custkey") === col("o_custkey"))
+      .where(col("c_acctbal") > col("m"))
+      .orderBy("c_custkey").select("c_custkey")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+}
