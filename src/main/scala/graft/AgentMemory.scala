@@ -40,13 +40,10 @@ class AgentMemory(spark: SparkSession, collections: Collections,
     operators.Knn.topK(live(nowEpoch).where(col("kind") === kind),
       "embedding", query, k, "cosine", idCol = "id")
 
-  /** Expire: physically delete dead rows (agent snapshot hygiene). */
-  def expire(nowEpoch: Long): Unit = {
-    collections.table(name).foreach { df =>
-      val dead = df.where(col("ttl_seconds").isNotNull &&
-          unix_timestamp(col("ts")) + col("ttl_seconds") <= nowEpoch)
-        .select("id").collect().map(_.getLong(0)).toSeq
-      if (dead.nonEmpty) collections.delete(name, dead)
-    }
-  }
+  /** Expire: physically delete dead rows (agent snapshot hygiene).
+    * A predicate delete — the dead set is filtered out executor-side
+    * (the r1 shape collected every dead id to the driver: unbounded). */
+  def expire(nowEpoch: Long): Unit =
+    collections.deleteWhere(name, col("ttl_seconds").isNotNull &&
+      unix_timestamp(col("ts")) + col("ttl_seconds") <= nowEpoch)
 }

@@ -106,6 +106,11 @@ class Collections(spark: SparkSession, dataDir: String) {
     }
   }
 
+  /** Delete every row matching `predicate` — a pure filter-and-rewrite:
+    * the matching set never leaves the executors (no driver id collect). */
+  def deleteWhere(name: String, predicate: org.apache.spark.sql.Column): Unit =
+    table(name).foreach(df => upsertReplaceAll(name, df.where(!predicate)))
+
   /** S3: count (crud.rs:328 len). */
   def count(name: String): Long = table(name).map(_.count()).getOrElse(0L)
 

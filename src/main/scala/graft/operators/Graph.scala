@@ -50,30 +50,72 @@ object Graph {
     placed.unionAll(contains).unionAll(suppliedBy)
   }
 
-  /** Edge table, materialized ONCE per dataset dir as parquet clustered
-    * by `src` (repartition-on-src before write). The r1 shape re-derived
-    * the graph (two distincts over lineitem, ~2 s at sf0.1) inside every
-    * graph query; now each query is a plain parquet scan whose traversal
-    * joins shuffle on the same key the files are clustered by. At cluster
-    * scale this is the bucketed-by-src edges table (bucketBy + metastore)
-    * so frontier⋈edges co-locates without a shuffle of the edge side. */
-  def edges(spark: SparkSession, dir: String): DataFrame = {
-    // key includes source mtimes: regenerated testdata → fresh materialization
-    val stamp = Seq("orders", "lineitem").map { t =>
+  /** Materialize a derived frame ONCE per dataset dir as parquet
+    * clustered by `partCol`; the key includes source file mtimes so
+    * regenerated testdata rebuilds. At cluster scale this is the
+    * bucketed table (bucketBy + metastore) so traversal joins co-locate
+    * without shuffling the big side. */
+  private def materialized(spark: SparkSession, dir: String, kind: String,
+      sources: Seq[String], partCol: String)(build: => DataFrame): DataFrame = {
+    val stamp = sources.map { t =>
       val f = new java.io.File(s"$dir/$t.parquet")
       s"${f.lastModified()}_${f.length()}"
     }.mkString("_")
-    // v2: edges carry the weight property — new cache namespace
-    val key = s"v2_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}__$stamp"
-    val path = s"${sys.props("java.io.tmpdir")}/graft-edges/$key"
+    val key = s"v2_${kind}_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}__$stamp"
+    val path = s"${sys.props("java.io.tmpdir")}/graft-graph/$key"
     this.synchronized {
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))) {
-        deriveEdges(spark, dir)
-          .repartition(spark.sessionState.conf.numShufflePartitions, col("src"))
+        build.repartition(spark.sessionState.conf.numShufflePartitions, col(partCol))
           .write.mode("overwrite").parquet(path)
       }
     }
     spark.read.parquet(path)
+  }
+
+  /** Edge table, materialized once per dataset dir (clustered by src).
+    * The r1 shape re-derived the graph (two distincts over lineitem,
+    * ~2 s at sf0.1) inside every graph query; now each query is a plain
+    * parquet scan. */
+  def edges(spark: SparkSession, dir: String): DataFrame =
+    materialized(spark, dir, "edges", Seq("orders", "lineitem"), "src")(
+      deriveEdges(spark, dir))
+
+  /** Typed node table for MATCH queries, materialized once per dataset
+    * dir (clustered by id): labels as an array column, customer nodes
+    * carry their embedding (the reference stores labels in payload
+    * `_labels` — match_exec.rs:242-247). */
+  def nodes(spark: SparkSession, dir: String): DataFrame =
+    materialized(spark, dir, "nodes",
+      Seq("customer", "orders", "part", "supplier", "embeddings"), "id")(
+      deriveNodes(spark, dir))
+
+  /** The derived node table, un-materialized. */
+  def deriveNodes(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.table(spark, dir, "embeddings")
+    val c = Tables.table(spark, dir, "customer")
+      .select(col("c_custkey").as("id"),
+        array(lit("Customer")).as("labels"),
+        col("c_name").as("name"), col("c_mktsegment").as("segment"))
+      // customer nodes carry an embedding when one exists (1:1 on id) so
+      // MATCH … WHERE similarity(alias.embedding, $v) works (G4)
+      .join(emb.select(col("vec_id"), col("embedding")),
+        col("id") === col("vec_id"), "left")
+      .drop("vec_id")
+    val noVec = lit(null).cast("array<float>").as("embedding")
+    val o = Tables.table(spark, dir, "orders")
+      .select((col("o_orderkey") + OrderOffset).as("id"),
+        array(lit("Order")).as("labels"),
+        col("o_orderstatus").as("name"), col("o_orderpriority").as("segment"), noVec)
+    val p = Tables.table(spark, dir, "part")
+      .select((col("p_partkey") + PartOffset).as("id"),
+        array(lit("Part")).as("labels"),
+        col("p_name").as("name"), col("p_brand").as("segment"), noVec)
+    val s = Tables.table(spark, dir, "supplier")
+      .select((col("s_suppkey") + SuppOffset).as("id"),
+        array(lit("Supplier")).as("labels"),
+        col("s_name").as("name"), lit(null).cast("string").as("segment"), noVec)
+    c.select("id", "labels", "name", "segment", "embedding")
+      .unionAll(o).unionAll(p).unionAll(s)
   }
 
   /** Same graph as DuckDB SQL (for oracles). */
@@ -98,10 +140,10 @@ object Graph {
   def bfsVarLength(edges: DataFrame, starts: DataFrame, maxDepth: Int,
       relTypes: Seq[String] = Nil): DataFrame = {
     require(maxDepth <= 10, "depth capped at 10 (match_exec.rs:310)")
-    // the edge frame is joined once per depth — cache it across iterations
-    // (at cluster scale: persist bucketed by src instead)
+    // no cache: [[edges]] is a materialized parquet table, so the
+    // handful of re-scans from lazy depths are cheap pruned reads
     val e = (if (relTypes.nonEmpty) edges.where(col("label").isin(relTypes: _*))
-             else edges).select("src", "dst").cache()
+             else edges).select("src", "dst")
     var frontier = starts.select(col("start"), col("start").as("node")).distinct()
     var visited = frontier
     var acc: DataFrame = null
@@ -117,24 +159,20 @@ object Graph {
       val freshRaw = next.join(vis,
         next("start") === col("__vstart") && next("node") === col("__vnode"),
         "left_anti")
-      // lineage truncation every OTHER depth (r1 checkpointed every depth
-      // — nearly all of the local BFS cost): alternation guarantees any
-      // lazy layer sits at most one join above a materialized leaf, so
-      // shared frontier/visited branches recompute at most one cheap step
-      val ckpt = d % 2 == 0 && d < maxDepth
-      val fresh = if (ckpt) freshRaw.localCheckpoint(eager = true) else freshRaw
+      // lineage truncation every OTHER depth (r1 eagerly checkpointed
+      // frontier AND visited at every depth — nearly all of the local
+      // BFS cost): alternation guarantees any lazy layer sits at most
+      // one join above a materialized leaf, so the shared frontier
+      // branches recompute at most one cheap step. `visited` is a union
+      // of those leaves — shallow lineage, no checkpoint needed.
+      val fresh =
+        if (d % 2 == 0 && d < maxDepth) freshRaw.localCheckpoint(eager = true)
+        else freshRaw
       val step = fresh.withColumn("depth", lit(d))
       acc = if (acc == null) step else acc.unionAll(step)
-      visited = {
-        val u = visited.unionAll(fresh)
-        if (ckpt) u.localCheckpoint(eager = true) else u
-      }
+      visited = visited.unionAll(fresh)
       frontier = fresh
     }
-    // materialize the result before releasing the cached edges (lazy
-    // layers above still reference them during this one execution)
-    val out = acc.localCheckpoint(eager = true)
-    e.unpersist(blocking = false)
-    out
+    acc
   }
 }

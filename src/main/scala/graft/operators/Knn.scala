@@ -36,6 +36,19 @@ object Knn {
     s.orderBy(ord, col(idCol).asc).limit(k)
   }
 
+  /** V10: batch search — one exact top-k leg per (query, optional
+    * per-query filter) pair (collection/search/batch.rs:26-128: each
+    * BatchQuery carries its own filter). Legs are independent
+    * filter→TakeOrderedAndProject passes over the same frame, unioned
+    * with a `query_id` — one distributed plan, no driver loop. */
+  def batch(df: DataFrame, vecCol: String,
+      queries: Seq[(Seq[Float], Option[Column])], k: Int,
+      metric: String = "cosine", idCol: String = "id"): DataFrame =
+    queries.zipWithIndex.map { case ((q, f), i) =>
+      topK(df, vecCol, q, k, metric, idCol, f)
+        .select(lit(i).as("query_id"), col(idCol), col("score"))
+    }.reduce(_ unionAll _)
+
   /** `similarity(field,$v) OP t` threshold filter. For distance metrics the
     * reference inverts the comparison (`similarity > t` ≡ `distance < t`,
     * query/mod.rs:396-417) — callers pass similarity-space semantics. */

@@ -175,11 +175,34 @@ object VectorQueries {
          |         list_cosine_similarity($E, ${sqlVec(q64c)}) AS score
          |  FROM embeddings ORDER BY score DESC, vec_id LIMIT 5)""".stripMargin) { (s, d) =>
       val emb = t(s, d, "embeddings")
-      val legs = Seq(q64, q64b, q64c).zipWithIndex.map { case (q, i) =>
-        Knn.topK(emb, "embedding", q, 5, "cosine", idCol = "vec_id")
-          .select(lit(i).as("query_id"), col("vec_id"), col("score"))
-      }
-      legs.reduce(_.unionAll(_))
+      Knn.batch(emb, "embedding",
+        Seq(q64, q64b, q64c).map(q => (q, None)), 5, idCol = "vec_id")
+    },
+
+    // ---- V10: batch search with PER-QUERY filters (batch.rs:26-128 —
+    // each BatchQuery carries its own filter; r1 legs shared one frame)
+    QueryDef(
+      "q57_batch_filtered",
+      s"""SELECT * FROM (
+         |  SELECT 0 AS query_id, vec_id,
+         |         list_cosine_similarity($E, ${sqlVec(q64)}) AS score
+         |  FROM embeddings WHERE label IN (1, 2)
+         |  ORDER BY score DESC, vec_id LIMIT 5)
+         |UNION ALL
+         |SELECT * FROM (
+         |  SELECT 1 AS query_id, vec_id,
+         |         list_cosine_similarity($E, ${sqlVec(q64b)}) AS score
+         |  FROM embeddings WHERE label IN (3, 4)
+         |  ORDER BY score DESC, vec_id LIMIT 5)
+         |UNION ALL
+         |SELECT * FROM (
+         |  SELECT 2 AS query_id, vec_id,
+         |         list_cosine_similarity($E, ${sqlVec(q64c)}) AS score
+         |  FROM embeddings ORDER BY score DESC, vec_id LIMIT 5)""".stripMargin) { (s, d) =>
+      Knn.batch(t(s, d, "embeddings"), "embedding",
+        Seq((q64, Some(col("label").isin(1, 2))),
+          (q64b, Some(col("label").isin(3, 4))),
+          (q64c, None)), 5, idCol = "vec_id")
     },
 
     // ---- F1: RRF fusion of two legs (cosine top-20, dot top-20);

@@ -56,32 +56,9 @@ class Catalog(spark: SparkSession, dir: String) {
     meta.getOrElse(name, CollectionMeta())
 
   /** Graph node table for MATCH queries: typed nodes from the derived
-    * customer→order→part→supplier graph, labels as an array column
-    * (the reference stores labels in payload `_labels` —
-    * match_exec.rs:242-247). */
-  lazy val graphNodes: DataFrame = {
-    val emb = table("embeddings")
-    val c = table("customer").select(col("c_custkey").as("id"),
-        array(lit("Customer")).as("labels"),
-        col("c_name").as("name"), col("c_mktsegment").as("segment"))
-      // customer nodes carry an embedding when one exists (1:1 on id) so
-      // MATCH … WHERE similarity(alias.embedding, $v) works (G4)
-      .join(emb.select(col("vec_id"), col("embedding")),
-        col("id") === col("vec_id"), "left")
-      .drop("vec_id")
-    val noVec = lit(null).cast("array<float>").as("embedding")
-    val o = table("orders").select((col("o_orderkey") + Graph.OrderOffset).as("id"),
-      array(lit("Order")).as("labels"),
-      col("o_orderstatus").as("name"), col("o_orderpriority").as("segment"), noVec)
-    val p = table("part").select((col("p_partkey") + Graph.PartOffset).as("id"),
-      array(lit("Part")).as("labels"),
-      col("p_name").as("name"), col("p_brand").as("segment"), noVec)
-    val s = table("supplier").select((col("s_suppkey") + Graph.SuppOffset).as("id"),
-      array(lit("Supplier")).as("labels"),
-      col("s_name").as("name"), lit(null).cast("string").as("segment"), noVec)
-    c.select("id", "labels", "name", "segment", "embedding")
-      .unionAll(o).unionAll(p).unionAll(s)
-  }
+    * customer→order→part→supplier graph, materialized once per dataset
+    * dir ([[Graph.nodes]]). */
+  lazy val graphNodes: DataFrame = Graph.nodes(spark, dir)
 
   lazy val graphEdges: DataFrame = Graph.edges(spark, dir)
 }
