@@ -70,6 +70,29 @@ object Bm25 {
     Index(postings, docStats, corpusStats)
   }
 
+  /** An index over an arbitrary doc frame, MATERIALIZED once per dataset
+    * dir (postings clustered + sorted by term — a query's scoring reads
+    * only its terms' row groups). Same scores as building in-query,
+    * minus the per-query tokenize + stats pass (~0.4 s at sf0.1). */
+  def materializedIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      kind: String, sources: Seq[String])(docs: => DataFrame): Index = Index(
+    graft.Materialize(spark, dir, s"${kind}_postings", sources, Some("term")) {
+      tokens(docs, "doc_id", "text")
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    },
+    graft.Materialize(spark, dir, s"${kind}_docstats", sources, Some("doc_id")) {
+      tokens(docs, "doc_id", "text").groupBy("doc_id").agg(count(lit(1)).as("dlen"))
+    },
+    graft.Materialize(spark, dir, s"${kind}_corpusstats", sources, None) {
+      tokens(docs, "doc_id", "text").groupBy("doc_id").agg(count(lit(1)).as("dlen"))
+        .agg(count(lit(1)).as("n"), avg(col("dlen").cast("double")).as("avgdl"))
+    })
+
+  /** The documents-table index. */
+  def indexFor(spark: org.apache.spark.sql.SparkSession, dir: String): Index =
+    materializedIndex(spark, dir, "bm25", Seq("documents"))(
+      graft.Tables.table(spark, dir, "documents"))
+
   /** BM25 over a prebuilt index — same scores as [[score]]. */
   def searchIndex(index: Index, queryText: String, k: Int = 0): DataFrame = {
     val queryTerms = queryText.toLowerCase.split("[^a-z0-9]+")

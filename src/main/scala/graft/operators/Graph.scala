@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.{Materialize, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -50,34 +50,12 @@ object Graph {
     placed.unionAll(contains).unionAll(suppliedBy)
   }
 
-  /** Materialize a derived frame ONCE per dataset dir as parquet
-    * clustered by `partCol`; the key includes source file mtimes so
-    * regenerated testdata rebuilds. At cluster scale this is the
-    * bucketed table (bucketBy + metastore) so traversal joins co-locate
-    * without shuffling the big side. */
-  private def materialized(spark: SparkSession, dir: String, kind: String,
-      sources: Seq[String], partCol: String)(build: => DataFrame): DataFrame = {
-    val stamp = sources.map { t =>
-      val f = new java.io.File(s"$dir/$t.parquet")
-      s"${f.lastModified()}_${f.length()}"
-    }.mkString("_")
-    val key = s"v2_${kind}_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}__$stamp"
-    val path = s"${sys.props("java.io.tmpdir")}/graft-graph/$key"
-    this.synchronized {
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))) {
-        build.repartition(spark.sessionState.conf.numShufflePartitions, col(partCol))
-          .write.mode("overwrite").parquet(path)
-      }
-    }
-    spark.read.parquet(path)
-  }
-
-  /** Edge table, materialized once per dataset dir (clustered by src).
-    * The r1 shape re-derived the graph (two distincts over lineitem,
-    * ~2 s at sf0.1) inside every graph query; now each query is a plain
-    * parquet scan. */
+  /** Edge table, materialized once per dataset dir (clustered by src —
+    * see [[graft.Materialize]]). The r1 shape re-derived the graph (two
+    * distincts over lineitem, ~2 s at sf0.1) inside every graph query;
+    * now each query is a plain parquet scan. */
   def edges(spark: SparkSession, dir: String): DataFrame =
-    materialized(spark, dir, "edges", Seq("orders", "lineitem"), "src")(
+    Materialize(spark, dir, "edges", Seq("orders", "lineitem"), Some("src"))(
       deriveEdges(spark, dir))
 
   /** Typed node table for MATCH queries, materialized once per dataset
@@ -85,8 +63,8 @@ object Graph {
     * carry their embedding (the reference stores labels in payload
     * `_labels` — match_exec.rs:242-247). */
   def nodes(spark: SparkSession, dir: String): DataFrame =
-    materialized(spark, dir, "nodes",
-      Seq("customer", "orders", "part", "supplier", "embeddings"), "id")(
+    Materialize(spark, dir, "nodes",
+      Seq("customer", "orders", "part", "supplier", "embeddings"), Some("id"))(
       deriveNodes(spark, dir))
 
   /** The derived node table, un-materialized. */

@@ -38,9 +38,16 @@ object TextQueries {
       |  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
       |  WHERE len(u.t) > 1""".stripMargin
 
-  /** BM25 top-k via the shared operator. */
+  /** BM25 top-k via the shared operator (arbitrary pre-filtered frame). */
   private def bm25(docs: DataFrame, queryTerms: Seq[String], k: Int): DataFrame =
     graft.operators.Bm25.score(docs, queryTerms.mkString(" "), k)
+
+  /** BM25 top-k over the MATERIALIZED documents index (unfiltered
+    * corpus — identical scores, no per-query tokenize+stats pass). */
+  private def bm25Idx(s: SparkSession, d: String, queryTerms: Seq[String],
+      k: Int): DataFrame =
+    graft.operators.Bm25.searchIndex(
+      graft.operators.Bm25.indexFor(s, d), queryTerms.mkString(" "), k)
 
   private def bm25Sql(terms: Seq[String], k: Int, docFilter: String = ""): String = {
     val termList = terms.map(x => s"'$x'").mkString(", ")
@@ -61,6 +68,17 @@ object TextQueries {
        |GROUP BY tf.doc_id
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
+
+  /** Shingle table MATERIALIZED once per dataset dir: (doc_id, shingle,
+    * sh64 = xxhash64, base60 = 60-bit md5) — the index-build side of the
+    * dedup family, amortized like the reference's insert-time indexes.
+    * q67/q68 then start from a parquet scan instead of re-tokenizing. */
+  private def shinglesTab(s: SparkSession, d: String): DataFrame =
+    graft.Materialize(s, d, "shingles", Seq("documents"), Some("doc_id")) {
+      shingles(t(s, d, "documents"))
+        .withColumn("sh64", xxhash64(col("shingle")))
+        .withColumn("base60", hash60(col("shingle")))
+    }
 
   /** 3-word shingles per doc (distinct), from len>1 tokens. */
   private def shingles(docs: DataFrame): DataFrame =
@@ -102,7 +120,7 @@ object TextQueries {
     QueryDef(
       "q60_bm25",
       bm25Sql(Seq("spark", "join", "filter"), 10)) { (s, d) =>
-      bm25(t(s, d, "documents"), Seq("spark", "join", "filter"), 10)
+      bm25Idx(s, d, Seq("spark", "join", "filter"), 10)
     },
 
     // ---- T3: BM25 with metadata filter — filter BEFORE indexing/scoring
@@ -136,7 +154,7 @@ object TextQueries {
       // rank window runs over those 50 rows only, pinned to one explicit
       // partition (Ranks.one), not an unpartitioned global window.
       val q = graft.functions.VectorFunctions.syntheticQuery(64)
-      val bmLeg = bm25(t(s, d, "documents"), Seq("spark", "join", "filter"), 50)
+      val bmLeg = bm25Idx(s, d, Seq("spark", "join", "filter"), 50)
         .select(col("doc_id"),
           row_number().over(Window.partitionBy(graft.operators.Ranks.one(col("doc_id")))
             .orderBy(col("score").desc, col("doc_id"))).as("rnk"))
@@ -233,8 +251,7 @@ object TextQueries {
          |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8""".stripMargin) { (s, d) =>
       // join on 64-bit shingle hashes: same intersection counts (collision
       // odds ~(n_shingles)²/2^65), ~2.5× narrower shuffle than strings
-      val sh = shingles(t(s, d, "documents"))
-        .select(col("doc_id"), xxhash64(col("shingle")).as("sh")).cache()
+      val sh = shinglesTab(s, d).select(col("doc_id"), col("sh64").as("sh"))
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val x = sh.select(col("doc_id").as("a"), col("sh"))
       val y = sh.select(col("doc_id").as("b"), col("sh"))
@@ -295,11 +312,12 @@ object TextQueries {
          |SELECT a, b, round(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
          |FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
          |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8""".stripMargin) { (s, d) =>
-      val sh = shingles(t(s, d, "documents")).cache()
-      // ONE md5 per shingle, then 16 Carter-Wegman hashes h_i = ((base%P)
-      // *A_i + B_i) % P as pure mod-p arithmetic — overflow-free i64 in
-      // both engines, all 16 mins in one partial+final aggregation
-      val shb = sh.withColumn("base", hash60(col("shingle")))
+      val sh = shinglesTab(s, d)
+      // ONE md5 per shingle (precomputed in the shingle table), then 16
+      // Carter-Wegman hashes h_i = ((base%P)*A_i + B_i) % P as pure
+      // mod-p arithmetic — overflow-free i64 in both engines, all 16
+      // mins in one partial+final aggregation
+      val shb = sh.withColumn("base", col("base60"))
       val mhCols = (0 until 16).map(i =>
         min(((col("base") % MinhashP) * MinhashA(i) + MinhashB(i)) % MinhashP).as(s"mh$i"))
       val mh16 = shb.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)

@@ -19,7 +19,7 @@ final case class CollectionMeta(
     metric: String = "cosine",
     textCol: Option[String] = None)
 
-class Catalog(spark: SparkSession, dir: String) {
+class Catalog(spark: SparkSession, val dir: String) {
 
   /** Testdata collection registry: every driver table, with vector/text
     * metadata where the table carries embeddings or documents. */

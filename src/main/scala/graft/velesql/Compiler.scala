@@ -149,8 +149,7 @@ class Compiler(
           .select(col("__vid"), row_number().over(
             Window.partitionBy(graft.operators.Ranks.one(col("__vid")))
               .orderBy(vOrd, col("__vid"))).as("__vrank"))
-        val tLeg = Bm25.score(df, hybridText.get.query, kCand, meta.idCol,
-            meta.textCol.getOrElse("text"))
+        val tLeg = bm25Scores(df, sel, meta, hybridText.get.query, kCand)
           .select(col("doc_id").as("__tid"), row_number().over(
             Window.partitionBy(graft.operators.Ranks.one(col("doc_id")))
               .orderBy(col("score").desc, col("doc_id")))
@@ -258,7 +257,7 @@ class Compiler(
             // per-row); score falls back to 0.0 when the text leg missed.
             // The `__tm` flag feeds the residual filter, so a top-level
             // AND MATCH lets Catalyst convert the join back to inner.
-            val scores = Bm25.score(df, qtext, 0, meta.idCol, meta.textCol.getOrElse("text"))
+            val scores = bm25Scores(df, sel, meta, qtext, 0)
               .select(col("doc_id").as("__bm25_id"), col("score"))
             scoredTm = Some((tm, col("__tm")))
             df.join(scores, df(meta.idCol) === col("__bm25_id"), "left")
@@ -406,6 +405,20 @@ class Compiler(
       case Some(false) => base.desc
     }
   }
+
+  /** BM25 scores for a text leg: known text collections go through a
+    * MATERIALIZED index (build once per dataset — T2, index/bm25.rs
+    * posting lists); anything else tokenizes in-query. The corpus
+    * collection needs its own index: its doc set (docs WITH embeddings)
+    * has different N/avgdl/df stats than the full documents table. */
+  private def bm25Scores(df: DataFrame, sel: Select, meta: CollectionMeta,
+      qtext: String, k: Int): DataFrame =
+    if (sel.from == "documents" && meta.textCol.contains("text"))
+      Bm25.searchIndex(Bm25.indexFor(spark, catalog.dir), qtext, k)
+    else if (sel.from == "corpus" && meta.textCol.contains("text"))
+      Bm25.searchIndex(Bm25.materializedIndex(spark, catalog.dir, "bm25corpus",
+        Seq("documents", "embeddings"))(catalog.table("corpus")), qtext, k)
+    else Bm25.score(df, qtext, k, meta.idCol, meta.textCol.getOrElse("text"))
 
   // =================== conditions ===================
 
