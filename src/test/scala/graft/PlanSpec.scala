@@ -45,4 +45,31 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"))
     assert(p.contains("In(label, [1,3,5])") || p.contains("label"), "label filter pushed")
   }
+
+  test("fusion legs rank top-K candidates, never the whole table (F1/F4)") {
+    // every Window in an RRF/hybrid plan must (a) carry a partition spec
+    // — an empty spec is the r1 global-window scale-killer — and (b) sit
+    // above a TakeOrderedAndProject, so it ranks K rows, not the table
+    for (q <- Seq("q51_fusion_rrf", "q62_hybrid_rrf")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q: top-K per leg")
+      val firstArgs = "windowspecdefinition\\(([^,]*),".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+      assert(firstArgs.nonEmpty, s"$q: rank windows present")
+      firstArgs.foreach { a =>
+        // a partitioned spec's first argument is the partition key (a
+        // bare attribute); the unpartitioned r1 form starts directly
+        // with an ORDER BY column carrying a sort direction
+        assert(!a.contains("ASC") && !a.contains("DESC"),
+          s"$q: window must be partition-keyed, first arg was a sort column: $a")
+      }
+    }
+  }
+
+  test("VelesQL hybrid ranks top-K per leg through the language (q104)") {
+    val p = plan("q104_vql_hybrid")
+    assert(p.contains("TakeOrderedAndProject"), "vector leg limited before ranking")
+    assert(!p.contains("windowspecdefinition(score"),
+      "no unpartitioned rank window over raw scores")
+  }
 }
