@@ -49,10 +49,14 @@ object Ann {
   }
 
   /** The LSH signature of a vector column as a Column expression —
-    * identical values to [[signature]]/[[buildIndex]]'s `bucket`, and a
-    * sum of per-plane bit terms so it stays in codegen. */
-  def signatureCol(vecCol: Column, nPlanes: Int, dim: Int): Column = {
-    val ps = planes(nPlanes, dim)
+    * identical values to [[signature]]/[[buildIndex]]'s `bucket` (when
+    * `planeOffset` = 0), and a sum of per-plane bit terms so it stays in
+    * codegen. A non-zero `planeOffset` selects an independent plane set
+    * (multi-table LSH, [[Dedup.embeddingNearDupLsh]]). */
+  def signatureCol(vecCol: Column, nPlanes: Int, dim: Int,
+      planeOffset: Int = 0): Column = {
+    val ps = Array.tabulate(nPlanes)(p =>
+      Array.tabulate(dim)(i => planeComponent(p + planeOffset, i).toFloat))
     val bits: Seq[Column] = ps.toIndexedSeq.zipWithIndex.map { case (plane, p) =>
       when(VectorFunctions.dot_product(vecCol,
         VectorFunctions.vecLit(plane.toSeq)) >= 0.0, lit(1L << p)).otherwise(lit(0L))

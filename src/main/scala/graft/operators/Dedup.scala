@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection operators for training-data pipelines
+  * (SURVEY.md training-data tier; the canonical shapes behind
+  * q67/q68/q70).
+  *
+  * Everything here is pair-generation-by-join — never all-pairs: the
+  * quadratic term is bounded by an inverted-index join group (shingles),
+  * an LSH band bucket (minhash), or a hyperplane bucket (embeddings).
+  */
+object Dedup {
+
+  /** n-gram Jaccard pairs from a `(doc_id, sh)` shingle-hash frame:
+    * inverted join on the shingle, intersection counts, Jaccard ≥
+    * `threshold`.
+    *
+    * `dfCap`: at 100 TB a stop-shingle appearing in n documents makes an
+    * n² join group; shingles with document frequency above the cap carry
+    * ~zero near-dup signal (they are corpus boilerplate) and are dropped
+    * from BOTH the intersection and the per-doc counts, keeping the
+    * estimate consistent — Jaccard over the capped shingle universe.
+    * `None` = exact (the q67 oracle shape). */
+  def ngramJaccardPairs(shingleHashes: DataFrame, threshold: Double,
+      dfCap: Option[Long] = None): DataFrame = {
+    val sh = dfCap match {
+      case Some(cap) =>
+        val df = shingleHashes.groupBy("sh")
+          .agg(count(lit(1)).as("__df")).where(col("__df") <= cap)
+          .select("sh")
+        shingleHashes.join(df, "sh")
+      case None => shingleHashes
+    }
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val x = sh.select(col("doc_id").as("a"), col("sh"))
+    val y = sh.select(col("doc_id").as("b"), col("sh"))
+    val inter = x.join(y, Seq("sh")).where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+    val j = col("i") * lit(1.0) / (col("ca.n") + col("cb.n") - col("i"))
+    inter
+      .join(cnt.as("ca"), col("a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("b") === col("cb.doc_id"))
+      .where(j >= threshold)
+      .select(col("a"), col("b"), round(j, 6).as("jaccard"))
+  }
+
+  /** LSH-blocked embedding near-dup: `tables` independent
+    * random-hyperplane signatures of `nPlanes` bits each; candidate
+    * pairs form ONLY inside a (table, bucket) group, then exact cosine ≥
+    * `threshold` verifies. The all-pairs quadratic term becomes
+    * Σ_buckets |bucket|² — at 100 TB the bucket key is also the shuffle
+    * key, so each group pairs locally.
+    *
+    * Recall is the standard LSH curve: a pair at angle θ collides in one
+    * table with prob (1 − θ/π)^nPlanes, and in ≥1 of T tables with
+    * 1 − (1 − p)^T — sized for the NEAR-DUP regime (cosine ≳ 0.9);
+    * low-threshold similarity search belongs to [[Ann]]/[[Ivf]]. */
+  def embeddingNearDupLsh(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, nPlanes: Int = 8, tables: Int = 3): DataFrame = {
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val cands = (0 until tables).map { t =>
+      // per-table planes: offset the plane index so tables are independent
+      val sig = Ann.signatureCol(col(vecCol), nPlanes, dim, planeOffset = t * nPlanes)
+      val b = df.select(col(idCol), col(vecCol), sig.as("bucket"))
+      val l = b.select(col(idCol).as("a"), col(vecCol).as("va"), col("bucket"))
+      val r = b.select(col(idCol).as("b"), col(vecCol).as("vb"), col("bucket"))
+      l.join(r, Seq("bucket")).where(col("a") < col("b"))
+        .select(col("a"), col("b"), col("va"), col("vb"))
+    }.reduce(_ unionAll _).dropDuplicates("a", "b")
+    val cs = graft.functions.VectorFunctions.cosine_sim(col("va"), col("vb"))
+    cands.withColumn("cos_sim", cs)
+      .where(col("cos_sim") >= threshold)
+      .select("a", "b", "cos_sim")
+  }
+}

@@ -250,20 +250,11 @@ object TextQueries {
          |FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
          |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8""".stripMargin) { (s, d) =>
       // join on 64-bit shingle hashes: same intersection counts (collision
-      // odds ~(n_shingles)²/2^65), ~2.5× narrower shuffle than strings
+      // odds ~(n_shingles)²/2^65), ~2.5× narrower shuffle than strings.
+      // dfCap=None here (exact, oracle parity); at 100 TB pass a cap so
+      // stop-shingles can't form n² join groups (Dedup.ngramJaccardPairs)
       val sh = shinglesTab(s, d).select(col("doc_id"), col("sh64").as("sh"))
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val x = sh.select(col("doc_id").as("a"), col("sh"))
-      val y = sh.select(col("doc_id").as("b"), col("sh"))
-      val inter = x.join(y, Seq("sh")).where(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("i"))
-      val j = col("i") * lit(1.0) /
-        (col("ca.n") + col("cb.n") - col("i"))
-      inter
-        .join(cnt.as("ca"), col("a") === col("ca.doc_id"))
-        .join(cnt.as("cb"), col("b") === col("cb.doc_id"))
-        .where(j >= 0.8)
-        .select(col("a"), col("b"), round(j, 6).as("jaccard"))
+      graft.operators.Dedup.ngramJaccardPairs(sh, 0.8)
     },
 
     // ---- Dedup: MinHash + LSH (16 hashes = 4 bands × 4 rows, banded

@@ -121,6 +121,58 @@ class R2FeaturesSpec extends SparkSpecBase {
     assert(recall >= 0.9, s"recall $recall < 0.9")
   }
 
+  test("ngram-Jaccard df-cap: capped pairs drop only stop-shingle noise") {
+    import operators.Dedup
+    // docs 0/1 share 9 rare shingles + stop-shingle 777 present in EVERY
+    // doc; docs 2..20 also carry their own private shingles, so their
+    // only overlap is the stop-shingle (jaccard ~0.14, below threshold)
+    val rows =
+      (for (d <- 0L to 1L; i <- 0 until 9) yield (d, i.toLong)) ++
+        Seq((0L, 777L), (1L, 777L)) ++
+        (2L to 20L).flatMap(d =>
+          Seq((d, 777L), (d, d * 100), (d, d * 100 + 1), (d, d * 100 + 2)))
+    val sh = spark.createDataFrame(rows).toDF("doc_id", "sh")
+    val exact = Dedup.ngramJaccardPairs(sh, 0.5, None).collect()
+    val capped = Dedup.ngramJaccardPairs(sh, 0.5, Some(5L)).collect()
+    // pair (0,1): exact jaccard = 10/10 = 1.0; capped drops shingle 777
+    // from both docs → 9/9 = 1.0 — still found, no spurious pairs appear
+    assert(exact.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      capped.map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // and an uncapped run with a huge cap is identical to exact
+    val bigCap = Dedup.ngramJaccardPairs(sh, 0.5, Some(1000000L)).collect()
+    assert(bigCap.map(_.toString).sorted.toSeq == exact.map(_.toString).sorted.toSeq)
+  }
+
+  test("LSH-blocked embedding near-dup: recall ≥ 0.8 vs exact all-pairs, no false pairs") {
+    import operators.Dedup
+    val dim = 32
+    // 60 clusters of 3 near-identical vectors + noise vectors
+    def base(c: Int) = Array.tabulate(dim)(j => math.sin(c * 1.7 + j * 0.23))
+    val rows = (0 until 60).flatMap { c =>
+      (0 until 3).map { m =>
+        val v = base(c).zipWithIndex.map { case (x, j) =>
+          (x + 0.02 * math.sin(m * 3.1 + j)).toFloat }
+        (c * 10L + m, v)
+      }
+    } ++ (0 until 100).map(i =>
+      (5000L + i, Array.tabulate(dim)(j => math.cos(i * 2.9 + j * 1.31).toFloat)))
+    val df = spark.createDataFrame(rows).toDF("id", "vec")
+    val thr = 0.95
+    // exact all-pairs ground truth (fine at spec scale)
+    val a = df.select(col("id").as("a"), col("vec").as("va"))
+    val b = df.select(col("id").as("b"), col("vec").as("vb"))
+    val cs = functions.VectorFunctions.cosine_sim(col("va"), col("vb"))
+    val exact = a.crossJoin(b).where(col("a") < col("b"))
+      .where(cs >= thr).select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.embeddingNearDupLsh(df, "vec", "id", thr, nPlanes = 8, tables = 3)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact), "cosine-verified: no false pairs")
+    assert(exact.nonEmpty)
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall < 0.8 (exact ${exact.size}, got ${got.size})")
+  }
+
   test("correlated scalar subquery decorrelates (values match a manual join)") {
     val c = compiler()
     val got = c.run(
