@@ -32,18 +32,20 @@ object Ivf {
     for (_ <- 1 to iters) {
       val bc = df.sparkSession.sparkContext.broadcast(centroids)
       val assignExpr = udfAssign(bc.value)
+      // per-dimension means as ONE partial+final aggregation producing a
+      // single row per cell — the driver receives k rows, not k×dim (the
+      // r1 posexplode shape). For dims beyond ~1k, swap the dim avg
+      // columns for a TypedImperativeAggregate over float arrays.
+      val meanCols = (0 until dim).map(i =>
+        avg(element_at(col(vecCol), i + 1)).as(s"m$i"))
       val means = df
         .withColumn("cell", assignExpr(col(vecCol)))
-        .select(col("cell"), posexplode(col(vecCol)))
-        .groupBy("cell", "pos").agg(avg(col("col")).as("m"), count(lit(1)).as("n"))
+        .groupBy("cell").agg(meanCols.head, meanCols.tail: _*)
         .collect()
-      val byCell = means.groupBy(_.getInt(0))
+      val byCell = means.map(r => r.getInt(0) -> r).toMap
       centroids = centroids.map { case (c, old) =>
         byCell.get(c) match {
-          case Some(rows) =>
-            val vec = new Array[Float](dim)
-            rows.foreach(r => vec(r.getInt(1)) = r.getDouble(2).toFloat)
-            (c, vec)
+          case Some(r) => (c, Array.tabulate(dim)(i => r.getDouble(i + 1).toFloat))
           case None => (c, old) // empty cell keeps its centroid
         }
       }

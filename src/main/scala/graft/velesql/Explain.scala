@@ -24,8 +24,12 @@ object Explain {
     case Query(_, _, Some(m)) =>
       val hops = m.pattern.rels.map(r =>
         s"${r.direction}:${if (r.types.isEmpty) "*" else r.types.mkString("|")}" +
-          (if (r.minHops == 1 && r.maxHops == 1) "" else s"*${r.minHops}..${r.maxHops}"))
-      s"MatchTraversal(nodes=${m.pattern.nodes.size}, hops=[${hops.mkString(", ")}])" +
+          (if (r.minHops == 1 && r.maxHops == 1) "" else s"*${r.minHops}..${r.maxHops}") +
+          (if (r.properties.isEmpty) ""
+           else r.properties.map { case (k, v) => s"$k=${valueStr(v)}" }
+             .mkString(" {", ",", "}")))
+      val named = m.pattern.name.map(n => s", path=$n").getOrElse("")
+      s"MatchTraversal(nodes=${m.pattern.nodes.size}, hops=[${hops.mkString(", ")}]$named)" +
         m.where.map(w => "\n" + indent(s"Filter(${describe(w)})")).getOrElse("") +
         m.limit.map(l => "\n" + indent(s"Limit($l)")).getOrElse("")
     case _ => "Empty"
@@ -44,6 +48,9 @@ object Explain {
     if (sel.orderBy.nonEmpty) steps += s"Sort(${sel.orderBy.size} keys)"
     sel.offset.foreach(o => steps += s"Offset($o)")
     sel.limit.foreach(l => steps += s"Limit($l)")
+    if (sel.withOptions.nonEmpty)
+      steps += sel.withOptions.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=$v" }.mkString("With(", ", ", ")")
     val chain = steps.result()
     (s"TableScan(${sel.from})" +: chain).zipWithIndex
       .map { case (s, i) => "  " * i + s }.mkString("\n")
@@ -93,6 +100,7 @@ object Explain {
     case BoolValue(x) => x.toString
     case NullValue => "NULL"
     case Parameter(n) => s"$$$n"
+    case ColumnRef(n) => n
     case TemporalValue(_) => "<temporal>"
     case SubqueryValue(_) => "<subquery>"
   }

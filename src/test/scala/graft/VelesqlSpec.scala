@@ -85,7 +85,18 @@ class VelesqlSpec extends SparkSpecBase {
       "select * from a join b on b.id = a.b_id",
       "select * from docs limit 10 with (mode = 'fast')",
       "select category, count(*) from items group by category having count(*) > 5",
-      "SELECT * FROM docs WHERE title = 'Hello, World!' LIMIT 10")
+      "SELECT * FROM docs WHERE title = 'Hello, World!' LIMIT 10",
+      // r2: verbatim inputs from match_clause_tests.rs / subquery_tests.rs
+      "MATCH path = (a)-[*1..5]->(b) RETURN path",
+      "MATCH (p:Person)-[:WROTE]->(a) WHERE p.age > 18 RETURN a",
+      "MATCH (p:Person)-[:WROTE]->(a:Article) RETURN a.title",
+      "MATCH (a)-[:R]->(b)-[:S]->(c) RETURN a, b, c",
+      "MATCH (n:Person {name: 'RETURN'}) RETURN n",
+      "MATCH (n:Person) WHERE n.age <> 18 RETURN n",
+      "MATCH (n) WHERE n.status = 'x > y' RETURN n",
+      "SELECT * FROM orders WHERE total > (SELECT AVG(total) FROM orders)",
+      "SELECT * FROM orders WHERE total > (SELECT AVG(amount) FROM order_items WHERE order_id = 1)",
+      "SELECT * FROM products WHERE price < (SELECT AVG(price) FROM products)")
     refCorpus.foreach(parseOk)
     // fusion strategy + params land in the AST
     val f = parseOk("SELECT * FROM docs USING FUSION(strategy = 'rrf', k = 30)")
