@@ -119,6 +119,17 @@ class Compiler(
           case Compare(_, _, SubqueryValue(sq)) => isCorrelated(sq)
           case _ => false
         }
+        // a correlated subquery buried under OR/NOT can't decorrelate to
+        // a key join — reject with a real error, not an unresolved column
+        def buried(c: Condition): Boolean = c match {
+          case Compare(_, _, SubqueryValue(sq)) => isCorrelated(sq)
+          case And(l, r) => buried(l) || buried(r)
+          case Or(l, r) => buried(l) || buried(r)
+          case Not(i) => buried(i)
+          case _ => false
+        }
+        if (plain.exists(buried))
+          fail("correlated scalar subqueries must be AND-composed at the top level of WHERE")
         (corr, plain.reduceOption(And.apply))
       case other => (Seq.empty[Condition], other)
     }

@@ -173,6 +173,15 @@ class R2FeaturesSpec extends SparkSpecBase {
     assert(recall >= 0.8, s"recall $recall < 0.8 (exact ${exact.size}, got ${got.size})")
   }
 
+  test("correlated subquery under OR is rejected with a clear error") {
+    val c = compiler()
+    val e = intercept[IllegalArgumentException](c.run(
+      """SELECT c_custkey FROM customer
+        |WHERE c_acctbal < 0.0 OR c_acctbal > (SELECT MIN(o_totalprice) FROM orders
+        |                                      WHERE o_custkey = customer.c_custkey)""".stripMargin))
+    assert(e.getMessage.contains("AND-composed"))
+  }
+
   test("correlated scalar subquery decorrelates (values match a manual join)") {
     val c = compiler()
     val got = c.run(
