@@ -43,9 +43,14 @@ class Catalog(spark: SparkSession, val dir: String) {
 
   def table(name: String): DataFrame =
     if (name == "corpus") {
-      val d = Tables.table(spark, dir, "documents")
-      val e = Tables.table(spark, dir, "embeddings")
-      d.join(e, d("doc_id") === e("vec_id")).drop("vec_id")
+      // materialized once per dataset dir: hybrid queries touch corpus
+      // several times per plan (base + vector leg + text leg)
+      graft.Materialize(spark, dir, "corpus",
+        Seq("documents", "embeddings"), Some("doc_id")) {
+        val d = Tables.table(spark, dir, "documents")
+        val e = Tables.table(spark, dir, "embeddings")
+        d.join(e, d("doc_id") === e("vec_id")).drop("vec_id")
+      }
     } else if (name == "embeddings_wide") {
       val e = Tables.table(spark, dir, "embeddings")
       e.select(col("vec_id"), col("label"),
