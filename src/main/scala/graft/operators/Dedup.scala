@@ -46,6 +46,37 @@ object Dedup {
       .select(col("a"), col("b"), round(j, 6).as("jaccard"))
   }
 
+  /** Winnowing document fingerprints (the MOSS scheme): hash every
+    * k-char gram of the text, then keep the MINIMUM hash of every
+    * w-window of consecutive gram hashes, distinct per doc. Any shared
+    * substring of length ≥ w + k − 1 between two documents is guaranteed
+    * to yield a shared fingerprint — the local-minima selection is what
+    * makes the fingerprint set position-robust, unlike a fixed stride.
+    * Map-only per doc (no shuffle); downstream joins are inverted-index
+    * shaped ([[sharedFingerprintPairs]]). */
+  def winnowingFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = expr(
+      s"""transform(sequence(1, length($textCol) - ${k - 1}),
+         |  i -> cast(conv(substring(md5(substring($textCol, i, $k)), 1, 15), 16, 10) as bigint))"""
+        .stripMargin)
+    docs.where(length(col(textCol)) >= k + w - 1)
+      .select(col(idCol).as("doc_id"), grams.as("h"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(1, size(h) - ${w - 1}), j -> array_min(slice(h, j, $w)))")))
+        .as("fp"))
+      .distinct()
+  }
+
+  /** Document pairs sharing ≥ `minShared` winnowing fingerprints —
+    * inverted join on the fingerprint, never all-pairs. */
+  def sharedFingerprintPairs(fps: DataFrame, minShared: Long): DataFrame =
+    fps.select(col("doc_id").as("a"), col("fp"))
+      .join(fps.select(col("doc_id").as("b"), col("fp")), Seq("fp"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("nshared"))
+      .where(col("nshared") >= minShared)
+
   /** LSH-blocked embedding near-dup: `tables` independent
     * random-hyperplane signatures of `nPlanes` bits each; candidate
     * pairs form ONLY inside a (table, bucket) group, then exact cosine ≥

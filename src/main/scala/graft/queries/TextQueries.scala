@@ -368,6 +368,27 @@ object TextQueries {
           .otherwise(lit(0L))).as("simhash"))
     },
 
+    // ---- Fingerprinting: winnowing (rolling k-gram hash + window-min
+    // selection, the MOSS scheme) — pairs sharing ≥ 60 fingerprints.
+    // Guarantee: any shared substring of ≥ w+k−1 = 8 chars fingerprints.
+    QueryDef(
+      "q72_winnowing",
+      """WITH hs AS (
+        |  SELECT doc_id, list_transform(range(1, len(text) - 3), i ->
+        |    CAST(concat('0x', substr(md5(substr(text, CAST(i AS INT), 5)), 1, 15)) AS BIGINT)) AS h
+        |  FROM documents WHERE len(text) >= 8),
+        |fp AS (SELECT DISTINCT doc_id, u.f AS fp FROM (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(h) - 2), j ->
+        |    list_aggregate(h[CAST(j AS INT):CAST(j+3 AS INT)], 'min'))) AS fps FROM hs),
+        |  unnest(fps) AS u(f))
+        |SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS nshared
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 60""".stripMargin) { (s, d) =>
+      val fps = graft.operators.Dedup.winnowingFingerprints(
+        t(s, d, "documents"), k = 5, w = 4)
+      graft.operators.Dedup.sharedFingerprintPairs(fps, 60)
+    },
+
     // ---- T4: trigram similarity ranking (pg_trgm-style, the reference's
     // trigram LIKE-acceleration index re-expressed as a ranking query:
     // index/trigram/mod.rs:1-36 — char 3-grams, Jaccard to the pattern)

@@ -62,6 +62,18 @@ object StreamingOps {
       }
   }
 
+  /** Streaming exact dedup — the streaming face of the batch hash-dedup
+    * (q66): keep the FIRST document per content hash, dropping
+    * re-occurrences that arrive within the watermark horizon.
+    * `dropDuplicatesWithinWatermark` bounds the state store: hashes
+    * older than the watermark are evicted, so an unbounded ingest stream
+    * (the training-data landing zone) runs with O(window) state. */
+  def dedupStream(docs: DataFrame, watermark: String = "1 hour",
+      textCol: String = "text", tsCol: String = "ts"): DataFrame =
+    docs.withColumn("content_hash", md5(substring(col(textCol), 1, 40)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Read the events parquet directory as a stream (file source — at
     * scale this is the landing-zone pattern: new files appear, Spark
     * incrementally processes them). */

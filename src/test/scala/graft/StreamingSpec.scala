@@ -72,4 +72,27 @@ class StreamingSpec extends SparkSpecBase {
     assert(snaps.map(s => (s.n_events, s.total_value)).toSeq ==
       Seq((2L, 3.0), (3L, 7.0)))
   }
+
+  test("streaming exact dedup keeps first arrival per content hash") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val qn = s"dedup_${System.nanoTime()}"
+    val q = StreamingOps.dedupStream(docs, "1 hour")
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    val body = "the quick brown fox jumps over the lazy dog again"
+    mem.addData(
+      (ts("2024-01-01 10:00:00"), 1L, body),
+      (ts("2024-01-01 10:05:00"), 2L, body), // dup of doc 1 (same batch)
+      (ts("2024-01-01 10:10:00"), 3L, "an entirely different document body"))
+    q.processAllAvailable()
+    mem.addData(
+      (ts("2024-01-01 10:20:00"), 4L, body)) // dup of doc 1 (later batch)
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table(qn).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L), s"got $kept")
+  }
 }
