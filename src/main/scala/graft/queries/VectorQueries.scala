@@ -205,6 +205,35 @@ object VectorQueries {
           (q64c, None)), 5, idCol = "vec_id")
     },
 
+    // ---- V8: LSH ANN tier end-to-end at FULL probe radius — probing
+    // every Hamming bucket recovers exact search, so the DuckDB oracle
+    // is the plain exact top-k (partial-radius recall is spec-gated:
+    // AnnSpec monotone-recall tests)
+    QueryDef(
+      "q58_lsh_fullprobe",
+      s"""SELECT vec_id, list_cosine_similarity($E, ${sqlVec(q64)}) AS score
+         |FROM embeddings ORDER BY score DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val idx = graft.operators.Ann.buildIndex(t(s, d, "embeddings"), "embedding", 6)
+      graft.operators.Ann.search(idx, "embedding", q64, 10, nPlanes = 6,
+          radius = 6, idCol = "vec_id")
+        .select("vec_id", "score")
+    },
+
+    // ---- IVF ANN tier end-to-end at FULL nprobe — probing every cell
+    // recovers exact search (k-means training is deterministic; partial
+    // nprobe recall is spec-gated in AnnSpec)
+    QueryDef(
+      "q59_ivf_fullprobe",
+      s"""SELECT vec_id, list_cosine_similarity($E, ${sqlVec(q64)}) AS score
+         |FROM embeddings ORDER BY score DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      import graft.operators.Ivf
+      val emb = t(s, d, "embeddings")
+      val cents = Ivf.trainCentroids(emb, "embedding", k = 8, iters = 2)
+      Ivf.search(Ivf.buildIndex(emb, "embedding", cents), "embedding", q64,
+          10, cents, nprobe = 8, idCol = "vec_id")
+        .select("vec_id", "score")
+    },
+
     // ---- F1: RRF fusion of two legs (cosine top-20, dot top-20);
     // rank is 1-based, score = Σ 1/(60 + rank) — strategy.rs:230-250
     QueryDef(

@@ -360,6 +360,23 @@ class Compiler(
         .agg(aggCols.head, aggCols.tail: _*)
       else df.agg(aggCols.head, aggCols.tail: _*)
 
+    // WITH (max_groups=N | group_limit=N): error when the aggregation
+    // produces more groups (aggregation.rs:87-88, 405-407; hard cap 1M).
+    // Divergence, documented: WITHOUT the option we are unlimited — the
+    // reference's default 10k cap protects its in-memory hash map, while
+    // Spark aggregation spills; the guardrail only runs when asked for.
+    val maxGroups = sel.withOptions.get("max_groups")
+      .orElse(sel.withOptions.get("group_limit"))
+      .map(v => math.min(math.max(v.toDouble.toLong, 1L), 1000000L))
+    maxGroups.foreach { mg =>
+      if (!hasGroup) fail("max_groups requires GROUP BY")
+      val gc = out.agg(count(lit(1)).as("__gc"))
+      out = out.crossJoin(broadcast(gc))
+        .where(assert_true(col("__gc") <= mg,
+          lit(s"Too many groups (limit: $mg)")).isNull)
+        .drop("__gc")
+    }
+
     // HAVING: strictly left-to-right fold (query/aggregation.rs:611-644);
     // HAVING without GROUP BY is an error (aggregation.rs:144-149)
     sel.having.foreach { h =>

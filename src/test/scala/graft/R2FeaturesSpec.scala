@@ -173,6 +173,19 @@ class R2FeaturesSpec extends SparkSpecBase {
     assert(recall >= 0.8, s"recall $recall < 0.8 (exact ${exact.size}, got ${got.size})")
   }
 
+  test("WITH (max_groups/group_limit) errors past the cap, passes under it") {
+    val c = compiler()
+    // orders has 5 distinct priorities
+    val e = intercept[Exception](c.run(
+      """SELECT o_orderpriority, COUNT(*) FROM orders
+        |GROUP BY o_orderpriority WITH (group_limit = 2)""".stripMargin).collect())
+    assert(e.getMessage.contains("Too many groups"))
+    val ok = c.run(
+      """SELECT o_orderpriority, COUNT(*) FROM orders
+        |GROUP BY o_orderpriority WITH (max_groups = 100)""".stripMargin).collect()
+    assert(ok.length == 5)
+  }
+
   test("correlated subquery under OR is rejected with a clear error") {
     val c = compiler()
     val e = intercept[IllegalArgumentException](c.run(
