@@ -199,7 +199,7 @@ class VelesqlSpec extends SparkSpecBase {
     val rnd = new scala.util.Random(42)
     val orders = Tables.table(spark, sfDir, "orders")
     // (velesql fragment, equivalent Column) leaf pool over orders columns
-    def leaf(): (String, Column) = rnd.nextInt(6) match {
+    def leaf(): (String, Column) = rnd.nextInt(8) match {
       case 0 => ("o_totalprice > 150000", c("o_totalprice") > 150000)
       case 1 => ("o_orderstatus = 'F'", c("o_orderstatus") === "F")
       case 2 => ("o_orderpriority IN ('1-URGENT', '2-HIGH')",
@@ -208,6 +208,9 @@ class VelesqlSpec extends SparkSpecBase {
         c("o_totalprice").between(50000, 250000))
       case 4 => ("o_orderpriority LIKE '%HIGH'", c("o_orderpriority").like("%HIGH"))
       case 5 => ("o_custkey IS NOT NULL", c("o_custkey").isNotNull)
+      // r2: column-to-column comparisons (ColumnRef value side)
+      case 6 => ("o_custkey < o_orderkey", c("o_custkey") < c("o_orderkey"))
+      case 7 => ("o_totalprice >= o_custkey", c("o_totalprice") >= c("o_custkey"))
     }
     def tree(depth: Int): (String, Column) =
       if (depth == 0) leaf()
