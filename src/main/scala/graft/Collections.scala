@@ -49,9 +49,15 @@ class Collections(spark: SparkSession, dataDir: String) {
     rm(colDir(name))
   }
 
-  private def idColOf(name: String): String = {
+  private def idColOf(name: String): String = metaOf(name)._1
+
+  /** (idCol, vectorCol, metric) from the collection's meta sidecar. */
+  def metaOf(name: String): (String, Option[String], String) = {
     val meta = Files.readString(metaPath(name))
-    """"idCol":\s*"([^"]+)"""".r.findFirstMatchIn(meta).map(_.group(1)).getOrElse("id")
+    def field(k: String): Option[String] =
+      (s""""$k":\\s*"([^"]+)"""").r.findFirstMatchIn(meta).map(_.group(1))
+    (field("idCol").getOrElse("id"), field("vectorCol"),
+      field("metric").getOrElse("cosine"))
   }
 
   /** S3: read all points (empty frame with no schema if never written). */

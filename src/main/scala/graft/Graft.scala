@@ -61,7 +61,7 @@ class Graft(
     val ast = parse(query)
     ast.select.foreach { sel =>
       (sel.from +: sel.joins.map(_.table)).foreach { t =>
-        if (!catalog.meta.contains(t))
+        if (!catalog.exists(t))
           throw new velesql.NotFoundError(s"collection not found: $t")
       }
     }

@@ -41,8 +41,20 @@ class Catalog(spark: SparkSession, val dir: String) {
     // multi-word binary sketch path (real embeddings are 768+ dims)
     "embeddings_wide" -> CollectionMeta("vec_id", Some("embedding"), "cosine"))
 
+  /** User-created collections ([[graft.Collections]] sidecar dirs) are
+    * first-class VelesQL targets: the reference's `db.get_collection(n)
+    * .execute_query(…)` flow (lib.rs:230-346) maps to `Graft.sql` over
+    * any collection created through the CRUD API. */
+  private lazy val userCollections = new graft.Collections(spark, dir)
+
+  def exists(name: String): Boolean =
+    meta.contains(name) || userCollections.exists(name)
+
   def table(name: String): DataFrame =
-    if (name == "corpus") {
+    if (!meta.contains(name) && userCollections.exists(name))
+      userCollections.table(name).getOrElse(
+        spark.emptyDataFrame) // created but never written
+    else if (name == "corpus") {
       // materialized once per dataset dir: hybrid queries touch corpus
       // several times per plan (base + vector leg + text leg)
       graft.Materialize(spark, dir, "corpus",
@@ -58,7 +70,11 @@ class Catalog(spark: SparkSession, val dir: String) {
     } else Tables.table(spark, dir, name)
 
   def metaOf(name: String): CollectionMeta =
-    meta.getOrElse(name, CollectionMeta())
+    meta.getOrElse(name,
+      if (userCollections.exists(name)) {
+        val (idCol, vecCol, metric) = userCollections.metaOf(name)
+        CollectionMeta(idCol, vecCol, metric)
+      } else CollectionMeta())
 
   /** Graph node table for MATCH queries: typed nodes from the derived
     * customer→order→part→supplier graph, materialized once per dataset

@@ -173,6 +173,25 @@ class R2FeaturesSpec extends SparkSpecBase {
     assert(recall >= 0.8, s"recall $recall < 0.8 (exact ${exact.size}, got ${got.size})")
   }
 
+  test("user-created collections are queryable through VelesQL (switch-engines flow)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-usercol").toString
+    val g = Graft(spark, tmp)
+    g.collections.create("notes", idCol = "id",
+      vectorCol = Some("embedding"), metric = "cosine")
+    import spark.implicits._
+    val batch = Seq(
+      (1L, Array(1.0f, 0.0f), "alpha"),
+      (2L, Array(0.0f, 1.0f), "beta"),
+      (3L, Array(0.7f, 0.7f), "gamma")).toDF("id", "embedding", "note")
+    g.collections.upsert("notes", batch)
+    val rows = g.sql("SELECT id, score FROM notes WHERE vector NEAR $q LIMIT 2",
+      Map("q" -> Seq(1.0f, 0.1f))).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    val filtered = g.sql("SELECT id FROM notes WHERE note = 'beta'").collect()
+    assert(filtered.map(_.getLong(0)).toSeq == Seq(2L))
+    intercept[velesql.NotFoundError](g.sql("SELECT * FROM missing"))
+  }
+
   test("WITH (max_groups/group_limit) errors past the cap, passes under it") {
     val c = compiler()
     // orders has 5 distinct priorities
