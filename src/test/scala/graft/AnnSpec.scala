@@ -133,6 +133,22 @@ class AnnSpec extends SparkSpecBase {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(annIds == expected)
     assert((annIds & exactIds).nonEmpty) // sanity: probes overlap the true top-k
+
+    // direction guard (ADVICE r1): a FARTHEST-first sort must NOT get the
+    // near-bucket probe filter — it would not approximate that query
+    val farthest = index
+      .orderBy(VF.cosine_sim(col("embedding"), VF.vecLit(q)).asc, col("vec_id").asc)
+      .limit(10)
+    assert(probeFilters(farthest).isEmpty, "farthest-first sort must not be probe-rewritten")
+    // l2: ASCENDING is nearest-first and qualifies; DESC must not
+    val l2Near = index
+      .orderBy(VF.l2_dist(col("embedding"), VF.vecLit(q)).asc, col("vec_id").asc)
+      .limit(10)
+    assert(probeFilters(l2Near).nonEmpty, "l2 ASC is nearest-first, should rewrite")
+    val l2Far = index
+      .orderBy(VF.l2_dist(col("embedding"), VF.vecLit(q)).desc, col("vec_id").asc)
+      .limit(10)
+    assert(probeFilters(l2Far).isEmpty, "l2 DESC must not be probe-rewritten")
     ext.conf.set("graft.ann.rewrite", "false")
   }
 
