@@ -46,27 +46,52 @@ object Dedup {
       .select(col("a"), col("b"), round(j, 6).as("jaccard"))
   }
 
-  /** Winnowing document fingerprints (the MOSS scheme): hash every
-    * k-char gram of the text, then keep the MINIMUM hash of every
-    * w-window of consecutive gram hashes, distinct per doc. Any shared
-    * substring of length ≥ w + k − 1 between two documents is guaranteed
-    * to yield a shared fingerprint — the local-minima selection is what
-    * makes the fingerprint set position-robust, unlike a fixed stride.
-    * Map-only per doc (no shuffle); downstream joins are inverted-index
-    * shaped ([[sharedFingerprintPairs]]). */
-  def winnowingFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val grams = expr(
-      s"""transform(sequence(1, length($textCol) - ${k - 1}),
-         |  i -> cast(conv(substring(md5(substring($textCol, i, $k)), 1, 15), 16, 10) as bigint))"""
-        .stripMargin)
-    docs.where(length(col(textCol)) >= k + w - 1)
-      .select(col(idCol).as("doc_id"), grams.as("h"))
+  /** Winnowing fingerprint selection (the MOSS scheme) over ORDERED
+    * per-doc gram-hash arrays `(doc_id, h: array<bigint>)`: keep the
+    * MINIMUM hash of every w-window of consecutive gram hashes,
+    * distinct per doc. Any shared run of w consecutive grams between
+    * two documents is guaranteed to yield a shared fingerprint — the
+    * local-minima selection makes the set position-robust, unlike a
+    * fixed stride. Map-only per doc (no shuffle); downstream joins are
+    * inverted-index shaped ([[sharedFingerprintPairs]]). */
+  def winnowHashes(grams: DataFrame, w: Int = 4): DataFrame =
+    grams.where(size(col("h")) >= w)
       .select(col("doc_id"), explode(array_distinct(expr(
         s"transform(sequence(1, size(h) - ${w - 1}), j -> array_min(slice(h, j, $w)))")))
         .as("fp"))
       .distinct()
+
+  /** Ordered char k-gram hashes per doc (fine-grained fingerprinting —
+    * ~|text| hashes per doc; prefer [[tokenGramHashes]] at corpus scale). */
+  def charGramHashes(docs: DataFrame, k: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.where(length(col(textCol)) >= k)
+      .select(col(idCol).as("doc_id"), expr(
+        s"""transform(sequence(1, length($textCol) - ${k - 1}),
+           |  i -> cast(conv(substring(md5(substring($textCol, i, $k)), 1, 15), 16, 10) as bigint))"""
+          .stripMargin).as("h"))
+
+  /** Ordered word n-gram hashes per doc (the corpus-scale granularity:
+    * ~|tokens| hashes per doc; same tokenizer and 60-bit md5 hash as the
+    * shingle/minhash family). */
+  def tokenGramHashes(docs: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val gram = (0 until n).map(j => s"tks[i + $j]").mkString("concat_ws(' ', ", ", ", ")")
+    docs
+      .select(col(idCol).as("doc_id"),
+        expr(s"filter(split(lower($textCol), '[^a-z0-9]+'), t -> length(t) > 1)").as("tks"))
+      .where(size(col("tks")) >= n)
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, size(tks) - $n),
+           |  i -> cast(conv(substring(md5($gram), 1, 15), 16, 10) as bigint))"""
+          .stripMargin).as("h"))
   }
+
+  /** Winnowing fingerprints from word 3-grams with window 4 — shared
+    * runs of ≥ 6 tokens fingerprint. */
+  def winnowingFingerprints(docs: DataFrame, n: Int = 3, w: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    winnowHashes(tokenGramHashes(docs, n, idCol, textCol), w)
 
   /** Document pairs sharing ≥ `minShared` winnowing fingerprints —
     * inverted join on the fingerprint, never all-pairs. */

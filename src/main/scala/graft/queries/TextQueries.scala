@@ -368,25 +368,32 @@ object TextQueries {
           .otherwise(lit(0L))).as("simhash"))
     },
 
-    // ---- Fingerprinting: winnowing (rolling k-gram hash + window-min
-    // selection, the MOSS scheme) — pairs sharing ≥ 60 fingerprints.
-    // Guarantee: any shared substring of ≥ w+k−1 = 8 chars fingerprints.
+    // ---- Fingerprinting: winnowing (rolling word-3-gram hash +
+    // window-4 min selection, the MOSS scheme) — pairs sharing ≥ 20
+    // fingerprints. Guarantee: any shared run of ≥ 6 tokens
+    // fingerprints. Fingerprint table materialized once per dataset
+    // (index-build side); the query is a parquet scan + inverted join.
     QueryDef(
       "q72_winnowing",
-      """WITH hs AS (
-        |  SELECT doc_id, list_transform(range(1, len(text) - 3), i ->
-        |    CAST(concat('0x', substr(md5(substr(text, CAST(i AS INT), 5)), 1, 15)) AS BIGINT)) AS h
-        |  FROM documents WHERE len(text) >= 8),
+      """WITH tks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 1) AS tk
+        |  FROM documents),
+        |hs AS (SELECT doc_id, list_transform(range(1, len(tk) - 1), i ->
+        |    CAST(concat('0x', substr(md5(tk[CAST(i AS INT)] || ' ' || tk[CAST(i+1 AS INT)]
+        |      || ' ' || tk[CAST(i+2 AS INT)]), 1, 15)) AS BIGINT)) AS h
+        |  FROM tks WHERE len(tk) >= 3),
         |fp AS (SELECT DISTINCT doc_id, u.f AS fp FROM (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(h) - 2), j ->
-        |    list_aggregate(h[CAST(j AS INT):CAST(j+3 AS INT)], 'min'))) AS fps FROM hs),
+        |    list_aggregate(h[CAST(j AS INT):CAST(j+3 AS INT)], 'min'))) AS fps
+        |  FROM hs WHERE len(h) >= 4),
         |  unnest(fps) AS u(f))
         |SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS nshared
         |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING count(*) >= 60""".stripMargin) { (s, d) =>
-      val fps = graft.operators.Dedup.winnowingFingerprints(
-        t(s, d, "documents"), k = 5, w = 4)
-      graft.operators.Dedup.sharedFingerprintPairs(fps, 60)
+        |GROUP BY 1, 2 HAVING count(*) >= 20""".stripMargin) { (s, d) =>
+      val fps = graft.Materialize(s, d, "winnow_fp", Seq("documents"), Some("doc_id")) {
+        graft.operators.Dedup.winnowingFingerprints(t(s, d, "documents"))
+      }
+      graft.operators.Dedup.sharedFingerprintPairs(fps, 20)
     },
 
     // ---- T4: trigram similarity ranking (pg_trgm-style, the reference's
