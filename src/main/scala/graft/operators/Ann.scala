@@ -102,6 +102,15 @@ object Ann {
     out.result()
   }
 
+  /** Persist an LSH index partitioned BY BUCKET: probing then becomes
+    * partition pruning — a radius-r probe reads only its Hamming ball's
+    * directories, never the rest of the index. */
+  def writeIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** ANN top-k: probe buckets within `radius`, exact-rerank candidates.
     * radius = nPlanes recovers exact search (all buckets probed). */
   def search(index: DataFrame, vecCol: String, query: Seq[Float], k: Int,
