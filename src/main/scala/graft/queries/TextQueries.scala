@@ -355,17 +355,19 @@ object TextQueries {
         |SELECT doc_id,
         |  sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
         |FROM bits GROUP BY doc_id""".stripMargin) { (s, d) =>
+      // all 32 bit-weights in ONE partial+final aggregation (the r1
+      // shape crossJoined a 32-row bit table → 32× the rows and an
+      // extra shuffle); the oracle keeps the per-bit formulation —
+      // same values, different plan
       val tok = tokens(t(s, d, "documents"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val bits = tok
         .withColumn("h", conv(substring(md5(col("term")), 1, 8), 16, 10).cast(LongType))
-        .crossJoin(broadcast(s.range(32).select(col("id").cast("int").as("j"))))
-        .withColumn("bit", expr("shiftright(h, j) % 2"))
-        .groupBy("doc_id", "j")
-        .agg(sum(col("tf") * (lit(2) * col("bit") - 1)).as("w"))
-      bits.groupBy("doc_id")
-        .agg(sum(when(col("w") > 0, expr("shiftleft(cast(1 as bigint), j)"))
-          .otherwise(lit(0L))).as("simhash"))
+      val wCols = (0 until 32).map(j =>
+        sum(col("tf") * (lit(2) * (shiftright(col("h"), j) % 2) - 1)).as(s"w$j"))
+      val sim = (0 until 32).map(j =>
+        when(col(s"w$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+      tok.groupBy("doc_id").agg(wCols.head, wCols.tail: _*)
+        .select(col("doc_id"), sim.as("simhash"))
     },
 
     // ---- Fingerprinting: winnowing (rolling word-3-gram hash +
