@@ -712,7 +712,29 @@ class Compiler(
   /** Compile a Cypher-subset MATCH to joins over nodes/edges
     * (match_exec.rs:104-218). Fixed-length hops become per-hop joins;
     * var-length hops use the BFS loop. */
-  def compileMatch(m: MatchQuery): DataFrame = {
+  def compileMatch(m0: MatchQuery): DataFrame = {
+    // G10 leg-order heuristic (the reference's start-node selection,
+    // match_exec.rs start filtering): when the pattern's FIRST node is
+    // unconstrained but its LAST carries labels/properties, compile the
+    // REVERSED pattern (rel directions flipped) so the traversal fans
+    // out from the selective end — semantically identical, and at scale
+    // the first join's probe side is the filtered frame, not the whole
+    // node table. Skipped for var-length hops (BFS direction is part of
+    // min-depth semantics) and named paths (the id array is ordered).
+    val m = {
+      val p = m0.pattern
+      def sel(np: NodePattern) = np.properties.size * 2 + np.labels.size
+      val reversible = p.nodes.size > 1 && p.name.isEmpty &&
+        p.rels.forall(r => r.minHops == 1 && r.maxHops == 1)
+      if (reversible && sel(p.nodes.head) == 0 && sel(p.nodes.last) > 0)
+        m0.copy(pattern = GraphPattern(p.nodes.reverse,
+          p.rels.reverse.map(r => r.copy(direction = r.direction match {
+            case "out" => "in"
+            case "in" => "out"
+            case other => other
+          })), p.name))
+      else m0
+    }
     val nodes = catalog.graphNodes
     val edges = catalog.graphEdges
 

@@ -173,6 +173,20 @@ class R2FeaturesSpec extends SparkSpecBase {
     assert(recall >= 0.8, s"recall $recall < 0.8 (exact ${exact.size}, got ${got.size})")
   }
 
+  test("MATCH leg-order heuristic: reversed compile returns identical results") {
+    // unconstrained head + labeled tail triggers the reversed compile
+    // (start from the selective end); results must be order-identical
+    val c = compiler()
+    val got = c.run(
+      "MATCH (x)-[:placed]->(o:Order) RETURN x AS custkey, o.id AS order_node")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = operators.Graph.edges(spark, sfDir)
+      .where(col("label") === "placed")
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("user-created collections are queryable through VelesQL (switch-engines flow)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-usercol").toString
     val g = Graft(spark, tmp)
