@@ -58,6 +58,15 @@ class MetricsExplainSpec extends SparkSpecBase {
       .fold(e => fail(e), identity)
     assert(g.contains("MatchTraversal"))
     assert(g.contains("*1..3"))
+    // r2 surfaces: WITH options, rel properties, named paths render
+    val w = Explain.explain(
+      "SELECT id FROM docs WHERE vector NEAR $v LIMIT 5 WITH (mode = 'fast', timeout_ms = 100)")
+      .fold(e => fail(e), identity)
+    assert(w.contains("With(") && w.contains("mode=fast") && w.contains("timeout_ms=100"))
+    val rp = Explain.explain(
+      "MATCH p = (a)-[r:KNOWS {since: 2020}]->(b) RETURN p")
+      .fold(e => fail(e), identity)
+    assert(rp.contains("since=2020") && rp.contains("path=p"))
   }
 
   test("guardrails reject above max_cost, admit below") {
