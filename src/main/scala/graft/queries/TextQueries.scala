@@ -340,7 +340,10 @@ object TextQueries {
     // ---- Dedup: SimHash 32-bit fingerprint per doc (bit j = sign of
     // Σ_tokens tf·(2·bit_j(md5(token)) − 1)); bit j comes from the first
     // 8 md5 hex chars as a 32-bit int — integer shifts only, no float
-    // round-trip (the r1 pow()/division version hash-mismatched)
+    // round-trip (the r1 pow()/division version hash-mismatched).
+    // The final CAST(... AS BIGINT) is load-bearing: DuckDB sum(BIGINT)
+    // yields HUGEINT, which pandas reads as float64 and the value hash
+    // then never matches Spark's int64.
     QueryDef(
       "q69_simhash",
       """WITH tok AS (
@@ -353,7 +356,7 @@ object TextQueries {
         |  FROM tok, (SELECT unnest(range(0, 32)) AS j) b
         |  GROUP BY doc_id, b.j)
         |SELECT doc_id,
-        |  sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+        |  CAST(sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id""".stripMargin) { (s, d) =>
       // all 32 bit-weights in ONE partial+final aggregation (the r1
       // shape crossJoined a 32-row bit table → 32× the rows and an

@@ -317,15 +317,24 @@ object VelesqlQueries {
         |RETURN o.id AS order_node, p.id AS part_node""".stripMargin),
 
     // ---- named path `p = (…)` binds the array of bound node ids
-    // (graph_pattern.rs:24-25)
-    vql("q114_vql_named_path",
+    // (graph_pattern.rs:24-25). The harness projects the path as a
+    // '->'-joined STRING on both sides: the oracle comparator (pandas)
+    // cannot sort/hash list cells, so an array-typed column can never
+    // pass regardless of values. The array-typed form is asserted in
+    // R2FeaturesSpec.
+    QueryDef("q114_vql_named_path",
       s"""WITH edges AS (${graft.operators.Graph.edgesSql})
-         |SELECT c.c_custkey AS custkey, [c.c_custkey, e.dst] AS p
+         |SELECT c.c_custkey AS custkey,
+         |  array_to_string([c.c_custkey, e.dst], '->') AS p
          |FROM customer c
          |JOIN edges e ON e.label = 'placed' AND e.src = c.c_custkey
-         |WHERE c.c_mktsegment = 'MACHINERY'""".stripMargin,
-      """MATCH p = (c:Customer {segment: 'MACHINERY'})-[:placed]->(o:Order)
-        |RETURN c.id AS custkey, p""".stripMargin),
+         |WHERE c.c_mktsegment = 'MACHINERY'""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions.{col, concat_ws}
+      new Compiler(s, new Catalog(s, d))
+        .run("""MATCH p = (c:Customer {segment: 'MACHINERY'})-[:placed]->(o:Order)
+                |RETURN c.id AS custkey, p""".stripMargin)
+        .withColumn("p", concat_ws("->", col("p").cast("array<string>")))
+    },
 
     // ---- WITH (quantization='binary') two-phase NEAR on 128-dim vectors
     // — the multi-word (array<bigint>) sketch path; the oracle replicates

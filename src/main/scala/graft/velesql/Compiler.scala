@@ -597,8 +597,11 @@ class Compiler(
     * AND …)` into `groupBy(k).agg ⋈ outer` + compare — ONE distributed
     * aggregation and a key join instead of a per-row subquery
     * (subquery_optimizer.rs RewriteAsJoin; PerRow would be a driver
-    * loop). Inner join reproduces SQL semantics for missing groups
-    * (empty scalar subquery → NULL → comparison is false). */
+    * loop). Join type tracks SQL empty-group semantics: for sum/avg/min/
+    * max an empty scalar subquery is NULL → comparison false → inner
+    * join. COUNT over an empty group is 0, not NULL — outer rows with no
+    * matching inner rows must compare against 0, so count uses a LEFT
+    * join + coalesce(__sq, 0). */
   private def applyCorrelatedScalar(outer: DataFrame, outerCol: String,
       op: String, sq: Select): DataFrame = {
     if (sq.groupBy.nonEmpty || sq.having.isDefined || sq.joins.nonEmpty ||
@@ -625,8 +628,13 @@ class Compiler(
       .withColumnRenamed(aggItem.resultName, "__sq")
     val cond = pairs.zipWithIndex.map { case ((_, on), i) =>
       grouped(s"__ck$i") === resolve(outer, on) }.reduce(_ && _)
-    outer.join(grouped, cond, "inner")
-      .where(cmp(resolve(outer, outerCol), op, col("__sq")))
+    val isCount = aggItem match {
+      case AggregateItem("count", _, _) => true
+      case _ => false
+    }
+    val sqVal = if (isCount) coalesce(col("__sq"), lit(0L)) else col("__sq")
+    outer.join(grouped, cond, if (isCount) "left" else "inner")
+      .where(cmp(resolve(outer, outerCol), op, sqVal))
       .drop("__sq")
       .drop(pairs.indices.map(i => s"__ck$i"): _*)
   }
