@@ -113,9 +113,14 @@ class Collections(spark: SparkSession, dataDir: String) {
   }
 
   /** Delete every row matching `predicate` — a pure filter-and-rewrite:
-    * the matching set never leaves the executors (no driver id collect). */
+    * the matching set never leaves the executors (no driver id collect).
+    * Rows where the predicate is NULL (e.g. a comparison on a NULL
+    * column) do NOT match and are kept: keep = NOT coalesce(pred, false),
+    * because `!NULL` is NULL and a bare `where(!pred)` would silently
+    * delete them. */
   def deleteWhere(name: String, predicate: org.apache.spark.sql.Column): Unit =
-    table(name).foreach(df => upsertReplaceAll(name, df.where(!predicate)))
+    table(name).foreach(df =>
+      upsertReplaceAll(name, df.where(!coalesce(predicate, lit(false)))))
 
   /** S3: count (crud.rs:328 len). */
   def count(name: String): Long = table(name).map(_.count()).getOrElse(0L)

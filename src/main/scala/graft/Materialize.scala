@@ -2,24 +2,35 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 /** Materialize a derived frame ONCE per dataset dir as parquet,
-  * optionally clustered by a key column. The cache key includes the
-  * source files' mtime+size, so regenerated testdata rebuilds. At
+  * optionally clustered by a key column. The cache key includes a
+  * per-file listing (path, mtime, size) of every source, so regenerated
+  * testdata rebuilds and partial rewrites are content-sensitive. At
   * cluster scale the same derived tables become bucketed tables
-  * (bucketBy + metastore) so downstream joins co-locate. */
+  * (bucketBy + metastore) so downstream joins co-locate.
+  *
+  * Publication is crash/cross-process safe: builders write to a private
+  * temp dir and atomically rename into place — a reader either sees the
+  * complete directory or none of it, and the slower of two racing
+  * builders simply discards its copy (same key ⇒ same content).
+  */
 object Materialize {
 
   def apply(spark: SparkSession, dir: String, kind: String,
       sources: Seq[String], partCol: Option[String])(build: => DataFrame): DataFrame = {
     val stamp = sources.map { t =>
-      val f = new java.io.File(s"$dir/$t.parquet")
-      s"${f.lastModified()}_${f.length()}"
+      val f = Paths.get(s"$dir/$t.parquet")
+      // fail fast: a silently-missing source would stamp a constant and
+      // pin a stale cache forever (r3 ADVICE)
+      require(Files.exists(f), s"Materialize($kind): missing source $f")
+      listingHash(f)
     }.mkString("_")
-    val key = s"v2_${kind}_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}__$stamp"
-    val path = s"${sys.props("java.io.tmpdir")}/graft-derived/$key"
+    val key = s"v3_${kind}_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}__$stamp"
+    val path = Paths.get(s"${sys.props("java.io.tmpdir")}/graft-derived/$key")
     this.synchronized {
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))) {
+      if (!Files.exists(path.resolve("_SUCCESS"))) {
         val b = build
         // cluster AND sort by the key: tight per-row-group min/max stats
         // → pushed key filters prune row groups on read
@@ -27,9 +38,49 @@ object Materialize {
           b.repartition(spark.sessionState.conf.numShufflePartitions, col(c))
             .sortWithinPartitions(col(c)))
           .getOrElse(b)
-        clustered.write.mode("overwrite").parquet(path)
+        val tmp = path.resolveSibling(
+          s"${path.getFileName}.tmp-${java.util.UUID.randomUUID()}")
+        clustered.write.mode("overwrite").parquet(tmp.toString)
+        publish(tmp, path)
       }
     }
-    spark.read.parquet(path)
+    spark.read.parquet(path.toString)
+  }
+
+  /** Recursive (name, mtime, size) listing folded into one hex token —
+    * content-sensitive for directories (parquet dirs report meaningless
+    * lastModified/length at the top level). */
+  private def listingHash(p: Path): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def walk(f: Path): Unit =
+      if (Files.isDirectory(f)) {
+        import scala.jdk.CollectionConverters._
+        Files.list(f).iterator().asScala.toSeq.sortBy(_.toString).foreach(walk)
+      } else md.update(
+        s"${f.getFileName}:${Files.getLastModifiedTime(f).toMillis}:${Files.size(f)};"
+          .getBytes("UTF-8"))
+    walk(p)
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
+
+  /** Atomic publish: rename tmp → target; if another process already
+    * published the same key, keep theirs and drop ours. */
+  private def publish(tmp: Path, target: Path): Unit = {
+    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException
+           | _: java.nio.file.AccessDeniedException
+           | _: java.nio.file.DirectoryNotEmptyException =>
+        if (!Files.exists(target.resolve("_SUCCESS")))
+          throw new IllegalStateException(
+            s"Materialize: $target exists without _SUCCESS — remove it and retry")
+        deleteRec(tmp)
+    }
+  }
+
+  private def deleteRec(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(deleteRec)
+    Files.deleteIfExists(p)
   }
 }

@@ -52,8 +52,20 @@ class Catalog(spark: SparkSession, val dir: String) {
 
   def table(name: String): DataFrame =
     if (!meta.contains(name) && userCollections.exists(name))
-      userCollections.table(name).getOrElse(
-        spark.emptyDataFrame) // created but never written
+      userCollections.table(name).getOrElse {
+        // created but never written: synthesize an empty frame with the
+        // DECLARED schema (id + vector from the meta sidecar) so queries
+        // that reference those columns return zero rows — the reference's
+        // empty collection behaves this way (crud.rs: empty store) — not
+        // an unresolved-column analysis error
+        import org.apache.spark.sql.types._
+        val (idCol, vecCol, _) = userCollections.metaOf(name)
+        val fields = StructField(idCol, LongType) +:
+          vecCol.map(v => StructField(v, ArrayType(FloatType))).toSeq
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(fields))
+      }
     else if (name == "corpus") {
       // materialized once per dataset dir: hybrid queries touch corpus
       // several times per plan (base + vector leg + text leg)

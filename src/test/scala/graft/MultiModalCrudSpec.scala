@@ -65,6 +65,23 @@ class MultiModalCrudSpec extends SparkSpecBase {
     cols.drop("agent_memory")
   }
 
+  test("deleteWhere keeps rows whose predicate is NULL (not TRUE ≠ delete)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delwhere").toString
+    val cols = new Collections(spark, dir)
+    cols.create("notes")
+    // score is NULL for id=2 — `score > 5` is NULL there, so the row must
+    // SURVIVE a deleteWhere(score > 5) (the predicate didn't match)
+    cols.upsert("notes", Seq(
+      (1L, java.lang.Double.valueOf(9.0)),
+      (2L, null.asInstanceOf[java.lang.Double]),
+      (3L, java.lang.Double.valueOf(1.0))).toDF("id", "score"))
+    cols.deleteWhere("notes", col("score") > 5)
+    val left = cols.table("notes").get.select("id").collect().map(_.getLong(0)).sorted
+    assert(left.toSeq == Seq(2L, 3L)) // only id=1 matched; NULL row kept
+    cols.drop("notes")
+  }
+
   test("collection CRUD lifecycle: create/upsert/get/delete/drop") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_collections").toString
