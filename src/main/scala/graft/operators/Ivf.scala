@@ -1,7 +1,8 @@
 package graft.operators
 
-import graft.functions.{VectorFunctions, VectorKernels}
-import org.apache.spark.sql.DataFrame
+import graft.functions.VectorKernels
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) ANN index — the second scale path beside LSH
@@ -14,15 +15,19 @@ import org.apache.spark.sql.functions._
   * probes the `nprobe` nearest cells — partition pruning when the index
   * is written `partitionBy("cell")` — and exact-reranks candidates.
   * `nprobe` is the recall/latency knob (the reference's ef analogue).
+  *
+  * Training + assignment happen at INDEX BUILD time ([[materializedIndex]]
+  * — the reference builds its index at insert, index/hnsw/native_index
+  * .rs:317), never inside a query: queries are probe + rerank only.
   */
 object Ivf {
 
   /** Deterministic k-means: seeds = hash-spread sample, `iters` Lloyd
-    * rounds, each an aggregation over the data (no driver loops over
-    * rows — only centroids, which are k×dim small). */
+    * rounds, each ONE distributed aggregation over the data (no driver
+    * loops over rows — only centroids, which are k×dim small). Pass
+    * `dim` from collection metadata; probing it costs a stray job. */
   def trainCentroids(df: DataFrame, vecCol: String, k: Int,
-      iters: Int = 5): Array[(Int, Array[Float])] = {
-    val dim = df.select(size(col(vecCol))).first().getInt(0)
+      iters: Int = 5, dim: Option[Int] = None): Array[(Int, Array[Float])] = {
     // deterministic seed pick: k rows with the smallest xxhash of the vector
     var centroids: Array[(Int, Array[Float])] = df
       .select(col(vecCol), xxhash64(col(vecCol).cast("string")).as("h"))
@@ -32,25 +37,52 @@ object Ivf {
     for (_ <- 1 to iters) {
       val bc = df.sparkSession.sparkContext.broadcast(centroids)
       val assignExpr = udfAssign(bc.value)
-      // per-dimension means as ONE partial+final aggregation producing a
-      // single row per cell — the driver receives k rows, not k×dim (the
-      // r1 posexplode shape). For dims beyond ~1k, swap the dim avg
-      // columns for a TypedImperativeAggregate over float arrays.
-      val meanCols = (0 until dim).map(i =>
-        avg(element_at(col(vecCol), i + 1)).as(s"m$i"))
-      val means = df
-        .withColumn("cell", assignExpr(col(vecCol)))
-        .groupBy("cell").agg(meanCols.head, meanCols.tail: _*)
-        .collect()
-      val byCell = means.map(r => r.getInt(0) -> r).toMap
+      val means = cellMeans(df.withColumn("cell", assignExpr(col(vecCol))), vecCol)
       centroids = centroids.map { case (c, old) =>
-        byCell.get(c) match {
-          case Some(r) => (c, Array.tabulate(dim)(i => r.getDouble(i + 1).toFloat))
-          case None => (c, old) // empty cell keeps its centroid
-        }
+        means.getOrElse(c, old) match { case m => (c, m) } // empty cell keeps its centroid
       }
     }
     centroids
+  }
+
+  /** Per-cell element-wise mean as ONE typed aggregation column — a
+    * single (sums, count) buffer per group regardless of dimension. The
+    * r2 shape emitted one `avg` column per dimension, which at 768d was
+    * a 768-column aggregate plan. Partial aggregation still applies
+    * (ObjectHashAggregate merges buffers map-side). */
+  private def cellMeans(dfWithCell: DataFrame, vecCol: String): Map[Int, Array[Float]] = {
+    val ss = dfWithCell.sparkSession
+    import ss.implicits._
+    val vecAvg = new Aggregator[(Int, Array[Double]), (Array[Double], Long), Array[Double]] {
+      def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
+      def reduce(b: (Array[Double], Long), a: (Int, Array[Double])): (Array[Double], Long) = {
+        val v = a._2
+        val s = if (b._1.isEmpty) new Array[Double](v.length) else b._1
+        var i = 0
+        while (i < v.length) { s(i) += v(i); i += 1 }
+        (s, b._2 + 1)
+      }
+      def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) =
+        if (x._1.isEmpty) y
+        else if (y._1.isEmpty) x
+        else {
+          var i = 0
+          while (i < x._1.length) { x._1(i) += y._1(i); i += 1 }
+          (x._1, x._2 + y._2)
+        }
+      def finish(b: (Array[Double], Long)): Array[Double] =
+        if (b._2 == 0) Array.empty[Double] else b._1.map(_ / b._2)
+      def bufferEncoder: Encoder[(Array[Double], Long)] = implicitly
+      def outputEncoder: Encoder[Array[Double]] = implicitly
+    }
+    dfWithCell
+      .select(col("cell"), col(vecCol).cast("array<double>").as("v"))
+      .as[(Int, Array[Double])]
+      .groupByKey(_._1)
+      .agg(vecAvg.toColumn.name("mean"))
+      .collect()
+      .collect { case (c, m) if m.nonEmpty => c -> m.map(_.toFloat) }
+      .toMap
   }
 
   /** Nearest-centroid assignment as a UDF over the broadcast centroid
@@ -73,6 +105,30 @@ object Ivf {
   def buildIndex(df: DataFrame, vecCol: String,
       centroids: Array[(Int, Array[Float])]): DataFrame =
     df.withColumn("cell", udfAssign(centroids)(col(vecCol)))
+
+  /** The IVF index for a dataset-dir table, materialized ONCE per
+    * dataset (keyed on the source parquet's file listing, like the BM25
+    * postings and dedup shingle tables): a tiny `(cell, centroid)`
+    * table plus the cell-clustered assignment table. Queries collect the
+    * centroid table (k rows) and go straight to probe + rerank — no
+    * per-query Lloyd rounds. At cluster scale the cells table is the
+    * partitionBy("cell") parquet layout ([[buildIndex]] scaladoc). */
+  def materializedIndex(spark: SparkSession, dir: String, table: String,
+      vecCol: String, k: Int, iters: Int = 2,
+      dim: Option[Int] = None): (Array[(Int, Array[Float])], DataFrame) = {
+    import spark.implicits._
+    val centDf = graft.Materialize(spark, dir, s"ivf${k}_centroids", Seq(table), None) {
+      trainCentroids(graft.Tables.table(spark, dir, table), vecCol, k, iters, dim)
+        .toSeq.map { case (c, cen) => (c, cen.toSeq) }.toDF("cell", "centroid")
+    }
+    val centroids = centDf.collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val cells = graft.Materialize(spark, dir, s"ivf${k}_cells", Seq(table), Some("cell")) {
+      buildIndex(graft.Tables.table(spark, dir, table), vecCol, centroids)
+    }
+    (centroids, cells)
+  }
 
   /** ANN top-k: probe the `nprobe` nearest cells, exact-rerank inside. */
   def search(index: DataFrame, vecCol: String, query: Seq[Float], k: Int,
