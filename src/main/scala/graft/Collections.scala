@@ -22,6 +22,18 @@ class Collections(spark: SparkSession, dataDir: String) {
   private def dataPath(name: String): String = colDir(name).resolve("points").toString
   private def metaPath(name: String): Path = colDir(name).resolve("meta.json")
 
+  /** Children of a directory with the `Files.list` stream CLOSED — the
+    * raw iterator leaks a directory handle per call in a long session. */
+  private def children(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  private def deleteRec(p: Path): Unit = {
+    if (Files.isDirectory(p)) children(p).foreach(deleteRec)
+    Files.deleteIfExists(p)
+  }
+
   /** S1: create — empty collection with metadata sidecar. */
   def create(name: String, idCol: String = "id",
       vectorCol: Option[String] = None, metric: String = "cosine"): Unit = {
@@ -36,18 +48,12 @@ class Collections(spark: SparkSession, dataDir: String) {
 
   def list(): Seq[String] =
     if (!Files.exists(root)) Nil
-    else Files.list(root).iterator().asScala
+    else children(root)
       .filter(p => Files.exists(p.resolve("meta.json")))
-      .map(_.getFileName.toString).toSeq.sorted
+      .map(_.getFileName.toString).sorted
 
   /** S1: drop (lib.rs:337-346). */
-  def drop(name: String): Unit = {
-    def rm(p: Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rm)
-      Files.deleteIfExists(p)
-    }
-    rm(colDir(name))
-  }
+  def drop(name: String): Unit = deleteRec(colDir(name))
 
   private def idColOf(name: String): String = metaOf(name)._1
 
@@ -87,13 +93,7 @@ class Collections(spark: SparkSession, dataDir: String) {
     val tmp = colDir(name).resolve("points.tmp").toString
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
     val target = Paths.get(dataPath(name))
-    if (Files.exists(target)) {
-      def rm(p: Path): Unit = {
-        if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rm)
-        Files.deleteIfExists(p)
-      }
-      rm(target)
-    }
+    if (Files.exists(target)) deleteRec(target)
     Files.move(Paths.get(tmp), target)
   }
 
@@ -136,11 +136,7 @@ class Collections(spark: SparkSession, dataDir: String) {
     val tmp = colDir(name).resolve("points.tmp").toString
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
     val target = Paths.get(dataPath(name))
-    def rm(p: Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rm)
-      Files.deleteIfExists(p)
-    }
-    if (Files.exists(target)) rm(target)
+    if (Files.exists(target)) deleteRec(target)
     Files.move(Paths.get(tmp), target)
   }
 }

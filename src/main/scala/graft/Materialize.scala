@@ -55,7 +55,9 @@ object Materialize {
     def walk(f: Path): Unit =
       if (Files.isDirectory(f)) {
         import scala.jdk.CollectionConverters._
-        Files.list(f).iterator().asScala.toSeq.sortBy(_.toString).foreach(walk)
+        val s = Files.list(f)
+        val children = try s.iterator().asScala.toSeq.sortBy(_.toString) finally s.close()
+        children.foreach(walk)
       } else md.update(
         s"${f.getFileName}:${Files.getLastModifiedTime(f).toMillis}:${Files.size(f)};"
           .getBytes("UTF-8"))
@@ -80,7 +82,11 @@ object Materialize {
 
   private def deleteRec(p: Path): Unit = {
     import scala.jdk.CollectionConverters._
-    if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(deleteRec)
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      val children = try s.iterator().asScala.toSeq finally s.close()
+      children.foreach(deleteRec)
+    }
     Files.deleteIfExists(p)
   }
 }

@@ -66,10 +66,13 @@ object Ann {
 
   /** Build the LSH index frame: input plus a `bucket` column. Persist
     * with `.write.partitionBy("bucket")` to turn probes into partition
-    * pruning at scale. */
-  def buildIndex(df: DataFrame, vecCol: String, nPlanes: Int): DataFrame = {
-    val dim = df.select(size(col(vecCol))).first().getInt(0)
-    df.withColumn("bucket", signatureCol(col(vecCol), nPlanes, dim))
+    * pruning at scale. Pass `dim` (from collection metadata / the query
+    * vector) to keep the build a single pass — the `None` fallback costs
+    * one stray dim-probe job. */
+  def buildIndex(df: DataFrame, vecCol: String, nPlanes: Int,
+      dim: Option[Int] = None): DataFrame = {
+    val d = dim.getOrElse(df.select(size(col(vecCol))).first().getInt(0))
+    df.withColumn("bucket", signatureCol(col(vecCol), nPlanes, d))
   }
 
   /** Buckets within Hamming radius `r` of the query signature, nearest

@@ -114,11 +114,12 @@ object Dedup {
     * 1 − (1 − p)^T — sized for the NEAR-DUP regime (cosine ≳ 0.9);
     * low-threshold similarity search belongs to [[Ann]]/[[Ivf]]. */
   def embeddingNearDupLsh(df: DataFrame, vecCol: String, idCol: String,
-      threshold: Double, nPlanes: Int = 8, tables: Int = 3): DataFrame = {
-    val dim = df.select(size(col(vecCol))).first().getInt(0)
+      threshold: Double, nPlanes: Int = 8, tables: Int = 3,
+      dim: Option[Int] = None): DataFrame = {
+    val d = dim.getOrElse(df.select(size(col(vecCol))).first().getInt(0))
     val cands = (0 until tables).map { t =>
       // per-table planes: offset the plane index so tables are independent
-      val sig = Ann.signatureCol(col(vecCol), nPlanes, dim, planeOffset = t * nPlanes)
+      val sig = Ann.signatureCol(col(vecCol), nPlanes, d, planeOffset = t * nPlanes)
       val b = df.select(col(idCol), col(vecCol), sig.as("bucket"))
       val l = b.select(col(idCol).as("a"), col(vecCol).as("va"), col("bucket"))
       val r = b.select(col(idCol).as("b"), col(vecCol).as("vb"), col("bucket"))

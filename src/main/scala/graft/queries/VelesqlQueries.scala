@@ -165,20 +165,55 @@ object VelesqlQueries {
         "a" -> qvec,
         "b" -> (0 until 64).map(i => (math.cos(i * 0.31) * 0.4 - 0.05).toFloat))),
 
+    // ---- NEAR_FUSED + selective metadata WHERE: the filter applies
+    // BEFORE the candidate legs (filter-then-search, the same contract as
+    // plain NEAR — vector.rs:164-239), so per-leg RRF ranks are ranks
+    // WITHIN the filtered set and a selective filter can never starve
+    // the bounded CandidateK fetch. This query pins that semantics.
+    vql("q116_vql_fused_filtered",
+      s"""WITH f AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE label IN (1, 2)),
+         |la AS (
+         |  SELECT vec_id, row_number() OVER (
+         |    ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), $qvecSql) DESC,
+         |      vec_id) AS rnk
+         |  FROM f QUALIFY rnk <= 2000),
+         |lb AS (
+         |  SELECT vec_id, row_number() OVER (
+         |    ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+         |      [${(0 until 64).map(i => (math.cos(i * 0.31) * 0.4 - 0.05).toFloat.toDouble.toString).mkString(",")}]::DOUBLE[]) DESC,
+         |      vec_id) AS rnk
+         |  FROM f QUALIFY rnk <= 2000)
+         |SELECT vec_id, score FROM (
+         |  SELECT vec_id, sum(1.0 / (60 + rnk)) AS score
+         |  FROM (SELECT * FROM la UNION ALL SELECT * FROM lb) GROUP BY vec_id)
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+      """SELECT vec_id, score FROM embeddings
+        |WHERE label IN (1, 2) AND vector NEAR_FUSED [$a, $b] USING FUSION 'rrf'
+        |LIMIT 10""".stripMargin,
+      params = Map(
+        "a" -> qvec,
+        "b" -> (0 until 64).map(i => (math.cos(i * 0.31) * 0.4 - 0.05).toFloat))),
+
     // ---- hybrid text+vector through the language (F4, text.rs:113-203):
-    // MATCH is a fused leg (weighted RRF), NOT a filter; lang filter
-    // stays. Candidate-K semantics: each leg contributes its top-2000
-    // only (reference bounded fetch, text.rs:133-134), candidates = the
-    // union of the legs' top-K, missing leg contributes 0.
+    // MATCH is a fused leg (weighted RRF), NOT a filter; the lang filter
+    // applies BEFORE both legs (filter-then-search, same contract as
+    // plain NEAR — vector.rs:164-239), so per-leg ranks are ranks within
+    // the filtered doc set. BM25 per-doc scores stay corpus-wide (they
+    // don't depend on other docs beyond the corpus stats). Candidate-K:
+    // each leg contributes its top-2000 of the FILTERED set only
+    // (reference bounded fetch, text.rs:133-134), candidates = the union
+    // of the legs' top-K, missing leg contributes 0.
     vql("q104_vql_hybrid",
       s"""WITH corpus AS (
          |  SELECT d.doc_id, d.text, d.lang, e.embedding
          |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+         |fc AS (SELECT * FROM corpus WHERE lang = 'en'),
          |vr AS (
          |  SELECT doc_id, row_number() OVER (
          |    ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
          |      [${qvec.map(_.toDouble.toString).mkString(",")}]::DOUBLE[]) DESC, doc_id) AS vrank
-         |  FROM corpus QUALIFY vrank <= 2000),
+         |  FROM fc QUALIFY vrank <= 2000),
          |tok AS (SELECT doc_id, u.t AS term
          |  FROM corpus, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
          |  WHERE len(u.t) > 1),
@@ -192,16 +227,14 @@ object VelesqlQueries {
          |    * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dlen / avgdl))) AS score
          |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
          |  GROUP BY tf.doc_id),
-         |tr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS trank
-         |       FROM bm QUALIFY trank <= 2000),
+         |tr AS (SELECT bm.doc_id, row_number() OVER (ORDER BY bm.score DESC, bm.doc_id) AS trank
+         |       FROM bm JOIN fc ON fc.doc_id = bm.doc_id QUALIFY trank <= 2000),
          |cand AS (
          |  SELECT coalesce(vr.doc_id, tr.doc_id) AS doc_id,
          |    coalesce(0.5 / (60 + vrank), 0.0) + coalesce(0.5 / (60 + trank), 0.0) AS score
          |  FROM vr FULL JOIN tr ON tr.doc_id = vr.doc_id)
-         |SELECT cand.doc_id, score
-         |FROM cand JOIN corpus ON corpus.doc_id = cand.doc_id
-         |WHERE corpus.lang = 'en'
-         |ORDER BY score DESC, cand.doc_id LIMIT 10""".stripMargin,
+         |SELECT doc_id, score FROM cand
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
       """SELECT doc_id, score FROM corpus
         |WHERE text MATCH 'spark stream' AND vector NEAR $q AND lang = 'en'
         |LIMIT 10
@@ -355,6 +388,27 @@ object VelesqlQueries {
       """SELECT vec_id, score FROM embeddings_wide
         |WHERE vector NEAR $q LIMIT 10
         |WITH (quantization = 'binary', oversampling = 4)""".stripMargin,
+      params = Map("q" -> (qvec ++ qvec))),
+
+    // ---- WITH (rerank=true): two-phase search WITHOUT an explicit
+    // quantization key (with_clause.rs:106-110; search_with_rerank,
+    // index/hnsw/index/search.rs:118-159) — candidate pool = k × the
+    // default rerank multiplier 2 (config.rs:228,240), exact rerank after
+    vql("q117_vql_rerank", {
+      val qw = (qvec ++ qvec).map(_.toDouble.toString).mkString("[", ",", "]::DOUBLE[]")
+      s"""WITH wide AS (
+         |  SELECT vec_id, embedding || embedding AS embedding FROM embeddings),
+         |cand AS (
+         |  SELECT vec_id, embedding,
+         |    len(list_filter(range(1, 129),
+         |        i -> (embedding[i] >= 0) <> (($qw)[i] >= 0))) AS ham
+         |  FROM wide ORDER BY ham, vec_id LIMIT 20)
+         |SELECT vec_id, list_cosine_similarity(CAST(embedding AS DOUBLE[]), $qw) AS score
+         |FROM cand ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    },
+      """SELECT vec_id, score FROM embeddings_wide
+        |WHERE vector NEAR $q LIMIT 10
+        |WITH (rerank = true)""".stripMargin,
       params = Map("q" -> (qvec ++ qvec))),
 
     // ---- P12: scalar $params inside IN lists

@@ -1,0 +1,245 @@
+package graft.server
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.Graft
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import scala.jdk.CollectionConverters._
+
+/** Thin REST façade over [[Graft]] (SURVEY.md §2.1 S8).
+  *
+  * Route surface follows the reference server
+  * (crates/velesdb-server/src/lib.rs:74-124 route list; request/response
+  * shapes from src/types.rs:90-320):
+  *
+  *   - `GET  /health`                         → `{"status":"ok"}`
+  *   - `POST /query`                          → `{query, params}` → unified
+  *     response `{type, count, timing_ms, results}` (types.rs:296-320)
+  *   - `GET  /collections` / `POST /collections` / `DELETE|GET /collections/{n}`
+  *   - `POST /collections/{n}/search`         → `{vector, top_k, mode?, ef_search?}`
+  *   - `POST /collections/{n}/search/text`    → `{query, top_k}` (BM25)
+  *   - `POST /collections/{n}/search/hybrid`  → `{query, vector, top_k}` (RRF)
+  *   - `POST /collections/{n}/match`          → `{match}` (MATCH … RETURN …)
+  *
+  * Every search route is sugar that compiles to VelesQL text and runs
+  * through the same [[Graft.sql]] path as the language — the server adds
+  * NO second query engine (the reference handlers likewise delegate to
+  * `Database`). Built on the JDK's `com.sun.net.httpserver` (public JDK
+  * API) so the zero-dependency build constraint holds.
+  *
+  * Driver-sided by design: results are collected to JSON, so routes are
+  * for top-k/aggregate-sized answers, not bulk export — identical to the
+  * reference's HTTP contract.
+  */
+class RestServer(g: Graft, port: Int = 0) {
+
+  private val mapper = new ObjectMapper()
+  private val server: HttpServer = HttpServer.create(new InetSocketAddress(port), 0)
+  server.setExecutor(null) // serve on the accept thread; Spark fans out below
+
+  /** Bound port (useful when constructed with port 0 for tests). */
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): RestServer = { server.start(); this }
+  def stop(): Unit = server.stop(0)
+
+  // ---------------- routing ----------------
+
+  server.createContext("/health", exchange(_ => ok("""{"status":"ok"}""")))
+
+  server.createContext("/query", exchange { ex =>
+    requirePost(ex)
+    val body = json(ex)
+    val query = text(body, "query").getOrElse(badRequest("missing 'query'"))
+    val params = paramMap(body.get("params"))
+    timedRows(query, params) { (rows, ms) =>
+      val qtype =
+        if (query.toUpperCase.contains("MATCH (")) "graph"
+        else if (query.toUpperCase.contains(" NEAR") || query.contains("similarity(")) "search"
+        else if (query.toUpperCase.contains("GROUP BY") || hasAggregate(query)) "aggregation"
+        else "rows"
+      s"""{"type":"$qtype","count":${rows.length},"timing_ms":$ms,"results":[${rows.mkString(",")}]}"""
+    }
+  })
+
+  server.createContext("/collections", exchange { ex =>
+    val path = ex.getRequestURI.getPath.stripSuffix("/")
+    val parts = path.split("/").filter(_.nonEmpty) // collections[, name[, verb...]]
+    (ex.getRequestMethod, parts.toList) match {
+      case ("GET", "collections" :: Nil) =>
+        ok(mapper.writeValueAsString(g.collections.list().asJava))
+      case ("POST", "collections" :: Nil) =>
+        val b = json(ex)
+        val name = text(b, "name").getOrElse(badRequest("missing 'name'"))
+        g.collections.create(name,
+          idCol = text(b, "id_col").getOrElse("id"),
+          vectorCol = text(b, "vector_col"),
+          metric = text(b, "metric").getOrElse("cosine"))
+        ok(s"""{"name":"$name","status":"created"}""")
+      case ("GET", "collections" :: name :: Nil) =>
+        val n = g.catalog.table(name).count()
+        ok(s"""{"name":"$name","points_count":$n}""")
+      case ("DELETE", "collections" :: name :: Nil) =>
+        g.collections.drop(name)
+        ok(s"""{"name":"$name","status":"deleted"}""")
+      case ("POST", "collections" :: name :: "search" :: Nil) =>
+        val b = json(ex)
+        val vec = floatSeq(b.get("vector")).getOrElse(badRequest("missing 'vector'"))
+        val k = intOr(b, "top_k", 10)
+        val withOpts = text(b, "mode").map(m => s"mode = '$m'").toSeq ++
+          Option(b.get("ef_search")).filter(_.isNumber).map(n => s"ef_search = ${n.asInt}").toSeq
+        val w = if (withOpts.nonEmpty) s" WITH (${withOpts.mkString(", ")})" else ""
+        searchResponse(name,
+          s"SELECT * FROM $name WHERE vector NEAR $$__v LIMIT $k$w",
+          Map("__v" -> vec))
+      case ("POST", "collections" :: name :: "search" :: "text" :: Nil) =>
+        val b = json(ex)
+        val q = text(b, "query").getOrElse(badRequest("missing 'query'"))
+        val k = intOr(b, "top_k", 10)
+        val tcol = g.catalog.metaOf(name).textCol.getOrElse("text")
+        searchResponse(name,
+          s"SELECT * FROM $name WHERE $tcol MATCH ${matchLit(q)} LIMIT $k",
+          Map.empty)
+      case ("POST", "collections" :: name :: "search" :: "hybrid" :: Nil) =>
+        val b = json(ex)
+        val q = text(b, "query").getOrElse(badRequest("missing 'query'"))
+        val vec = floatSeq(b.get("vector")).getOrElse(badRequest("missing 'vector'"))
+        val k = intOr(b, "top_k", 10)
+        val tcol = g.catalog.metaOf(name).textCol.getOrElse("text")
+        searchResponse(name,
+          s"SELECT * FROM $name WHERE $tcol MATCH ${matchLit(q)} AND vector NEAR $$__v LIMIT $k" +
+            " USING FUSION(strategy = 'rrf', k = 60, vector_weight = 0.5)",
+          Map("__v" -> vec))
+      case ("POST", "collections" :: _ :: "match" :: Nil) =>
+        val b = json(ex)
+        val m = text(b, "match").getOrElse(badRequest("missing 'match'"))
+        timedRows(m, Map.empty) { (rows, ms) =>
+          s"""{"count":${rows.length},"timing_ms":$ms,"results":[${rows.mkString(",")}]}"""
+        }
+      case (meth, _) => error(404, s"no route: $meth $path")
+    }
+  })
+
+  // ---------------- helpers ----------------
+
+  /** id/score/payload rows (types.rs:156-166) for the search endpoints. */
+  private def searchResponse(name: String, vql: String,
+      params: Map[String, Any]): (Int, String) =
+    timed { ms =>
+      val df = g.sql(vql, params)
+      val idCol = g.catalog.metaOf(name).idCol
+      val rest = df.columns.filterNot(c => c == idCol || c == "score")
+      val shaped: DataFrame =
+        if (df.columns.contains("score"))
+          df.select(col(idCol).as("id"), col("score"),
+            struct(rest.map(col).toIndexedSeq: _*).as("payload"))
+        else df.select(col(idCol).as("id"), lit(1.0).as("score"),
+          struct(rest.map(col).toIndexedSeq: _*).as("payload"))
+      val rows = shaped.toJSON.collect()
+      s"""{"results":[${rows.mkString(",")}],"timing_ms":${ms()}}"""
+    }
+
+  private def timedRows(vql: String, params: Map[String, Any])(
+      render: (Array[String], Double) => String): (Int, String) =
+    timed { ms =>
+      val rows = g.sql(vql, params).toJSON.collect()
+      render(rows, ms())
+    }
+
+  private def timed(run: (() => Double) => String): (Int, String) = {
+    val t0 = System.nanoTime()
+    val ms = () => (System.nanoTime() - t0) / 1e6
+    try (200, run(ms))
+    catch {
+      case Halt(code, body) => (code, body)
+      case e: graft.velesql.SyntaxError => (400, errJson(e))
+      case e: graft.velesql.SemanticError => (400, errJson(e))
+      case e: graft.velesql.NotFoundError => (404, errJson(e))
+      case e: graft.velesql.VelesError => (400, errJson(e))
+      case e: Exception => (500, errJson(e))
+    }
+  }
+
+  private def errJson(e: Throwable): String =
+    mapper.writeValueAsString(
+      java.util.Map.of("error", Option(e.getMessage).getOrElse(e.getClass.getName)))
+
+  /** Non-local exit for handler validation (converted to a response). */
+  private case class Halt(code: Int, body: String) extends RuntimeException
+  private def badRequest(msg: String): Nothing =
+    throw Halt(400, s"""{"error":"$msg"}""")
+  private def requirePost(ex: HttpExchange): Unit =
+    if (ex.getRequestMethod != "POST") badRequest("POST required")
+
+  private def ok(body: String): (Int, String) = (200, body)
+  private def error(code: Int, msg: String): (Int, String) =
+    (code, mapper.writeValueAsString(java.util.Map.of("error", msg)))
+
+  private def exchange(handle: HttpExchange => (Int, String)): com.sun.net.httpserver.HttpHandler =
+    (ex: HttpExchange) => {
+      val (code, body) =
+        try handle(ex)
+        catch {
+          case Halt(c, b) => (c, b)
+          case e: graft.velesql.NotFoundError => (404, errJson(e))
+          case e: graft.velesql.VelesError => (400, errJson(e))
+          case e: IllegalArgumentException => (400, errJson(e))
+          case e: Exception => (500, errJson(e))
+        }
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, bytes.length.toLong)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    }
+
+  private def json(ex: HttpExchange): JsonNode = {
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    if (body.isEmpty) mapper.createObjectNode()
+    else try mapper.readTree(body)
+    catch { case _: Exception => badRequest("invalid JSON body") }
+  }
+
+  private def text(b: JsonNode, field: String): Option[String] =
+    Option(b.get(field)).filter(!_.isNull).map(_.asText)
+  private def intOr(b: JsonNode, field: String, dflt: Int): Int =
+    Option(b.get(field)).filter(_.isNumber).map(_.asInt).getOrElse(dflt)
+  private def floatSeq(n: JsonNode): Option[Seq[Float]] =
+    Option(n).filter(_.isArray)
+      .map(_.elements().asScala.map(_.asDouble.toFloat).toSeq)
+
+  /** JSON params → the engine's `Map[String, Any]` (numbers → Double,
+    * numeric arrays → Seq[Float] for vectors, string arrays → Seq). */
+  private def paramMap(n: JsonNode): Map[String, Any] =
+    Option(n).filter(_.isObject).map { o =>
+      o.properties().asScala.map { e =>
+        val v: Any = e.getValue match {
+          case x if x.isTextual => x.asText
+          case x if x.isBoolean => x.asBoolean
+          case x if x.isIntegralNumber => x.asLong
+          case x if x.isNumber => x.asDouble
+          case x if x.isArray =>
+            val els = x.elements().asScala.toSeq
+            if (els.forall(_.isNumber)) els.map(_.asDouble.toFloat)
+            else els.map(_.asText)
+          case x => x.toString
+        }
+        e.getKey -> v
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** Inline a user text query as a VelesQL string literal. The grammar's
+    * string literal cannot contain `'` (grammar.pest:236-253 parity), and
+    * the BM25 tokenizer only keeps [a-z0-9]+ runs — so quotes are noise
+    * and are replaced with spaces rather than escaped. */
+  private def matchLit(q: String): String = s"'${q.replace('\'', ' ')}'"
+
+  private def hasAggregate(q: String): Boolean = {
+    val u = q.toUpperCase
+    Seq("COUNT(", "SUM(", "AVG(", "MIN(", "MAX(").exists(u.contains)
+  }
+}

@@ -46,6 +46,10 @@ class Compiler(
     * ranking only the top-K per leg keeps the rank window over K rows
     * instead of single-tasking the whole collection. */
   private val CandidateK = 2000
+  /** The closed WITH-option vocabulary (ast/with_clause.rs:82-131 +
+    * aggregation caps); anything else is a SemanticError. */
+  private val KnownWithKeys = Set("mode", "ef_search", "timeout_ms", "rerank",
+    "quantization", "oversampling", "max_groups", "group_limit")
 
   def run(sql: String): DataFrame =
     Parser.parse(sql).fold(e => throw new IllegalArgumentException(e), compile)
@@ -74,6 +78,13 @@ class Compiler(
     sel.where.foreach { w =>
       if (countVectorConds(w) > 1 && hasMultiSimInOr(w))
         fail("Multiple similarity() in OR are not supported. Use AND instead.")
+    }
+    // WITH keys are a closed set (ast/with_clause.rs:82-131: mode,
+    // ef_search, timeout_ms, rerank, quantization, oversampling; plus the
+    // aggregation caps, aggregation.rs:87-88). A typo'd key silently
+    // changing nothing is worse than an error — reject loudly.
+    sel.withOptions.keys.find(!KnownWithKeys.contains(_)).foreach { k =>
+      fail(s"unknown WITH option '$k' (supported: ${KnownWithKeys.toSeq.sorted.mkString(", ")})")
     }
     val meta = catalog.metaOf(sel.from)
     // alias every frame by its table name (or AS alias) so qualified
@@ -149,18 +160,37 @@ class Compiler(
         val kParam = fusion.params.getOrElse("k", 60.0)
         val w = fusion.params.getOrElse("vector_weight", 0.5)
         val sim = fn(col(vcolName), VectorFunctions.vecLit(vec))
+        // filter-then-search parity with plain NEAR (vector.rs:164-239):
+        // the residual WHERE restricts BOTH legs BEFORE the bounded
+        // candidate fetch, so a selective filter on a collection larger
+        // than CandidateK can't starve the legs and WHERE means the same
+        // thing across NEAR, hybrid, and NEAR_FUSED.
+        val dfH = residualCond match {
+          case Some(c) => residualApplied = true; df.where(compileCond(c, df, meta))
+          case None => df
+        }
         // candidate-K legs: top-K per leg via TakeOrderedAndProject, THEN
         // rank the K-row result. Rows in neither leg's top-K are not
         // candidates (reference parity: bounded fetch per leg,
         // text.rs:133-134) — and no global rank window over the table.
         val kCand = math.max(sel.limit.getOrElse(NearDefaultLimit), CandidateK)
         val vOrd = if (hib) col("__vs").desc else col("__vs").asc
-        val vLeg = df.select(col(meta.idCol).as("__vid"), sim.as("__vs"))
+        val vLeg = dfH.select(col(meta.idCol).as("__vid"), sim.as("__vs"))
           .orderBy(vOrd, col("__vid")).limit(kCand)
           .select(col("__vid"), row_number().over(
             Window.partitionBy(graft.operators.Ranks.one(col("__vid")))
               .orderBy(vOrd, col("__vid"))).as("__vrank"))
-        val tLeg = bm25Scores(df, sel, meta, hybridText.get.query, kCand)
+        // text leg: BM25 scores come from the corpus-wide materialized
+        // postings (per-doc scores don't depend on the filter), but the
+        // top-kCand fetch + rank run over the FILTERED doc set
+        val tScores =
+          if (residualApplied)
+            bm25Scores(df, sel, meta, hybridText.get.query, 0)
+              .join(dfH.select(col(meta.idCol).as("__fsel")),
+                col("doc_id") === col("__fsel"), "left_semi")
+              .orderBy(col("score").desc, col("doc_id")).limit(kCand)
+          else bm25Scores(df, sel, meta, hybridText.get.query, kCand)
+        val tLeg = tScores
           .select(col("doc_id").as("__tid"), row_number().over(
             Window.partitionBy(graft.operators.Ranks.one(col("doc_id")))
               .orderBy(col("score").desc, col("doc_id")))
@@ -170,7 +200,7 @@ class Compiler(
             (coalesce(lit(w) / (lit(kParam) + col("__vrank")), lit(0.0))
               + coalesce(lit(1.0 - w) / (lit(kParam) + col("__trank")), lit(0.0)))
               .as("score"))
-        df.join(legs, df(meta.idCol) === col("__cid")).drop("__cid")
+        dfH.join(legs, dfH(meta.idCol) === col("__cid")).drop("__cid")
       case Some(VectorNear(v)) =>
         val vec = vecOf(v)
         val (fn, _) = VectorFunctions.metrics(meta.metric)
@@ -206,13 +236,30 @@ class Compiler(
           case Some("perfect") | Some("exact") | None => dfF0
           case Some(other) => fail(s"unknown WITH mode '$other'")
         }
-        // WITH (quantization='binary'|'dual', oversampling=N) selects the
-        // two-phase sketch path (ast/with_clause.rs:112-131): hamming
+        // WITH (quantization=…, oversampling=N, rerank=true) selects the
+        // two-phase sketch path (ast/with_clause.rs:106-131): hamming
         // prefilter keeps k×oversampling candidates, exact scores rerank.
-        val base = sel.withOptions.get("quantization") match {
-          case Some("binary") | Some("dual") =>
+        // `rerank=true` alone also routes two-phase (search_with_rerank,
+        // index/hnsw/index/search.rs:118-159; candidate pool = k×multiplier,
+        // default 2 — config.rs:228,240). Quantization value names follow
+        // QuantizationMode::parse (with_clause.rs:27-35) plus our 'binary'
+        // sketch; unknown values are an error, not a silent exact scan.
+        val quant: Option[String] = sel.withOptions.get("quantization").map {
+          case q @ ("binary" | "dual" | "hybrid" | "int8" | "sq8" | "quantized") => q
+          case "f32" | "full" | "exact" | "auto" | "default" => "f32"
+          case other => fail(s"unknown WITH quantization '$other'")
+        }
+        val rerank: Boolean = sel.withOptions.get("rerank") match {
+          case Some("true") | Some("1") => true
+          case Some("false") | Some("0") => false
+          case Some(other) => fail(s"WITH rerank expects true/false, got '$other'")
+          case None => false
+        }
+        val twoPhase = quant.exists(_ != "f32") || (rerank && quant.isEmpty)
+        val base = if (twoPhase) {
             val oversample = sel.withOptions.get("oversampling")
-              .map(_.toDouble.toInt).getOrElse(4)
+              .map(_.toDouble.toInt)
+              .getOrElse(if (quant.isDefined) 4 else 2)
             val k = sel.limit.getOrElse(NearDefaultLimit)
             val sk = graft.operators.Quantization.withBinarySketch(dfF, vcolName, vec.length)
             graft.operators.Quantization
@@ -220,20 +267,25 @@ class Compiler(
               .orderBy(col("__ham").asc, col(meta.idCol).asc)
               .limit(k * oversample)
               .drop("__ham", "sketch")
-          case _ => dfF // 'f32' / absent → exact scan
-        }
+          } else dfF // 'f32' / absent → exact scan
         base.withColumn("score", fn(col(vcolName), VectorFunctions.vecLit(vec)))
       case Some(VectorNearFused(vs, fusion)) =>
         val vecs = vs.map(vecOf)
         val (fn, hib) = VectorFunctions.metrics(meta.metric)
         val vcol = col(meta.vectorCol.getOrElse(fail("NEAR_FUSED needs a vector column")))
         val sims = vecs.map(v => fn(vcol, VectorFunctions.vecLit(v)))
+        // filter-then-search, same contract as plain NEAR: candidate legs
+        // draw from the WHERE-filtered frame (vector.rs:164-239)
+        val dfF = residualCond match {
+          case Some(c) => residualApplied = true; df.where(compileCond(c, df, meta))
+          case None => df
+        }
         val strategy = fusion.map(_.strategy).getOrElse("average")
         strategy match {
           case "average" =>
-            df.withColumn("score", sims.reduce(_ + _) / lit(sims.size.toDouble))
+            dfF.withColumn("score", sims.reduce(_ + _) / lit(sims.size.toDouble))
           case "maximum" =>
-            df.withColumn("score", greatest(sims: _*))
+            dfF.withColumn("score", greatest(sims: _*))
           case "rrf" =>
             // RRF over candidate-K legs: each leg keeps its top-K
             // (TakeOrderedAndProject), ranks those K rows, fused =
@@ -243,7 +295,7 @@ class Compiler(
             val kCand = math.max(sel.limit.getOrElse(NearDefaultLimit), CandidateK)
             val ord = (c: Column) => if (hib) c.desc else c.asc
             val legs = sims.map { sim =>
-              df.select(col(meta.idCol).as("__fid"), sim.as("__fs"))
+              dfF.select(col(meta.idCol).as("__fid"), sim.as("__fs"))
                 .orderBy(ord(col("__fs")), col("__fid")).limit(kCand)
                 .select(col("__fid"), row_number().over(
                   Window.partitionBy(graft.operators.Ranks.one(col("__fid")))
@@ -253,7 +305,7 @@ class Compiler(
             val fused = legs.reduce(_ unionAll _)
               .groupBy("__fid")
               .agg(sum(lit(1.0) / (lit(kParam) + col("__frank"))).as("score"))
-            df.join(fused, df(meta.idCol) === col("__fid")).drop("__fid")
+            dfF.join(fused, dfF(meta.idCol) === col("__fid")).drop("__fid")
           case other => fail(s"unknown fusion strategy $other")
         }
       case _ =>

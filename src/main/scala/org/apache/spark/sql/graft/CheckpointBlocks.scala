@@ -1,0 +1,29 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Deterministic release of the storage blocks behind a
+  * `localCheckpoint`'d Dataset.
+  *
+  * A checkpointed Dataset's plan is a [[LogicalRDD]] over the persisted
+  * internal RDD; dropping the Dataset reference only frees the blocks
+  * when the async ContextCleaner eventually notices — in a long session
+  * (the bench loop, a REPL) superseded BFS frontiers pile up in storage
+  * memory. This helper unpersists the backing RDD as soon as the caller
+  * knows the blocks are no longer reachable from any live plan.
+  *
+  * Lives in `org.apache.spark.sql` for access to the `private[sql]`
+  * execution plan node — same pattern as [[AnnTopKRule]].
+  */
+object CheckpointBlocks {
+  /** Unpersist the checkpoint blocks behind `ds` (no-op for a
+    * non-checkpointed Dataset). UNSAFE if any live plan still references
+    * the blocks: localCheckpoint truncates lineage, so they cannot be
+    * recomputed. */
+  def unpersist(ds: Dataset[_], blocking: Boolean = false): Unit =
+    ds.queryExecution.analyzed match {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking)
+      case _ => ()
+    }
+}

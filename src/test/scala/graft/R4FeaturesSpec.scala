@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Round-4 hardening: Materialize safety, empty-collection schema,
-  * rerank plumbing, WITH-key validation. */
+/** Round-4 hardening: Materialize safety + empty-collection schema.
+  * (WITH rerank plumbing and WITH-key validation landed in round 5 —
+  * [[R5FeaturesSpec]].) */
 class R4FeaturesSpec extends SparkSpecBase {
 
   test("Materialize fails fast on a missing source (no silent 0_0 stamp)") {

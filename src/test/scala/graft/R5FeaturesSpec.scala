@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-5 features: WITH-key validation, WITH (rerank=true) two-phase
+  * routing, filter-then-search for NEAR_FUSED/hybrid candidate legs, and
+  * the materialized IVF index (train-once, probe+rerank in-query). */
+class R5FeaturesSpec extends SparkSpecBase {
+
+  private lazy val g = Graft(spark, sfDir)
+  private val q = graft.functions.VectorFunctions.syntheticQuery(64)
+
+  test("unknown WITH option is a loud SemanticError, not a silent no-op") {
+    val e = intercept[graft.velesql.SemanticError](
+      g.sql("SELECT o_orderkey FROM orders LIMIT 1 WITH (bogus = 1)"))
+    assert(e.getMessage.contains("unknown WITH option 'bogus'"))
+  }
+
+  test("WITH rerank / quantization reject malformed values") {
+    val e1 = intercept[graft.velesql.SemanticError](
+      g.sql("SELECT vec_id FROM embeddings WHERE vector NEAR $q LIMIT 5 WITH (rerank = 'maybe')",
+        Map("q" -> q)))
+    assert(e1.getMessage.contains("rerank"))
+    val e2 = intercept[graft.velesql.SemanticError](
+      g.sql("SELECT vec_id FROM embeddings WHERE vector NEAR $q LIMIT 5 WITH (quantization = 'bogus')",
+        Map("q" -> q)))
+    assert(e2.getMessage.contains("quantization"))
+  }
+
+  test("WITH (rerank=true) routes the two-phase sketch path (k×2 candidates)") {
+    // rerank=true alone == explicit binary quantization with the default
+    // rerank multiplier 2 (search_with_rerank, index/hnsw/index/search
+    // .rs:118-159; config.rs:228,240) — identical deterministic results
+    val viaRerank = g.sql(
+      "SELECT vec_id, score FROM embeddings WHERE vector NEAR $q LIMIT 5 WITH (rerank = true)",
+      Map("q" -> q)).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaQuant = g.sql(
+      "SELECT vec_id, score FROM embeddings WHERE vector NEAR $q LIMIT 5 WITH (quantization = 'binary', oversampling = 2)",
+      Map("q" -> q)).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaRerank == viaQuant)
+    assert(viaRerank.size == 5)
+    // rerank=false is the exact scan — same as no WITH at all
+    val off = g.sql(
+      "SELECT vec_id FROM embeddings WHERE vector NEAR $q LIMIT 5 WITH (rerank = false)",
+      Map("q" -> q)).collect().map(_.getLong(0)).toSeq
+    val exact = g.sql(
+      "SELECT vec_id FROM embeddings WHERE vector NEAR $q LIMIT 5",
+      Map("q" -> q)).collect().map(_.getLong(0)).toSeq
+    assert(off == exact)
+  }
+
+  test("filtered NEAR_FUSED returns LIMIT rows when they exist (filter-then-search)") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val labels = emb.where(col("label").isin(1, 2))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(labels.size >= 5, s"test data: need ≥5 rows with label in (1,2), got ${labels.size}")
+    val b = (0 until 64).map(i => (math.cos(i * 0.31) * 0.4 - 0.05).toFloat)
+    val rows = g.sql(
+      """SELECT vec_id, score FROM embeddings
+        |WHERE label IN (1, 2) AND vector NEAR_FUSED [$a, $b] USING FUSION 'rrf'
+        |LIMIT 5""".stripMargin,
+      Map("a" -> q, "b" -> b)).collect()
+    assert(rows.length == 5, s"filtered fused must fill LIMIT, got ${rows.length}")
+    rows.foreach(r => assert(labels.contains(r.getLong(0)),
+      s"row ${r.getLong(0)} violates the WHERE filter"))
+    // ranks are WITHIN the filtered set: some filtered row holds rank 1
+    // of leg A, so the max fused score is ≥ 1/(60+1) — under the old
+    // post-filter semantics the legs ranked ALL rows and every surviving
+    // score could sit below that when the global top ranks are filtered out
+    rows.foreach(r => assert(r.getDouble(1) <= 2.0 / 61 + 1e-12))
+    assert(rows.map(_.getDouble(1)).max >= 1.0 / 61 - 1e-12)
+  }
+
+  test("Ivf.materializedIndex trains once per dataset and probes exactly") {
+    import graft.operators.{Ivf, Knn}
+    val (cents, cells) = Ivf.materializedIndex(spark, sfDir, "embeddings", "embedding", k = 4)
+    assert(cents.nonEmpty && cents.length <= 4)
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    assert(cells.count() == emb.count()) // assignment covers every vector
+    // a second call is served from the materialized cache with the SAME
+    // centroids (deterministic training + content-keyed Materialize)
+    val (cents2, _) = Ivf.materializedIndex(spark, sfDir, "embeddings", "embedding", k = 4)
+    assert(cents.map(_._1).sameElements(cents2.map(_._1)))
+    cents.zip(cents2).foreach { case ((_, a), (_, b)) => assert(a.sameElements(b)) }
+    // full-nprobe search over the materialized index == exact top-k
+    val viaIvf = Ivf.search(cells, "embedding", q, 5, cents, nprobe = cents.length,
+      idCol = "vec_id").select("vec_id").collect().map(_.getLong(0)).toSeq
+    val exact = Knn.topK(emb, "embedding", q, 5, "cosine", idCol = "vec_id")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(viaIvf == exact)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import graft.server.RestServer
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+/** Integration tests for the REST façade (S8) — real HTTP round-trips
+  * against an ephemeral-port server over the sf0.001 test tables.
+  * Route + shape contract: velesdb-server/src/lib.rs:74-124, types.rs. */
+class RestServerSpec extends SparkSpecBase {
+
+  private lazy val g = Graft(spark, sfDir)
+  private lazy val srv = new RestServer(g, port = 0).start()
+  private lazy val base = { val p = srv.boundPort; s"http://127.0.0.1:$p" }
+  private val client = HttpClient.newHttpClient()
+
+  private def get(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"$base$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+  private def post(path: String, body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"$base$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+      .header("Content-Type", "application/json").build(),
+      HttpResponse.BodyHandlers.ofString())
+  private def delete(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"$base$path")).DELETE().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("GET /health") {
+    val r = get("/health")
+    assert(r.statusCode() == 200 && r.body().contains("\"ok\""))
+  }
+
+  test("POST /query runs VelesQL with params and returns the unified shape") {
+    val vec = graft.functions.VectorFunctions.syntheticQuery(64)
+      .mkString("[", ",", "]")
+    val r = post("/query",
+      s"""{"query": "SELECT vec_id, score FROM embeddings WHERE vector NEAR $$q LIMIT 5",
+         | "params": {"q": $vec}}""".stripMargin)
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body().contains("\"type\":\"search\""))
+    assert(r.body().contains("\"count\":5"))
+    assert(r.body().contains("\"vec_id\""))
+  }
+
+  test("POST /collections/embeddings/search returns id/score/payload rows") {
+    val vec = graft.functions.VectorFunctions.syntheticQuery(64)
+      .mkString("[", ",", "]")
+    val r = post("/collections/embeddings/search",
+      s"""{"vector": $vec, "top_k": 3}""")
+    assert(r.statusCode() == 200, r.body())
+    val hits = "\"id\":".r.findAllIn(r.body()).length
+    assert(hits == 3, s"expected 3 results, body: ${r.body().take(300)}")
+    assert(r.body().contains("\"score\":") && r.body().contains("\"payload\":{"))
+  }
+
+  test("POST /collections/documents/search/text runs BM25 via the language") {
+    val r = post("/collections/documents/search/text",
+      """{"query": "spark stream", "top_k": 4}""")
+    assert(r.statusCode() == 200, r.body())
+    assert("\"id\":".r.findAllIn(r.body()).length == 4, r.body().take(300))
+  }
+
+  test("collection CRUD round-trip over HTTP") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rest").toString
+    val g2 = Graft(spark, tmp)
+    val s2 = new RestServer(g2, port = 0).start()
+    try {
+      val b = s"http://127.0.0.1:${s2.boundPort}"
+      def send(r: HttpRequest): HttpResponse[String] =
+        client.send(r, HttpResponse.BodyHandlers.ofString())
+      val created = send(HttpRequest.newBuilder(URI.create(s"$b/collections"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"name": "notes", "id_col": "id", "vector_col": "embedding"}""")).build())
+      assert(created.statusCode() == 200 && created.body().contains("created"))
+      val listed = send(HttpRequest.newBuilder(URI.create(s"$b/collections")).GET().build())
+      assert(listed.body().contains("notes"))
+      val dropped = send(HttpRequest.newBuilder(URI.create(s"$b/collections/notes"))
+        .DELETE().build())
+      assert(dropped.statusCode() == 200 && dropped.body().contains("deleted"))
+      val relisted = send(HttpRequest.newBuilder(URI.create(s"$b/collections")).GET().build())
+      assert(!relisted.body().contains("notes"))
+    } finally s2.stop()
+  }
+
+  test("error taxonomy maps to HTTP codes") {
+    // unknown collection → 404 (NotFoundError)
+    val nf = post("/query", """{"query": "SELECT x FROM nope LIMIT 1"}""")
+    assert(nf.statusCode() == 404, s"${nf.statusCode()} ${nf.body()}")
+    // syntax error → 400
+    val syn = post("/query", """{"query": "SELEKT nonsense"}""")
+    assert(syn.statusCode() == 400 && syn.body().contains("error"))
+    // unknown WITH key → 400 (SemanticError, round-5 validation)
+    val sem = post("/query", """{"query": "SELECT o_orderkey FROM orders LIMIT 1 WITH (bogus = 1)"}""")
+    assert(sem.statusCode() == 400 && sem.body().contains("unknown WITH option"))
+  }
+}
