@@ -122,10 +122,13 @@ object Graph {
     // handful of re-scans from lazy depths are cheap pruned reads
     val e = (if (relTypes.nonEmpty) edges.where(col("label").isin(relTypes: _*))
              else edges).select("src", "dst")
-    var frontier = starts.select(col("start"), col("start").as("node")).distinct()
-    var visited = frontier
+    val startsFrontier = starts.select(col("start"), col("start").as("node")).distinct()
+    var frontier = startsFrontier
+    var visited = startsFrontier
     var acc: DataFrame = null
-    val ckpts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // the one LIVE checkpoint: each new checkpoint supersedes the last,
+    // whose blocks are then freed immediately (see below)
+    var accCkpt: DataFrame = null
     for (d <- 1 to maxDepth) {
       // fresh output attributes per use (alias projections) — the joins
       // below never see a shared attribute id, so un-checkpointed depths
@@ -135,36 +138,35 @@ object Graph {
         .select(frontier("start"), col("__edst").as("node")).distinct()
       // first-arrival-wins: drop nodes already reached at a smaller depth
       val vis = visited.select(col("start").as("__vstart"), col("node").as("__vnode"))
-      val freshRaw = next.join(vis,
+      val fresh = next.join(vis,
         next("start") === col("__vstart") && next("node") === col("__vnode"),
         "left_anti")
-      // lineage truncation every OTHER depth (r1 eagerly checkpointed
+      acc = {
+        val step = fresh.withColumn("depth", lit(d))
+        if (acc == null) step else acc.unionAll(step)
+      }
+      // Lineage truncation every OTHER depth (r1 eagerly checkpointed
       // frontier AND visited at every depth — nearly all of the local
-      // BFS cost): alternation guarantees any lazy layer sits at most
-      // one join above a materialized leaf, so the shared frontier
-      // branches recompute at most one cheap step. `visited` is a union
-      // of those leaves — shallow lineage, no checkpoint needed.
-      val fresh =
-        if (d % 2 == 0 && d < maxDepth) {
-          val c = freshRaw.localCheckpoint(eager = true)
-          ckpts += c
-          c
-        } else freshRaw
-      val step = fresh.withColumn("depth", lit(d))
-      acc = if (acc == null) step else acc.unionAll(step)
-      visited = visited.unionAll(fresh)
-      frontier = fresh
+      // BFS cost): alternation guarantees any lazy layer sits at most one
+      // join above a materialized leaf. The checkpoint target is the
+      // ACCUMULATED result, not the frontier: it carries every depth so
+      // far, so frontier/visited re-derive from it as cheap block reads,
+      // the PREVIOUS checkpoint becomes unreferenced and its blocks are
+      // freed right here — deterministically, not whenever the async
+      // ContextCleaner notices (the r3/r4 bench-tail suspect) — and at
+      // most ONE checkpoint (visited-set-sized, small) is ever live.
+      if (d % 2 == 0 && d < maxDepth) {
+        val c = acc.localCheckpoint(eager = true)
+        if (accCkpt != null) org.apache.spark.sql.graft.CheckpointBlocks.unpersist(accCkpt)
+        accCkpt = c
+        acc = c
+        frontier = c.where(col("depth") === d).select(col("start"), col("node"))
+        visited = startsFrontier.unionAll(c.select(col("start"), col("node")))
+      } else {
+        frontier = fresh
+        visited = visited.unionAll(fresh)
+      }
     }
-    // The per-depth checkpoint blocks all feed `acc`'s plan, so they can
-    // only be freed once the result no longer references them: checkpoint
-    // the (visited-set-sized, small) result itself, then unpersist every
-    // superseded frontier NOW instead of waiting on the async
-    // ContextCleaner — in a long bench session the stale frontiers were
-    // the main storage-memory accumulation.
-    if (ckpts.nonEmpty) {
-      val out = acc.localCheckpoint(eager = true)
-      ckpts.foreach(org.apache.spark.sql.graft.CheckpointBlocks.unpersist(_))
-      out
-    } else acc
+    acc
   }
 }

@@ -19,11 +19,16 @@ import scala.jdk.CollectionConverters._
   *   - `GET  /health`                         → `{"status":"ok"}`
   *   - `POST /query`                          → `{query, params}` → unified
   *     response `{type, count, timing_ms, results}` (types.rs:296-320)
+  *   - `POST /query/explain`                  → `{query}` → `{steps}`
   *   - `GET  /collections` / `POST /collections` / `DELETE|GET /collections/{n}`
+  *   - `POST /collections/{n}/points`         → `{points: [{id, vector, payload}]}`
+  *   - `GET|DELETE /collections/{n}/points/{id}`
   *   - `POST /collections/{n}/search`         → `{vector, top_k, mode?, ef_search?}`
+  *   - `POST /collections/{n}/search/batch`   → `{searches: [SearchRequest…]}`
   *   - `POST /collections/{n}/search/text`    → `{query, top_k}` (BM25)
   *   - `POST /collections/{n}/search/hybrid`  → `{query, vector, top_k}` (RRF)
-  *   - `POST /collections/{n}/match`          → `{match}` (MATCH … RETURN …)
+  *   - `POST /collections/{n}/match`          → `{match}` (MATCH … RETURN … —
+  *     covers the reference's graph traverse/degree routes via the language)
   *
   * Every search route is sugar that compiles to VelesQL text and runs
   * through the same [[Graft.sql]] path as the language — the server adds
@@ -66,6 +71,14 @@ class RestServer(g: Graft, port: Int = 0) {
     }
   })
 
+  server.createContext("/query/explain", exchange { ex =>
+    requirePost(ex)
+    val body = json(ex)
+    val query = text(body, "query").getOrElse(badRequest("missing 'query'"))
+    val steps = g.explain(query).split("\n").toSeq
+    ok(mapper.writeValueAsString(java.util.Map.of("steps", steps.asJava)))
+  })
+
   server.createContext("/collections", exchange { ex =>
     val path = ex.getRequestURI.getPath.stripSuffix("/")
     val parts = path.split("/").filter(_.nonEmpty) // collections[, name[, verb...]]
@@ -86,6 +99,52 @@ class RestServer(g: Graft, port: Int = 0) {
       case ("DELETE", "collections" :: name :: Nil) =>
         g.collections.drop(name)
         ok(s"""{"name":"$name","status":"deleted"}""")
+      case ("POST", "collections" :: name :: "points" :: Nil) =>
+        val b = json(ex)
+        val pts = Option(b.get("points")).filter(_.isArray)
+          .getOrElse(badRequest("missing 'points'"))
+        val (idCol, vecColOpt, _) = g.collections.metaOf(name)
+        // points → one flat JSON doc per point (payload fields inlined) →
+        // spark.read.json infers the batch schema; id/vector get their
+        // collection-declared types so the merge-by-id upsert aligns
+        val docs = pts.elements().asScala.map { p =>
+          val o = mapper.createObjectNode()
+          o.set[JsonNode](idCol, p.get("id"))
+          vecColOpt.foreach(vc => Option(p.get("vector")).foreach(o.set[JsonNode](vc, _)))
+          Option(p.get("payload")).filter(_.isObject).foreach { pay =>
+            pay.properties().asScala.foreach(e => o.set[JsonNode](e.getKey, e.getValue))
+          }
+          o.toString
+        }.toSeq
+        import g.spark.implicits._
+        var df = g.spark.read.json(g.spark.createDataset(docs))
+          .withColumn(idCol, col(idCol).cast("long"))
+        vecColOpt.filter(df.columns.contains).foreach { vc =>
+          df = df.withColumn(vc, col(vc).cast("array<float>"))
+        }
+        g.collections.upsert(name, df)
+        ok(s"""{"status":"ok","upserted":${docs.length}}""")
+      case ("GET", "collections" :: name :: "points" :: id :: Nil) =>
+        val rows = g.collections.get(name, Seq(id.toLong)).toJSON.collect()
+        if (rows.isEmpty) error(404, s"point $id not found in $name")
+        else ok(rows.head)
+      case ("DELETE", "collections" :: name :: "points" :: id :: Nil) =>
+        g.collections.delete(name, Seq(id.toLong))
+        ok(s"""{"status":"deleted","id":$id}""")
+      case ("POST", "collections" :: name :: "search" :: "batch" :: Nil) =>
+        val b = json(ex)
+        val searches = Option(b.get("searches")).filter(_.isArray)
+          .getOrElse(badRequest("missing 'searches'"))
+        val t0 = System.nanoTime()
+        val parts = searches.elements().asScala.map { s =>
+          val vec = floatSeq(s.get("vector")).getOrElse(badRequest("search missing 'vector'"))
+          val k = intOr(s, "top_k", 10)
+          searchResponse(name,
+            s"SELECT * FROM $name WHERE vector NEAR $$__v LIMIT $k",
+            Map("__v" -> vec))._2
+        }.toSeq
+        val ms = (System.nanoTime() - t0) / 1e6
+        ok(s"""{"results":[${parts.mkString(",")}],"timing_ms":$ms}""")
       case ("POST", "collections" :: name :: "search" :: Nil) =>
         val b = json(ex)
         val vec = floatSeq(b.get("vector")).getOrElse(badRequest("missing 'vector'"))

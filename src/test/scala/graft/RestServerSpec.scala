@@ -84,6 +84,51 @@ class RestServerSpec extends SparkSpecBase {
     } finally s2.stop()
   }
 
+  test("points upsert/get/delete round-trip, then vector search sees the data") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rest-pts").toString
+    val g2 = Graft(spark, tmp)
+    val s2 = new RestServer(g2, port = 0).start()
+    try {
+      val b = s"http://127.0.0.1:${s2.boundPort}"
+      def p(path: String, body: String) =
+        client.send(HttpRequest.newBuilder(URI.create(s"$b$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      def get2(path: String) =
+        client.send(HttpRequest.newBuilder(URI.create(s"$b$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      p("/collections", """{"name": "pts", "vector_col": "embedding"}""")
+      val up = p("/collections/pts/points",
+        """{"points": [
+          |  {"id": 1, "vector": [1.0, 0.0], "payload": {"tag": "a"}},
+          |  {"id": 2, "vector": [0.0, 1.0], "payload": {"tag": "b"}},
+          |  {"id": 3, "vector": [0.9, 0.1], "payload": {"tag": "a"}}]}""".stripMargin)
+      assert(up.statusCode() == 200 && up.body().contains("\"upserted\":3"), up.body())
+      val got = get2("/collections/pts/points/2")
+      assert(got.statusCode() == 200 && got.body().contains("\"tag\":\"b\""), got.body())
+      // nearest to [1, 0] must be id 1 then id 3
+      val sr = p("/collections/pts/search", """{"vector": [1.0, 0.0], "top_k": 2}""")
+      assert(sr.statusCode() == 200, sr.body())
+      val ids = "\"id\":(\\d+)".r.findAllMatchIn(sr.body()).map(_.group(1)).toSeq
+      assert(ids == Seq("1", "3"), sr.body().take(300))
+      val del = client.send(HttpRequest.newBuilder(URI.create(s"$b/collections/pts/points/1"))
+        .DELETE().build(), HttpResponse.BodyHandlers.ofString())
+      assert(del.statusCode() == 200)
+      assert(get2("/collections/pts/points/1").statusCode() == 404)
+    } finally s2.stop()
+  }
+
+  test("POST /collections/{n}/search/batch and /query/explain") {
+    val vec = graft.functions.VectorFunctions.syntheticQuery(64).mkString("[", ",", "]")
+    val br = post("/collections/embeddings/search/batch",
+      s"""{"searches": [{"vector": $vec, "top_k": 2}, {"vector": $vec, "top_k": 3}]}""")
+    assert(br.statusCode() == 200, br.body())
+    assert("\"id\":".r.findAllIn(br.body()).length == 5, br.body().take(300))
+    val er = post("/query/explain",
+      """{"query": "SELECT o_orderkey FROM orders WHERE o_totalprice > 10 LIMIT 3"}""")
+    assert(er.statusCode() == 200 && er.body().contains("steps"), er.body())
+  }
+
   test("error taxonomy maps to HTTP codes") {
     // unknown collection → 404 (NotFoundError)
     val nf = post("/query", """{"query": "SELECT x FROM nope LIMIT 1"}""")
