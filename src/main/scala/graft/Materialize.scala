@@ -49,7 +49,13 @@ object Materialize {
 
   /** Recursive (name, mtime, size) listing folded into one hex token —
     * content-sensitive for directories (parquet dirs report meaningless
-    * lastModified/length at the top level). */
+    * lastModified/length at the top level).
+    *
+    * Granularity assumption (r4 ADVICE, accepted): a rewrite that keeps
+    * every file's name, byte size AND millisecond mtime identical maps to
+    * the same key and would serve the stale cache. Parquet writers
+    * (task-UUID part files, varying encoded sizes) don't do that in
+    * practice — sources here are only ever regenerated wholesale. */
   private def listingHash(p: Path): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def walk(f: Path): Unit =

@@ -57,7 +57,12 @@ class Catalog(spark: SparkSession, val dir: String) {
         // DECLARED schema (id + vector from the meta sidecar) so queries
         // that reference those columns return zero rows — the reference's
         // empty collection behaves this way (crud.rs: empty store) — not
-        // an unresolved-column analysis error
+        // an unresolved-column analysis error.
+        // Type assumption (r4 ADVICE, accepted): ids are LongType and
+        // vectors ArrayType(FloatType) — the reference's point model is
+        // exactly u64 id + Vec<f32> (types.rs:75-82), so a first write
+        // can't legitimately change these; payload columns are unknowable
+        // until the first write and still fail analysis by design
         import org.apache.spark.sql.types._
         val (idCol, vecCol, _) = userCollections.metaOf(name)
         val fields = StructField(idCol, LongType) +:

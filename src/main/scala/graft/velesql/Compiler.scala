@@ -203,7 +203,7 @@ class Compiler(
         dfH.join(legs, dfH(meta.idCol) === col("__cid")).drop("__cid")
       case Some(VectorNear(v)) =>
         val vec = vecOf(v)
-        val (fn, _) = VectorFunctions.metrics(meta.metric)
+        val (fn, hib) = VectorFunctions.metrics(meta.metric)
         val vcolName = meta.vectorCol.getOrElse(
           fail("NEAR on a collection without a vector column"))
         // Residual filters run BEFORE the sketch/top-k phase (the
@@ -255,20 +255,43 @@ class Compiler(
           case Some(other) => fail(s"WITH rerank expects true/false, got '$other'")
           case None => false
         }
-        val twoPhase = quant.exists(_ != "f32") || (rerank && quant.isEmpty)
-        val base = if (twoPhase) {
-            val oversample = sel.withOptions.get("oversampling")
-              .map(_.toDouble.toInt)
-              .getOrElse(if (quant.isDefined) 4 else 2)
-            val k = sel.limit.getOrElse(NearDefaultLimit)
-            val sk = graft.operators.Quantization.withBinarySketch(dfF, vcolName, vec.length)
-            graft.operators.Quantization
-              .hammingToQuery(sk, vec)
-              .orderBy(col("__ham").asc, col(meta.idCol).asc)
-              .limit(k * oversample)
-              .drop("__ham", "sketch")
-          } else dfF // 'f32' / absent → exact scan
-        base.withColumn("score", fn(col(vcolName), VectorFunctions.vecLit(vec)))
+        // Three quantization regimes (QuantizationMode, with_clause.rs:12-22):
+        //   binary/dual/hybrid (+ bare rerank=true) → sketch prefilter,
+        //     exact rerank (Dual: "int8 for candidates, f32 for rerank");
+        //   int8/sq8/quantized + rerank=true → SQ8-approx candidate
+        //     ordering, exact rerank;
+        //   int8/sq8/quantized alone → "int8 only (fast, approximate)":
+        //     scores ARE the dequantized-vector scores, no rerank.
+        val isInt8 = quant.exists(q => q == "int8" || q == "sq8" || q == "quantized")
+        val isSketch = quant.exists(q => q == "binary" || q == "dual" || q == "hybrid")
+        val oversample = sel.withOptions.get("oversampling")
+          .map(_.toDouble.toInt)
+          .getOrElse(if (quant.isDefined) 4 else 2)
+        val k = sel.limit.getOrElse(NearDefaultLimit)
+        import graft.operators.Quantization
+        if (isInt8 && !rerank) {
+          Quantization.sq8Decode(Quantization.withSq8(dfF, vcolName))
+            .withColumn("score", fn(col("vec_approx"), VectorFunctions.vecLit(vec)))
+            .drop("vec_approx", "sq8_codes", "sq8_min", "sq8_scale")
+        } else {
+          val base =
+            if (isSketch || (rerank && quant.isEmpty)) {
+              val sk = Quantization.withBinarySketch(dfF, vcolName, vec.length)
+              Quantization.hammingToQuery(sk, vec)
+                .orderBy(col("__ham").asc, col(meta.idCol).asc)
+                .limit(k * oversample)
+                .drop("__ham", "sketch")
+            } else if (isInt8) { // int8 + rerank=true
+              val approx = fn(col("vec_approx"), VectorFunctions.vecLit(vec))
+              val ord = if (hib) col("__as").desc else col("__as").asc
+              Quantization.sq8Decode(Quantization.withSq8(dfF, vcolName))
+                .withColumn("__as", approx)
+                .orderBy(ord, col(meta.idCol).asc)
+                .limit(k * oversample)
+                .drop("__as", "vec_approx", "sq8_codes", "sq8_min", "sq8_scale")
+            } else dfF // 'f32' / absent → exact scan
+          base.withColumn("score", fn(col(vcolName), VectorFunctions.vecLit(vec)))
+        }
       case Some(VectorNearFused(vs, fusion)) =>
         val vecs = vs.map(vecOf)
         val (fn, hib) = VectorFunctions.metrics(meta.metric)

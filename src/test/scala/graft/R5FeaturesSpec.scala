@@ -49,6 +49,39 @@ class R5FeaturesSpec extends SparkSpecBase {
     assert(off == exact)
   }
 
+  test("WITH quantization='int8' regimes match the reference semantics") {
+    import graft.operators.Quantization
+    import org.apache.spark.sql.Row
+    // int8 alone = "fast, approximate": scores ARE dequantized-vector
+    // scores (QuantizationMode::Int8, with_clause.rs:15-16) — check them
+    // against a brute-force compute over Quantization.sq8Decode
+    val got = g.sql(
+      "SELECT vec_id, score FROM embeddings WHERE vector NEAR $q LIMIT 5 WITH (quantization = 'int8')",
+      Map("q" -> q)).collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val dec = Quantization.sq8Decode(Quantization.withSq8(emb, "embedding"))
+      .withColumn("s", graft.functions.VectorFunctions.cosine_sim(
+        col("vec_approx"), graft.functions.VectorFunctions.vecLit(q)))
+      .select("vec_id", "s").collect()
+      .map { case Row(id: Long, s: Double) => id -> s }.toMap
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - dec(id)) < 1e-9, s"approx score mismatch for $id") }
+    // int8 + rerank=true = dual two-phase: final scores are EXACT (f32
+    // rerank) and recall is high at 2× oversampling on this data
+    val reranked = g.sql(
+      "SELECT vec_id, score FROM embeddings WHERE vector NEAR $q LIMIT 5 WITH (quantization = 'int8', rerank = true, oversampling = 4)",
+      Map("q" -> q)).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = g.sql(
+      "SELECT vec_id, score FROM embeddings WHERE vector NEAR $q LIMIT 5",
+      Map("q" -> q)).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exactScores = exact.toMap
+    reranked.foreach { case (id, s) =>
+      exactScores.get(id).foreach(es => assert(math.abs(s - es) < 1e-9,
+        s"reranked score for $id must be the exact f32 score")) }
+    assert((reranked.map(_._1).toSet & exact.map(_._1).toSet).size >= 4,
+      "int8+rerank recall too low at 4x oversampling")
+  }
+
   test("filtered NEAR_FUSED returns LIMIT rows when they exist (filter-then-search)") {
     val emb = Tables.table(spark, sfDir, "embeddings")
     val labels = emb.where(col("label").isin(1, 2))
