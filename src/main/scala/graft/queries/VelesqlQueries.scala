@@ -411,6 +411,33 @@ object VelesqlQueries {
         |WITH (rerank = true)""".stripMargin,
       params = Map("q" -> (qvec ++ qvec))),
 
+    // ---- WITH (quantization='int8') alone: "int8 only (fast,
+    // approximate)" (QuantizationMode::Int8, with_clause.rs:15-16) —
+    // scores ARE the dequantized-SQ8 scores, no rerank. The SQ8 codec is
+    // deterministic double arithmetic (per-vector min/max, 256 levels,
+    // quantization.rs:209-216), so the oracle replays it exactly.
+    vql("q118_vql_int8", {
+      val qd = qvec.map(_.toDouble.toString).mkString("[", ",", "]::DOUBLE[]")
+      s"""WITH s AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
+         |    CASE WHEN list_aggregate(embedding, 'max') > list_aggregate(embedding, 'min')
+         |         THEN CAST(list_aggregate(embedding, 'max') - list_aggregate(embedding, 'min') AS DOUBLE) / 255.0
+         |         ELSE 1.0 END AS scale
+         |  FROM embeddings),
+         |d AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(round((CAST(x AS DOUBLE) - mn) / scale) * scale + mn AS FLOAT)) AS va
+         |  FROM s)
+         |SELECT vec_id, list_cosine_similarity(CAST(va AS DOUBLE[]), $qd) AS score
+         |FROM d ORDER BY score DESC, vec_id LIMIT 5""".stripMargin
+    },
+      """SELECT vec_id, score FROM embeddings
+        |WHERE vector NEAR $q LIMIT 5
+        |WITH (quantization = 'int8')""".stripMargin,
+      params = Map("q" -> qvec)),
+
     // ---- P12: scalar $params inside IN lists
     vql("q108_vql_in_params",
       """SELECT o_orderkey, o_orderpriority FROM orders
