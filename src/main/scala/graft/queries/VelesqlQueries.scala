@@ -411,6 +411,29 @@ object VelesqlQueries {
         |WITH (rerank = true)""".stripMargin,
       params = Map("q" -> (qvec ++ qvec))),
 
+    // ---- NEAR_FUSED 'weighted' through the language (fusion/strategy
+    // .rs:67-78): avg_weight×avg + max_weight×max + hit_weight×hit_ratio
+    // over candidate-K legs
+    vql("q119_vql_fused_weighted",
+      s"""WITH la AS (
+         |  SELECT vec_id, list_cosine_similarity(CAST(embedding AS DOUBLE[]), $qvecSql) AS s
+         |  FROM embeddings ORDER BY s DESC, vec_id LIMIT 2000),
+         |lb AS (
+         |  SELECT vec_id, list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+         |    [${(0 until 64).map(i => (math.cos(i * 0.31) * 0.4 - 0.05).toFloat.toDouble.toString).mkString(",")}]::DOUBLE[]) AS s
+         |  FROM embeddings ORDER BY s DESC, vec_id LIMIT 2000)
+         |SELECT vec_id, score FROM (
+         |  SELECT vec_id, 0.5 * avg(s) + 0.3 * max(s) + 0.2 * (count(*) / 2.0) AS score
+         |  FROM (SELECT * FROM la UNION ALL SELECT * FROM lb) GROUP BY vec_id)
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+      """SELECT vec_id, score FROM embeddings
+        |WHERE vector NEAR_FUSED [$a, $b]
+        |USING FUSION 'weighted' (avg_weight = 0.5, max_weight = 0.3, hit_weight = 0.2)
+        |LIMIT 10""".stripMargin,
+      params = Map(
+        "a" -> qvec,
+        "b" -> (0 until 64).map(i => (math.cos(i * 0.31) * 0.4 - 0.05).toFloat))),
+
     // ---- WITH (quantization='int8') alone: "int8 only (fast,
     // approximate)" (QuantizationMode::Int8, with_clause.rs:15-16) —
     // scores ARE the dequantized-SQ8 scores, no rerank. The SQ8 codec is

@@ -25,6 +25,8 @@ import scala.jdk.CollectionConverters._
   *   - `GET|DELETE /collections/{n}/points/{id}`
   *   - `POST /collections/{n}/search`         → `{vector, top_k, mode?, ef_search?}`
   *   - `POST /collections/{n}/search/batch`   → `{searches: [SearchRequest…]}`
+  *   - `POST /collections/{n}/search/multi`   → `{vectors, top_k, strategy, …}`
+  *     (multi-query fused search → NEAR_FUSED; types.rs:214-234)
   *   - `POST /collections/{n}/search/text`    → `{query, top_k}` (BM25)
   *   - `POST /collections/{n}/search/hybrid`  → `{query, vector, top_k}` (RRF)
   *   - `POST /collections/{n}/match`          → `{match}` (MATCH … RETURN … —
@@ -145,6 +147,31 @@ class RestServer(g: Graft, port: Int = 0) {
         }.toSeq
         val ms = (System.nanoTime() - t0) / 1e6
         ok(s"""{"results":[${parts.mkString(",")}],"timing_ms":$ms}""")
+      case ("POST", "collections" :: name :: "search" :: "multi" :: Nil) =>
+        // multi-query fused search (main.rs:110, types.rs:214-234) →
+        // NEAR_FUSED through the language
+        val b = json(ex)
+        val vecsNode = Option(b.get("vectors")).filter(_.isArray)
+          .getOrElse(badRequest("missing 'vectors'"))
+        val vecs = vecsNode.elements().asScala.zipWithIndex.map { case (v, i) =>
+          s"__v$i" -> floatSeq(v).getOrElse(badRequest("'vectors' must be arrays"))
+        }.toSeq
+        if (vecs.isEmpty) badRequest("'vectors' must be non-empty")
+        val k = intOr(b, "top_k", 10)
+        val strategy = text(b, "strategy").getOrElse("rrf")
+        val fparams = strategy match {
+          case "rrf" => s"(k = ${intOr(b, "rrf_k", 60)})"
+          case "weighted" =>
+            val aw = Option(b.get("avg_weight")).filter(_.isNumber).map(_.asDouble).getOrElse(0.5)
+            val mw = Option(b.get("max_weight")).filter(_.isNumber).map(_.asDouble).getOrElse(0.3)
+            val hw = Option(b.get("hit_weight")).filter(_.isNumber).map(_.asDouble).getOrElse(0.2)
+            s"(avg_weight = $aw, max_weight = $mw, hit_weight = $hw)"
+          case _ => ""
+        }
+        searchResponse(name,
+          s"SELECT * FROM $name WHERE vector NEAR_FUSED [${vecs.map("$" + _._1).mkString(", ")}]" +
+            s" USING FUSION '$strategy' $fparams LIMIT $k",
+          vecs.toMap)
       case ("POST", "collections" :: name :: "search" :: Nil) =>
         val b = json(ex)
         val vec = floatSeq(b.get("vector")).getOrElse(badRequest("missing 'vector'"))

@@ -329,6 +329,24 @@ class Compiler(
               .groupBy("__fid")
               .agg(sum(lit(1.0) / (lit(kParam) + col("__frank"))).as("score"))
             dfF.join(fused, dfF(meta.idCol) === col("__fid")).drop("__fid")
+          case "weighted" =>
+            // weighted combination over candidate-K legs (fusion/strategy
+            // .rs:67-78): avg_weight×avg + max_weight×max + hit_weight×
+            // hit_ratio, hit_ratio = legs containing the doc / total legs
+            val aw = fusion.flatMap(_.params.get("avg_weight")).getOrElse(0.5)
+            val mw = fusion.flatMap(_.params.get("max_weight")).getOrElse(0.3)
+            val hw = fusion.flatMap(_.params.get("hit_weight")).getOrElse(0.2)
+            val kCand = math.max(sel.limit.getOrElse(NearDefaultLimit), CandidateK)
+            val ord = (c: Column) => if (hib) c.desc else c.asc
+            val legs = sims.map { sim =>
+              dfF.select(col(meta.idCol).as("__fid"), sim.as("__fs"))
+                .orderBy(ord(col("__fs")), col("__fid")).limit(kCand)
+            }
+            val fused = legs.reduce(_ unionAll _)
+              .groupBy("__fid")
+              .agg((lit(aw) * avg(col("__fs")) + lit(mw) * max(col("__fs"))
+                + lit(hw) * (count(lit(1)) / lit(sims.size.toDouble))).as("score"))
+            dfF.join(fused, dfF(meta.idCol) === col("__fid")).drop("__fid")
           case other => fail(s"unknown fusion strategy $other")
         }
       case _ =>

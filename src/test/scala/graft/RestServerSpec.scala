@@ -129,6 +129,19 @@ class RestServerSpec extends SparkSpecBase {
     assert(er.statusCode() == 200 && er.body().contains("steps"), er.body())
   }
 
+  test("POST /collections/{n}/search/multi fuses multiple query vectors") {
+    val a = graft.functions.VectorFunctions.syntheticQuery(64).mkString("[", ",", "]")
+    val b = (0 until 64).map(i => (math.cos(i * 0.31) * 0.4 - 0.05).toFloat)
+      .mkString("[", ",", "]")
+    val mr = post("/collections/embeddings/search/multi",
+      s"""{"vectors": [$a, $b], "top_k": 4, "strategy": "rrf", "rrf_k": 60}""")
+    assert(mr.statusCode() == 200, mr.body())
+    assert("\"id\":".r.findAllIn(mr.body()).length == 4, mr.body().take(300))
+    val wr = post("/collections/embeddings/search/multi",
+      s"""{"vectors": [$a, $b], "top_k": 4, "strategy": "weighted"}""")
+    assert(wr.statusCode() == 200, wr.body())
+  }
+
   test("error taxonomy maps to HTTP codes") {
     // unknown collection → 404 (NotFoundError)
     val nf = post("/query", """{"query": "SELECT x FROM nope LIMIT 1"}""")
