@@ -38,6 +38,16 @@ import scala.jdk.CollectionConverters._
   * `Database`). Built on the JDK's `com.sun.net.httpserver` (public JDK
   * API) so the zero-dependency build constraint holds.
   *
+  * Also served for parity: `POST /collections/{n}/empty` (delete all
+  * points), `POST /collections/{n}/flush` (no-op acknowledgment — parquet
+  * upserts are durable; the reference flushes its WAL), graph
+  * `nodes/{id}/degree` + `traverse`. Intentionally absent:
+  * `/collections/{n}/indexes*` (property indexes are implicit here —
+  * parquet min/max row-group stats + src-clustered Materialize supersede
+  * them, SURVEY §2 G7/G8), `/collections/{n}/graph/edges` POST (the graph
+  * derives from the dataset tables, not a mutable per-collection edge
+  * store), and `/metrics` (Prometheus, feature-gated in the reference).
+  *
   * Driver-sided by design: results are collected to JSON, so routes are
   * for top-k/aggregate-sized answers, not bulk export — identical to the
   * reference's HTTP contract.
@@ -101,6 +111,14 @@ class RestServer(g: Graft, port: Int = 0) {
       case ("DELETE", "collections" :: name :: Nil) =>
         g.collections.drop(name)
         ok(s"""{"name":"$name","status":"deleted"}""")
+      case ("POST", "collections" :: name :: "empty" :: Nil) =>
+        // delete every point, keep the collection + metadata (lib.rs route)
+        g.collections.deleteWhere(name, lit(true))
+        ok(s"""{"name":"$name","status":"emptied"}""")
+      case ("POST", "collections" :: name :: "flush" :: Nil) =>
+        // parquet writes are durable at upsert time — flush is a no-op
+        // acknowledged for API parity (the reference flushes its WAL)
+        ok(s"""{"name":"$name","status":"flushed"}""")
       case ("POST", "collections" :: name :: "points" :: Nil) =>
         val b = json(ex)
         val pts = Option(b.get("points")).filter(_.isArray)
@@ -200,6 +218,37 @@ class RestServer(g: Graft, port: Int = 0) {
           s"SELECT * FROM $name WHERE $tcol MATCH ${matchLit(q)} AND vector NEAR $$__v LIMIT $k" +
             " USING FUSION(strategy = 'rrf', k = 60, vector_weight = 0.5)",
           Map("__v" -> vec))
+      case ("GET", "collections" :: _ :: "graph" :: "nodes" :: id :: "degree" :: Nil) =>
+        // DegreeResponse shape (handlers/graph/types.rs:84-89)
+        val nid = id.toLong
+        val e = graft.operators.Graph.edges(g.spark, g.catalog.dir)
+        val Array(outD, inD) = e.agg(
+          sum(when(col("src") === nid, 1L).otherwise(0L)),
+          sum(when(col("dst") === nid, 1L).otherwise(0L)))
+          .collect().head.toSeq.map(v => Option(v).fold(0L)(_.asInstanceOf[Long])).toArray
+        ok(s"""{"in_degree":$inD,"out_degree":$outD}""")
+      case ("POST", "collections" :: _ :: "graph" :: "traverse" :: Nil) =>
+        // TraverseRequest (handlers/graph/types.rs:29-45): source,
+        // max_depth, limit, rel_types; BFS (strategy 'dfs' visits the
+        // same node set — match_exec.rs BFS is the one distributed shape)
+        val b = json(ex)
+        val source = Option(b.get("source")).filter(_.isNumber).map(_.asLong)
+          .getOrElse(badRequest("missing 'source'"))
+        val depth = intOr(b, "max_depth", 3)
+        val limit = intOr(b, "limit", 100)
+        val rels = Option(b.get("rel_types")).filter(_.isArray)
+          .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+        timed { ms =>
+          import g.spark.implicits._
+          val starts = Seq(source).toDF("start")
+          val res = graft.operators.Graph.bfsVarLength(
+            graft.operators.Graph.edges(g.spark, g.catalog.dir), starts, depth, rels)
+          val visited = res.count()
+          val rows = res.orderBy(col("depth"), col("node"))
+            .select(col("node"), col("depth")).limit(limit).toJSON.collect()
+          s"""{"results":[${rows.mkString(",")}],"next_cursor":null,""" +
+            s""""has_more":${visited > limit},"stats":{"visited":$visited,"timing_ms":${ms()}}}"""
+        }
       case ("POST", "collections" :: _ :: "match" :: Nil) =>
         val b = json(ex)
         val m = text(b, "match").getOrElse(badRequest("missing 'match'"))

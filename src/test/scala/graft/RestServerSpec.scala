@@ -76,6 +76,9 @@ class RestServerSpec extends SparkSpecBase {
       assert(created.statusCode() == 200 && created.body().contains("created"))
       val listed = send(HttpRequest.newBuilder(URI.create(s"$b/collections")).GET().build())
       assert(listed.body().contains("notes"))
+      val flushed = send(HttpRequest.newBuilder(URI.create(s"$b/collections/notes/flush"))
+        .POST(HttpRequest.BodyPublishers.noBody()).build())
+      assert(flushed.statusCode() == 200 && flushed.body().contains("flushed"))
       val dropped = send(HttpRequest.newBuilder(URI.create(s"$b/collections/notes"))
         .DELETE().build())
       assert(dropped.statusCode() == 200 && dropped.body().contains("deleted"))
@@ -115,6 +118,11 @@ class RestServerSpec extends SparkSpecBase {
         .DELETE().build(), HttpResponse.BodyHandlers.ofString())
       assert(del.statusCode() == 200)
       assert(get2("/collections/pts/points/1").statusCode() == 404)
+      // empty: remaining points removed, collection still listed
+      val emp = p("/collections/pts/empty", "")
+      assert(emp.statusCode() == 200 && emp.body().contains("emptied"), emp.body())
+      assert(get2("/collections/pts/points/2").statusCode() == 404)
+      assert(get2("/collections").body().contains("pts"))
     } finally s2.stop()
   }
 
@@ -140,6 +148,24 @@ class RestServerSpec extends SparkSpecBase {
     val wr = post("/collections/embeddings/search/multi",
       s"""{"vectors": [$a, $b], "top_k": 4, "strategy": "weighted"}""")
     assert(wr.statusCode() == 200, wr.body())
+  }
+
+  test("graph routes: node degree and BFS traverse") {
+    // node 1 = customer 1; out-degree = orders placed (q80's surface)
+    val dg = get("/collections/any/graph/nodes/1/degree")
+    assert(dg.statusCode() == 200, dg.body())
+    assert(dg.body().contains("\"out_degree\":") && dg.body().contains("\"in_degree\":"))
+    val tr = post("/collections/any/graph/traverse",
+      """{"source": 1, "max_depth": 2, "limit": 5, "rel_types": ["placed", "contains"]}""")
+    assert(tr.statusCode() == 200, tr.body())
+    assert(tr.body().contains("\"stats\":{\"visited\":"), tr.body().take(300))
+    assert("\"node\":".r.findAllIn(tr.body()).length <= 5)
+    // traverse result must agree with the operator-level BFS
+    import spark.implicits._
+    val expected = graft.operators.Graph.bfsVarLength(
+      graft.operators.Graph.edges(spark, sfDir), Seq(1L).toDF("start"), 2,
+      Seq("placed", "contains")).count()
+    assert(tr.body().contains(s""""visited":$expected"""), tr.body().take(300))
   }
 
   test("error taxonomy maps to HTTP codes") {
