@@ -31,7 +31,13 @@ object Bench {
     SparkEntry.queries.get("q01_tpch_q1").foreach(f => f(spark, sfDir).count())
     SparkEntry.queries.get("q40_knn_cosine").foreach(f => f(spark, sfDir).count())
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q82,q105 → time only matching queries
+    // (local iteration; the driver runs unfiltered)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.startsWith))
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val cold = (System.nanoTime() - t0) / 1e9

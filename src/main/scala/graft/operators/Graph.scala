@@ -133,6 +133,13 @@ object Graph {
       // fresh output attributes per use (alias projections) — the joins
       // below never see a shared attribute id, so un-checkpointed depths
       // compose without ambiguous-self-join resolution
+      // NOTE on join strategy (measured, r5): broadcast-hinting the
+      // frontier/visited sides (bounded by the depth cap + the
+      // reference's 100k visited cap, graph/streaming.rs:33) was tried
+      // and is SLOWER in local mode — the per-depth driver collect
+      // outweighs local shuffle cost, and AQE already coalesces the
+      // small shuffles. On a real cluster with a 100 TB edge table the
+      // broadcast shape wins; revisit there (one-line hint).
       val eD = e.select(col("src").as("__esrc"), col("dst").as("__edst"))
       val next = frontier.join(eD, frontier("node") === col("__esrc"))
         .select(frontier("start"), col("__edst").as("node")).distinct()

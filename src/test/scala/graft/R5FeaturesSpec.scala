@@ -104,6 +104,31 @@ class R5FeaturesSpec extends SparkSpecBase {
     assert(rows.map(_.getDouble(1)).max >= 1.0 / 61 - 1e-12)
   }
 
+  test("IVF probe prunes on the cell key at the scan (q59 plan)") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val df = SparkEntry.queries("q59_ivf_fullprobe")(spark, sfDir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // probing nprobe cells must reach the parquet scan as a pushed IN
+    // filter over the cell-clustered materialized index (row-group
+    // min/max pruning — the partitionBy("cell") layout at cluster scale)
+    assert(p.contains("PushedFilters:") && p.contains("In(cell"), p.take(2000))
+    // and the query itself never trains: no driver-side Lloyd aggregation
+    assert(!p.contains("ObjectHashAggregate"), "training leaked into the query plan")
+  }
+
+  test("BFS leaves at most one live checkpoint (superseded blocks freed in-loop)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val e = graft.operators.Graph.edges(spark, sfDir)
+    import spark.implicits._
+    val starts = Tables.table(spark, sfDir, "customer")
+      .limit(20).select(col("c_custkey").as("start"))
+    val res = graft.operators.Graph.bfsVarLength(e, starts, maxDepth = 6)
+    res.count() // consume
+    val live = sc.getPersistentRDDs.size - before
+    assert(live <= 1, s"expected ≤1 live checkpoint RDD after BFS, got $live")
+  }
+
   test("Ivf.materializedIndex trains once per dataset and probes exactly") {
     import graft.operators.{Ivf, Knn}
     val (cents, cells) = Ivf.materializedIndex(spark, sfDir, "embeddings", "embedding", k = 4)
