@@ -104,6 +104,61 @@ class R5FeaturesSpec extends SparkSpecBase {
     assert(rows.map(_.getDouble(1)).max >= 1.0 / 61 - 1e-12)
   }
 
+  test("differential fuzz: filtered NEAR_FUSED agrees with a window-rank reference") {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val b = (0 until 64).map(i => (math.cos(i * 0.31) * 0.4 - 0.05).toFloat)
+    def leaf(): (String, Column) = rnd.nextInt(4) match {
+      case 0 => ("label IN (1, 2, 3)", col("label").isin(1, 2, 3))
+      case 1 => ("vec_id < 30", col("vec_id") < 30)
+      case 2 => ("label >= 5", col("label") >= 5)
+      case 3 => ("vec_id BETWEEN 5 AND 45", col("vec_id").between(5, 45))
+    }
+    def tree(depth: Int): (String, Column) =
+      if (depth == 0) leaf()
+      else rnd.nextInt(4) match {
+        case 0 => leaf()
+        case 1 =>
+          val (ls, lc) = tree(depth - 1); val (rs, rc) = tree(depth - 1)
+          (s"($ls AND $rs)", lc && rc)
+        case 2 =>
+          val (ls, lc) = tree(depth - 1); val (rs, rc) = tree(depth - 1)
+          (s"($ls OR $rs)", lc || rc)
+        case 3 =>
+          val (is, ic) = tree(depth - 1); (s"NOT ($is)", !ic)
+      }
+    for (i <- 1 to 8) {
+      val (ws, wc) = tree(2)
+      val got = g.sql(
+        s"SELECT vec_id, score FROM embeddings WHERE $ws AND " +
+          "vector NEAR_FUSED [$a, $b] USING FUSION 'rrf' LIMIT 10",
+        Map("a" -> q, "b" -> b)).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // independent reference: rank each leg with a window over the
+      // FILTERED frame, RRF-sum, top 10 — built with raw DataFrame ops,
+      // not the compiler's candidate-leg machinery
+      val f = emb.where(wc)
+      val legs = Seq(q, b).map { v =>
+        f.select(col("vec_id"), graft.functions.VectorFunctions.cosine_sim(
+            col("embedding"), graft.functions.VectorFunctions.vecLit(v)).as("s"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(graft.operators.Ranks.one(col("vec_id")))
+              .orderBy(col("s").desc, col("vec_id"))))
+          .where(col("rnk") <= 2000)
+          .select(col("vec_id"), (lit(1.0) / (lit(60.0) + col("rnk"))).as("p"))
+      }
+      val exp = legs.reduce(_ unionAll _).groupBy("vec_id")
+        .agg(sum(col("p")).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got.map(_._1) == exp.map(_._1), s"tree $i: $ws → ids diverged")
+      got.zip(exp).foreach { case ((_, gs), (_, es)) =>
+        assert(math.abs(gs - es) < 1e-9, s"tree $i: $ws → score diverged") }
+    }
+  }
+
   test("IVF probe prunes on the cell key at the scan (q59 plan)") {
     import org.apache.spark.sql.execution.ExplainMode
     val df = SparkEntry.queries("q59_ivf_fullprobe")(spark, sfDir)
