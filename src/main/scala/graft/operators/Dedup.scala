@@ -46,6 +46,57 @@ object Dedup {
       .select(col("a"), col("b"), round(j, 6).as("jaccard"))
   }
 
+  /** Connected components over an undirected near-dup pair list — the
+    * cluster-assignment step of a "keep one representative per duplicate
+    * cluster" pipeline (the pair lists come from [[ngramJaccardPairs]],
+    * MinHash/LSH banding, or [[embeddingNearDupLsh]]).
+    *
+    * Iterative min-label propagation, the standard distributed CC shape:
+    * every round each node takes the smallest label among itself and its
+    * neighbors — one shuffle-join per round, rounds = component diameter
+    * (near-dup clusters are near-cliques, so typically 1-2). The label
+    * converges to the smallest member id, which doubles as the natural
+    * cluster representative. Per-round lineage is truncated with an
+    * eager checkpoint; superseded checkpoints are freed in-loop (the
+    * [[graft.operators.Graph.bfsVarLength]] discipline).
+    *
+    * Returns `(id, cluster)` for every id that appears in a pair. Throws
+    * if `maxIters` rounds don't converge (a component with diameter >
+    * maxIters — not a near-dup shape; raise the cap explicitly). */
+  def components(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionAll(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id"))
+    var prevCkpt: DataFrame = null
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nb = edges.join(
+          labels.select(col("id").as("__v"), col("comp").as("__nc")),
+          col("v") === col("__v"))
+        .groupBy(col("u")).agg(min(col("__nc")).as("__nbc"))
+      val updated = labels.join(nb, labels("id") === col("u"), "left")
+        .select(labels("id"),
+          least(labels("comp"), coalesce(col("__nbc"), labels("comp"))).as("comp"))
+        .localCheckpoint(eager = true)
+      changed = updated.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .where(col("n.comp") =!= col("o.comp")).count()
+      if (prevCkpt != null)
+        org.apache.spark.sql.graft.CheckpointBlocks.unpersist(prevCkpt)
+      prevCkpt = updated
+      labels = updated
+      it += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"components: no convergence after $maxIters rounds (diameter > $maxIters)")
+    labels
+  }
+
   /** Winnowing fingerprint selection (the MOSS scheme) over ORDERED
     * per-doc gram-hash arrays `(doc_id, h: array<bigint>)`: keep the
     * MINIMUM hash of every w-window of consecutive gram hashes,

@@ -257,6 +257,34 @@ object TextQueries {
       graft.operators.Dedup.ngramJaccardPairs(sh, 0.8)
     },
 
+    // ---- Dedup cluster assignment: connected components over the
+    // near-dup pair graph (min-label propagation), label = smallest
+    // member id = the cluster representative a pipeline keeps. Oracle =
+    // transitive closure by recursive CTE over the same q67 pair set.
+    QueryDef(
+      "q73_dedup_clusters",
+      s"""WITH RECURSIVE sh AS ($duckTokToShingles),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+         |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT a, b FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+         |  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8),
+         |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v AND e.v <> r.u)
+         |SELECT u AS doc_id, least(u, min(v)) AS cluster
+         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val sh = shinglesTab(s, d).select(col("doc_id"), col("sh64").as("sh"))
+      val pairs = graft.operators.Dedup.ngramJaccardPairs(sh, 0.8)
+      graft.operators.Dedup.components(pairs)
+        .select(col("id").as("doc_id"), col("comp").as("cluster"))
+        .orderBy("doc_id")
+    },
+
     // ---- Dedup: MinHash + LSH (16 hashes = 4 bands × 4 rows, banded
     // bucket-join for candidates, exact-Jaccard verify ≥ 0.8). The
     // scale path: signatures are one groupBy, candidates come from the

@@ -184,6 +184,27 @@ class R5FeaturesSpec extends SparkSpecBase {
     assert(live <= 1, s"expected ≤1 live checkpoint RDD after BFS, got $live")
   }
 
+  test("Dedup.components: chains, cliques, and singleton-pair clusters") {
+    import spark.implicits._
+    // a 5-node chain (diameter 4 — forces multiple propagation rounds),
+    // a triangle, and an isolated pair
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), // chain: cluster 1
+      (10L, 11L), (11L, 12L), (10L, 12L), // triangle: cluster 10
+      (20L, 21L)) // pair: cluster 20
+      .toDF("a", "b")
+    val got = graft.operators.Dedup.components(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(got(_) == 1L), s"chain: $got")
+    assert(Seq(10L, 11L, 12L).forall(got(_) == 10L), s"triangle: $got")
+    assert(Seq(20L, 21L).forall(got(_) == 20L), s"pair: $got")
+    // non-convergence guard: a 5-chain can't settle in 1 round
+    intercept[IllegalStateException](
+      graft.operators.Dedup.components(
+        Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b"),
+        maxIters = 1).collect())
+  }
+
   test("Ivf.materializedIndex trains once per dataset and probes exactly") {
     import graft.operators.{Ivf, Knn}
     val (cents, cells) = Ivf.materializedIndex(spark, sfDir, "embeddings", "embedding", k = 4)
