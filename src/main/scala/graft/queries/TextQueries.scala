@@ -224,6 +224,25 @@ object TextQueries {
         .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
     },
 
+    // ---- Token counting under a BPE-ish pre-tokenizer regex (the
+    // GPT-2-style split shape: optional-space word runs, digit runs,
+    // punctuation runs, whitespace runs) — the cost estimator a training
+    // pipeline runs before the real tokenizer. Deterministic leftmost
+    // matching agrees between Java regex (Spark codegen) and RE2
+    // (DuckDB), oracle-checked per doc.
+    QueryDef(
+      "q74_bpe_tokens",
+      """SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +')) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(lower(col("text")),
+            lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"), lit(0)))
+            .cast(LongType).as("bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
     // ---- Dedup: exact (hash-groupBy on normalized 40-char prefix —
     // collision groups planted in the testdata)
     QueryDef(

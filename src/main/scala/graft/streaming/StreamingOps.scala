@@ -74,6 +74,24 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming ingest into a collection: every micro-batch upserts
+    * (merge-by-id, latest wins) into the collection's parquet store via
+    * foreachBatch — the streaming face of the reference's insert path
+    * (collection/core/crud.rs upsert; its WAL durability is superseded
+    * by the checkpointed sink + atomic parquet swap). Derived indexes
+    * (BM25 postings, LSH buckets) rebuild lazily on next query because
+    * Materialize keys on the store's file listing. Returns the started
+    * query; callers own `processAllAvailable`/`stop`. */
+  def ingestStream(batches: DataFrame, collections: graft.Collections,
+      name: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    batches.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) collections.upsert(name, batch.toDF())
+      }
+      .start()
+
   /** Read the events parquet directory as a stream (file source — at
     * scale this is the landing-zone pattern: new files appear, Spark
     * incrementally processes them). */

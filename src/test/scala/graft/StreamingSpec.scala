@@ -95,4 +95,32 @@ class StreamingSpec extends SparkSpecBase {
     val kept = spark.table(qn).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 3L), s"got $kept")
   }
+
+  test("streaming ingest upserts micro-batches into a collection (merge by id)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest-ckpt").toString
+    val cols = new Collections(spark, dir)
+    cols.create("stream_pts", idCol = "id", vectorCol = Some("embedding"))
+    val mem = MemoryStream[(Long, Seq[Float], String)]
+    val batches = mem.toDF().toDF("id", "embedding", "tag")
+    val q = StreamingOps.ingestStream(batches, cols, "stream_pts", ckpt)
+    mem.addData((1L, Seq(1.0f, 0.0f), "a"), (2L, Seq(0.0f, 1.0f), "b"))
+    q.processAllAvailable()
+    assert(cols.count("stream_pts") == 2)
+    mem.addData((2L, Seq(0.5f, 0.5f), "b2"), (3L, Seq(0.9f, 0.1f), "c"))
+    q.processAllAvailable()
+    q.stop()
+    // merge-by-id: 3 points, id 2 carries the LATER batch's values
+    assert(cols.count("stream_pts") == 3)
+    val g = Graft(spark, dir)
+    val tag2 = g.sql("SELECT tag FROM stream_pts WHERE id = 2")
+      .collect().map(_.getString(0)).toSeq
+    assert(tag2 == Seq("b2"), s"got $tag2")
+    // and the ingested collection is NEAR-searchable
+    val top = g.sql("SELECT id FROM stream_pts WHERE vector NEAR $q LIMIT 2",
+      Map("q" -> Seq(1.0f, 0.0f))).collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L, 3L), s"got $top")
+  }
 }
