@@ -14,6 +14,12 @@ import scala.jdk.CollectionConverters._
   * merge-by-id (latest batch wins), delete is an anti-join — Spark is
   * batch-first, so index structures (BM25 postings, LSH buckets) are
   * derived tables rebuilt per batch rather than incrementally mutated.
+  *
+  * Mutations are serialized per instance (the reference's collection
+  * RwLock, lib.rs `Arc<RwLock<_>>`): concurrent REST upserts/deletes
+  * against one store would otherwise race on the points.tmp swap.
+  * Cross-process writers are NOT coordinated (same as the reference's
+  * single-process ownership of a data dir).
   */
 class Collections(spark: SparkSession, dataDir: String) {
 
@@ -53,7 +59,7 @@ class Collections(spark: SparkSession, dataDir: String) {
       .map(_.getFileName.toString).sorted
 
   /** S1: drop (lib.rs:337-346). */
-  def drop(name: String): Unit = deleteRec(colDir(name))
+  def drop(name: String): Unit = this.synchronized { deleteRec(colDir(name)) }
 
   private def idColOf(name: String): String = metaOf(name)._1
 
@@ -75,7 +81,7 @@ class Collections(spark: SparkSession, dataDir: String) {
   /** S2: upsert — insert-or-replace by id (crud.rs:19-127). Batch
     * semantics: the incoming batch wins over stored rows; within a batch,
     * later rows win (matching upsert ordering). */
-  def upsert(name: String, batch: DataFrame): Unit = {
+  def upsert(name: String, batch: DataFrame): Unit = this.synchronized {
     val idCol = idColOf(name)
     val merged = table(name) match {
       case Some(existing) =>
@@ -105,7 +111,7 @@ class Collections(spark: SparkSession, dataDir: String) {
   }
 
   /** S3: delete by ids → anti-join rewrite (crud.rs:291). */
-  def delete(name: String, ids: Seq[Long]): Unit = {
+  def delete(name: String, ids: Seq[Long]): Unit = this.synchronized {
     val idCol = idColOf(name)
     table(name).foreach { df =>
       upsertReplaceAll(name, df.where(!col(idCol).isin(ids: _*)))
@@ -119,8 +125,10 @@ class Collections(spark: SparkSession, dataDir: String) {
     * because `!NULL` is NULL and a bare `where(!pred)` would silently
     * delete them. */
   def deleteWhere(name: String, predicate: org.apache.spark.sql.Column): Unit =
-    table(name).foreach(df =>
-      upsertReplaceAll(name, df.where(!coalesce(predicate, lit(false)))))
+    this.synchronized {
+      table(name).foreach(df =>
+        upsertReplaceAll(name, df.where(!coalesce(predicate, lit(false)))))
+    }
 
   /** S3: count (crud.rs:328 len). */
   def count(name: String): Long = table(name).map(_.count()).getOrElse(0L)
@@ -129,8 +137,9 @@ class Collections(spark: SparkSession, dataDir: String) {
     * (the reference's vacuum/compaction, column_store/mod.rs:420-573 /
     * storage/compaction.rs; with parquet rewrite there are no tombstones
     * to reclaim, only small-file consolidation). */
-  def compact(name: String, numFiles: Int = 1): Unit =
+  def compact(name: String, numFiles: Int = 1): Unit = this.synchronized {
     table(name).foreach(df => upsertReplaceAll(name, df.coalesce(numFiles)))
+  }
 
   private def upsertReplaceAll(name: String, df: DataFrame): Unit = {
     val tmp = colDir(name).resolve("points.tmp").toString

@@ -205,6 +205,51 @@ class R5FeaturesSpec extends SparkSpecBase {
         maxIters = 1).collect())
   }
 
+  test("property: components equals union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 5) {
+      val n = 10 + rnd.nextInt(30)
+      val pairs = (1 to n).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      if (pairs.nonEmpty) {
+        // in-test union-find oracle (path compression, min-root)
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+            parent(hi) = lo }
+        }
+        val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+          .map(x => x -> find(x)).toMap
+        val got = graft.operators.Dedup.components(pairs.toDF("a", "b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"trial $trial (n=$n, ${pairs.size} edges)")
+      }
+    }
+  }
+
+  test("concurrent upserts to one collection serialize (no lost updates)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-conc").toString
+    val cols = new Collections(spark, dir)
+    cols.create("conc", idCol = "id")
+    val threads = (0 until 4).map { t =>
+      new Thread(() => cols.upsert("conc",
+        (t * 100 until t * 100 + 25).map(i => (i.toLong, s"v$t")).toDF("id", "v")))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // 4 disjoint batches of 25 — a racy points.tmp swap would lose whole
+    // batches; the per-instance lock must land all 100
+    assert(cols.count("conc") == 100)
+  }
+
   test("Ivf.materializedIndex trains once per dataset and probes exactly") {
     import graft.operators.{Ivf, Knn}
     val (cents, cells) = Ivf.materializedIndex(spark, sfDir, "embeddings", "embedding", k = 4)
