@@ -41,12 +41,13 @@ import scala.jdk.CollectionConverters._
   * Also served for parity: `POST /collections/{n}/empty` (delete all
   * points), `POST /collections/{n}/flush` (no-op acknowledgment — parquet
   * upserts are durable; the reference flushes its WAL), graph
-  * `nodes/{id}/degree` + `traverse`. Intentionally absent:
+  * `nodes/{id}/degree` + `traverse`, and `GET /metrics` (Prometheus text
+  * counters per route). Intentionally absent:
   * `/collections/{n}/indexes*` (property indexes are implicit here —
   * parquet min/max row-group stats + src-clustered Materialize supersede
-  * them, SURVEY §2 G7/G8), `/collections/{n}/graph/edges` POST (the graph
-  * derives from the dataset tables, not a mutable per-collection edge
-  * store), and `/metrics` (Prometheus, feature-gated in the reference).
+  * them, SURVEY §2 G7/G8) and `/collections/{n}/graph/edges` POST (the
+  * graph derives from the dataset tables, not a mutable per-collection
+  * edge store).
   *
   * Driver-sided by design: results are collected to JSON, so routes are
   * for top-k/aggregate-sized answers, not bulk export — identical to the
@@ -58,6 +59,24 @@ class RestServer(g: Graft, port: Int = 0) {
   private val server: HttpServer = HttpServer.create(new InetSocketAddress(port), 0)
   server.setExecutor(null) // serve on the accept thread; Spark fans out below
 
+  private val startedAt = System.nanoTime()
+  private val requestCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private val errorCount = new java.util.concurrent.atomic.AtomicLong()
+  private def countRequest(path: String, code: Int): Unit = {
+    // low-cardinality route label: collapse collection names and ids
+    val route = path.split("/").filter(_.nonEmpty).toList match {
+      case "collections" :: _ :: rest => ("collections" :: "{name}" :: rest.map {
+        case s if s.forall(_.isDigit) => "{id}"
+        case s => s
+      }).mkString("/", "/", "")
+      case _ => path
+    }
+    requestCounts.computeIfAbsent(route,
+      _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+    if (code >= 400) errorCount.incrementAndGet()
+  }
+
   /** Bound port (useful when constructed with port 0 for tests). */
   def boundPort: Int = server.getAddress.getPort
 
@@ -67,6 +86,21 @@ class RestServer(g: Graft, port: Int = 0) {
   // ---------------- routing ----------------
 
   server.createContext("/health", exchange(_ => ok("""{"status":"ok"}""")))
+
+  server.createContext("/metrics", exchange { _ =>
+    // Prometheus text exposition (the reference's /metrics route,
+    // main.rs prometheus feature) — request/error counters per route
+    val sb = new StringBuilder
+    sb ++= "# TYPE graft_requests_total counter\n"
+    requestCounts.forEach { (route, n) =>
+      sb ++= s"""graft_requests_total{route="$route"} ${n.get()}""" += '\n'
+    }
+    sb ++= "# TYPE graft_errors_total counter\n"
+    sb ++= s"graft_errors_total ${errorCount.get()}\n"
+    sb ++= "# TYPE graft_uptime_seconds gauge\n"
+    sb ++= s"graft_uptime_seconds ${(System.nanoTime() - startedAt) / 1000000000L}\n"
+    (200, sb.toString)
+  })
 
   server.createContext("/query", exchange { ex =>
     requirePost(ex)
@@ -325,8 +359,10 @@ class RestServer(g: Graft, port: Int = 0) {
           case e: IllegalArgumentException => (400, errJson(e))
           case e: Exception => (500, errJson(e))
         }
+      countRequest(ex.getRequestURI.getPath, code)
       val bytes = body.getBytes(StandardCharsets.UTF_8)
-      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.getResponseHeaders.set("Content-Type",
+        if (ex.getRequestURI.getPath == "/metrics") "text/plain" else "application/json")
       ex.sendResponseHeaders(code, bytes.length.toLong)
       val os = ex.getResponseBody
       try os.write(bytes) finally os.close()

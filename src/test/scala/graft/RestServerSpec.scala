@@ -168,6 +168,17 @@ class RestServerSpec extends SparkSpecBase {
     assert(tr.body().contains(s""""visited":$expected"""), tr.body().take(300))
   }
 
+  test("GET /metrics exposes per-route request and error counters") {
+    get("/health")
+    post("/query", """{"query": "SELEKT broken"}""") // counted as an error
+    val m = get("/metrics")
+    assert(m.statusCode() == 200, m.body())
+    assert(m.body().contains("graft_requests_total{route=\"/health\"}"), m.body())
+    assert(m.body().contains("graft_requests_total{route=\"/query\"}"), m.body())
+    val err = "graft_errors_total (\\d+)".r.findFirstMatchIn(m.body()).map(_.group(1).toLong)
+    assert(err.exists(_ >= 1), m.body())
+  }
+
   test("error taxonomy maps to HTTP codes") {
     // unknown collection → 404 (NotFoundError)
     val nf = post("/query", """{"query": "SELECT x FROM nope LIMIT 1"}""")
