@@ -81,7 +81,14 @@ object StreamingOps {
     * by the checkpointed sink + atomic parquet swap). Derived indexes
     * (BM25 postings, LSH buckets) rebuild lazily on next query because
     * Materialize keys on the store's file listing. Returns the started
-    * query; callers own `processAllAvailable`/`stop`. */
+    * query; callers own `processAllAvailable`/`stop`.
+    *
+    * Scale note: `Collections.upsert` is a merge-by-id REWRITE of the
+    * store — right for reference-sized collections, wrong past ~TB per
+    * collection. The 100 TB shape is append-only landing (plain
+    * `parquet` sink) + id-bucketed periodic compaction so each batch
+    * touches only its buckets; this wrapper exists for the upsert
+    * semantics the reference API promises. */
   def ingestStream(batches: DataFrame, collections: graft.Collections,
       name: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     batches.writeStream
