@@ -95,12 +95,7 @@ class Collections(spark: SparkSession, dataDir: String) {
           .drop("__pri", "__rn")
       case None => batch
     }
-    // write to a temp dir then swap (parquet can't overwrite its own input)
-    val tmp = colDir(name).resolve("points.tmp").toString
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val target = Paths.get(dataPath(name))
-    if (Files.exists(target)) deleteRec(target)
-    Files.move(Paths.get(tmp), target)
+    publish(name, merged)
   }
 
   /** S3: get by ids (crud.rs:250). */
@@ -141,11 +136,34 @@ class Collections(spark: SparkSession, dataDir: String) {
     table(name).foreach(df => upsertReplaceAll(name, df.coalesce(numFiles)))
   }
 
-  private def upsertReplaceAll(name: String, df: DataFrame): Unit = {
-    val tmp = colDir(name).resolve("points.tmp").toString
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+  private def upsertReplaceAll(name: String, df: DataFrame): Unit = publish(name, df)
+
+  /** Atomically publish a new points generation. `points` is a SYMLINK to
+    * a `points-g<uuid>` data dir; swapping it is one atomic rename, so a
+    * concurrent reader sees the old generation or the new one — never a
+    * half-deleted directory (the old rm-then-move swap had a window where
+    * `table()` returned None and planned scans hit vanishing files). The
+    * superseded generation survives one publish (readers mid-collect keep
+    * streaming it); generations older than that are removed. */
+  private def publish(name: String, df: DataFrame): Unit = {
+    val dir = colDir(name)
     val target = Paths.get(dataPath(name))
-    if (Files.exists(target)) deleteRec(target)
-    Files.move(Paths.get(tmp), target)
+    val gen = dir.resolve(s"points-g${java.util.UUID.randomUUID().toString.take(8)}")
+    df.write.mode(SaveMode.Overwrite).parquet(gen.toString)
+    val previous: Option[Path] =
+      if (Files.isSymbolicLink(target)) Some(dir.resolve(Files.readSymbolicLink(target)))
+      else if (Files.exists(target)) Some(target) // legacy real-dir layout
+      else None
+    // relative link target so the collection dir stays relocatable
+    val link = dir.resolve(s"points.lnk-${gen.getFileName}")
+    Files.createSymbolicLink(link, gen.getFileName)
+    if (previous.contains(target)) deleteRec(target) // legacy dir blocks the rename
+    // POSIX rename(2): atomically replaces an existing symlink entry
+    Files.move(link, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // keep the just-superseded generation for in-flight readers; drop older
+    children(dir)
+      .filter(p => p.getFileName.toString.startsWith("points-g")
+        && p != gen && !previous.contains(p))
+      .foreach(deleteRec)
   }
 }

@@ -65,10 +65,6 @@ object Dedup {
     * maxIters — not a near-dup shape; raise the cap explicitly). */
   def components(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
       maxIters: Int = 20): DataFrame = {
-    // materialize the edge list ONCE: the pair source is typically an
-    // expensive similarity join (shingle/band joins), and the lazy plan
-    // would re-execute it on EVERY propagation round (measured 4.3 s →
-    // 0.9 s on the q73 pair set); the blocks are freed before returning
     // materialize the edge list ONCE — the pair source is an expensive
     // similarity join and every propagation round must read blocks, not
     // re-execute it (measured on q73: 4.3 s lazy → ~1 s checkpointed).

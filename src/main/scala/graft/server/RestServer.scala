@@ -57,24 +57,59 @@ class RestServer(g: Graft, port: Int = 0) {
 
   private val mapper = new ObjectMapper()
   private val server: HttpServer = HttpServer.create(new InetSocketAddress(port), 0)
-  server.setExecutor(null) // serve on the accept thread; Spark fans out below
+  // small pool: a long Spark query must not block /health or /metrics
+  // (and concurrent mutation is what the Collections lock serializes)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
 
   private val startedAt = System.nanoTime()
   private val requestCounts =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
   private val errorCount = new java.util.concurrent.atomic.AtomicLong()
+  /** Known route verbs under /collections/{name}/… — everything else is
+    * labeled "other" so a noisy client can't grow the counter map (and
+    * the /metrics payload) without bound. */
+  private val KnownVerbs = Set("search", "points", "graph", "match", "empty", "flush",
+    "batch", "multi", "text", "hybrid", "traverse", "nodes", "degree")
   private def countRequest(path: String, code: Int): Unit = {
     // low-cardinality route label: collapse collection names and ids
     val route = path.split("/").filter(_.nonEmpty).toList match {
-      case "collections" :: _ :: rest => ("collections" :: "{name}" :: rest.map {
-        case s if s.forall(_.isDigit) => "{id}"
-        case s => s
-      }).mkString("/", "/", "")
-      case _ => path
+      case "collections" :: Nil => "/collections"
+      case "collections" :: _ :: rest =>
+        val tail = rest.map {
+          case s if s.forall(_.isDigit) => "{id}"
+          case s if KnownVerbs(s) => s
+          case _ => "other"
+        }
+        ("collections" :: "{name}" :: tail).mkString("/", "/", "")
+      case "health" :: _ => "/health"
+      case "metrics" :: _ => "/metrics"
+      case "query" :: Nil => "/query"
+      case "query" :: "explain" :: Nil => "/query/explain"
+      case "query" :: _ => "/query/other"
+      case _ => "/other"
     }
     requestCounts.computeIfAbsent(route,
       _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
     if (code >= 400) errorCount.incrementAndGet()
+  }
+
+  /** Collection names reach the filesystem (`dataDir/<name>/…`): restrict
+    * to a safe charset so `..`/`/` (raw or percent-encoded — the JDK
+    * server does NOT normalize) can never traverse out of the data dir. */
+  private def safeName(name: String): String = {
+    if (name.isEmpty || name.length > 128 ||
+        !name.forall(c => c.isLetterOrDigit || c == '_' || c == '-' || c == '.') ||
+        name.contains("..") || name == ".")
+      badRequest(s"invalid collection name")
+    name
+  }
+  /** 404 early for routes that would otherwise surface missing-file or
+    * missing-path errors as 500s. */
+  private def existing(name: String): String = {
+    safeName(name)
+    if (!g.catalog.exists(name)) throw Halt(404,
+      mapper.writeValueAsString(java.util.Map.of("error", s"collection not found: $name")))
+    name
   }
 
   /** Bound port (useful when constructed with port 0 for tests). */
@@ -133,31 +168,32 @@ class RestServer(g: Graft, port: Int = 0) {
         ok(mapper.writeValueAsString(g.collections.list().asJava))
       case ("POST", "collections" :: Nil) =>
         val b = json(ex)
-        val name = text(b, "name").getOrElse(badRequest("missing 'name'"))
+        val name = safeName(text(b, "name").getOrElse(badRequest("missing 'name'")))
         g.collections.create(name,
           idCol = text(b, "id_col").getOrElse("id"),
           vectorCol = text(b, "vector_col"),
           metric = text(b, "metric").getOrElse("cosine"))
-        ok(s"""{"name":"$name","status":"created"}""")
+        ok(mapper.writeValueAsString(java.util.Map.of("name", name, "status", "created")))
       case ("GET", "collections" :: name :: Nil) =>
-        val n = g.catalog.table(name).count()
-        ok(s"""{"name":"$name","points_count":$n}""")
+        val n = g.catalog.table(existing(name)).count()
+        ok(mapper.writeValueAsString(java.util.Map.of("name", name, "points_count", n)))
       case ("DELETE", "collections" :: name :: Nil) =>
-        g.collections.drop(name)
-        ok(s"""{"name":"$name","status":"deleted"}""")
+        g.collections.drop(existing(name))
+        ok(mapper.writeValueAsString(java.util.Map.of("name", name, "status", "deleted")))
       case ("POST", "collections" :: name :: "empty" :: Nil) =>
         // delete every point, keep the collection + metadata (lib.rs route)
-        g.collections.deleteWhere(name, lit(true))
-        ok(s"""{"name":"$name","status":"emptied"}""")
+        g.collections.deleteWhere(existing(name), lit(true))
+        ok(mapper.writeValueAsString(java.util.Map.of("name", name, "status", "emptied")))
       case ("POST", "collections" :: name :: "flush" :: Nil) =>
         // parquet writes are durable at upsert time — flush is a no-op
         // acknowledged for API parity (the reference flushes its WAL)
-        ok(s"""{"name":"$name","status":"flushed"}""")
+        ok(mapper.writeValueAsString(java.util.Map.of("name", existing(name), "status", "flushed")))
       case ("POST", "collections" :: name :: "points" :: Nil) =>
         val b = json(ex)
         val pts = Option(b.get("points")).filter(_.isArray)
           .getOrElse(badRequest("missing 'points'"))
-        val (idCol, vecColOpt, _) = g.collections.metaOf(name)
+        if (pts.isEmpty) badRequest("'points' must be non-empty")
+        val (idCol, vecColOpt, _) = g.collections.metaOf(existing(name))
         // points → one flat JSON doc per point (payload fields inlined) →
         // spark.read.json infers the batch schema; id/vector get their
         // collection-declared types so the merge-by-id upsert aligns
@@ -179,11 +215,11 @@ class RestServer(g: Graft, port: Int = 0) {
         g.collections.upsert(name, df)
         ok(s"""{"status":"ok","upserted":${docs.length}}""")
       case ("GET", "collections" :: name :: "points" :: id :: Nil) =>
-        val rows = g.collections.get(name, Seq(id.toLong)).toJSON.collect()
+        val rows = g.collections.get(existing(name), Seq(id.toLong)).toJSON.collect()
         if (rows.isEmpty) error(404, s"point $id not found in $name")
         else ok(rows.head)
       case ("DELETE", "collections" :: name :: "points" :: id :: Nil) =>
-        g.collections.delete(name, Seq(id.toLong))
+        g.collections.delete(existing(name), Seq(id.toLong))
         ok(s"""{"status":"deleted","id":$id}""")
       case ("POST", "collections" :: name :: "search" :: "batch" :: Nil) =>
         val b = json(ex)
@@ -275,13 +311,18 @@ class RestServer(g: Graft, port: Int = 0) {
         timed { ms =>
           import g.spark.implicits._
           val starts = Seq(source).toDF("start")
+          // checkpoint once: stats count + row collect then both read the
+          // materialized blocks instead of re-running the BFS twice
           val res = graft.operators.Graph.bfsVarLength(
             graft.operators.Graph.edges(g.spark, g.catalog.dir), starts, depth, rels)
-          val visited = res.count()
-          val rows = res.orderBy(col("depth"), col("node"))
-            .select(col("node"), col("depth")).limit(limit).toJSON.collect()
-          s"""{"results":[${rows.mkString(",")}],"next_cursor":null,""" +
-            s""""has_more":${visited > limit},"stats":{"visited":$visited,"timing_ms":${ms()}}}"""
+            .localCheckpoint(true)
+          try {
+            val visited = res.count()
+            val rows = res.orderBy(col("depth"), col("node"))
+              .select(col("node"), col("depth")).limit(limit).toJSON.collect()
+            s"""{"results":[${rows.mkString(",")}],"next_cursor":null,""" +
+              s""""has_more":${visited > limit},"stats":{"visited":$visited,"timing_ms":${ms()}}}"""
+          } finally org.apache.spark.sql.graft.CheckpointBlocks.unpersist(res)
         }
       case ("POST", "collections" :: _ :: "match" :: Nil) =>
         val b = json(ex)

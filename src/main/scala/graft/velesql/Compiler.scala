@@ -116,6 +116,16 @@ class Compiler(
       if (sel.fusion.isDefined &&
           near.exists(_.isInstanceOf[VectorNear])) textScore else None
 
+    // vector-search-only WITH keys are CONSUMED only by the plain NEAR
+    // branch; accepting them on fused/hybrid/non-vector queries would be
+    // the silent no-op the closed-set key check exists to prevent
+    if (!(near.exists(_.isInstanceOf[VectorNear]) && hybridText.isEmpty)) {
+      Seq("mode", "ef_search", "rerank", "quantization", "oversampling")
+        .find(sel.withOptions.contains)
+        .foreach(k => fail(s"WITH $k applies only to plain vector NEAR queries " +
+          "(not NEAR_FUSED, hybrid fusion, or non-vector queries)"))
+    }
+
     // residual predicate (metadata + similarity thresholds + text match);
     // in hybrid mode the MATCH leg is fused, not filtered
     val residualAll = residual.orElse(sel.where.filter(_ => near.isEmpty))

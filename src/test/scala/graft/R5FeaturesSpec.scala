@@ -82,6 +82,19 @@ class R5FeaturesSpec extends SparkSpecBase {
       "int8+rerank recall too low at 4x oversampling")
   }
 
+  test("vector-only WITH keys on fused/hybrid/non-vector queries are rejected") {
+    val b = (0 until 64).map(i => (math.cos(i * 0.31) * 0.4 - 0.05).toFloat)
+    // NEAR_FUSED ignores rerank/quantization — must error, not no-op
+    val e1 = intercept[graft.velesql.SemanticError](g.sql(
+      "SELECT vec_id, score FROM embeddings WHERE vector NEAR_FUSED [$a, $b] LIMIT 5 WITH (rerank = true)",
+      Map("a" -> q, "b" -> b)))
+    assert(e1.getMessage.contains("plain vector NEAR"))
+    // non-vector query with a quantization key — same
+    val e2 = intercept[graft.velesql.SemanticError](g.sql(
+      "SELECT o_orderkey FROM orders LIMIT 1 WITH (quantization = 'int8')"))
+    assert(e2.getMessage.contains("plain vector NEAR"))
+  }
+
   test("filtered NEAR_FUSED returns LIMIT rows when they exist (filter-then-search)") {
     val emb = Tables.table(spark, sfDir, "embeddings")
     val labels = emb.where(col("label").isin(1, 2))

@@ -179,6 +179,21 @@ class RestServerSpec extends SparkSpecBase {
     assert(err.exists(_ >= 1), m.body())
   }
 
+  test("collection names are validated (no path traversal), unknown → 404") {
+    // traversal attempts are 400 before touching the filesystem
+    val c1 = post("/collections", """{"name": "../evil"}""")
+    assert(c1.statusCode() == 400, s"${c1.statusCode()} ${c1.body()}")
+    val d1 = delete("/collections/%2e%2e")
+    assert(d1.statusCode() == 400, s"${d1.statusCode()} ${d1.body()}")
+    val d2 = delete("/collections/..")
+    assert(d2.statusCode() == 400, s"${d2.statusCode()} ${d2.body()}")
+    // unknown-but-valid names are 404, not 500
+    val p1 = post("/collections/nope/points", """{"points": [{"id": 1}]}""")
+    assert(p1.statusCode() == 404, s"${p1.statusCode()} ${p1.body()}")
+    val g1 = get("/collections/nope")
+    assert(g1.statusCode() == 404, s"${g1.statusCode()} ${g1.body()}")
+  }
+
   test("error taxonomy maps to HTTP codes") {
     // unknown collection → 404 (NotFoundError)
     val nf = post("/query", """{"query": "SELECT x FROM nope LIMIT 1"}""")
