@@ -109,6 +109,22 @@ object VelesqlQueries {
         |RETURN c.id AS custkey, o.id AS order_node
         |ORDER BY custkey ASC, order_node ASC""".stripMargin),
 
+    // ---- undirected relationship `-[:placed]-` (grammar.pest
+    // rel_undirected): matches the edge in EITHER direction, so an Order
+    // node on the LEFT binds via the reversed placed edge (its only
+    // incident direction) — a directed -> pattern here returns nothing.
+    vql("q120_vql_match_undirected",
+      s"""WITH edges AS (${graft.operators.Graph.edgesSql}),
+         |und AS (SELECT src AS s, dst AS d FROM edges WHERE label = 'placed'
+         |        UNION ALL SELECT dst, src FROM edges WHERE label = 'placed')
+         |SELECT o.o_orderkey + 10000000 AS order_node, u.d AS peer
+         |FROM orders o JOIN und u ON u.s = o.o_orderkey + 10000000
+         |WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderkey < 3000
+         |ORDER BY order_node, peer""".stripMargin,
+      """MATCH (o:Order {segment: '1-URGENT'})-[:placed]-(c)
+        |WHERE o.id < 10003000 RETURN o.id AS order_node, c.id AS peer
+        |ORDER BY order_node ASC, peer ASC""".stripMargin),
+
     // ---- temporal: NOW()/INTERVAL arithmetic with folded NOW
     // (2024-01-22T00:00:00Z = 1705881600)
     vql("q98_vql_temporal",
