@@ -125,6 +125,21 @@ object VelesqlQueries {
         |WHERE o.id < 10003000 RETURN o.id AS order_node, c.id AS peer
         |ORDER BY order_node ASC, peer ASC""".stripMargin),
 
+    // ---- incoming relationship `<-[:placed]-` (grammar.pest
+    // rel_incoming): the edge is traversed dst→src, binding the Customer
+    // on the right; same result set as q120's undirected form but
+    // through the dedicated "in"-direction compile path
+    vql("q121_vql_match_incoming",
+      s"""WITH edges AS (${graft.operators.Graph.edgesSql})
+         |SELECT o.o_orderkey + 10000000 AS order_node, e.src AS custkey
+         |FROM orders o JOIN edges e
+         |  ON e.label = 'placed' AND e.dst = o.o_orderkey + 10000000
+         |WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderkey < 3000
+         |ORDER BY order_node, custkey""".stripMargin,
+      """MATCH (o:Order {segment: '1-URGENT'})<-[:placed]-(c:Customer)
+        |WHERE o.id < 10003000 RETURN o.id AS order_node, c.id AS custkey
+        |ORDER BY order_node ASC, custkey ASC""".stripMargin),
+
     // ---- temporal: NOW()/INTERVAL arithmetic with folded NOW
     // (2024-01-22T00:00:00Z = 1705881600)
     vql("q98_vql_temporal",

@@ -44,7 +44,13 @@ class Compiler(
   /** Per-leg candidate pool for rank-based fusion (RRF/hybrid). The
     * reference fetches a bounded candidate set per leg (text.rs:133-134);
     * ranking only the top-K per leg keeps the rank window over K rows
-    * instead of single-tasking the whole collection. */
+    * instead of single-tasking the whole collection.
+    * Join-back note (measured, r5): the fused/hybrid leg frames are
+    * ≤2×CandidateK rows, but broadcast-hinting their join back to the
+    * collection is consistently a bit SLOWER in local mode (driver
+    * round-trip beats nothing when the "shuffle" is in-process, and the
+    * hint overrides AQE). On a real cluster the broadcast shape wins —
+    * one-line hint, revisit there. */
   private val CandidateK = 2000
   /** The closed WITH-option vocabulary (ast/with_clause.rs:82-131 +
     * aggregation caps); anything else is a SemanticError. */
