@@ -372,6 +372,24 @@ object VelesqlQueries {
         |                      WHERE o_orderpriority = '1-URGENT')
         |ORDER BY o_orderkey ASC""".stripMargin),
 
+    // ---- scalar subquery WITH grouping (grammar.pest subquery_expr
+    // allows group_by/having/limit), driven to the EMPTY case: no group
+    // passes HAVING, the scalar is NULL, and `x > NULL` keeps no rows —
+    // SQL three-valued logic, not an error. (A populated grouped LIMIT 1
+    // has no ORDER BY in the subquery grammar, so only the ≤1-group case
+    // is deterministic enough to oracle-pin.)
+    vql("q122_vql_subquery_grouped",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT max(o_totalprice) FROM orders
+        |  GROUP BY o_orderpriority HAVING count(*) > 1000000000 LIMIT 1)
+        |ORDER BY o_orderkey""".stripMargin,
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT MAX(o_totalprice) FROM orders
+        |  GROUP BY o_orderpriority HAVING COUNT(*) > 1000000000 LIMIT 1)
+        |ORDER BY o_orderkey ASC""".stripMargin),
+
     // ---- in-pattern rel property equality `[r:contains {weight: 50.0}]`
     vql("q113_vql_match_relprop_eq",
       s"""WITH edges AS (${graft.operators.Graph.edgesSql})
