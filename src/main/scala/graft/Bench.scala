@@ -33,8 +33,10 @@ object Bench {
 
     // SPARK_GRAFT_BENCH_ONLY=q82,q105 → time only matching queries
     // (local iteration; the driver runs unfiltered)
+    // a set-but-empty filter means "no filter", not "run nothing"
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.startsWith))
     }

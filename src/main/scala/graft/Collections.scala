@@ -72,10 +72,20 @@ class Collections(spark: SparkSession, dataDir: String) {
       field("metric").getOrElse("cosine"))
   }
 
-  /** S3: read all points (empty frame with no schema if never written). */
+  /** S3: read all points (empty frame with no schema if never written).
+    * Reads the RESOLVED generation directory, not the `points` symlink:
+    * a plan that listed its files keeps addressing the immutable old
+    * generation across a concurrent publish (which [[publish]] retains
+    * for exactly one more publish) instead of racing the symlink flip. */
   def table(name: String): Option[DataFrame] = {
     val p = Paths.get(dataPath(name))
-    if (Files.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    if (!Files.exists(p)) None
+    else {
+      val real =
+        if (Files.isSymbolicLink(p)) p.getParent.resolve(Files.readSymbolicLink(p))
+        else p
+      Some(spark.read.parquet(real.toString))
+    }
   }
 
   /** S2: upsert — insert-or-replace by id (crud.rs:19-127). Batch
@@ -142,13 +152,15 @@ class Collections(spark: SparkSession, dataDir: String) {
     * a `points-g<uuid>` data dir; swapping it is one atomic rename, so a
     * concurrent reader sees the old generation or the new one — never a
     * half-deleted directory (the old rm-then-move swap had a window where
-    * `table()` returned None and planned scans hit vanishing files). The
-    * superseded generation survives one publish (readers mid-collect keep
-    * streaming it); generations older than that are removed. */
+    * `table()` returned None and planned scans hit vanishing files).
+    * Because [[table]] resolves the symlink BEFORE planning, an in-flight
+    * reader keeps addressing the immutable superseded directory, which
+    * survives exactly one publish (bounded 2× disk per collection);
+    * generations older than that are removed. */
   private def publish(name: String, df: DataFrame): Unit = {
     val dir = colDir(name)
     val target = Paths.get(dataPath(name))
-    val gen = dir.resolve(s"points-g${java.util.UUID.randomUUID().toString.take(8)}")
+    val gen = dir.resolve(s"points-g${java.util.UUID.randomUUID()}")
     df.write.mode(SaveMode.Overwrite).parquet(gen.toString)
     val previous: Option[Path] =
       if (Files.isSymbolicLink(target)) Some(dir.resolve(Files.readSymbolicLink(target)))

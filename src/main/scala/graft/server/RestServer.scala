@@ -59,7 +59,8 @@ class RestServer(g: Graft, port: Int = 0) {
   private val server: HttpServer = HttpServer.create(new InetSocketAddress(port), 0)
   // small pool: a long Spark query must not block /health or /metrics
   // (and concurrent mutation is what the Collections lock serializes)
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+  server.setExecutor(pool)
 
   private val startedAt = System.nanoTime()
   private val requestCounts =
@@ -111,12 +112,22 @@ class RestServer(g: Graft, port: Int = 0) {
       mapper.writeValueAsString(java.util.Map.of("error", s"collection not found: $name")))
     name
   }
+  /** Point-mutation routes need a USER collection (meta.json sidecar) —
+    * built-in dataset tables pass `catalog.exists` but have no sidecar,
+    * and mutating them must be a 404, not a missing-file 500 or a silent
+    * no-op drop. */
+  private def existingUserCollection(name: String): String = {
+    safeName(name)
+    if (!g.collections.exists(name)) throw Halt(404,
+      mapper.writeValueAsString(java.util.Map.of("error", s"collection not found: $name")))
+    name
+  }
 
   /** Bound port (useful when constructed with port 0 for tests). */
   def boundPort: Int = server.getAddress.getPort
 
   def start(): RestServer = { server.start(); this }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() } // non-daemon threads would pin the JVM
 
   // ---------------- routing ----------------
 
@@ -178,11 +189,11 @@ class RestServer(g: Graft, port: Int = 0) {
         val n = g.catalog.table(existing(name)).count()
         ok(mapper.writeValueAsString(java.util.Map.of("name", name, "points_count", n)))
       case ("DELETE", "collections" :: name :: Nil) =>
-        g.collections.drop(existing(name))
+        g.collections.drop(existingUserCollection(name))
         ok(mapper.writeValueAsString(java.util.Map.of("name", name, "status", "deleted")))
       case ("POST", "collections" :: name :: "empty" :: Nil) =>
         // delete every point, keep the collection + metadata (lib.rs route)
-        g.collections.deleteWhere(existing(name), lit(true))
+        g.collections.deleteWhere(existingUserCollection(name), lit(true))
         ok(mapper.writeValueAsString(java.util.Map.of("name", name, "status", "emptied")))
       case ("POST", "collections" :: name :: "flush" :: Nil) =>
         // parquet writes are durable at upsert time — flush is a no-op
@@ -193,7 +204,7 @@ class RestServer(g: Graft, port: Int = 0) {
         val pts = Option(b.get("points")).filter(_.isArray)
           .getOrElse(badRequest("missing 'points'"))
         if (pts.isEmpty) badRequest("'points' must be non-empty")
-        val (idCol, vecColOpt, _) = g.collections.metaOf(existing(name))
+        val (idCol, vecColOpt, _) = g.collections.metaOf(existingUserCollection(name))
         // points → one flat JSON doc per point (payload fields inlined) →
         // spark.read.json infers the batch schema; id/vector get their
         // collection-declared types so the merge-by-id upsert aligns
@@ -215,13 +226,14 @@ class RestServer(g: Graft, port: Int = 0) {
         g.collections.upsert(name, df)
         ok(s"""{"status":"ok","upserted":${docs.length}}""")
       case ("GET", "collections" :: name :: "points" :: id :: Nil) =>
-        val rows = g.collections.get(existing(name), Seq(id.toLong)).toJSON.collect()
+        val rows = g.collections.get(existingUserCollection(name), Seq(id.toLong)).toJSON.collect()
         if (rows.isEmpty) error(404, s"point $id not found in $name")
         else ok(rows.head)
       case ("DELETE", "collections" :: name :: "points" :: id :: Nil) =>
-        g.collections.delete(existing(name), Seq(id.toLong))
+        g.collections.delete(existingUserCollection(name), Seq(id.toLong))
         ok(s"""{"status":"deleted","id":$id}""")
       case ("POST", "collections" :: name :: "search" :: "batch" :: Nil) =>
+        existing(name)
         val b = json(ex)
         val searches = Option(b.get("searches")).filter(_.isArray)
           .getOrElse(badRequest("missing 'searches'"))
@@ -238,6 +250,7 @@ class RestServer(g: Graft, port: Int = 0) {
       case ("POST", "collections" :: name :: "search" :: "multi" :: Nil) =>
         // multi-query fused search (main.rs:110, types.rs:214-234) →
         // NEAR_FUSED through the language
+        existing(name)
         val b = json(ex)
         val vecsNode = Option(b.get("vectors")).filter(_.isArray)
           .getOrElse(badRequest("missing 'vectors'"))
@@ -261,6 +274,7 @@ class RestServer(g: Graft, port: Int = 0) {
             s" USING FUSION '$strategy' $fparams LIMIT $k",
           vecs.toMap)
       case ("POST", "collections" :: name :: "search" :: Nil) =>
+        existing(name)
         val b = json(ex)
         val vec = floatSeq(b.get("vector")).getOrElse(badRequest("missing 'vector'"))
         val k = intOr(b, "top_k", 10)
@@ -271,6 +285,7 @@ class RestServer(g: Graft, port: Int = 0) {
           s"SELECT * FROM $name WHERE vector NEAR $$__v LIMIT $k$w",
           Map("__v" -> vec))
       case ("POST", "collections" :: name :: "search" :: "text" :: Nil) =>
+        existing(name)
         val b = json(ex)
         val q = text(b, "query").getOrElse(badRequest("missing 'query'"))
         val k = intOr(b, "top_k", 10)
@@ -279,6 +294,7 @@ class RestServer(g: Graft, port: Int = 0) {
           s"SELECT * FROM $name WHERE $tcol MATCH ${matchLit(q)} LIMIT $k",
           Map.empty)
       case ("POST", "collections" :: name :: "search" :: "hybrid" :: Nil) =>
+        existing(name)
         val b = json(ex)
         val q = text(b, "query").getOrElse(badRequest("missing 'query'"))
         val vec = floatSeq(b.get("vector")).getOrElse(badRequest("missing 'vector'"))
@@ -403,7 +419,8 @@ class RestServer(g: Graft, port: Int = 0) {
       countRequest(ex.getRequestURI.getPath, code)
       val bytes = body.getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.set("Content-Type",
-        if (ex.getRequestURI.getPath == "/metrics") "text/plain" else "application/json")
+        if (ex.getRequestURI.getPath.stripSuffix("/") == "/metrics") "text/plain"
+        else "application/json")
       ex.sendResponseHeaders(code, bytes.length.toLong)
       val os = ex.getResponseBody
       try os.write(bytes) finally os.close()

@@ -52,10 +52,16 @@ class Compiler(
     * hint overrides AQE). On a real cluster the broadcast shape wins —
     * one-line hint, revisit there. */
   private val CandidateK = 2000
+  /** WITH keys consumed ONLY by the plain vector NEAR branch — rejected
+    * with a clear error anywhere else (fused/hybrid/non-vector), because
+    * an accepted-but-ignored option is a silent no-op. */
+  private val VectorOnlyWithKeys = Seq("mode", "ef_search", "rerank",
+    "quantization", "oversampling")
   /** The closed WITH-option vocabulary (ast/with_clause.rs:82-131 +
-    * aggregation caps); anything else is a SemanticError. */
-  private val KnownWithKeys = Set("mode", "ef_search", "timeout_ms", "rerank",
-    "quantization", "oversampling", "max_groups", "group_limit")
+    * aggregation caps); anything else is a SemanticError. One derived
+    * set: adding a vector key above keeps both checks in sync. */
+  private val KnownWithKeys =
+    VectorOnlyWithKeys.toSet ++ Set("timeout_ms", "max_groups", "group_limit")
 
   def run(sql: String): DataFrame =
     Parser.parse(sql).fold(e => throw new IllegalArgumentException(e), compile)
@@ -126,7 +132,7 @@ class Compiler(
     // branch; accepting them on fused/hybrid/non-vector queries would be
     // the silent no-op the closed-set key check exists to prevent
     if (!(near.exists(_.isInstanceOf[VectorNear]) && hybridText.isEmpty)) {
-      Seq("mode", "ef_search", "rerank", "quantization", "oversampling")
+      VectorOnlyWithKeys
         .find(sel.withOptions.contains)
         .foreach(k => fail(s"WITH $k applies only to plain vector NEAR queries " +
           "(not NEAR_FUSED, hybrid fusion, or non-vector queries)"))

@@ -263,6 +263,21 @@ class R5FeaturesSpec extends SparkSpecBase {
     assert(cols.count("conc") == 100)
   }
 
+  test("a reader planned before a publish survives the generation swap") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gen").toString
+    val cols = new Collections(spark, dir)
+    cols.create("g")
+    cols.upsert("g", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // plan against the CURRENT generation (table resolves the symlink)
+    val planned = cols.table("g").get
+    cols.upsert("g", Seq((3L, "c")).toDF("id", "v")) // publish #2 swaps the link
+    // the superseded generation is retained one publish, so the old plan
+    // still collects (old swap semantics deleted its files mid-plan)
+    assert(planned.count() == 2)
+    assert(cols.count("g") == 3) // fresh reads see the new generation
+  }
+
   test("Ivf.materializedIndex trains once per dataset and probes exactly") {
     import graft.operators.{Ivf, Knn}
     val (cents, cells) = Ivf.materializedIndex(spark, sfDir, "embeddings", "embedding", k = 4)

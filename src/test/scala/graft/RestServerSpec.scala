@@ -192,6 +192,14 @@ class RestServerSpec extends SparkSpecBase {
     assert(p1.statusCode() == 404, s"${p1.statusCode()} ${p1.body()}")
     val g1 = get("/collections/nope")
     assert(g1.statusCode() == 404, s"${g1.statusCode()} ${g1.body()}")
+    val s1 = post("/collections/nope/search/text", """{"query": "x"}""")
+    assert(s1.statusCode() == 404, s"${s1.statusCode()} ${s1.body()}")
+    // built-in dataset tables are queryable but NOT point-mutable: 404,
+    // not a missing-sidecar 500 or a silent no-op drop
+    val p2 = post("/collections/customer/points", """{"points": [{"id": 1}]}""")
+    assert(p2.statusCode() == 404, s"${p2.statusCode()} ${p2.body()}")
+    val d3 = delete("/collections/customer")
+    assert(d3.statusCode() == 404, s"${d3.statusCode()} ${d3.body()}")
   }
 
   test("error taxonomy maps to HTTP codes") {
