@@ -755,6 +755,11 @@ class Compiler(
   }
 
   private def cmp(c: Column, op: String, v: Column): Column = op match {
+    // conscious divergence (SURVEY §7.4.3): the reference compares floats
+    // with |a−b| < f64::EPSILON (filter/matching.rs:64) — a ±1-ulp
+    // tolerance around 1.0-scale values. We use SQL exact equality: it is
+    // what every SQL engine (and the DuckDB oracle) does, and the ulp
+    // tolerance is unobservable for values that were parsed, not computed.
     case "=" => c === v
     case "!=" | "<>" => c =!= v
     case ">" => c > v
