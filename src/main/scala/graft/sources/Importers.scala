@@ -50,4 +50,27 @@ object Importers {
     raw.select(Seq(col("id").cast("long").as("id"),
       col("embedding").cast("array<float>").as("vector")) ++ others: _*)
   }
+
+  /** Text-corpus JSONL (the HF-datasets/Dolma-style landing format for
+    * training pipelines): one document per line with a text field and
+    * arbitrary metadata. Normalizes to the `documents` shape the
+    * dedup/quality/token operators expect: `(doc_id, text, <meta…>)` —
+    * an explicit id field is kept; otherwise doc_id is a deterministic
+    * content hash (stable across re-imports, unlike
+    * monotonically_increasing_id which depends on partitioning). */
+  def fromTextJsonl(spark: SparkSession, path: String,
+      textField: String = "text", idField: Option[String] = None): DataFrame = {
+    val raw = spark.read.json(path)
+    require(raw.columns.contains(textField),
+      s"importer: no '$textField' field in $path (columns: ${raw.columns.mkString(", ")})")
+    val idCol = idField match {
+      case Some(f) => coalesce(col(f).try_cast("long"), abs(xxhash64(col(f))))
+      case None => abs(xxhash64(col(textField)))
+    }
+    val others = raw.columns.toIndexedSeq
+      .filterNot(c => c == textField || idField.contains(c))
+      .map(col)
+    raw.select(Seq(idCol.as("doc_id"),
+      col(textField).cast("string").as("text")) ++ others: _*)
+  }
 }

@@ -42,6 +42,26 @@ class ImportersSpec extends SparkSpecBase {
     assert({ val r = df.first(); r.getSeq[Float](r.fieldIndex("vector")).toList == List(0.5f) })
   }
 
+  test("text-corpus JSONL normalizes to the documents shape") {
+    val p = write(Seq(
+      """{"text": "spark makes joins fast", "lang": "en", "source": "web"}""",
+      """{"text": "la tabla grande", "lang": "es", "source": "book"}"""))
+    val df = Importers.fromTextJsonl(spark, p)
+    assert(df.columns.toSet == Set("doc_id", "text", "lang", "source"))
+    assert(df.count() == 2)
+    // content-hash ids are deterministic across re-imports
+    val ids1 = df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = Importers.fromTextJsonl(spark, p)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 == ids2 && ids1.toSet.size == 2)
+    // explicit id field is honored; quality/token operators accept the frame
+    val p2 = write(Seq("""{"my_id": 7, "text": "keyed doc"}"""))
+    val withId = Importers.fromTextJsonl(spark, p2, idField = Some("my_id"))
+    assert(withId.select("doc_id").first().getLong(0) == 7L)
+    val scored = graft.operators.Bm25.score(df, "spark joins", 10)
+    assert(scored.count() >= 1) // BM25 runs directly on the imported shape
+  }
+
   test("imported points flow into a collection") {
     val p = write(Seq("""{"id": 1, "vector": [0.1], "payload": {"k": "v"}}"""))
     val dir = Files.createTempDirectory("graft_import_col").toString
