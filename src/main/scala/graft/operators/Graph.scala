@@ -114,7 +114,19 @@ object Graph {
     *
     * The loop runs on the driver but every step is a distributed join;
     * each depth shuffles the frontier by `node` against edges by `src`.
-    * Reference: match_exec.rs:104-218 (BFS, depth cap 10). */
+    * Reference: match_exec.rs:104-218 (BFS, depth cap 10).
+    *
+    * Celebrity-node skew (SURVEY §7.4 risk 5): when one frontier node's
+    * out-degree dominates (a hub followed by millions), the per-depth
+    * `frontier ⋈ edges` puts that node's whole fan-out on ONE reducer.
+    * AQE's skew-join split handles moderate skew at runtime; past that,
+    * switch the frontier join to [[Skew.saltedJoin]](edges, frontier,
+    * "src"/"node", salt) — the edge side spreads the hot key across
+    * `salt` reducers and the (small) frontier replicates `salt` times.
+    * Equality with the plain join is property-tested (SkewSpec), and the
+    * swap is one line here; not the default because the salting shuffle
+    * costs ~2× on unskewed graphs (the common case for the TPC-H-derived
+    * graph, whose max out-degree is bounded by order line counts). */
   def bfsVarLength(edges: DataFrame, starts: DataFrame, maxDepth: Int,
       relTypes: Seq[String] = Nil): DataFrame = {
     require(maxDepth <= 10, "depth capped at 10 (match_exec.rs:310)")

@@ -510,6 +510,34 @@ object VelesqlQueries {
         |WITH (quantization = 'int8')""".stripMargin,
       params = Map("q" -> qvec)),
 
+    // ---- V8 partial-probe ANN recall pin (CORRECTNESS row, not just a
+    // spec): recall@10 of `WITH (mode = 'accurate')` — LSH probe radius 4,
+    // Compiler.scala's quality-tier lowering, a genuinely partial probe
+    // (57 of 64 Hamming buckets) — against the exact top-10, over three
+    // independent query vectors (30 relevant ids total, so the pin has
+    // resolution beyond a single query's 10). The reference bar is
+    // recall ≥ 0.95 (docs/BENCHMARKS.md:96-102, mirror of
+    // benches/recall_benchmark.rs): hits ≥ ⌈30×0.95⌉ = 29; measured 29/30
+    // at sf0.01 and 30/30 at sf0.1 (RecallProbe). The oracle row is the
+    // constant 1 — a recall dip below the bar flips the engine row to 0
+    // and turns this red in CORRECTNESS. (The testdata embeddings are
+    // near-uniform directions — the ANN worst case; 'balanced'/'fast'
+    // measure ~0.5/~0.25 here and stay spec-gated by monotone recall.)
+    QueryDef("q123_ann_recall", "SELECT CAST(1 AS INT) AS recall_ok") { (s, d) =>
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val qb = (0 until 64).map(i => (math.cos(i * 0.31) * 0.4 - 0.05).toFloat)
+      val qc = (0 until 64).map(i => (math.sin(i * 1.3 + 0.5) * 0.3).toFloat)
+      val cat = new Catalog(s, d)
+      def leg(v: Seq[Float], mode: String): DataFrame =
+        new Compiler(s, cat, Map("q" -> v))
+          .run(s"SELECT vec_id FROM embeddings WHERE vector NEAR $$q LIMIT 10 WITH (mode = '$mode')")
+          .select(col("vec_id"))
+      val hits = Seq(qvec, qb, qc)
+        .map(v => leg(v, "accurate").join(leg(v, "perfect"), "vec_id"))
+        .reduce(_ unionAll _)
+      hits.agg((count(lit(1)) >= lit(29)).cast("int").as("recall_ok"))
+    },
+
     // ---- P12: scalar $params inside IN lists
     vql("q108_vql_in_params",
       """SELECT o_orderkey, o_orderpriority FROM orders

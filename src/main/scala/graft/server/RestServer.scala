@@ -41,13 +41,15 @@ import scala.jdk.CollectionConverters._
   * Also served for parity: `POST /collections/{n}/empty` (delete all
   * points), `POST /collections/{n}/flush` (no-op acknowledgment — parquet
   * upserts are durable; the reference flushes its WAL), graph
-  * `nodes/{id}/degree` + `traverse`, and `GET /metrics` (Prometheus text
-  * counters per route). Intentionally absent:
-  * `/collections/{n}/indexes*` (property indexes are implicit here —
-  * parquet min/max row-group stats + src-clustered Materialize supersede
-  * them, SURVEY §2 G7/G8) and `/collections/{n}/graph/edges` POST (the
-  * graph derives from the dataset tables, not a mutable per-collection
-  * edge store).
+  * `nodes/{id}/degree` + `traverse`, per-collection mutable edges
+  * (`POST /collections/{n}/graph/edges` upsert + `DELETE …/edges/{id}`,
+  * graph_api.rs:40-107 / velesdb-server lib.rs:74-124 — MATCH, degree
+  * and traverse on a USER collection run over ITS edge store; on the
+  * built-in dataset tables they run over the derived TPC-H graph), and
+  * `GET /metrics` (Prometheus text counters per route). Intentionally
+  * absent: `/collections/{n}/indexes*` (property indexes are implicit
+  * here — parquet min/max row-group stats + src-clustered Materialize
+  * supersede them, SURVEY §2 G7/G8).
   *
   * Driver-sided by design: results are collected to JSON, so routes are
   * for top-k/aggregate-sized answers, not bulk export — identical to the
@@ -70,7 +72,7 @@ class RestServer(g: Graft, port: Int = 0) {
     * labeled "other" so a noisy client can't grow the counter map (and
     * the /metrics payload) without bound. */
   private val KnownVerbs = Set("search", "points", "graph", "match", "empty", "flush",
-    "batch", "multi", "text", "hybrid", "traverse", "nodes", "degree")
+    "batch", "multi", "text", "hybrid", "traverse", "nodes", "degree", "edges")
   private def countRequest(path: String, code: Int): Unit = {
     // low-cardinality route label: collapse collection names and ids
     val route = path.split("/").filter(_.nonEmpty).toList match {
@@ -154,11 +156,10 @@ class RestServer(g: Graft, port: Int = 0) {
     val query = text(body, "query").getOrElse(badRequest("missing 'query'"))
     val params = paramMap(body.get("params"))
     timedRows(query, params) { (rows, ms) =>
-      val qtype =
-        if (query.toUpperCase.contains("MATCH (")) "graph"
-        else if (query.toUpperCase.contains(" NEAR") || query.contains("similarity(")) "search"
-        else if (query.toUpperCase.contains("GROUP BY") || hasAggregate(query)) "aggregation"
-        else "rows"
+      // query class comes from the compiler's own parsed AST (Graft
+      // .classify) — not re-guessed from the text, so a literal containing
+      // "MATCH (" or "NEAR" cannot flip the label
+      val qtype = g.classify(query)
       s"""{"type":"$qtype","count":${rows.length},"timing_ms":$ms,"results":[${rows.mkString(",")}]}"""
     }
   })
@@ -304,16 +305,47 @@ class RestServer(g: Graft, port: Int = 0) {
           s"SELECT * FROM $name WHERE $tcol MATCH ${matchLit(q)} AND vector NEAR $$__v LIMIT $k" +
             " USING FUSION(strategy = 'rrf', k = 60, vector_weight = 0.5)",
           Map("__v" -> vec))
-      case ("GET", "collections" :: _ :: "graph" :: "nodes" :: id :: "degree" :: Nil) =>
+      case ("POST", "collections" :: name :: "graph" :: "edges" :: Nil) =>
+        // AddEdge batch (graph_api.rs:40-107): {edges: [{id?, source,
+        // target, label, properties?}]}; id auto-assigned when absent
+        existingUserCollection(name)
+        val b = json(ex)
+        val es = Option(b.get("edges")).filter(_.isArray)
+          .getOrElse(badRequest("missing 'edges'"))
+        if (es.isEmpty) badRequest("'edges' must be non-empty")
+        val docs = es.elements().asScala.map { e =>
+          val o = mapper.createObjectNode()
+          Option(e.get("id")).filter(_.isNumber).foreach(n => o.put("id", n.asLong))
+          o.put("src", Option(e.get("source")).filter(_.isNumber).map(_.asLong)
+            .getOrElse(badRequest("edge missing 'source'")))
+          o.put("dst", Option(e.get("target")).filter(_.isNumber).map(_.asLong)
+            .getOrElse(badRequest("edge missing 'target'")))
+          o.put("label", text(e, "label").getOrElse(badRequest("edge missing 'label'")))
+          Option(e.get("properties")).filter(_.isObject).foreach { p =>
+            p.properties().asScala.foreach(en => o.set[JsonNode](en.getKey, en.getValue))
+          }
+          o.toString
+        }.toSeq
+        import g.spark.implicits._
+        var df = g.spark.read.json(g.spark.createDataset(docs))
+          .withColumn("src", col("src").cast("long"))
+          .withColumn("dst", col("dst").cast("long"))
+        if (df.columns.contains("id")) df = df.withColumn("id", col("id").cast("long"))
+        g.collections.upsertEdges(name, df)
+        ok(s"""{"status":"ok","upserted":${docs.length}}""")
+      case ("DELETE", "collections" :: name :: "graph" :: "edges" :: id :: Nil) =>
+        g.collections.deleteEdges(existingUserCollection(name), Seq(id.toLong))
+        ok(s"""{"status":"deleted","id":$id}""")
+      case ("GET", "collections" :: name :: "graph" :: "nodes" :: id :: "degree" :: Nil) =>
         // DegreeResponse shape (handlers/graph/types.rs:84-89)
         val nid = id.toLong
-        val e = graft.operators.Graph.edges(g.spark, g.catalog.dir)
+        val e = edgesFor(name)
         val Array(outD, inD) = e.agg(
           sum(when(col("src") === nid, 1L).otherwise(0L)),
           sum(when(col("dst") === nid, 1L).otherwise(0L)))
           .collect().head.toSeq.map(v => Option(v).fold(0L)(_.asInstanceOf[Long])).toArray
         ok(s"""{"in_degree":$inD,"out_degree":$outD}""")
-      case ("POST", "collections" :: _ :: "graph" :: "traverse" :: Nil) =>
+      case ("POST", "collections" :: name :: "graph" :: "traverse" :: Nil) =>
         // TraverseRequest (handlers/graph/types.rs:29-45): source,
         // max_depth, limit, rel_types; BFS (strategy 'dfs' visits the
         // same node set — match_exec.rs BFS is the one distributed shape)
@@ -330,7 +362,7 @@ class RestServer(g: Graft, port: Int = 0) {
           // checkpoint once: stats count + row collect then both read the
           // materialized blocks instead of re-running the BFS twice
           val res = graft.operators.Graph.bfsVarLength(
-            graft.operators.Graph.edges(g.spark, g.catalog.dir), starts, depth, rels)
+            edgesFor(name), starts, depth, rels)
             .localCheckpoint(true)
           try {
             val visited = res.count()
@@ -340,10 +372,13 @@ class RestServer(g: Graft, port: Int = 0) {
               s""""has_more":${visited > limit},"stats":{"visited":$visited,"timing_ms":${ms()}}}"""
           } finally org.apache.spark.sql.graft.CheckpointBlocks.unpersist(res)
         }
-      case ("POST", "collections" :: _ :: "match" :: Nil) =>
+      case ("POST", "collections" :: name :: "match" :: Nil) =>
         val b = json(ex)
         val m = text(b, "match").getOrElse(badRequest("missing 'match'"))
-        timedRows(m, Map.empty) { (rows, ms) =>
+        // a USER collection's MATCH runs over its own edge store
+        // (collection.match_query); built-ins use the derived graph
+        val scope = Some(name).filter(g.collections.exists)
+        timedRows(m, Map.empty, graphScope = scope) { (rows, ms) =>
           s"""{"count":${rows.length},"timing_ms":$ms,"results":[${rows.mkString(",")}]}"""
         }
       case (meth, _) => error(404, s"no route: $meth $path")
@@ -369,12 +404,21 @@ class RestServer(g: Graft, port: Int = 0) {
       s"""{"results":[${rows.mkString(",")}],"timing_ms":${ms()}}"""
     }
 
-  private def timedRows(vql: String, params: Map[String, Any])(
+  private def timedRows(vql: String, params: Map[String, Any],
+      graphScope: Option[String] = None)(
       render: (Array[String], Double) => String): (Int, String) =
     timed { ms =>
-      val rows = g.sql(vql, params).toJSON.collect()
+      val rows = g.sql(vql, params, graphScope = graphScope).toJSON.collect()
       render(rows, ms())
     }
+
+  /** The edge frame a graph route traverses: a USER collection's own
+    * mutable edge store (empty until the first edge POST), else the
+    * derived dataset graph. */
+  private def edgesFor(name: String): DataFrame =
+    if (g.collections.exists(name))
+      g.catalog.scopedToGraph(name).graphEdges
+    else graft.operators.Graph.edges(g.spark, g.catalog.dir)
 
   private def timed(run: (() => Double) => String): (Int, String) = {
     val t0 = System.nanoTime()
@@ -466,9 +510,4 @@ class RestServer(g: Graft, port: Int = 0) {
     * the BM25 tokenizer only keeps [a-z0-9]+ runs — so quotes are noise
     * and are replaced with spaces rather than escaped. */
   private def matchLit(q: String): String = s"'${q.replace('\'', ' ')}'"
-
-  private def hasAggregate(q: String): Boolean = {
-    val u = q.toUpperCase
-    Seq("COUNT(", "SUM(", "AVG(", "MIN(", "MAX(").exists(u.contains)
-  }
 }

@@ -99,4 +99,33 @@ class Catalog(spark: SparkSession, val dir: String) {
   lazy val graphNodes: DataFrame = Graph.nodes(spark, dir)
 
   lazy val graphEdges: DataFrame = Graph.edges(spark, dir)
+
+  /** A catalog whose MATCH graph is a USER collection's own mutable edge
+    * store (graph_api.rs:40-107) instead of the derived dataset graph:
+    * nodes = the collection's points (id + `labels` payload column when
+    * present, else the `Point` label), edges = its [[graft.Collections
+    * .upsertEdges]] frame. Non-user collections fall through to `this` —
+    * the derived graph stays the default surface. */
+  def scopedToGraph(name: String): Catalog = {
+    if (!userCollections.exists(name)) return this
+    val uc = userCollections
+    val (idCol, _, _) = uc.metaOf(name)
+    val pts = table(name) // includes the empty-with-declared-schema case
+    new Catalog(spark, dir) {
+      override lazy val graphNodes: DataFrame = {
+        val withId = if (idCol == "id") pts else pts.withColumnRenamed(idCol, "id")
+        if (withId.columns.contains("labels"))
+          withId.withColumn("labels", col("labels").cast("array<string>"))
+        else withId.withColumn("labels", array(lit("Point")))
+      }
+      override lazy val graphEdges: DataFrame =
+        uc.edges(name).getOrElse {
+          import org.apache.spark.sql.types._
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("id", LongType), StructField("src", LongType),
+              StructField("dst", LongType), StructField("label", StringType))))
+        }
+    }
+  }
 }

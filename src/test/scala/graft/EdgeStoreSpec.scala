@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Per-collection mutable edge store (S5 user side — reference
+  * `collection/core/graph_api.rs:40-107` add_edge/remove_edge): edges are
+  * a second generation-published parquet frame next to `points`, and
+  * MATCH / BFS on a user collection traverse IT, not the derived dataset
+  * graph. */
+class EdgeStoreSpec extends SparkSpecBase {
+
+  private def freshGraft(): Graft = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-edges").toString
+    Graft(spark, tmp)
+  }
+
+  private def seed(g: Graft): Unit = {
+    import spark.implicits._
+    g.collections.create("social", idCol = "id", vectorCol = None)
+    g.collections.upsert("social",
+      Seq((1L, "ann"), (2L, "bob"), (3L, "cat"), (4L, "dan"))
+        .toDF("id", "name"))
+    g.collections.upsertEdges("social",
+      Seq((10L, 1L, 2L, "knows", 0.9), (11L, 2L, 3L, "knows", 0.5),
+        (12L, 3L, 4L, "knows", 0.7), (13L, 1L, 4L, "blocks", 1.0))
+        .toDF("id", "src", "dst", "label", "weight"))
+  }
+
+  test("upsertEdges merges by edge id; deleteEdges removes") {
+    val g = freshGraft()
+    seed(g)
+    assert(g.collections.edges("social").get.count() == 4)
+    import spark.implicits._
+    // replace edge 11's target (merge-by-id), add edge 14
+    g.collections.upsertEdges("social",
+      Seq((11L, 2L, 4L, "knows", 0.6), (14L, 4L, 1L, "knows", 0.2))
+        .toDF("id", "src", "dst", "label", "weight"))
+    val e = g.collections.edges("social").get
+    assert(e.count() == 5)
+    assert(e.where(col("id") === 11 && col("dst") === 4).count() == 1)
+    g.collections.deleteEdges("social", Seq(13L, 14L))
+    assert(g.collections.edges("social").get.count() == 3)
+  }
+
+  test("id-less edges get auto-assigned ids above the stored max") {
+    val g = freshGraft()
+    seed(g)
+    import spark.implicits._
+    g.collections.upsertEdges("social",
+      Seq((4L, 2L, "follows"), (4L, 3L, "follows")).toDF("src", "dst", "label"))
+    val e = g.collections.edges("social").get
+    assert(e.count() == 6)
+    val autoIds = e.where(col("label") === "follows").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(autoIds == Seq(14L, 15L), s"expected 14,15 got $autoIds")
+  }
+
+  test("MATCH with graphScope runs over the user edge store") {
+    val g = freshGraft()
+    seed(g)
+    // 1-hop typed
+    val hop = g.sql("MATCH (a:Point)-[:knows]->(b:Point) RETURN a.id AS s, b.id AS d",
+      graphScope = Some("social")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hop == Set((1L, 2L), (2L, 3L), (3L, 4L)))
+    // node property filter on the payload + edge property filter
+    val filt = g.sql(
+      "MATCH (a:Point {name: 'ann'})-[r:knows {weight: 0.9}]->(b) RETURN b.id AS d",
+      graphScope = Some("social")).collect().map(_.getLong(0)).toSeq
+    assert(filt == Seq(2L))
+    // var-length over user edges: 1..3 hops from ann via knows
+    val reach = g.sql(
+      "MATCH (a:Point {name: 'ann'})-[:knows*1..3]->(b) RETURN b.id AS d",
+      graphScope = Some("social")).collect().map(_.getLong(0)).toSet
+    assert(reach == Set(2L, 3L, 4L))
+    // (without the scope, MATCH compiles against the derived dataset
+    // graph — covered by RestServerSpec's graph routes over sfDir)
+  }
+
+  test("mutations are visible to the next MATCH (generation republish)") {
+    val g = freshGraft()
+    seed(g)
+    def knows(): Set[(Long, Long)] =
+      g.sql("MATCH (a)-[:knows]->(b) RETURN a.id AS s, b.id AS d",
+        graphScope = Some("social")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(knows().size == 3)
+    g.collections.deleteEdges("social", Seq(11L))
+    assert(knows() == Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("REST: POST/DELETE graph edges + MATCH/degree/traverse on the user graph") {
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val g = freshGraft()
+    val srv = new server.RestServer(g, port = 0).start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val client = HttpClient.newHttpClient()
+      def post(path: String, body: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(s"$base$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      def del(path: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(s"$base$path")).DELETE().build(),
+          HttpResponse.BodyHandlers.ofString())
+      def get(path: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(s"$base$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+
+      post("/collections", """{"name": "net", "id_col": "id"}""")
+      post("/collections/net/points",
+        """{"points": [{"id": 1, "payload": {"name": "a"}},
+          |            {"id": 2, "payload": {"name": "b"}},
+          |            {"id": 3, "payload": {"name": "c"}}]}""".stripMargin)
+      // edge POST: explicit id + auto id, properties inlined
+      val up = post("/collections/net/graph/edges",
+        """{"edges": [
+          |  {"id": 100, "source": 1, "target": 2, "label": "knows",
+          |   "properties": {"weight": 0.8}},
+          |  {"source": 2, "target": 3, "label": "knows"}]}""".stripMargin)
+      assert(up.statusCode() == 200 && up.body().contains("\"upserted\":2"), up.body())
+
+      // MATCH over the user edge store through the REST route
+      val m = post("/collections/net/match",
+        """{"match": "MATCH (a)-[:knows]->(b) RETURN a.id AS s, b.id AS d"}""")
+      assert(m.statusCode() == 200 && m.body().contains("\"count\":2"), m.body())
+
+      // degree + traverse run over the user edges, not the dataset graph
+      val dg = get("/collections/net/graph/nodes/2/degree")
+      assert(dg.statusCode() == 200 &&
+        dg.body().contains("\"in_degree\":1") && dg.body().contains("\"out_degree\":1"),
+        dg.body())
+      val tr = post("/collections/net/graph/traverse",
+        """{"source": 1, "max_depth": 3, "limit": 10}""")
+      assert(tr.statusCode() == 200 && tr.body().contains("\"visited\":2"), tr.body())
+
+      // DELETE an edge; MATCH reflects it
+      val dr = del("/collections/net/graph/edges/100")
+      assert(dr.statusCode() == 200, dr.body())
+      val m2 = post("/collections/net/match",
+        """{"match": "MATCH (a)-[:knows]->(b) RETURN a.id AS s, b.id AS d"}""")
+      assert(m2.statusCode() == 200 && m2.body().contains("\"count\":1"), m2.body())
+
+      // edge mutation on a built-in table name is a 404 (no user sidecar)
+      val bad = post("/collections/customer/graph/edges",
+        """{"edges": [{"source": 1, "target": 2, "label": "x"}]}""")
+      assert(bad.statusCode() == 404, s"${bad.statusCode()} ${bad.body()}")
+    } finally srv.stop()
+  }
+}

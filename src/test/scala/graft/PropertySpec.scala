@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.VectorKernels
+import org.apache.spark.sql.functions.col
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -112,6 +113,29 @@ class PropertySpec extends SparkSpecBase {
       org.apache.spark.sql.functions.sum("v")).first()
     assert(plain.getLong(0) == salted.getLong(0))
     assert(plain.getLong(1) == salted.getLong(1))
+  }
+
+  test("BFS over a celebrity-node graph: salted frontier expansion equals plain") {
+    // the swap documented in Graph.bfsVarLength's scaladoc (SURVEY §7.4
+    // risk 5): a hub whose fan-out would land on one reducer — the salted
+    // shape must reach exactly the same (start, node, depth) set
+    import spark.implicits._
+    val hubEdges = (1 to 5000).map(i => (1L, 100L + i, "follows")) // celebrity 1
+    val tail = (1 to 50).map(i => (100L + i, 10000L + i, "follows"))
+    val edges = (hubEdges ++ tail).toDF("src", "dst", "label")
+    val starts = Seq(1L).toDF("start")
+    val plain = graft.operators.Graph.bfsVarLength(edges, starts, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // salted depth-1 expansion: edges are the skewed (left) side, the
+    // frontier the replicated (right) side, joined on the hot src key
+    val frontier = starts.select(col("start"), col("start").as("node"))
+    val d1 = graft.operators.Skew
+      .saltedJoin(edges.select(col("src"), col("dst")),
+        frontier.select(col("node").as("src"), col("start")), "src", salt = 8)
+      .select(col("start"), col("dst").as("node")).distinct()
+    val d1Set = d1.collect().map(r => (r.getLong(0), r.getLong(1), 1)).toSet
+    assert(d1Set == plain.filter(_._3 == 1), s"salted d1 ${d1Set.size} vs plain")
+    assert(d1Set.size == 5000)
   }
 
   test("Spark LIKE agrees with a regex oracle") {

@@ -168,6 +168,46 @@ class RestServerSpec extends SparkSpecBase {
     assert(tr.body().contains(s""""visited":$expected"""), tr.body().take(300))
   }
 
+  test("POST /collections/corpus/search/hybrid fuses text + vector (q104 agreement)") {
+    // the one route where a parser-ordering regression (LIMIT before
+    // USING FUSION) would only surface in production — pin it end-to-end
+    val qvec = graft.functions.VectorFunctions.syntheticQuery(64)
+    val vec = qvec.mkString("[", ",", "]")
+    val r = post("/collections/corpus/search/hybrid",
+      s"""{"query": "spark stream", "vector": $vec, "top_k": 5}""")
+    assert(r.statusCode() == 200, r.body())
+    assert("\"id\":".r.findAllIn(r.body()).length == 5, r.body().take(300))
+    assert(r.body().contains("\"score\":") && r.body().contains("\"payload\":{"), r.body().take(300))
+    // id/score agreement with the language-level hybrid path (q104 shape)
+    val expected = g.sql(
+      """SELECT doc_id, score FROM corpus
+        |WHERE text MATCH 'spark stream' AND vector NEAR $q
+        |LIMIT 5
+        |USING FUSION(strategy = 'rrf', k = 60, vector_weight = 0.5)""".stripMargin,
+      Map("q" -> qvec)).collect().map(_.getLong(0))
+    val got = "\"id\":(\\d+)".r.findAllMatchIn(r.body()).map(_.group(1).toLong).toSeq
+    assert(got.sorted.toSeq == expected.sorted.toSeq, s"got $got expected ${expected.toSeq}")
+  }
+
+  test("/query 'type' comes from the compiler's AST, not string sniffing") {
+    // a literal containing "MATCH (" must stay type=rows
+    val r1 = post("/query",
+      """{"query": "SELECT doc_id FROM documents WHERE text LIKE '%MATCH (%' LIMIT 3"}""")
+    assert(r1.statusCode() == 200 && r1.body().contains("\"type\":\"rows\""), r1.body().take(200))
+    // grouped aggregate → aggregation
+    val r2 = post("/query",
+      """{"query": "SELECT lang, count(*) AS n FROM documents GROUP BY lang"}""")
+    assert(r2.statusCode() == 200 && r2.body().contains("\"type\":\"aggregation\""), r2.body().take(200))
+    // graph MATCH → graph
+    val r3 = post("/query",
+      """{"query": "MATCH (c:Customer)-[:placed]->(o:Order) RETURN c.id AS s LIMIT 1"}""")
+    assert(r3.statusCode() == 200 && r3.body().contains("\"type\":\"graph\""), r3.body().take(200))
+    // text MATCH condition → search
+    val r4 = post("/query",
+      """{"query": "SELECT doc_id FROM documents WHERE text MATCH 'spark' LIMIT 2"}""")
+    assert(r4.statusCode() == 200 && r4.body().contains("\"type\":\"search\""), r4.body().take(200))
+  }
+
   test("GET /metrics exposes per-route request and error counters") {
     get("/health")
     post("/query", """{"query": "SELEKT broken"}""") // counted as an error
