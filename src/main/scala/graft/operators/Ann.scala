@@ -111,6 +111,19 @@ object Ann {
   def writeIndex(index: DataFrame, path: String): Unit =
     index.write.mode("overwrite").partitionBy("bucket").parquet(path)
 
+  /** The LSH index for a dataset-dir table, materialized ONCE per
+    * dataset and CLUSTERED+SORTED by `bucket` (the q59-IVF pattern
+    * applied to the LSH tier): a probe is a pushed `bucket IN (…)`
+    * filter that prunes row groups — the query neither re-hashes every
+    * vector nor scans outside its Hamming ball. Index build happens at
+    * materialize time, like the reference's insert-time index build
+    * (index/hnsw/native_index.rs:317). */
+  def materializedIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      table: String, vecCol: String, nPlanes: Int, dim: Int): DataFrame =
+    graft.Materialize(spark, dir, s"lsh${nPlanes}_buckets_$table", Seq(table),
+      Some("bucket"))(
+      buildIndex(graft.Tables.table(spark, dir, table), vecCol, nPlanes, Some(dim)))
+
   def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

@@ -336,6 +336,31 @@ class RestServer(g: Graft, port: Int = 0) {
       case ("DELETE", "collections" :: name :: "graph" :: "edges" :: id :: Nil) =>
         g.collections.deleteEdges(existingUserCollection(name), Seq(id.toLong))
         ok(s"""{"status":"deleted","id":$id}""")
+      case ("GET", "collections" :: name :: "graph" :: "edges" :: id :: Nil) =>
+        // get_edge (graph_api.rs:270) — edge row by id
+        val rows = g.collections.edges(existingUserCollection(name))
+          .map(_.where(col("id") === id.toLong).toJSON.collect())
+          .getOrElse(Array.empty[String])
+        if (rows.isEmpty) error(404, s"edge $id not found in $name")
+        else ok(rows.head)
+      case ("GET", "collections" :: name :: "graph" :: "nodes" :: id :: "edges" :: Nil) =>
+        // outgoing/incoming/by-label edge listing for a node
+        // (graph_api.rs:287-299); ?direction=out|in|both&label=L&limit=N
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+        val qs = q.split("&").filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2); k -> java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+        val nid = id.toLong
+        val dirFilter = qs.getOrElse("direction", "both") match {
+          case "out" => col("src") === nid
+          case "in" => col("dst") === nid
+          case _ => col("src") === nid || col("dst") === nid
+        }
+        val base = edgesFor(existing(name)).where(dirFilter)
+        val byLabel = qs.get("label").fold(base)(l => base.where(col("label") === l))
+        val lim = qs.get("limit").map(_.toInt).getOrElse(100)
+        val rows = byLabel.orderBy(col("src"), col("dst")).limit(lim).toJSON.collect()
+        ok(s"""{"edges":[${rows.mkString(",")}],"count":${rows.length}}""")
       case ("GET", "collections" :: name :: "graph" :: "nodes" :: id :: "degree" :: Nil) =>
         // DegreeResponse shape (handlers/graph/types.rs:84-89)
         val nid = id.toLong

@@ -277,8 +277,23 @@ class Compiler(
             val radius = t match { case "fast" => 1; case "balanced" => 2; case _ => 4 }
             val sig = Ann.signature(vec.toArray, Ann.planes(nPlanes, vec.length))
             val probes = Ann.probeBuckets(sig, nPlanes, radius)
-            dfF0.where(Ann.signatureCol(col(vcolName), nPlanes, vec.length)
-              .isin(probes: _*))
+            if (sel.joins.isEmpty && graft.Tables.All.contains(sel.from)) {
+              // probe the MATERIALIZED bucket-clustered index: `bucket IN
+              // (probes)` pushes into the parquet scan and prunes row
+              // groups — no per-query re-hash of every vector, no scan
+              // outside the Hamming ball (the 100 TB shape; on-the-fly
+              // signature filtering below is a full scan per query)
+              val idx = Ann.materializedIndex(spark, catalog.dir, sel.from,
+                  vcolName, nPlanes, vec.length)
+                .as(sel.fromAlias.getOrElse(sel.from))
+              val idxF = residualCond match {
+                case Some(c) => idx.where(compileCond(c, idx, meta))
+                case None => idx
+              }
+              idxF.where(col("bucket").isin(probes: _*)).drop("bucket")
+            } else
+              dfF0.where(Ann.signatureCol(col(vcolName), nPlanes, vec.length)
+                .isin(probes: _*))
           case Some("perfect") | Some("exact") | None => dfF0
           case Some(other) => fail(s"unknown WITH mode '$other'")
         }

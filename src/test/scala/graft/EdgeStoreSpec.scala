@@ -88,6 +88,52 @@ class EdgeStoreSpec extends SparkSpecBase {
     assert(knows() == Set((1L, 2L), (3L, 4L)))
   }
 
+  test("concurrent id-less edge upserts never collide on auto-assigned ids") {
+    val g = freshGraft()
+    seed(g) // ids 10..13 stored
+    import spark.implicits._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (0 until 4).map { t =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            g.collections.upsertEdges("social",
+              Seq((1L, 2L + t, s"auto$t")).toDF("src", "dst", "label"))
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    val e = g.collections.edges("social").get
+    assert(e.count() == 8, "4 seeded + 4 concurrent")
+    val ids = e.select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids.distinct.size == ids.size, s"duplicate auto ids: $ids")
+  }
+
+  test("REST: GET edge by id and node edge listing (direction/label filters)") {
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val g = freshGraft()
+    seed(g)
+    val srv = new server.RestServer(g, port = 0).start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val client = HttpClient.newHttpClient()
+      def get(path: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(s"$base$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      val one = get("/collections/social/graph/edges/11")
+      assert(one.statusCode() == 200 && one.body().contains("\"dst\":3"), one.body())
+      assert(get("/collections/social/graph/edges/999").statusCode() == 404)
+      // node 1: out-edges = knows(1->2) + blocks(1->4); in = none
+      val out = get("/collections/social/graph/nodes/1/edges?direction=out")
+      assert(out.statusCode() == 200 && out.body().contains("\"count\":2"), out.body())
+      val outKnows = get("/collections/social/graph/nodes/1/edges?direction=out&label=knows")
+      assert(outKnows.body().contains("\"count\":1"), outKnows.body())
+      val in4 = get("/collections/social/graph/nodes/4/edges?direction=in")
+      assert(in4.body().contains("\"count\":2"), in4.body()) // knows(3->4) + blocks(1->4)
+    } finally srv.stop()
+  }
+
   test("REST: POST/DELETE graph edges + MATCH/degree/traverse on the user graph") {
     import java.net.URI
     import java.net.http.{HttpClient, HttpRequest, HttpResponse}

@@ -60,18 +60,20 @@ class R2FeaturesSpec extends SparkSpecBase {
     val c = compiler(Map("q" -> qvec))
     def plan(mode: String): String =
       c.run(s"SELECT vec_id, score FROM embeddings WHERE vector NEAR $$q LIMIT 5 WITH (mode = '$mode')")
-        .queryExecution.optimizedPlan.toString
-    // probe tiers inject the hyperplane-signature filter (dot_product
-    // against the plane literals); exact tiers don't
-    assert(plan("fast").contains("dot_product"))
-    assert(plan("balanced").contains("dot_product"))
-    assert(!plan("perfect").contains("dot_product"))
+        .queryExecution.executedPlan.toString
+    // probe tiers read the MATERIALIZED bucket-clustered index with the
+    // probe set PUSHED into the parquet scan (row-group pruning — the
+    // r7 100 TB shape: no per-query re-hash, no scan outside the
+    // Hamming ball); exact tiers scan the raw table, no bucket filter
+    assert(plan("fast").contains("In(bucket"), "bucket probe not pushed (fast)")
+    assert(plan("balanced").contains("In(bucket"), "bucket probe not pushed (balanced)")
+    assert(!plan("perfect").contains("bucket"))
 
     def planEf(ef: Int): String =
       c.run(s"SELECT vec_id, score FROM embeddings WHERE vector NEAR $$q LIMIT 5 WITH (ef_search = $ef)")
-        .queryExecution.optimizedPlan.toString
-    assert(planEf(32).contains("dot_product"))   // ≤64 → fast
-    assert(!planEf(1000).contains("dot_product")) // >256 → perfect/exact
+        .queryExecution.executedPlan.toString
+    assert(planEf(32).contains("In(bucket"))   // ≤64 → fast
+    assert(!planEf(1000).contains("bucket")) // >256 → perfect/exact
 
     // probed results are a subset of the exact top-k universe: every
     // returned row must carry a true score computed from the vector
