@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
   *
   * Inputs are DataFrames, so evaluation distributes: `preds(query_id,
   * doc_id, rank)` (rank 1-based) vs `truth(query_id, doc_id)`. Every
-  * metric is one join + one groupBy — no driver-side loops.
+  * metric is one join + one groupBy — no driver-side loops. Each metric
+  * has a `…Df` form returning the 1-row frame (composable into larger
+  * plans — q124 pins them against a DuckDB oracle) and a scalar form
+  * that collects it.
   */
 object Metrics {
 
@@ -18,36 +21,42 @@ object Metrics {
       .join(truth, Seq("query_id", "doc_id"), "left_semi")
 
   /** recall@k = |top-k ∩ relevant| / |relevant| per query, then mean. */
-  def recallAtK(preds: DataFrame, truth: DataFrame, k: Int): Double = {
+  def recallAtKDf(preds: DataFrame, truth: DataFrame, k: Int): DataFrame = {
     val rel = truth.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
     val h = hits(preds, truth, k).groupBy("query_id").agg(count(lit(1)).as("n_hit"))
     rel.join(h, Seq("query_id"), "left")
-      .select(avg(coalesce(col("n_hit"), lit(0L)) / col("n_rel")))
-      .first().getDouble(0)
+      .agg(avg(coalesce(col("n_hit"), lit(0L)) / col("n_rel")).as(s"recall_$k"))
   }
 
+  def recallAtK(preds: DataFrame, truth: DataFrame, k: Int): Double =
+    recallAtKDf(preds, truth, k).first().getDouble(0)
+
   /** precision@k = |top-k ∩ relevant| / k per query, then mean. */
-  def precisionAtK(preds: DataFrame, truth: DataFrame, k: Int): Double = {
+  def precisionAtKDf(preds: DataFrame, truth: DataFrame, k: Int): DataFrame = {
     val q = preds.select("query_id").distinct()
     val h = hits(preds, truth, k).groupBy("query_id").agg(count(lit(1)).as("n_hit"))
     q.join(h, Seq("query_id"), "left")
-      .select(avg(coalesce(col("n_hit"), lit(0L)) / lit(k.toDouble)))
-      .first().getDouble(0)
+      .agg(avg(coalesce(col("n_hit"), lit(0L)) / lit(k.toDouble)).as(s"precision_$k"))
   }
 
+  def precisionAtK(preds: DataFrame, truth: DataFrame, k: Int): Double =
+    precisionAtKDf(preds, truth, k).first().getDouble(0)
+
   /** MRR = mean over queries of 1/rank of the first relevant hit. */
-  def mrr(preds: DataFrame, truth: DataFrame): Double = {
+  def mrrDf(preds: DataFrame, truth: DataFrame): DataFrame = {
     val q = preds.select("query_id").distinct()
     val first = preds.join(truth, Seq("query_id", "doc_id"), "left_semi")
       .groupBy("query_id").agg(min(col("rank")).as("first_rank"))
     q.join(first, Seq("query_id"), "left")
-      .select(avg(coalesce(lit(1.0) / col("first_rank"), lit(0.0))))
-      .first().getDouble(0)
+      .agg(avg(coalesce(lit(1.0) / col("first_rank"), lit(0.0))).as("mrr"))
   }
+
+  def mrr(preds: DataFrame, truth: DataFrame): Double =
+    mrrDf(preds, truth).first().getDouble(0)
 
   /** NDCG@k with binary gains: DCG = Σ 1/log2(rank+1) over relevant hits;
     * IDCG = Σ_{i=1..min(k,|rel|)} 1/log2(i+1). */
-  def ndcgAtK(preds: DataFrame, truth: DataFrame, k: Int): Double = {
+  def ndcgAtKDf(preds: DataFrame, truth: DataFrame, k: Int): DataFrame = {
     val dcg = hits(preds, truth, k)
       .groupBy("query_id")
       .agg(sum(lit(1.0) / log2(col("rank") + 1)).as("dcg"))
@@ -56,9 +65,11 @@ object Metrics {
       .withColumn("idcg", expr(
         "aggregate(sequence(1, int(ideal_n)), 0.0D, (acc, i) -> acc + 1.0 / log2(i + 1))"))
     idcg.join(dcg, Seq("query_id"), "left")
-      .select(avg(coalesce(col("dcg"), lit(0.0)) / col("idcg")))
-      .first().getDouble(0)
+      .agg(avg(coalesce(col("dcg"), lit(0.0)) / col("idcg")).as(s"ndcg_$k"))
   }
+
+  def ndcgAtK(preds: DataFrame, truth: DataFrame, k: Int): Double =
+    ndcgAtKDf(preds, truth, k).first().getDouble(0)
 
   /** Latency percentiles over a `(name, seconds)` timing frame
     * (lib.rs:223-227's latency percentile metrics): p50/p90/p99. */
@@ -71,7 +82,7 @@ object Metrics {
   }
 
   /** MAP@k: mean over queries of average precision at each relevant hit. */
-  def mapAtK(preds: DataFrame, truth: DataFrame, k: Int): Double = {
+  def mapAtKDf(preds: DataFrame, truth: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id").orderBy("rank")
     val marked = preds.where(col("rank") <= k)
@@ -84,8 +95,10 @@ object Metrics {
     val ap = marked.groupBy("query_id").agg(sum("prec_at_hit").as("sum_prec"))
     val q = preds.select("query_id").distinct()
     q.join(ap, Seq("query_id"), "left").join(nRel, Seq("query_id"), "left")
-      .select(avg(coalesce(col("sum_prec"), lit(0.0)) /
-        least(col("n_rel"), lit(k.toLong)).cast("double")))
-      .first().getDouble(0)
+      .agg(avg(coalesce(col("sum_prec"), lit(0.0)) /
+        least(col("n_rel"), lit(k.toLong)).cast("double")).as(s"map_$k"))
   }
+
+  def mapAtK(preds: DataFrame, truth: DataFrame, k: Int): Double =
+    mapAtKDf(preds, truth, k).first().getDouble(0)
 }

@@ -354,6 +354,77 @@ object VectorQueries {
         .limit(10)
     },
 
+    // ---- §2.13 retrieval metrics as a CORRECTNESS row (metrics.rs via
+    // lib.rs:223-227): preds = cosine top-10 per query (2 queries),
+    // truth = cosine top-15 restricted to labels 0-4 (binary relevance;
+    // a top-10 pred is relevant iff its label qualifies, so hits land
+    // strictly between 0 and 10 and every metric is non-degenerate —
+    // dot/euclidean truth sets collapsed to 1.0 because the synthetic
+    // vectors share norms and all three orderings agree). The oracle
+    // replays recall@10 / precision@10 / MRR / NDCG@10 / MAP@10 in SQL —
+    // one row, five doubles, 6dp-rounded hash compare.
+    QueryDef(
+      "q124_retrieval_metrics", {
+      val (q0, q1) = (sqlVec(q64), sqlVec(q64b))
+      s"""WITH pr AS (
+         |  SELECT * FROM (
+         |    SELECT 0 AS query_id, vec_id AS doc_id, row_number() OVER (
+         |      ORDER BY list_cosine_similarity($E, $q0) DESC, vec_id) AS rnk
+         |    FROM embeddings QUALIFY rnk <= 10)
+         |  UNION ALL
+         |  SELECT * FROM (
+         |    SELECT 1, vec_id, row_number() OVER (
+         |      ORDER BY list_cosine_similarity($E, $q1) DESC, vec_id) AS rnk
+         |    FROM embeddings QUALIFY rnk <= 10)),
+         |tr AS (
+         |  SELECT * FROM (
+         |    SELECT 0 AS query_id, vec_id AS doc_id FROM embeddings WHERE label <= 4
+         |    ORDER BY list_cosine_similarity($E, $q0) DESC, vec_id LIMIT 15)
+         |  UNION ALL
+         |  SELECT * FROM (
+         |    SELECT 1, vec_id FROM embeddings WHERE label <= 4
+         |    ORDER BY list_cosine_similarity($E, $q1) DESC, vec_id LIMIT 15)),
+         |marked AS (
+         |  SELECT pr.query_id, pr.rnk,
+         |    CASE WHEN tr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+         |  FROM pr LEFT JOIN tr
+         |    ON tr.query_id = pr.query_id AND tr.doc_id = pr.doc_id),
+         |perq AS (
+         |  SELECT query_id, sum(rel) AS n_hit,
+         |    min(CASE WHEN rel = 1 THEN rnk END) AS first_rank,
+         |    sum(CASE WHEN rel = 1 THEN 1.0 / log2(rnk + 1) ELSE 0 END) AS dcg
+         |  FROM marked GROUP BY query_id),
+         |mapq AS (
+         |  SELECT query_id, sum(prec) / 10.0 AS ap FROM (
+         |    SELECT query_id, rel,
+         |      CAST(sum(rel) OVER (PARTITION BY query_id ORDER BY rnk) AS DOUBLE) / rnk AS prec
+         |    FROM marked) WHERE rel = 1 GROUP BY query_id),
+         |idcgv AS (SELECT sum(1.0 / log2(i + 1)) AS idcg FROM range(1, 11) t(i))
+         |SELECT avg(n_hit / 15.0) AS recall_10, avg(n_hit / 10.0) AS precision_10,
+         |  avg(coalesce(1.0 / first_rank, 0)) AS mrr, avg(dcg / idcg) AS ndcg_10,
+         |  avg(coalesce(ap, 0.0)) AS map_10
+         |FROM perq LEFT JOIN mapq USING (query_id) CROSS JOIN idcgv""".stripMargin
+    }) { (s, d) =>
+      import graft.operators.{Metrics, Ranks}
+      val emb = t(s, d, "embeddings")
+      def pred(q: Seq[Float], qid: Int): DataFrame =
+        Knn.topK(emb, "embedding", q, 10, "cosine", idCol = "vec_id")
+          .select(lit(qid).as("query_id"), col("vec_id").as("doc_id"),
+            row_number().over(Window.partitionBy(Ranks.one(col("vec_id")))
+              .orderBy(col("score").desc, col("vec_id"))).as("rank"))
+      def rel(q: Seq[Float], qid: Int): DataFrame =
+        Knn.topK(emb, "embedding", q, 15, "cosine", idCol = "vec_id",
+            filter = Some(col("label") <= 4))
+          .select(lit(qid).as("query_id"), col("vec_id").as("doc_id"))
+      val preds = pred(q64, 0).unionAll(pred(q64b, 1))
+      val truth = rel(q64, 0).unionAll(rel(q64b, 1))
+      Metrics.recallAtKDf(preds, truth, 10)
+        .crossJoin(Metrics.precisionAtKDf(preds, truth, 10))
+        .crossJoin(Metrics.mrrDf(preds, truth))
+        .crossJoin(Metrics.ndcgAtKDf(preds, truth, 10))
+        .crossJoin(Metrics.mapAtKDf(preds, truth, 10))
+    },
+
     // ---- F5: multi-score breakdown fusion — weighted strategy with a
     // multiplicative metadata boost (score_fusion.rs:14-41,144-227)
     QueryDef(
