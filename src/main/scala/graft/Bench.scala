@@ -45,7 +45,7 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.startsWith))
     }
-    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
+    val reps = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3))
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -53,13 +53,17 @@ object Bench {
       // drop per-query cached intermediates so each timed run pays its
       // own caching cost (and doesn't bleed memory pressure forward)
       spark.catalog.clearCache()
-      val warm = (1 to reps).map { _ =>
+      // a failed rep must never win the min (its fast time-to-error would
+      // masquerade as a good run) — it counts as +∞; all-reps-failed
+      // reports -1 so the record shows failure instead of a bogus time
+      val times = (1 to reps).map { _ =>
         val t1 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val failed = try { fn(spark, sfDir).count(); false } catch { case _: Throwable => true }
         val t = (System.nanoTime() - t1) / 1e9
         spark.catalog.clearCache()
-        t
-      }.min
+        if (failed) Double.PositiveInfinity else t
+      }
+      val warm = if (times.min.isInfinity) -1.0 else times.min
       (name, cold, warm)
     }
     val qs = results.map { case (k, _, w) => s"\"" + k + "\":" + w }

@@ -127,7 +127,12 @@ class Collections(spark: SparkSession, dataDir: String) {
     * like the reference's add_edge id counter) INSIDE the instance lock,
     * so concurrent REST writers can't be handed the same ids. Mixing
     * explicit and auto ids in one batch is the caller's collision risk —
-    * merge-by-id makes a collision a replace, not corruption. */
+    * merge-by-id makes a collision a replace, not corruption.
+    * Divergence from the reference, documented: the reference's counter
+    * is monotonic for the process lifetime; max-stored+1 means deleting
+    * the HIGHEST-id edge lets the next auto insert reuse that id (no
+    * counter is persisted). Callers that need never-reused ids should
+    * pass explicit ids. */
   def upsertEdges(name: String, batch0: DataFrame): Unit = this.synchronized {
     val existing = edges(name)
     val batch = {

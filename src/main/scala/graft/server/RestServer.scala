@@ -98,12 +98,15 @@ class RestServer(g: Graft, port: Int = 0) {
 
   /** Collection names reach the filesystem (`dataDir/<name>/…`): restrict
     * to a safe charset so `..`/`/` (raw or percent-encoded — the JDK
-    * server does NOT normalize) can never traverse out of the data dir. */
+    * server does NOT normalize) can never traverse out of the data dir.
+    * EVERY route that hands a name to `Collections`/`Catalog` must pass
+    * through [[safeName]] or the non-throwing [[isSafeName]] first. */
+  private def isSafeName(name: String): Boolean =
+    name.nonEmpty && name.length <= 128 &&
+      name.forall(c => c.isLetterOrDigit || c == '_' || c == '-' || c == '.') &&
+      !name.contains("..") && name != "."
   private def safeName(name: String): String = {
-    if (name.isEmpty || name.length > 128 ||
-        !name.forall(c => c.isLetterOrDigit || c == '_' || c == '-' || c == '.') ||
-        name.contains("..") || name == ".")
-      badRequest(s"invalid collection name")
+    if (!isSafeName(name)) badRequest(s"invalid collection name")
     name
   }
   /** 404 early for routes that would otherwise surface missing-file or
@@ -313,17 +316,25 @@ class RestServer(g: Graft, port: Int = 0) {
         val es = Option(b.get("edges")).filter(_.isArray)
           .getOrElse(badRequest("missing 'edges'"))
         if (es.isEmpty) badRequest("'edges' must be non-empty")
+        // storage-structural column names are reserved: a property named
+        // id/src/dst/label (or source/target) could otherwise override
+        // the edge structure — silently retargeting merge-by-id or
+        // null-ing src via a type-widened cast
+        val reserved = Set("id", "src", "dst", "label", "source", "target")
         val docs = es.elements().asScala.map { e =>
           val o = mapper.createObjectNode()
+          Option(e.get("properties")).filter(_.isObject).foreach { p =>
+            p.properties().asScala
+              .filterNot(en => reserved(en.getKey))
+              .foreach(en => o.set[JsonNode](en.getKey, en.getValue))
+          }
+          // structural fields AFTER properties — they always win
           Option(e.get("id")).filter(_.isNumber).foreach(n => o.put("id", n.asLong))
           o.put("src", Option(e.get("source")).filter(_.isNumber).map(_.asLong)
             .getOrElse(badRequest("edge missing 'source'")))
           o.put("dst", Option(e.get("target")).filter(_.isNumber).map(_.asLong)
             .getOrElse(badRequest("edge missing 'target'")))
           o.put("label", text(e, "label").getOrElse(badRequest("edge missing 'label'")))
-          Option(e.get("properties")).filter(_.isObject).foreach { p =>
-            p.properties().asScala.foreach(en => o.set[JsonNode](en.getKey, en.getValue))
-          }
           o.toString
         }.toSeq
         import g.spark.implicits._
@@ -401,8 +412,10 @@ class RestServer(g: Graft, port: Int = 0) {
         val b = json(ex)
         val m = text(b, "match").getOrElse(badRequest("missing 'match'"))
         // a USER collection's MATCH runs over its own edge store
-        // (collection.match_query); built-ins use the derived graph
-        val scope = Some(name).filter(g.collections.exists)
+        // (collection.match_query); built-ins use the derived graph.
+        // isSafeName BEFORE collections.exists — the exists check itself
+        // resolves dataDir/<name>/meta.json on the filesystem
+        val scope = Some(name).filter(n => isSafeName(n) && g.collections.exists(n))
         timedRows(m, Map.empty, graphScope = scope) { (rows, ms) =>
           s"""{"count":${rows.length},"timing_ms":$ms,"results":[${rows.mkString(",")}]}"""
         }
@@ -439,9 +452,11 @@ class RestServer(g: Graft, port: Int = 0) {
 
   /** The edge frame a graph route traverses: a USER collection's own
     * mutable edge store (empty until the first edge POST), else the
-    * derived dataset graph. */
+    * derived dataset graph. isSafeName gates the filesystem-touching
+    * exists check — an unsafe name falls through to the derived graph
+    * without ever reaching the data dir. */
   private def edgesFor(name: String): DataFrame =
-    if (g.collections.exists(name))
+    if (isSafeName(name) && g.collections.exists(name))
       g.catalog.scopedToGraph(name).graphEdges
     else graft.operators.Graph.edges(g.spark, g.catalog.dir)
 

@@ -110,13 +110,22 @@ class Catalog(spark: SparkSession, val dir: String) {
     if (!userCollections.exists(name)) return this
     val uc = userCollections
     val (idCol, _, _) = uc.metaOf(name)
-    val pts = table(name) // includes the empty-with-declared-schema case
     new Catalog(spark, dir) {
       override lazy val graphNodes: DataFrame = {
+        // read inside the LAZY override: edge-only routes (degree,
+        // traverse, node edge listing) never touch the points frame
+        val pts = table(name) // includes the empty-with-declared-schema case
         val withId = if (idCol == "id") pts else pts.withColumnRenamed(idCol, "id")
-        if (withId.columns.contains("labels"))
-          withId.withColumn("labels", col("labels").cast("array<string>"))
-        else withId.withColumn("labels", array(lit("Point")))
+        withId.schema.find(_.name == "labels").map(_.dataType) match {
+          // payload labels may arrive as an array OR a scalar (read.json
+          // infers a bare string payload as StringType — casting that to
+          // array<string> is an AnalysisException, not a graph)
+          case Some(_: org.apache.spark.sql.types.ArrayType) =>
+            withId.withColumn("labels", col("labels").cast("array<string>"))
+          case Some(_) =>
+            withId.withColumn("labels", array(col("labels").cast("string")))
+          case None => withId.withColumn("labels", array(lit("Point")))
+        }
       }
       override lazy val graphEdges: DataFrame =
         uc.edges(name).getOrElse {

@@ -134,6 +134,57 @@ class EdgeStoreSpec extends SparkSpecBase {
     } finally srv.stop()
   }
 
+  test("scalar 'labels' payload still compiles to a MATCH label (no illegal cast)") {
+    val g = freshGraft()
+    import spark.implicits._
+    g.collections.create("typed", idCol = "id", vectorCol = None)
+    // read.json infers a bare-string payload as StringType — the graph
+    // scope must wrap it, not cast string -> array<string>
+    g.collections.upsert("typed",
+      Seq((1L, "Person"), (2L, "Person"), (3L, "Place")).toDF("id", "labels"))
+    g.collections.upsertEdges("typed",
+      Seq((1L, 1L, 2L, "knows"), (2L, 2L, 3L, "visited")).toDF("id", "src", "dst", "label"))
+    val persons = g.sql("MATCH (a:Person)-[:knows]->(b:Person) RETURN a.id AS s, b.id AS d",
+      graphScope = Some("typed")).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(persons == Seq((1L, 2L)))
+  }
+
+  test("REST: reserved property names cannot override edge structure; unsafe names skip the store") {
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val g = freshGraft()
+    seed(g)
+    val srv = new server.RestServer(g, port = 0).start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val client = HttpClient.newHttpClient()
+      def post(path: String, body: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(s"$base$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      // properties named id/src/dst/label are dropped, not structural
+      val up = post("/collections/social/graph/edges",
+        """{"edges": [{"id": 50, "source": 4, "target": 1, "label": "follows",
+          |  "properties": {"id": 10, "src": "oops", "label": "evil", "note": "kept"}}]}""".stripMargin)
+      assert(up.statusCode() == 200, up.body())
+      val e = g.collections.edges("social").get
+      assert(e.where(col("id") === 10 && col("dst") === 2).count() == 1,
+        "stored edge 10 must be untouched")
+      val row = e.where(col("id") === 50)
+        .select("src", "dst", "label", "note").collect()
+      assert(row.length == 1 && row.head.getLong(0) == 4 &&
+        row.head.getString(2) == "follows" && row.head.getString(3) == "kept")
+      // a traversal-shaped collection name on a graph route never reaches
+      // the store's filesystem — it falls through to the derived graph
+      // (here: empty dataset dir has no orders.parquet, so Materialize
+      // fails loudly rather than resolving '..' as a collection)
+      val dg = client.send(HttpRequest.newBuilder(
+        URI.create(s"$base/collections/%2e%2e/graph/nodes/1/degree")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(dg.statusCode() != 200, s"'..' must not resolve to a user collection: ${dg.body()}")
+    } finally srv.stop()
+  }
+
   test("REST: POST/DELETE graph edges + MATCH/degree/traverse on the user graph") {
     import java.net.URI
     import java.net.http.{HttpClient, HttpRequest, HttpResponse}
