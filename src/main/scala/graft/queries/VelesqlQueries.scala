@@ -538,6 +538,26 @@ object VelesqlQueries {
       hits.agg((count(lit(1)) >= lit(29)).cast("int").as("recall_ok"))
     },
 
+    // ---- V8 via the TRAINED index: same recall pin as q123 but through
+    // `WITH (index = 'ivf')` — the k-means cell probe (q59's materialized
+    // index) at its accurate tier (nprobe = k-1 of 8 cells; measured
+    // 29/30 at sf0.01, 30/30 at sf0.1 — RecallProbe). Same ≥0.95 bar.
+    QueryDef("q125_ann_recall_ivf", "SELECT CAST(1 AS INT) AS recall_ok") { (s, d) =>
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val qb = (0 until 64).map(i => (math.cos(i * 0.31) * 0.4 - 0.05).toFloat)
+      val qc = (0 until 64).map(i => (math.sin(i * 1.3 + 0.5) * 0.3).toFloat)
+      val cat = new Catalog(s, d)
+      def leg(v: Seq[Float], withOpts: String): DataFrame =
+        new Compiler(s, cat, Map("q" -> v))
+          .run(s"SELECT vec_id FROM embeddings WHERE vector NEAR $$q LIMIT 10 WITH ($withOpts)")
+          .select(col("vec_id"))
+      val hits = Seq(qvec, qb, qc)
+        .map(v => leg(v, "mode = 'accurate', index = 'ivf'")
+          .join(leg(v, "mode = 'perfect'"), "vec_id"))
+        .reduce(_ unionAll _)
+      hits.agg((count(lit(1)) >= lit(29)).cast("int").as("recall_ok"))
+    },
+
     // ---- P12: scalar $params inside IN lists
     vql("q108_vql_in_params",
       """SELECT o_orderkey, o_orderpriority FROM orders

@@ -56,7 +56,7 @@ class Compiler(
     * with a clear error anywhere else (fused/hybrid/non-vector), because
     * an accepted-but-ignored option is a silent no-op. */
   private val VectorOnlyWithKeys = Seq("mode", "ef_search", "rerank",
-    "quantization", "oversampling")
+    "quantization", "oversampling", "index")
   /** The closed WITH-option vocabulary (ast/with_clause.rs:82-131 +
     * aggregation caps); anything else is a SemanticError. One derived
     * set: adding a vector key above keeps both checks in sync. */
@@ -263,7 +263,44 @@ class Compiler(
             case e if e <= 256 => "accurate"
             case _ => "perfect"
           }))
+        // WITH (index = 'lsh' | 'ivf') picks the ANN structure behind the
+        // quality tiers: LSH Hamming-ball probe (default) or the trained
+        // IVF cell probe (both materialized once per dataset). The key is
+        // only meaningful on a probing tier — on 'perfect'/absent it
+        // would be a silent no-op, which the closed-set validation
+        // explicitly forbids.
+        val indexKind = sel.withOptions.get("index").map {
+          case k @ ("lsh" | "ivf") => k
+          case other => fail(s"unknown WITH index '$other' (supported: lsh, ivf)")
+        }
+        if (indexKind.isDefined && !tier.exists(Set("fast", "balanced", "accurate")))
+          fail("WITH index requires a probing mode (fast/balanced/accurate)")
         val dfF = tier match {
+          case Some(t @ ("fast" | "balanced" | "accurate"))
+              if indexKind.contains("ivf") =>
+            import graft.operators.Ivf
+            if (!(sel.joins.isEmpty && graft.Tables.All.contains(sel.from)))
+              fail("WITH index='ivf' needs a plain dataset table (the trained " +
+                "index is materialized per dataset; joins/derived frames can't use it)")
+            val k = spark.conf.get("graft.ivf.cells", "8").toInt
+            // nprobe per tier, calibrated like the LSH radii (RecallProbe,
+            // same worst-case near-uniform testdata): fast=2 ≈ 0.43-0.53,
+            // balanced=4 ≈ 0.77-0.8, accurate=7 ≥ 0.95 — the reference's
+            // Accurate bar, oracle-pinned by q125_ann_recall_ivf
+            val nprobe = t match { case "fast" => 2; case "balanced" => 4; case _ => k - 1 }
+            val (cents, cells) = Ivf.materializedIndex(spark, catalog.dir, sel.from,
+              vcolName, k)
+            val probeCells = cents
+              .map { case (c, cen) =>
+                (c, graft.functions.VectorKernels.l2Squared(vec.toArray, cen)) }
+              .sortBy { case (c, dist) => (dist, c) }
+              .take(nprobe).map(_._1)
+            val idx = cells.as(sel.fromAlias.getOrElse(sel.from))
+            val idxF = residualCond match {
+              case Some(c) => idx.where(compileCond(c, idx, meta))
+              case None => idx
+            }
+            idxF.where(col("cell").isin(probeCells.toIndexedSeq: _*)).drop("cell")
           case Some(t @ ("fast" | "balanced" | "accurate")) =>
             import graft.operators.Ann
             val nPlanes = spark.conf.get("graft.ann.planes", "6").toInt

@@ -75,6 +75,23 @@ class R2FeaturesSpec extends SparkSpecBase {
     assert(planEf(32).contains("In(bucket"))   // ≤64 → fast
     assert(!planEf(1000).contains("bucket")) // >256 → perfect/exact
 
+    // WITH (index='ivf') probes the trained k-means cells instead — the
+    // cell filter is pushed into the materialized index scan
+    val ivfPlan = c.run(
+      "SELECT vec_id, score FROM embeddings WHERE vector NEAR $q LIMIT 5 WITH (mode = 'balanced', index = 'ivf')")
+      .queryExecution.executedPlan.toString
+    assert(ivfPlan.contains("In(cell"), "cell probe not pushed (ivf)")
+    // index on a non-probing mode / unknown value / derived frame → loud
+    assert(intercept[IllegalArgumentException](c.run(
+      "SELECT vec_id FROM embeddings WHERE vector NEAR $q LIMIT 5 WITH (index = 'ivf')"))
+      .getMessage.contains("probing mode"))
+    assert(intercept[IllegalArgumentException](c.run(
+      "SELECT vec_id FROM embeddings WHERE vector NEAR $q LIMIT 5 WITH (mode = 'fast', index = 'hnsw')"))
+      .getMessage.contains("unknown WITH index"))
+    assert(intercept[IllegalArgumentException](c.run(
+      "SELECT vec_id FROM embeddings_wide WHERE vector NEAR $q LIMIT 5 WITH (mode = 'fast', index = 'ivf')"))
+      .getMessage.contains("dataset table"))
+
     // probed results are a subset of the exact top-k universe: every
     // returned row must carry a true score computed from the vector
     val fast = c.run(
