@@ -98,7 +98,17 @@ class Collections(spark: SparkSession, dataDir: String) {
 
   /** S2: upsert — insert-or-replace by id (crud.rs:19-127). Batch
     * semantics: the incoming batch wins over stored rows; within a batch,
-    * later rows win (matching upsert ordering). */
+    * later rows win (matching upsert ordering).
+    *
+    * Schema semantics are OPEN (widening), deliberately: the reference's
+    * payload is an untyped JSON map (`payload: HashMap`), and the REST
+    * points route infers each batch's schema from its own JSON — so a
+    * later batch may carry payload fields earlier batches lacked, and
+    * vice versa. A column absent on one side null-fills rather than
+    * raising. The flip side, documented: a misspelled column name in a
+    * batch silently becomes a NEW column (old rows null there) instead
+    * of an error — same as writing a misspelled key into the reference's
+    * payload map. Pinned by MultiModalCrudSpec "upsert widens". */
   def upsert(name: String, batch: DataFrame): Unit = this.synchronized {
     publish(name, mergeById(table(name), batch, idColOf(name)))
   }
@@ -123,11 +133,12 @@ class Collections(spark: SparkSession, dataDir: String) {
     * …property columns)`, generation-published exactly like points. A
     * batch with new property columns widens the schema (missing columns
     * null-fill — the reference's `properties: HashMap` is open too).
-    * Rows without an id get one auto-assigned (max stored id + 1 + n,
-    * like the reference's add_edge id counter) INSIDE the instance lock,
-    * so concurrent REST writers can't be handed the same ids. Mixing
-    * explicit and auto ids in one batch is the caller's collision risk —
-    * merge-by-id makes a collision a replace, not corruption.
+    * Rows without an id get one auto-assigned (above both the stored max
+    * and the batch's explicit max, like the reference's add_edge id
+    * counter) INSIDE the instance lock, so concurrent REST writers can't
+    * be handed the same ids and an auto id can't collide with an explicit
+    * id in the same batch. Duplicate EXPLICIT ids remain the caller's
+    * choice — merge-by-id makes that a replace, not corruption.
     * Divergence from the reference, documented: the reference's counter
     * is monotonic for the process lifetime; max-stored+1 means deleting
     * the HIGHEST-id edge lets the next auto insert reuse that id (no
@@ -143,11 +154,21 @@ class Collections(spark: SparkSession, dataDir: String) {
         .flatMap(df => Option(df.agg(max(col("id"))).first().get(0)))
         .fold(0L)(_.asInstanceOf[Long] + 1L)
       import org.apache.spark.sql.expressions.Window
-      // single-partition window is fine: edge batches are request-sized
-      val w = Window.partitionBy(operators.Ranks.one(col("src")))
+      // Number ONLY the id-less rows (partition on id-nullness): counting
+      // explicit-id rows too would hand an auto row an offset that can
+      // land exactly on an explicit id in the same batch ([15, auto] over
+      // stored max 13 assigned the auto row 13+2=15). Autos start above
+      // BOTH the stored max and the batch's explicit max, so they can't
+      // collide with either. Single-partition window + 1-row cross join
+      // are fine: edge batches are request-sized.
+      val w = Window.partitionBy(col("id").isNull)
         .orderBy(monotonically_increasing_id())
-      withId.withColumn("id",
-        coalesce(col("id"), lit(base - 1) + row_number().over(w).cast("long")))
+      val batchMax = withId.agg(coalesce(max(col("id")), lit(-1L)).as("__batch_max"))
+      withId.crossJoin(batchMax)
+        .withColumn("id", coalesce(col("id"),
+          greatest(lit(base), col("__batch_max") + 1L)
+            + row_number().over(w).cast("long") - 1L))
+        .drop("__batch_max")
     }
     publish(name, mergeById(existing, batch, "id"), "edges")
   }
@@ -156,6 +177,13 @@ class Collections(spark: SparkSession, dataDir: String) {
   def deleteEdges(name: String, ids: Seq[Long]): Unit = this.synchronized {
     edges(name).foreach(df =>
       publish(name, df.where(!col("id").isin(ids: _*)), "edges"))
+  }
+
+  /** Delete every edge (keeps the frame's schema). Used by the REST
+    * empty route: an emptied collection holds neither points nor edges,
+    * so a later MATCH can't traverse edges whose endpoints are gone. */
+  def emptyEdges(name: String): Unit = this.synchronized {
+    edges(name).foreach(df => publish(name, df.limit(0), "edges"))
   }
 
   /** S3: get by ids (crud.rs:250). */

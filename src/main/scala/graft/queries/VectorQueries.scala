@@ -416,11 +416,15 @@ object VectorQueries {
         Knn.topK(emb, "embedding", q, 15, "cosine", idCol = "vec_id",
             filter = Some(col("label") <= 4))
           .select(lit(qid).as("query_id"), col("vec_id").as("doc_id"))
-      // cache: each of the five metric frames embeds the preds/truth
-      // plans — without this the one-row result recomputes the four
-      // top-k scans five times over (30 + 20 rows cached, trivial memory)
-      val preds = pred(q64, 0).unionAll(pred(q64b, 1)).cache()
-      val truth = rel(q64, 0).unionAll(rel(q64b, 1)).cache()
+      // Eager localCheckpoint, not cache(): each of the five metric
+      // frames embeds the preds/truth plans — without materialization the
+      // one-row result recomputes the four top-k scans five times over.
+      // cache() would leak two entries into the shared session's cache
+      // registry for the rest of a CORRECTNESS run; checkpoint blocks
+      // (30 + 20 rows) are freed by the ContextCleaner once the returned
+      // frame is unreferenced.
+      val preds = pred(q64, 0).unionAll(pred(q64b, 1)).localCheckpoint(true)
+      val truth = rel(q64, 0).unionAll(rel(q64b, 1)).localCheckpoint(true)
       Metrics.recallAtKDf(preds, truth, 10)
         .crossJoin(Metrics.precisionAtKDf(preds, truth, 10))
         .crossJoin(Metrics.mrrDf(preds, truth))

@@ -38,8 +38,11 @@ import scala.jdk.CollectionConverters._
   * `Database`). Built on the JDK's `com.sun.net.httpserver` (public JDK
   * API) so the zero-dependency build constraint holds.
   *
-  * Also served for parity: `POST /collections/{n}/empty` (delete all
-  * points), `POST /collections/{n}/flush` (no-op acknowledgment — parquet
+  * Also served for parity: `GET /collections/{n}/empty` (the reference's
+  * `is_empty` check, handlers/collections.rs:212-241), `POST
+  * /collections/{n}/empty` (extension: delete all points AND all edges —
+  * an emptied collection must not keep edges whose endpoints are gone),
+  * `POST /collections/{n}/flush` (no-op acknowledgment — parquet
   * upserts are durable; the reference flushes its WAL), graph
   * `nodes/{id}/degree` + `traverse`, per-collection mutable edges
   * (`POST /collections/{n}/graph/edges` upsert + `DELETE …/edges/{id}`,
@@ -195,9 +198,17 @@ class RestServer(g: Graft, port: Int = 0) {
       case ("DELETE", "collections" :: name :: Nil) =>
         g.collections.drop(existingUserCollection(name))
         ok(mapper.writeValueAsString(java.util.Map.of("name", name, "status", "deleted")))
+      case ("GET", "collections" :: name :: "empty" :: Nil) =>
+        // the reference's is_empty check (handlers/collections.rs:212-241)
+        val n = g.catalog.table(existing(name)).count()
+        ok(mapper.writeValueAsString(java.util.Map.of(
+          "is_empty", java.lang.Boolean.valueOf(n == 0L))))
       case ("POST", "collections" :: name :: "empty" :: Nil) =>
-        // delete every point, keep the collection + metadata (lib.rs route)
+        // delete every point AND every edge, keep collection + metadata:
+        // leaving the edge frame would let MATCH traverse dangling edges
+        // against an empty node set
         g.collections.deleteWhere(existingUserCollection(name), lit(true))
+        g.collections.emptyEdges(name)
         ok(mapper.writeValueAsString(java.util.Map.of("name", name, "status", "emptied")))
       case ("POST", "collections" :: name :: "flush" :: Nil) =>
         // parquet writes are durable at upsert time — flush is a no-op

@@ -55,6 +55,25 @@ class EdgeStoreSpec extends SparkSpecBase {
     assert(autoIds == Seq(14L, 15L), s"expected 14,15 got $autoIds")
   }
 
+  test("auto edge ids never collide with explicit ids in the same batch") {
+    val g = freshGraft()
+    seed(g) // stored max id = 13
+    import spark.implicits._
+    // regression: autos numbered over ALL rows would assign this auto row
+    // 13+2=15, colliding with the explicit 15 and making the merge
+    // window's survivor nondeterministic
+    g.collections.upsertEdges("social",
+      Seq((Some(15L), 2L, 1L, "follows"), (None, 3L, 1L, "follows"))
+        .toDF("id", "src", "dst", "label"))
+    val e = g.collections.edges("social").get
+    assert(e.count() == 6)
+    assert(e.select("id").distinct().count() == 6, "edge ids must be unique")
+    val follows = e.where(col("label") === "follows")
+      .select("id", "src").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // explicit row keeps 15; the auto row starts ABOVE the batch max
+    assert(follows == Set((15L, 2L), (16L, 3L)), s"got $follows")
+  }
+
   test("MATCH with graphScope runs over the user edge store") {
     val g = freshGraft()
     seed(g)

@@ -82,6 +82,23 @@ class MultiModalCrudSpec extends SparkSpecBase {
     cols.drop("notes")
   }
 
+  test("upsert widens: a batch with a new payload field null-fills old rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_widen").toString
+    val cols = new Collections(spark, dir)
+    cols.create("docs")
+    cols.upsert("docs", Seq((1L, "a"), (2L, "b")).toDF("id", "body"))
+    // the reference payload is an open JSON map and the REST route infers
+    // each batch's schema from its own JSON — so a later batch may carry
+    // a field earlier batches lacked (and may omit earlier fields)
+    cols.upsert("docs", Seq((3L, "c", "en")).toDF("id", "body", "lang"))
+    val t = cols.table("docs").get
+    assert(t.columns.sorted.toSeq == Seq("body", "id", "lang"))
+    assert(t.where(col("lang").isNull).count() == 2) // old rows null-fill
+    assert(t.where(col("id") === 3 && col("lang") === "en").count() == 1)
+    cols.drop("docs")
+  }
+
   test("collection CRUD lifecycle: create/upsert/get/delete/drop") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_collections").toString

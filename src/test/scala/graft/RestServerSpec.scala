@@ -87,6 +87,36 @@ class RestServerSpec extends SparkSpecBase {
     } finally s2.stop()
   }
 
+  test("GET empty is the is_empty check; POST empty clears points AND edges") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rest-empty").toString
+    val g2 = Graft(spark, tmp)
+    val s2 = new RestServer(g2, port = 0).start()
+    try {
+      val b = s"http://127.0.0.1:${s2.boundPort}"
+      def p(path: String, body: String) =
+        client.send(HttpRequest.newBuilder(URI.create(s"$b$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      def get2(path: String) =
+        client.send(HttpRequest.newBuilder(URI.create(s"$b$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      p("/collections", """{"name": "g", "id_col": "id"}""")
+      // reference parity: GET /collections/{n}/empty is the is_empty CHECK
+      assert(get2("/collections/g/empty").body().contains("\"is_empty\":true"))
+      p("/collections/g/points",
+        """{"points": [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]}""")
+      p("/collections/g/graph/edges",
+        """{"edges": [{"id": 7, "source": 1, "target": 2, "label": "knows"}]}""")
+      assert(get2("/collections/g/empty").body().contains("\"is_empty\":false"))
+      assert(get2("/collections/g/graph/edges/7").statusCode() == 200)
+      // POST empty clears BOTH frames: a kept edge frame would let MATCH
+      // traverse dangling edges against an empty node set
+      assert(p("/collections/g/empty", "").statusCode() == 200)
+      assert(get2("/collections/g/empty").body().contains("\"is_empty\":true"))
+      assert(get2("/collections/g/graph/edges/7").statusCode() == 404)
+    } finally s2.stop()
+  }
+
   test("points upsert/get/delete round-trip, then vector search sees the data") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-rest-pts").toString
     val g2 = Graft(spark, tmp)
