@@ -42,9 +42,14 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .filter(_.nonEmpty)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
-      only.forall(_.exists(n.startsWith))
-    }
+    // lifecycle pins (QueryDef.benchmarked = false) are correctness rows,
+    // not query benchmarks — skipped unless BENCH_ONLY names them
+    val selected = SparkEntry.allDefs.sortBy(_.name)
+      .filter(q => only match {
+        case Some(names) => names.exists(q.name.startsWith)
+        case None => q.benchmarked
+      })
+      .map(q => (q.name, q.fn))
     val reps = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3))
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft.{Graft, QueryDef}
+import graft.operators.MultiModal
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CORRECTNESS pins for the surfaces that were previously spec-only —
+  * the per-collection mutable edge store, the Structured Streaming tier,
+  * and the multimodal column plumbing — so the driver's DuckDB gate sees
+  * them every round, not just ScalaTest.
+  *
+  * Two pin shapes:
+  *  - value-level (q127, q128): the Spark result IS oracle-expressible,
+  *    so the oracle recomputes the same values in DuckDB.
+  *  - boolean-row (q126, like q123/q125): the surface needs CRUD side
+  *    effects DuckDB can't replay, so the full lifecycle runs eagerly
+  *    in-engine and collapses to one 0/1 row the oracle pins at 1 — any
+  *    regression flips the row and turns the round red.
+  */
+object PipelineQueries {
+
+  private def rmRec(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().forEachRemaining(rmRec) finally s.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- S5 user side, end-to-end (graph_api.rs:40-107): create a
+    // throwaway collection with its own edge store, run the full
+    // lifecycle — points + edges upsert, mixed explicit/auto edge ids,
+    // merge-by-id, typed 1-hop and var-length MATCH over the USER edges,
+    // deleteEdges — and pin the conjunction as one boolean row.
+    QueryDef.lifecyclePin("q126_edge_store",
+      "SELECT CAST(1 AS INT) AS edges_ok") { (s, _) =>
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q126")
+      val ok = try {
+        val g = Graft(s, tmp.toString)
+        g.collections.create("social", idCol = "id", vectorCol = None)
+        g.collections.upsert("social",
+          Seq((1L, "ann"), (2L, "bob"), (3L, "cat"), (4L, "dan"))
+            .toDF("id", "name"))
+        g.collections.upsertEdges("social",
+          Seq((10L, 1L, 2L, "knows"), (11L, 2L, 3L, "knows"),
+            (12L, 3L, 4L, "knows"), (13L, 1L, 4L, "blocks"))
+            .toDF("id", "src", "dst", "label"))
+        // mixed explicit+auto batch: the auto id must land ABOVE both the
+        // stored max (13) and the batch's explicit max (15) — never on 15
+        g.collections.upsertEdges("social",
+          Seq((Some(15L), 2L, 1L, "follows"), (None, 3L, 1L, "follows"))
+            .toDF("id", "src", "dst", "label"))
+        val ids = g.collections.edges("social").get
+          .select("id").collect().map(_.getLong(0)).toSet
+        val idsOk = ids == Set(10L, 11L, 12L, 13L, 15L, 16L)
+        val hop = g.sql(
+          "MATCH (a:Point)-[:knows]->(b:Point) RETURN a.id AS s, b.id AS d",
+          graphScope = Some("social"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val hopOk = hop == Set((1L, 2L), (2L, 3L), (3L, 4L))
+        val reach = g.sql(
+          "MATCH (a:Point {name: 'ann'})-[:knows*1..3]->(b) RETURN b.id AS d",
+          graphScope = Some("social")).collect().map(_.getLong(0)).toSet
+        val reachOk = reach == Set(2L, 3L, 4L)
+        g.collections.deleteEdges("social", Seq(13L))
+        val delOk = g.collections.edges("social").get
+          .where(col("id") === 13L).count() == 0
+        idsOk && hopOk && reachOk && delOk
+      } finally rmRec(tmp)
+      s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("edges_ok"))
+    },
+
+    // ---- L5 Structured Streaming, value-level: the events FILE STREAM
+    // through the watermarked window aggregation (micro-batch execution,
+    // AvailableNow trigger, memory sink), checked against DuckDB's batch
+    // time_bucket over the same rows. 6h tumbling windows are
+    // epoch-aligned in both engines (2000-01-01 origin is a multiple of
+    // 6h from the epoch), so win_start/win_end hash-match exactly.
+    QueryDef("q127_streaming_window",
+      """SELECT time_bucket(INTERVAL 6 HOUR, ts) AS win_start,
+        |  time_bucket(INTERVAL 6 HOUR, ts) + INTERVAL 6 HOUR AS win_end,
+        |  event_type, count(*) AS cnt, round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin) { (s, d) =>
+      val agg = StreamingOps.windowedAgg(
+        StreamingOps.eventsStream(s, d), "6 hours", "6 hours", "1 hour")
+      val qn = s"q127_sink_${System.nanoTime()}"
+      val q = agg.writeStream.format("memory").queryName(qn)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination(300000) finally q.stop()
+      s.table(qn).select(col("win_start"), col("win_end"), col("event_type"),
+          col("cnt"), round(col("total_value"), 4).as("total_value"))
+        .orderBy(col("win_start"), col("event_type"))
+    },
+
+    // ---- Multimodal columns, value-level: documents → opaque binary
+    // media (bytes = UTF-8 text, a deterministic stand-in) → the
+    // mapPartitions feature kernel (16-bin nibble histogram + mean byte)
+    // → per-kind rollup, plus the frame-sampler row count. The oracle
+    // recomputes the same features character-wise in DuckDB — valid
+    // because the corpus is pure ASCII (1 char = 1 byte; unicode(c) =
+    // byte value), which makes the STUB kernel fully oracle-checkable
+    // even though a real codec would not be.
+    QueryDef("q128_multimodal",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    CAST(n_chars AS BIGINT) AS n_bytes,
+        |    CAST(doc_id % 7 + 1 AS BIGINT) AS declared_frames,
+        |    list_avg(list_transform(string_split(text, ''),
+        |      c -> unicode(c))) AS feat_mean,
+        |    list_avg(list_transform(string_split(text, ''),
+        |      c -> CASE WHEN unicode(c) < 16 THEN 1.0 ELSE 0.0 END)) AS hist0
+        |  FROM documents)
+        |SELECT kind, count(*) AS n, round(avg(n_bytes), 4) AS avg_bytes,
+        |  round(avg(feat_mean), 4) AS avg_feat,
+        |  round(avg(hist0), 6) AS avg_hist0,
+        |  sum(CASE WHEN kind = 'video' THEN declared_frames ELSE 0 END) AS n_frames
+        |FROM m GROUP BY kind ORDER BY kind""".stripMargin) { (s, d) =>
+      val media = MultiModal.mediaFromDocuments(s, d)
+      val feats = MultiModal.extractFeatures(media)
+      val frames = MultiModal.sampleFrames(media)
+        .groupBy(lit("video").as("kind")).agg(count(lit(1)).as("n_frames"))
+      feats.groupBy(col("kind")).agg(
+          count(lit(1)).as("n"),
+          round(avg(col("meta.n_bytes")), 4).as("avg_bytes"),
+          round(avg(col("feat_mean")), 4).as("avg_feat"),
+          round(avg(element_at(col("feat_hist"), 1)), 6).as("avg_hist0"))
+        .join(frames, Seq("kind"), "left")
+        .withColumn("n_frames", coalesce(col("n_frames"), lit(0L)))
+        .orderBy(col("kind"))
+    }
+  )
+}
