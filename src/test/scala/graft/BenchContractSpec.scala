@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver records only the last ~2000 chars of bench output, so the
+  * final compact JSON line must always survive that tail whole — this
+  * was silently broken for rounds 2-7 (the full per-query line is ~4.5k
+  * chars; `parsed: null` every round). These checks keep the fix from
+  * drifting as queries are added. No SparkSession needed.
+  */
+class BenchContractSpec extends AnyFunSuite {
+
+  test("headline set names real, benchmarked queries") {
+    val names = SparkEntry.allDefs.map(_.name).toSet
+    val unknown = Bench.Headline -- names
+    assert(unknown.isEmpty, s"headline entries not in allDefs: $unknown")
+    val benched = SparkEntry.allDefs.filter(_.benchmarked).map(_.name).toSet
+    val unbenched = Bench.Headline -- benched
+    assert(unbenched.isEmpty,
+      s"headline entries excluded from bench timing: $unbenched")
+  }
+
+  test("worst-case compact line fits the driver's 2000-char tail") {
+    // mirror of Bench.main's final println: fixed fields + one
+    // `"name":dddd.dddd` entry per headline query (worst case 9 digits)
+    val fixed = ("""{"metric":"total","value":99999.9999,"unit":"sec",""" +
+      """"queries":{},"n_queries":999,"cold_total_sec":99999.9999,""" +
+      """"reps":9,"sf":"/root/testdata/sf0.1"}""").length
+    val perQuery = Bench.Headline.toSeq.map(_.length + 13).sum // "n":9999.9999,
+    val worst = fixed + perQuery
+    // leave headroom for sbt's [info]/[success] framing inside the tail
+    assert(worst < 1700, s"compact bench line can reach $worst chars; " +
+      "trim Bench.Headline or the driver will record parsed:null again")
+  }
+
+  test("lifecycle pins are exactly the declared set") {
+    val pins = SparkEntry.allDefs.filterNot(_.benchmarked).map(_.name)
+    assert(pins == Seq("q126_edge_store"),
+      s"unexpected unbenchmarked queries: $pins — every exclusion from " +
+        "bench timing must be a deliberate lifecycle pin")
+  }
+}
