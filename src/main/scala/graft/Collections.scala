@@ -186,6 +186,93 @@ class Collections(spark: SparkSession, dataDir: String) {
     edges(name).foreach(df => publish(name, df.limit(0), "edges"))
   }
 
+  /** Property indexes (G7/G8, reference `collection/graph/property_index
+    * .rs` + `range_index.rs`; REST `handlers/indexes.rs`). Spark shape:
+    * there is no in-memory index structure to build — "create index"
+    * RANGE-CLUSTERS the collection's parquet by the property
+    * (repartitionByRange + sortWithinPartitions), so parquet row-group
+    * min/max stats turn property predicates into pruned reads; every
+    * later publish re-applies the clustering, which is the incremental
+    * maintenance the reference does on insert. One physical sort order
+    * exists per collection, so the FIRST recorded index defines the
+    * clustering; further indexes still benefit from per-row-group stats
+    * when correlated with the leading order (documented divergence:
+    * the reference holds N independent hash maps in memory; at 100 TB
+    * that model doesn't survive, clustering does). `label` is recorded
+    * verbatim for API parity — a collection's points are one node set,
+    * so clustering is label-agnostic. */
+  def listIndexes(name: String): Seq[Map[String, Any]] = {
+    val p = indexesPath(name)
+    if (!Files.exists(p)) Nil
+    else {
+      val arr = new com.fasterxml.jackson.databind.ObjectMapper().readTree(Files.readString(p))
+      (0 until arr.size()).map { i =>
+        val n = arr.get(i)
+        Map[String, Any](
+          "label" -> n.get("label").asText(),
+          "property" -> n.get("property").asText(),
+          "index_type" -> n.get("index_type").asText(),
+          "cardinality" -> n.get("cardinality").asLong())
+      }
+    }
+  }
+
+  def createIndex(name: String, label: String, property: String,
+      indexType: String): Long = this.synchronized {
+    require(indexType == "hash" || indexType == "range",
+      s"Invalid index_type: $indexType. Valid: hash, range")
+    val existing = table(name)
+    existing.foreach { df =>
+      require(df.columns.contains(property),
+        s"property '$property' not present in collection '$name'")
+    }
+    val cardinality =
+      existing.map(_.select(col(property)).distinct().count()).getOrElse(0L)
+    val kept = listIndexes(name)
+      .filterNot(i => i("label") == label && i("property") == property)
+    writeIndexes(name, kept :+ Map[String, Any]("label" -> label,
+      "property" -> property, "index_type" -> indexType,
+      "cardinality" -> cardinality))
+    // republish so the new clustering takes effect immediately
+    existing.foreach(df => publish(name, df))
+    cardinality
+  }
+
+  def dropIndex(name: String, label: String, property: String): Boolean =
+    this.synchronized {
+      val before = listIndexes(name)
+      val kept = before.filterNot(i =>
+        i("label") == label && i("property") == property)
+      if (kept.size == before.size) false
+      else { writeIndexes(name, kept); true }
+    }
+
+  private def indexesPath(name: String): Path = colDir(name).resolve("indexes.json")
+
+  private def writeIndexes(name: String, idx: Seq[Map[String, Any]]): Unit = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = m.createArrayNode()
+    idx.foreach { i =>
+      val o = arr.addObject()
+      o.put("label", i("label").toString)
+      o.put("property", i("property").toString)
+      o.put("index_type", i("index_type").toString)
+      o.put("cardinality", i("cardinality").asInstanceOf[Long])
+    }
+    Files.writeString(indexesPath(name), m.writeValueAsString(arr))
+  }
+
+  /** Clustering for the points frame per the first recorded index —
+    * applied on every publish so upserts keep the layout indexed. */
+  private def clusterForIndexes(name: String, df: DataFrame): DataFrame =
+    listIndexes(name).headOption.map(_("property").toString)
+      .filter(df.columns.contains) match {
+      case Some(prop) =>
+        val parts = math.max(1, df.rdd.getNumPartitions)
+        df.repartitionByRange(parts, col(prop)).sortWithinPartitions(col(prop))
+      case None => df
+    }
+
   /** S3: get by ids (crud.rs:250). */
   def get(name: String, ids: Seq[Long]): DataFrame = {
     val idCol = idColOf(name)
@@ -236,7 +323,8 @@ class Collections(spark: SparkSession, dataDir: String) {
     * reader keeps addressing the immutable superseded directory, which
     * survives exactly one publish (bounded 2× disk per collection);
     * generations older than that are removed. */
-  private def publish(name: String, df: DataFrame, frame: String = "points"): Unit = {
+  private def publish(name: String, df0: DataFrame, frame: String = "points"): Unit = {
+    val df = if (frame == "points") clusterForIndexes(name, df0) else df0
     val dir = colDir(name)
     val target = Paths.get(dataPath(name, frame))
     val gen = dir.resolve(s"$frame-g${java.util.UUID.randomUUID()}")

@@ -49,10 +49,11 @@ import scala.jdk.CollectionConverters._
   * graph_api.rs:40-107 / velesdb-server lib.rs:74-124 — MATCH, degree
   * and traverse on a USER collection run over ITS edge store; on the
   * built-in dataset tables they run over the derived TPC-H graph), and
-  * `GET /metrics` (Prometheus text counters per route). Intentionally
-  * absent: `/collections/{n}/indexes*` (property indexes are implicit
-  * here — parquet min/max row-group stats + src-clustered Materialize
-  * supersede them, SURVEY §2 G7/G8).
+  * `GET /metrics` (Prometheus text counters per route), and (r8)
+  * `/collections/{n}/indexes` POST/GET/DELETE (handlers/indexes.rs —
+  * property/range indexes realized as range-clustered parquet, see
+  * `Collections.createIndex`; with that, every reference route is
+  * served).
   *
   * Driver-sided by design: results are collected to JSON, so routes are
   * for top-k/aggregate-sized answers, not bulk export — identical to the
@@ -75,7 +76,8 @@ class RestServer(g: Graft, port: Int = 0) {
     * labeled "other" so a noisy client can't grow the counter map (and
     * the /metrics payload) without bound. */
   private val KnownVerbs = Set("search", "points", "graph", "match", "empty", "flush",
-    "batch", "multi", "text", "hybrid", "traverse", "nodes", "degree", "edges")
+    "batch", "multi", "text", "hybrid", "traverse", "nodes", "degree", "edges",
+    "indexes")
   private def countRequest(path: String, code: Int): Unit = {
     // low-cardinality route label: collapse collection names and ids
     val route = path.split("/").filter(_.nonEmpty).toList match {
@@ -419,6 +421,32 @@ class RestServer(g: Graft, port: Int = 0) {
               s""""has_more":${visited > limit},"stats":{"visited":$visited,"timing_ms":${ms()}}}"""
           } finally org.apache.spark.sql.graft.CheckpointBlocks.unpersist(res)
         }
+      case ("POST", "collections" :: name :: "indexes" :: Nil) =>
+        // create property/range index (handlers/indexes.rs create_index).
+        // Spark shape: range-cluster the collection parquet by the
+        // property (see Collections.createIndex scaladoc) — 201 on
+        // success like the reference; memory_bytes is 0 because there is
+        // no resident structure, the index IS the file layout.
+        val n = existingUserCollection(name)
+        val b = json(ex)
+        val label = text(b, "label").getOrElse(badRequest("missing 'label'"))
+        val property = text(b, "property").getOrElse(badRequest("missing 'property'"))
+        val itype = text(b, "index_type").getOrElse("range")
+        val card =
+          try g.collections.createIndex(n, label, property, itype)
+          catch { case e: IllegalArgumentException => badRequest(e.getMessage) }
+        (201, indexJson(label, property, itype, card))
+      case ("GET", "collections" :: name :: "indexes" :: Nil) =>
+        val idx = g.collections.listIndexes(existingUserCollection(name))
+        ok(idx.map(i => indexJson(i("label").toString, i("property").toString,
+            i("index_type").toString, i("cardinality").asInstanceOf[Long]))
+          .mkString("""{"indexes":[""", ",", "]}"))
+      case ("DELETE", "collections" :: name :: "indexes" :: label :: property :: Nil) =>
+        val n = existingUserCollection(name)
+        if (g.collections.dropIndex(n, label, property))
+          ok(mapper.writeValueAsString(java.util.Map.of(
+            "status", "deleted", "label", label, "property", property)))
+        else error(404, s"index $label/$property not found in $name")
       case ("POST", "collections" :: name :: "match" :: Nil) =>
         val b = json(ex)
         val m = text(b, "match").getOrElse(badRequest("missing 'match'"))
@@ -497,6 +525,19 @@ class RestServer(g: Graft, port: Int = 0) {
     if (ex.getRequestMethod != "POST") badRequest("POST required")
 
   private def ok(body: String): (Int, String) = (200, body)
+
+  /** IndexResponse shape (handlers/indexes.rs) — jackson-escaped since
+    * label/property are free client strings. */
+  private def indexJson(label: String, property: String, indexType: String,
+      cardinality: Long): String = {
+    val o = mapper.createObjectNode()
+    o.put("label", label)
+    o.put("property", property)
+    o.put("index_type", indexType)
+    o.put("cardinality", cardinality)
+    o.put("memory_bytes", 0L)
+    o.toString
+  }
   private def error(code: Int, msg: String): (Int, String) =
     (code, mapper.writeValueAsString(java.util.Map.of("error", msg)))
 
