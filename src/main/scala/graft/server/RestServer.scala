@@ -360,6 +360,30 @@ class RestServer(g: Graft, port: Int = 0) {
       case ("DELETE", "collections" :: name :: "graph" :: "edges" :: id :: Nil) =>
         g.collections.deleteEdges(existingUserCollection(name), Seq(id.toLong))
         ok(s"""{"status":"deleted","id":$id}""")
+      case ("GET", "collections" :: name :: "graph" :: "edges" :: Nil) =>
+        // by-label edge listing (handlers/graph/handlers.rs:20-80):
+        // ?label= is REQUIRED — same 400 as the reference ("listing all
+        // edges requires pagination"); ?limit=N (default 1000) bounds the
+        // driver-side collect (documented extension: the reference
+        // returns the unbounded set)
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+        val qs = q.split("&").filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2); k -> java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+        val label = qs.getOrElse("label",
+          badRequest("Query parameter 'label' is required"))
+        val e = edgesFor(existing(name)).where(col("label") === label)
+        // EdgeResponse shape: src/dst → source/target, remaining columns
+        // nest under properties (the reference's open HashMap); derived
+        // dataset edges carry no id → field omitted by toJSON null rules
+        val others = e.columns.filterNot(Set("id", "src", "dst", "label")).toSeq
+        val idCol = if (e.columns.contains("id")) col("id") else lit(null).cast("long")
+        val lim = qs.get("limit").map(_.toInt).getOrElse(1000)
+        val rows = e.select(idCol.as("id"), col("src").as("source"),
+            col("dst").as("target"), col("label"),
+            struct(others.map(col): _*).as("properties"))
+          .orderBy(col("source"), col("target")).limit(lim).toJSON.collect()
+        ok(s"""{"edges":[${rows.mkString(",")}],"count":${rows.length}}""")
       case ("GET", "collections" :: name :: "graph" :: "edges" :: id :: Nil) =>
         // get_edge (graph_api.rs:270) — edge row by id
         val rows = g.collections.edges(existingUserCollection(name))

@@ -150,6 +150,15 @@ class EdgeStoreSpec extends SparkSpecBase {
       assert(outKnows.body().contains("\"count\":1"), outKnows.body())
       val in4 = get("/collections/social/graph/nodes/4/edges?direction=in")
       assert(in4.body().contains("\"count\":2"), in4.body()) // knows(3->4) + blocks(1->4)
+      // by-label listing (handlers/graph/handlers.rs get_edges): label
+      // required, EdgeResponse shape source/target/properties
+      val byLabel = get("/collections/social/graph/edges?label=knows")
+      assert(byLabel.statusCode() == 200 && byLabel.body().contains("\"count\":3"),
+        byLabel.body())
+      assert(byLabel.body().contains("\"source\":1") &&
+        byLabel.body().contains("\"target\":2"), byLabel.body())
+      assert(byLabel.body().contains("\"properties\":{\"weight\":"), byLabel.body())
+      assert(get("/collections/social/graph/edges").statusCode() == 400)
     } finally srv.stop()
   }
 
