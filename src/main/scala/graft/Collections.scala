@@ -21,25 +21,31 @@ import scala.jdk.CollectionConverters._
   * Cross-process writers are NOT coordinated (same as the reference's
   * single-process ownership of a data dir).
   */
+object Collections {
+
+  /** Children of a directory with the `Files.list` stream CLOSED — the
+    * raw iterator leaks a directory handle per call in a long session. */
+  private[graft] def children(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  /** Recursive delete, shared by every temp/generation cleanup site so
+    * deletion-behavior fixes (handle leaks, symlinks) live in ONE place. */
+  private[graft] def deleteRec(p: Path): Unit = {
+    if (Files.isDirectory(p)) children(p).foreach(deleteRec)
+    Files.deleteIfExists(p)
+  }
+}
+
 class Collections(spark: SparkSession, dataDir: String) {
+  import Collections.{children, deleteRec}
 
   private def root: Path = Paths.get(dataDir)
   private def colDir(name: String): Path = root.resolve(name)
   private def dataPath(name: String, frame: String = "points"): String =
     colDir(name).resolve(frame).toString
   private def metaPath(name: String): Path = colDir(name).resolve("meta.json")
-
-  /** Children of a directory with the `Files.list` stream CLOSED — the
-    * raw iterator leaks a directory handle per call in a long session. */
-  private def children(p: Path): Seq[Path] = {
-    val s = Files.list(p)
-    try s.iterator().asScala.toSeq finally s.close()
-  }
-
-  private def deleteRec(p: Path): Unit = {
-    if (Files.isDirectory(p)) children(p).foreach(deleteRec)
-    Files.deleteIfExists(p)
-  }
 
   /** S1: create — empty collection with metadata sidecar. */
   def create(name: String, idCol: String = "id",
@@ -228,11 +234,18 @@ class Collections(spark: SparkSession, dataDir: String) {
     }
     val cardinality =
       existing.map(_.select(col(property)).distinct().count()).getOrElse(0L)
-    val kept = listIndexes(name)
-      .filterNot(i => i("label") == label && i("property") == property)
-    writeIndexes(name, kept :+ Map[String, Any]("label" -> label,
-      "property" -> property, "index_type" -> indexType,
-      "cardinality" -> cardinality))
+    val entry = Map[String, Any]("label" -> label, "property" -> property,
+      "index_type" -> indexType, "cardinality" -> cardinality)
+    // re-creating an existing index replaces IN PLACE: appending would
+    // move it to the tail and silently flip which property drives the
+    // physical clustering (headOption below) on an idempotent retry
+    val before = listIndexes(name)
+    val updated =
+      if (before.exists(i => i("label") == label && i("property") == property))
+        before.map(i =>
+          if (i("label") == label && i("property") == property) entry else i)
+      else before :+ entry
+    writeIndexes(name, updated)
     // republish so the new clustering takes effect immediately
     existing.foreach(df => publish(name, df))
     cardinality
@@ -259,16 +272,30 @@ class Collections(spark: SparkSession, dataDir: String) {
       o.put("index_type", i("index_type").toString)
       o.put("cardinality", i("cardinality").asInstanceOf[Long])
     }
-    Files.writeString(indexesPath(name), m.writeValueAsString(arr))
+    // temp + ATOMIC_MOVE: listIndexes reads without the instance lock
+    // (REST GET path), so an in-place truncate-then-write could hand a
+    // concurrent reader a torn file
+    val tmp = indexesPath(name).resolveSibling(
+      s"indexes.json.tmp-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, m.writeValueAsString(arr))
+    Files.move(tmp, indexesPath(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Clustering for the points frame per the first recorded index —
-    * applied on every publish so upserts keep the layout indexed. */
+    * applied on every publish so upserts keep the layout indexed.
+    * Partition count comes from the session's shuffle-partitions config,
+    * NOT `df.rdd.getNumPartitions`: under AQE, materializing the RDD
+    * forces the final physical plan and EXECUTES the merge's shuffle
+    * stages, so the publish would run the whole merge twice. The range
+    * shuffle's sampling distributes small frames over few non-empty
+    * partitions anyway; big frames want the configured width. */
   private def clusterForIndexes(name: String, df: DataFrame): DataFrame =
     listIndexes(name).headOption.map(_("property").toString)
       .filter(df.columns.contains) match {
       case Some(prop) =>
-        val parts = math.max(1, df.rdd.getNumPartitions)
+        val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
         df.repartitionByRange(parts, col(prop)).sortWithinPartitions(col(prop))
       case None => df
     }

@@ -86,13 +86,5 @@ object Materialize {
     }
   }
 
-  private def deleteRec(p: Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (Files.isDirectory(p)) {
-      val s = Files.list(p)
-      val children = try s.iterator().asScala.toSeq finally s.close()
-      children.foreach(deleteRec)
-    }
-    Files.deleteIfExists(p)
-  }
+  private def deleteRec(p: Path): Unit = Collections.deleteRec(p)
 }

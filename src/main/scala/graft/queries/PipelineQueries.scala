@@ -21,14 +21,6 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
-  private def rmRec(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p)) {
-      val s = java.nio.file.Files.list(p)
-      try s.iterator().forEachRemaining(rmRec) finally s.close()
-    }
-    java.nio.file.Files.deleteIfExists(p)
-  }
-
   val defs: Seq[QueryDef] = Seq(
 
     // ---- S5 user side, end-to-end (graph_api.rs:40-107): create a
@@ -71,7 +63,7 @@ object PipelineQueries {
         val delOk = g.collections.edges("social").get
           .where(col("id") === 13L).count() == 0
         idsOk && hopOk && reachOk && delOk
-      } finally rmRec(tmp)
+      } finally graft.Collections.deleteRec(tmp)
       s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("edges_ok"))
     },
 
@@ -93,9 +85,16 @@ object PipelineQueries {
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       try q.awaitTermination(300000) finally q.stop()
-      s.table(qn).select(col("win_start"), col("win_end"), col("event_type"),
+      // materialize off the sink, then DROP its temp view — a run per
+      // bench rep would otherwise accumulate memory-sink tables in the
+      // long-lived shared session
+      val out = s.table(qn)
+        .select(col("win_start"), col("win_end"), col("event_type"),
           col("cnt"), round(col("total_value"), 4).as("total_value"))
         .orderBy(col("win_start"), col("event_type"))
+        .localCheckpoint(true)
+      s.catalog.dropTempView(qn)
+      out
     },
 
     // ---- Multimodal columns, value-level: documents → opaque binary

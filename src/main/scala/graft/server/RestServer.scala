@@ -201,10 +201,15 @@ class RestServer(g: Graft, port: Int = 0) {
         g.collections.drop(existingUserCollection(name))
         ok(mapper.writeValueAsString(java.util.Map.of("name", name, "status", "deleted")))
       case ("GET", "collections" :: name :: "empty" :: Nil) =>
-        // the reference's is_empty check (handlers/collections.rs:212-241)
-        val n = g.catalog.table(existing(name)).count()
+        // the reference's is_empty check (handlers/collections.rs:212-241).
+        // Both frames must be empty — mirrors POST empty's invariant that
+        // an emptied collection holds neither points nor edges. isEmpty
+        // is a limit-1 existence probe, not a full count.
+        val n = existing(name)
+        val empty = g.catalog.table(n).isEmpty &&
+          g.collections.edges(n).forall(_.isEmpty)
         ok(mapper.writeValueAsString(java.util.Map.of(
-          "is_empty", java.lang.Boolean.valueOf(n == 0L))))
+          "is_empty", java.lang.Boolean.valueOf(empty))))
       case ("POST", "collections" :: name :: "empty" :: Nil) =>
         // delete every point AND every edge, keep collection + metadata:
         // leaving the edge frame would let MATCH traverse dangling edges
@@ -366,10 +371,7 @@ class RestServer(g: Graft, port: Int = 0) {
         // edges requires pagination"); ?limit=N (default 1000) bounds the
         // driver-side collect (documented extension: the reference
         // returns the unbounded set)
-        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
-        val qs = q.split("&").filter(_.contains("=")).map { kv =>
-          val Array(k, v) = kv.split("=", 2); k -> java.net.URLDecoder.decode(v, "UTF-8")
-        }.toMap
+        val qs = queryParams(ex)
         val label = qs.getOrElse("label",
           badRequest("Query parameter 'label' is required"))
         val e = edgesFor(existing(name)).where(col("label") === label)
@@ -394,10 +396,7 @@ class RestServer(g: Graft, port: Int = 0) {
       case ("GET", "collections" :: name :: "graph" :: "nodes" :: id :: "edges" :: Nil) =>
         // outgoing/incoming/by-label edge listing for a node
         // (graph_api.rs:287-299); ?direction=out|in|both&label=L&limit=N
-        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
-        val qs = q.split("&").filter(_.contains("=")).map { kv =>
-          val Array(k, v) = kv.split("=", 2); k -> java.net.URLDecoder.decode(v, "UTF-8")
-        }.toMap
+        val qs = queryParams(ex)
         val nid = id.toLong
         val dirFilter = qs.getOrElse("direction", "both") match {
           case "out" => col("src") === nid
@@ -456,9 +455,9 @@ class RestServer(g: Graft, port: Int = 0) {
         val label = text(b, "label").getOrElse(badRequest("missing 'label'"))
         val property = text(b, "property").getOrElse(badRequest("missing 'property'"))
         val itype = text(b, "index_type").getOrElse("range")
-        val card =
-          try g.collections.createIndex(n, label, property, itype)
-          catch { case e: IllegalArgumentException => badRequest(e.getMessage) }
+        // bad type / missing property throw IllegalArgumentException,
+        // which exchange() maps to a 400 with jackson-escaped message
+        val card = g.collections.createIndex(n, label, property, itype)
         (201, indexJson(label, property, itype, card))
       case ("GET", "collections" :: name :: "indexes" :: Nil) =>
         val idx = g.collections.listIndexes(existingUserCollection(name))
@@ -549,6 +548,14 @@ class RestServer(g: Graft, port: Int = 0) {
     if (ex.getRequestMethod != "POST") badRequest("POST required")
 
   private def ok(body: String): (Int, String) = (200, body)
+
+  /** URL-decoded query-string parameters (last value wins per key). */
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getQuery).getOrElse("")
+      .split("&").filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k -> java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
 
   /** IndexResponse shape (handlers/indexes.rs) — jackson-escaped since
     * label/property are free client strings. */
