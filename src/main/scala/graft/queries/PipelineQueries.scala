@@ -67,6 +67,70 @@ object PipelineQueries {
       s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("edges_ok"))
     },
 
+    // ---- §1.1 agent-memory SDK, lifecycle-pinned (agent/mod.rs:1-14):
+    // remember / TTL-filtered live views / kind-scoped recall / physical
+    // expire, collapsed to one boolean row.
+    QueryDef.lifecyclePin("q129_agent_memory",
+      "SELECT CAST(1 AS INT) AS memory_ok") { (s, _) =>
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q129")
+      val ok = try {
+        val cols = new graft.Collections(s, tmp.toString)
+        val mem = new graft.AgentMemory(s, cols)
+        mem.create()
+        val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+        val now = t0.toInstant.getEpochSecond + 3600 // one hour later
+        mem.remember(Seq(
+          (1L, "semantic", "likes scala", Seq(1.0f, 0.0f), t0, Some(7200L)),
+          (2L, "semantic", "stale fact", Seq(0.0f, 1.0f), t0, Some(60L)),
+          (3L, "episodic", "met ann", Seq(0.9f, 0.1f), t0, Option.empty[Long]))
+          .toDF("id", "kind", "content", "embedding", "ts", "ttl_seconds"))
+        val liveIds = mem.live(now).select("id").collect().map(_.getLong(0)).toSet
+        val rec = mem.recall("semantic", Seq(1.0f, 0.0f), 1, now).collect()
+        mem.expire(now)
+        liveIds == Set(1L, 3L) && // id 2's 60 s TTL lapsed; id 3 has none
+          rec.length == 1 && rec.head.getAs[Long]("id") == 1L &&
+          cols.count("agent_memory") == 2 // dead row physically deleted
+      } finally graft.Collections.deleteRec(tmp)
+      s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("memory_ok"))
+    },
+
+    // ---- S9 importers, lifecycle-pinned (velesdb-migrate): Qdrant and
+    // Pinecone export lines → normalized point shape → a collection a
+    // vector search runs over. String Pinecone ids hash deterministically.
+    QueryDef.lifecyclePin("q130_importers",
+      "SELECT CAST(1 AS INT) AS import_ok") { (s, _) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q130")
+      val ok = try {
+        val q = tmp.resolve("qdrant.jsonl")
+        java.nio.file.Files.writeString(q,
+          """{"id": 1, "vector": [1.0, 0.0], "payload": {"lang": "en"}}
+            |{"id": 2, "vector": [0.0, 1.0], "payload": {"lang": "fr"}}
+            |""".stripMargin)
+        val p = tmp.resolve("pinecone.jsonl")
+        java.nio.file.Files.writeString(p,
+          """{"id": "doc-a", "values": [0.6, 0.8], "metadata": {"src": "web"}}
+            |{"id": "7", "values": [0.8, 0.6], "metadata": {"src": "pdf"}}
+            |""".stripMargin)
+        val qd = graft.sources.Importers.fromQdrant(s, q.toString)
+        val pc = graft.sources.Importers.fromPinecone(s, p.toString)
+        val cols = new graft.Collections(s, tmp.resolve("store").toString)
+        cols.create("migrated", idCol = "id", vectorCol = Some("vector"))
+        cols.upsert("migrated", qd)
+        val qdOk = cols.count("migrated") == 2 &&
+          cols.get("migrated", Seq(2L)).select("lang").first().getString(0) == "fr"
+        // numeric-string Pinecone id parses as 7; "doc-a" hashes (stable)
+        val pcIds = pc.select("id").collect().map(_.getLong(0)).toSet
+        val pcOk = pcIds.contains(7L) && pcIds.size == 2
+        val top = graft.operators.Knn
+          .topK(pc, "vector", Seq(0.6f, 0.8f), 1, "cosine", idCol = "id")
+          .collect()
+        qdOk && pcOk && top.length == 1 &&
+          top.head.getAs[Long]("id") != 7L // the (0.6,0.8) doc-a row wins
+      } finally graft.Collections.deleteRec(tmp)
+      s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("import_ok"))
+    },
+
     // ---- L5 Structured Streaming, value-level: the events FILE STREAM
     // through the watermarked window aggregation (micro-batch execution,
     // AvailableNow trigger, memory sink), checked against DuckDB's batch
