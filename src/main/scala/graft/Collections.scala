@@ -232,8 +232,12 @@ class Collections(spark: SparkSession, dataDir: String) {
       require(df.columns.contains(property),
         s"property '$property' not present in collection '$name'")
     }
-    val cardinality =
-      existing.map(_.select(col(property)).distinct().count()).getOrElse(0L)
+    // cardinality is informational (IndexResponse parity) — HLL++ approx
+    // instead of an exact distinct: one pass, no shuffle of the full
+    // column at 100 TB; exact for small stores (sparse HLL regime)
+    val cardinality = existing
+      .map(_.agg(approx_count_distinct(col(property))).first().getLong(0))
+      .getOrElse(0L)
     val entry = Map[String, Any]("label" -> label, "property" -> property,
       "index_type" -> indexType, "cardinality" -> cardinality)
     // re-creating an existing index replaces IN PLACE: appending would
