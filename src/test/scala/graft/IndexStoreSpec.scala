@@ -72,6 +72,18 @@ class IndexStoreSpec extends SparkSpecBase {
     }
   }
 
+  test("predicates on the indexed property reach the parquet scan") {
+    val cols = freshCols()
+    seed(cols)
+    cols.createIndex("readings", "Point", "temp", "range")
+    val p = cols.table("readings").get.where(col("temp") > 100)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // pushed filter + range-clustered files = row-group pruned read
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThan(temp,100)"),
+      p.take(2000))
+  }
+
   test("dropIndex stops clustering; bad index args are rejected") {
     val cols = freshCols()
     seed(cols, 50)
