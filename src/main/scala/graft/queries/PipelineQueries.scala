@@ -161,6 +161,41 @@ object PipelineQueries {
       out
     },
 
+    // ---- L5 session windows, value-level: the events file stream
+    // through gap-based session_window aggregation, checked against
+    // classic SQL sessionization in DuckDB (lag-gap marks → running sum
+    // session ids). Spark's session end = last event + gap, mirrored by
+    // max(ts) + INTERVAL on the oracle side.
+    QueryDef("q131_streaming_sessions",
+      """WITH m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events, round(sum(value), 4) AS session_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      val agg = StreamingOps.sessionAgg(
+        StreamingOps.eventsStream(s, d), "30 minutes", "1 hour")
+      val qn = s"q131_sink_${System.nanoTime()}"
+      val q = agg.writeStream.format("memory").queryName(qn)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination(300000) finally q.stop()
+      val out = s.table(qn)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), round(col("session_value"), 4).as("session_value"))
+        .orderBy(col("user_id"), col("session_start"))
+        .localCheckpoint(true)
+      s.catalog.dropTempView(qn)
+      out
+    },
+
     // ---- Multimodal columns, value-level: documents → opaque binary
     // media (bytes = UTF-8 text, a deterministic stand-in) → the
     // mapPartitions feature kernel (16-bin nibble histogram + mean byte)
