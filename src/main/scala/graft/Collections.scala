@@ -234,9 +234,14 @@ class Collections(spark: SparkSession, dataDir: String) {
     }
     // cardinality is informational (IndexResponse parity) — HLL++ approx
     // instead of an exact distinct: one pass, no shuffle of the full
-    // column at 100 TB; exact for small stores (sparse HLL regime)
+    // column at 100 TB (probabilistically exact on small stores). HLL
+    // ignores NULLs, but schemaless payloads null-fill by design, so
+    // NULL counts as one distinct value explicitly — same contract as
+    // the exact distinct().count() this replaced.
     val cardinality = existing
-      .map(_.agg(approx_count_distinct(col(property))).first().getLong(0))
+      .map(_.agg((approx_count_distinct(col(property)) +
+        coalesce(max(when(col(property).isNull, 1L).otherwise(0L)), lit(0L)))
+        .as("c")).first().getLong(0))
       .getOrElse(0L)
     val entry = Map[String, Any]("label" -> label, "property" -> property,
       "index_type" -> indexType, "cardinality" -> cardinality)

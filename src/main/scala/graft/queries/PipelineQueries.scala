@@ -76,7 +76,8 @@ object PipelineQueries {
       val tmp = java.nio.file.Files.createTempDirectory("graft-q129")
       val ok = try {
         val cols = new graft.Collections(s, tmp.toString)
-        val mem = new graft.AgentMemory(s, cols)
+        val memName = "agent_memory"
+        val mem = new graft.AgentMemory(s, cols, memName)
         mem.create()
         val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
         val now = t0.toInstant.getEpochSecond + 3600 // one hour later
@@ -90,7 +91,7 @@ object PipelineQueries {
         mem.expire(now)
         liveIds == Set(1L, 3L) && // id 2's 60 s TTL lapsed; id 3 has none
           rec.length == 1 && rec.head.getAs[Long]("id") == 1L &&
-          cols.count("agent_memory") == 2 // dead row physically deleted
+          cols.count(memName) == 2 // dead row physically deleted
       } finally graft.Collections.deleteRec(tmp)
       s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("memory_ok"))
     },
@@ -148,7 +149,11 @@ object PipelineQueries {
       val q = agg.writeStream.format("memory").queryName(qn)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      try q.awaitTermination(300000) finally q.stop()
+      // awaitTermination returns FALSE on timeout (no exception) — a
+      // silent false would read a partial sink and misreport a
+      // sessionization/windowing bug instead of the timeout
+      try require(q.awaitTermination(300000), s"$qn timed out after 300 s")
+      finally q.stop()
       // materialize off the sink, then DROP its temp view — a run per
       // bench rep would otherwise accumulate memory-sink tables in the
       // long-lived shared session
@@ -186,7 +191,9 @@ object PipelineQueries {
       val q = agg.writeStream.format("memory").queryName(qn)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      try q.awaitTermination(300000) finally q.stop()
+      // see q127: FALSE from awaitTermination means timeout, fail loudly
+      try require(q.awaitTermination(300000), s"$qn timed out after 300 s")
+      finally q.stop()
       val out = s.table(qn)
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("n_events"), round(col("session_value"), 4).as("session_value"))

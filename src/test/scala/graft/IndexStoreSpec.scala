@@ -121,7 +121,12 @@ class IndexStoreSpec extends SparkSpecBase {
       val created = post("/collections/m/indexes",
         """{"label": "Point", "property": "score", "index_type": "range"}""")
       assert(created.statusCode() == 201, created.body())
-      assert(created.body().contains("\"cardinality\":2"))
+      // cardinality is HLL++-approximate — assert presence and range,
+      // not an exact value (consistent with the tolerance assertions in
+      // the createIndex tests above)
+      val cardM = """"cardinality":(\d+)""".r.findFirstMatchIn(created.body())
+      assert(cardM.exists(m => (1L to 3L).contains(m.group(1).toLong)),
+        created.body())
       assert(get("/collections/m/indexes").body().contains("\"property\":\"score\""))
       val bad = post("/collections/m/indexes",
         """{"label": "Point", "property": "score", "index_type": "btree"}""")
