@@ -203,6 +203,59 @@ object PipelineQueries {
       out
     },
 
+    // ---- L5 keyed state + streaming dedup, lifecycle-pinned: the two
+    // streaming surfaces a SQL oracle can't replay (multi-batch state
+    // evolution). mapGroupsWithState must CARRY state across micro-
+    // batches; dropDuplicatesWithinWatermark must keep first arrivals
+    // only. Both run on MemoryStreams with explicit batch boundaries.
+    QueryDef.lifecyclePin("q132_streaming_state",
+      "SELECT CAST(1 AS INT) AS state_ok") { (s, _) =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      def ts(t: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(t)
+
+      // keyed state: snapshots after batch 1 then batch 2 show carry
+      val mem = MemoryStream[StreamingOps.UserEvent]
+      val qn = s"q132_state_${System.nanoTime()}"
+      val q = StreamingOps.runningUserState(mem.toDS())
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("update").start()
+      val stateOk = try {
+        mem.addData(StreamingOps.UserEvent(1L, ts("2024-01-01 10:00:00"), 1.0),
+          StreamingOps.UserEvent(1L, ts("2024-01-01 10:01:00"), 2.0))
+        q.processAllAvailable()
+        mem.addData(StreamingOps.UserEvent(1L, ts("2024-01-01 10:05:00"), 4.0))
+        q.processAllAvailable()
+        val snaps = s.table(qn).as[StreamingOps.UserSnapshot].collect()
+          .filter(_.user_id == 1L).sortBy(_.n_events)
+          .map(u => (u.n_events, u.total_value)).toSeq
+        snaps == Seq((2L, 3.0), (3L, 7.0)) // batch-2 state carried 2 -> 3
+      } finally { q.stop(); s.catalog.dropTempView(qn) }
+
+      // streaming dedup: duplicate content within the watermark dropped
+      val mem2 = MemoryStream[(java.sql.Timestamp, Long, String)]
+      val qn2 = s"q132_dedup_${System.nanoTime()}"
+      val body = "the quick brown fox jumps over the lazy dog again"
+      val q2 = StreamingOps.dedupStream(
+          mem2.toDF().toDF("ts", "doc_id", "text"), "1 hour")
+        .writeStream.format("memory").queryName(qn2)
+        .outputMode("append").start()
+      val dedupOk = try {
+        mem2.addData((ts("2024-01-01 10:00:00"), 1L, body),
+          (ts("2024-01-01 10:05:00"), 2L, body), // same-batch dup
+          (ts("2024-01-01 10:10:00"), 3L, "a different document body"))
+        q2.processAllAvailable()
+        mem2.addData((ts("2024-01-01 10:20:00"), 4L, body)) // cross-batch dup
+        q2.processAllAvailable()
+        val ids = s.table(qn2).select("doc_id").collect().map(_.getLong(0)).toSet
+        ids == Set(1L, 3L) // first arrival per hash survives, 2 and 4 drop
+      } finally { q2.stop(); s.catalog.dropTempView(qn2) }
+
+      s.range(1).select(
+        lit(if (stateOk && dedupOk) 1 else 0).cast("int").as("state_ok"))
+    },
+
     // ---- Multimodal columns, value-level: documents → opaque binary
     // media (bytes = UTF-8 text, a deterministic stand-in) → the
     // mapPartitions feature kernel (16-bin nibble histogram + mean byte)
