@@ -28,7 +28,8 @@ object Bench {
     "q58_lsh_fullprobe", "q59_ivf_fullprobe", "q60_bm25", "q62_hybrid_rrf",
     "q67_ngram_jaccard", "q68_minhash_lsh", "q70_embedding_neardup",
     "q73_dedup_clusters", "q82_bfs_varlength", "q93_vql_flagship",
-    "q104_vql_hybrid", "q105_vql_varlength", "q123_ann_recall")
+    "q104_vql_hybrid", "q105_vql_varlength", "q123_ann_recall",
+    "q127_streaming_window", "q128_multimodal", "q131_streaming_sessions")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
