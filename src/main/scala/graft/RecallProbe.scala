@@ -30,6 +30,29 @@ object RecallProbe {
       println(s"PROBE lsh nPlanes=$nPlanes radius=$r hits=$hits/30")
     }
     idx.unpersist()
+
+    // PQ ADC calibration: recall@10 after exact rerank of k×os ADC
+    // candidates, per (m, k, oversample)
+    import org.apache.spark.sql.functions.col
+    for ((m, kCent) <- Seq((8, 16), (8, 32), (4, 16))) {
+      val cb = operators.Pq.train(emb, "embedding", 64, m, kCent)
+      val enc = operators.Pq.encodeForProbe(emb, "embedding", "vec_id", cb).cache()
+      enc.count()
+      for (os <- Seq(2, 4, 8, 16)) {
+        val hits = Seq(qa, qb, qc).map { q =>
+          val exact = Knn.topK(emb, "embedding", q, 10, "cosine", idCol = "vec_id").select("vec_id")
+          val (ord, asc) = operators.Pq.adcOrdering(col("codes"), q.toArray, cb, "cosine")
+          val cand = enc.withColumn("__adc", ord)
+            .orderBy(if (asc) col("__adc").asc else col("__adc").desc, col("vec_id").asc)
+            .limit(10 * os).select("vec_id")
+          val rer = Knn.topK(emb.join(cand, "vec_id"), "embedding", q, 10, "cosine",
+            idCol = "vec_id").select("vec_id")
+          rer.join(exact, "vec_id").count()
+        }.sum
+        println(s"PROBE pq m=$m k=$kCent oversample=$os hits=$hits/30")
+      }
+      enc.unpersist()
+    }
     spark.stop()
   }
 }

@@ -558,6 +558,27 @@ object VelesqlQueries {
       hits.agg((count(lit(1)) >= lit(29)).cast("int").as("recall_ok"))
     },
 
+    // ---- V11+ beyond-reference: PQ ADC recall pin — same shape as
+    // q123/q125 but through `WITH (quantization = 'pq')`: narrow-codes
+    // ADC ordering + exact rerank. Calibration (RecallProbe, same
+    // near-uniform worst-case testdata): m=8 k=32 oversampling=16 →
+    // 29/30 at sf0.01. Same ≥0.95 bar as the reference's Accurate tier.
+    QueryDef("q133_pq_recall", "SELECT CAST(1 AS INT) AS recall_ok") { (s, d) =>
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val qb = (0 until 64).map(i => (math.cos(i * 0.31) * 0.4 - 0.05).toFloat)
+      val qc = (0 until 64).map(i => (math.sin(i * 1.3 + 0.5) * 0.3).toFloat)
+      val cat = new Catalog(s, d)
+      def leg(v: Seq[Float], withOpts: String): DataFrame =
+        new Compiler(s, cat, Map("q" -> v))
+          .run(s"SELECT vec_id FROM embeddings WHERE vector NEAR $$q LIMIT 10 WITH ($withOpts)")
+          .select(col("vec_id"))
+      val hits = Seq(qvec, qb, qc)
+        .map(v => leg(v, "quantization = 'pq', oversampling = 16")
+          .join(leg(v, "mode = 'perfect'"), "vec_id"))
+        .reduce(_ unionAll _)
+      hits.agg((count(lit(1)) >= lit(29)).cast("int").as("recall_ok"))
+    },
+
     // ---- P12: scalar $params inside IN lists
     vql("q108_vql_in_params",
       """SELECT o_orderkey, o_orderpriority FROM orders

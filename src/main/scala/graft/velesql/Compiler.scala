@@ -343,7 +343,7 @@ class Compiler(
         // QuantizationMode::parse (with_clause.rs:27-35) plus our 'binary'
         // sketch; unknown values are an error, not a silent exact scan.
         val quant: Option[String] = sel.withOptions.get("quantization").map {
-          case q @ ("binary" | "dual" | "hybrid" | "int8" | "sq8" | "quantized") => q
+          case q @ ("binary" | "dual" | "hybrid" | "int8" | "sq8" | "quantized" | "pq") => q
           case "f32" | "full" | "exact" | "auto" | "default" => "f32"
           case other => fail(s"unknown WITH quantization '$other'")
         }
@@ -362,12 +362,48 @@ class Compiler(
         //     scores ARE the dequantized-vector scores, no rerank.
         val isInt8 = quant.exists(q => q == "int8" || q == "sq8" || q == "quantized")
         val isSketch = quant.exists(q => q == "binary" || q == "dual" || q == "hybrid")
+        val isPq = quant.contains("pq")
         val oversample = sel.withOptions.get("oversampling")
           .map(_.toDouble.toInt)
           .getOrElse(if (quant.isDefined) 4 else 2)
         val k = sel.limit.getOrElse(NearDefaultLimit)
         import graft.operators.Quantization
-        if (isInt8 && !rerank) {
+        if (isPq) {
+          // Beyond-reference fourth regime: product quantization. Phase 1
+          // orders the NARROW materialized codes table (id + m ints) by
+          // the ADC lookup score — the scan never touches vectors or
+          // payloads — and the top k×oversampling ids join back to the
+          // filtered frame for exact rerank. ADC is ordering-only, so
+          // 'pq' is two-phase by construction (rerank implicit). On the
+          // near-uniform testdata (the ANN worst case), m=8 k=32
+          // oversampling=16 measures recall@10 = 29/30 (RecallProbe) —
+          // pinned by q133_pq_recall.
+          if (!(sel.joins.isEmpty && graft.Tables.All.contains(sel.from)))
+            fail("WITH quantization='pq' needs a plain dataset table (the " +
+              "trained codebooks are materialized per dataset)")
+          if (tier.exists(Set("fast", "balanced", "accurate")))
+            fail("quantization='pq' conflicts with a probing mode — PQ is " +
+              "its own candidate structure")
+          import graft.operators.Pq
+          val m = spark.conf.get("graft.pq.m", "8").toInt
+          val kc = spark.conf.get("graft.pq.k", "32").toInt
+          val (cb, codes) = Pq.materializedIndex(spark, catalog.dir, sel.from,
+            vcolName, meta.idCol, vec.length, m, kc)
+          val (ord, asc) = Pq.adcOrdering(col("codes"), vec.toArray, cb, meta.metric)
+          // filter-then-search: with a residual WHERE, candidates come
+          // from the filtered frame's ids only
+          val scoped = residualCond match {
+            case Some(_) => codes.join(dfF.select(col(meta.idCol)), meta.idCol :: Nil)
+            case None => codes
+          }
+          val candIds = scoped.withColumn("__adc", ord)
+            .orderBy(if (asc) col("__adc").asc else col("__adc").desc,
+              col(meta.idCol).asc)
+            .limit(k * oversample)
+            .select(meta.idCol)
+          dfF.join(candIds, meta.idCol :: Nil)
+            .withColumn("score", fn(col(vcolName), VectorFunctions.vecLit(vec)))
+        } else if (isInt8 && !rerank) {
           Quantization.sq8Decode(Quantization.withSq8(dfF, vcolName))
             .withColumn("score", fn(col("vec_approx"), VectorFunctions.vecLit(vec)))
             .drop("vec_approx", "sq8_codes", "sq8_min", "sq8_scale")
