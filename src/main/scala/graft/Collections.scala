@@ -359,8 +359,22 @@ class Collections(spark: SparkSession, dataDir: String) {
     * reader keeps addressing the immutable superseded directory, which
     * survives exactly one publish (bounded 2× disk per collection);
     * generations older than that are removed. */
+  /** Edge frames cluster by (label, src) on every publish: typed MATCH
+    * traversals filter on `label` and probe by `src`, so tight per-file/
+    * row-group min-max stats prune both — the user-collection mirror of
+    * the derived dataset graph's src-clustered Materialize. Request-
+    * sized stores pay nothing; at scale this is the layout BFS wants. */
+  private def clusterEdges(df: DataFrame): DataFrame =
+    if (Seq("label", "src").forall(df.columns.contains)) {
+      val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+      df.repartitionByRange(parts, col("label"), col("src"))
+        .sortWithinPartitions(col("label"), col("src"))
+    } else df
+
   private def publish(name: String, df0: DataFrame, frame: String = "points"): Unit = {
-    val df = if (frame == "points") clusterForIndexes(name, df0) else df0
+    val df =
+      if (frame == "points") clusterForIndexes(name, df0)
+      else clusterEdges(df0)
     val dir = colDir(name)
     val target = Paths.get(dataPath(name, frame))
     val gen = dir.resolve(s"$frame-g${java.util.UUID.randomUUID()}")

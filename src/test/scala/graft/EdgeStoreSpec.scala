@@ -55,6 +55,23 @@ class EdgeStoreSpec extends SparkSpecBase {
     assert(autoIds == Seq(14L, 15L), s"expected 14,15 got $autoIds")
   }
 
+  test("edge frame is (label, src)-clustered and label filters push to the scan") {
+    val g = freshGraft()
+    seed(g)
+    val e = g.collections.edges("social").get
+    // every file sorted by (label, src) → row-group stats prune typed
+    // traversals; with one file the in-file sort is the whole invariant
+    e.inputFiles.foreach { f =>
+      val rows = spark.read.parquet(f).select("label", "src").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.sameElements(rows.sortBy(identity)), s"unsorted edges in $f")
+    }
+    val p = e.where(col("label") === "knows").queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters:") && p.contains("EqualTo(label,knows)"),
+      p.take(2000))
+  }
+
   test("auto edge ids never collide with explicit ids in the same batch") {
     val g = freshGraft()
     seed(g) // stored max id = 13
