@@ -132,6 +132,37 @@ object PipelineQueries {
       s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("import_ok"))
     },
 
+    // ---- §2.13 language-surface contract, lifecycle-pinned: the error
+    // taxonomy (Syntax/NotFound/Semantic/CostLimit raised for the right
+    // inputs), EXPLAIN intent rendering, parse-cache identity, and the
+    // cost guardrails — all previously ScalaTest-only.
+    QueryDef.lifecyclePin("q134_language_contract",
+      "SELECT CAST(1 AS INT) AS contract_ok") { (s, d) =>
+      val g = Graft(s, d)
+      val syntaxOk =
+        try { g.sql("SELEC nope"); false }
+        catch { case _: graft.velesql.SyntaxError => true }
+      val notFoundOk =
+        try { g.sql("SELECT * FROM no_such_table"); false }
+        catch { case _: graft.velesql.NotFoundError => true }
+      val semanticOk =
+        try { g.sql("SELECT doc_id FROM documents LIMIT 5 WITH (bogus_key = 1)"); false }
+        catch { case _: graft.velesql.SemanticError => true }
+      val ex = g.explain(
+        "SELECT doc_id FROM documents WHERE n_chars > 10 ORDER BY doc_id LIMIT 5")
+      val explainOk = ex.contains("TableScan") && ex.contains("Limit(5)")
+      val ast1 = g.parse("SELECT doc_id FROM documents")
+      val ast2 = g.parse("SELECT doc_id FROM documents")
+      val cacheOk = ast1 eq ast2 // LRU hit returns the SAME AST instance
+      val costOk = {
+        val limited = new Graft(s, d, maxCost = 1L)
+        try { limited.sql("SELECT * FROM lineitem"); false }
+        catch { case _: graft.velesql.CostLimitError => true }
+      }
+      val ok = syntaxOk && notFoundOk && semanticOk && explainOk && cacheOk && costOk
+      s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("contract_ok"))
+    },
+
     // ---- L5 Structured Streaming, value-level: the events FILE STREAM
     // through the watermarked window aggregation (micro-batch execution,
     // AvailableNow trigger, memory sink), checked against DuckDB's batch
