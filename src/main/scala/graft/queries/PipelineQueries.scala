@@ -132,6 +132,29 @@ object PipelineQueries {
       s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("import_ok"))
     },
 
+    // ---- Skew salting (SURVEY §7.4 risk 5), value-level: the salted
+    // join must produce EXACTLY the plain join's rows — DuckDB computes
+    // the plain join directly, so any salt-key leak (dropped row,
+    // duplicate from a bad replicate/probe split) breaks the hash.
+    // Benchmarked: this is a real lineitem⋈orders shuffle workload.
+    QueryDef("q135_skew_salted_join",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(CAST(l_quantity AS DECIMAL(18,4))), 4) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      import graft.operators.Skew
+      val li = graft.Tables.table(s, d, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_quantity"))
+      val ord = graft.Tables.table(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      Skew.saltedJoin(li, ord, "k", salt = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast("decimal(18,4)")), 4)
+            .cast("decimal(18,4)").as("qty"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // ---- §2.13 language-surface contract, lifecycle-pinned: the error
     // taxonomy (Syntax/NotFound/Semantic/CostLimit raised for the right
     // inputs), EXPLAIN intent rendering, parse-cache identity, and the
