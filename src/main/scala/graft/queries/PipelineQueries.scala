@@ -132,6 +132,35 @@ object PipelineQueries {
       s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("import_ok"))
     },
 
+    // ---- L5 streaming collection ingest, lifecycle-pinned: two
+    // micro-batches through the foreachBatch upsert sink must land with
+    // merge-by-id semantics (later batch wins per id), and the result
+    // must be queryable through the language afterwards.
+    QueryDef.lifecyclePin("q136_streaming_ingest",
+      "SELECT CAST(1 AS INT) AS ingest_ok") { (s, _) =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q136")
+      val ok = try {
+        val g = Graft(s, tmp.resolve("store").toString)
+        g.collections.create("landing", idCol = "id", vectorCol = None)
+        val mem = MemoryStream[(Long, String)]
+        val q = StreamingOps.ingestStream(mem.toDF().toDF("id", "body"),
+          g.collections, "landing", tmp.resolve("ckpt").toString)
+        try {
+          mem.addData((1L, "a"), (2L, "b"))
+          q.processAllAvailable()
+          mem.addData((2L, "b2"), (3L, "c")) // id 2 replaced by batch 2
+          q.processAllAvailable()
+        } finally q.stop()
+        val rows = g.sql("SELECT id, body FROM landing ORDER BY id")
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        rows == Seq((1L, "a"), (2L, "b2"), (3L, "c"))
+      } finally graft.Collections.deleteRec(tmp)
+      s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("ingest_ok"))
+    },
+
     // ---- Skew salting (SURVEY §7.4 risk 5), value-level: the salted
     // join must produce EXACTLY the plain join's rows — DuckDB computes
     // the plain join directly, so any salt-key leak (dropped row,
