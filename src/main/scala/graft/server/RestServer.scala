@@ -301,11 +301,22 @@ class RestServer(g: Graft, port: Int = 0) {
         val vec = floatSeq(b.get("vector")).getOrElse(badRequest("missing 'vector'"))
         val k = intOr(b, "top_k", 10)
         val withOpts = text(b, "mode").map(m => s"mode = '$m'").toSeq ++
-          Option(b.get("ef_search")).filter(_.isNumber).map(n => s"ef_search = ${n.asInt}").toSeq
+          Option(b.get("ef_search")).filter(_.isNumber).map(n => s"ef_search = ${n.asInt}").toSeq ++
+          Option(b.get("timeout_ms")).filter(_.isNumber).map(n => s"timeout_ms = ${n.asLong}").toSeq
         val w = if (withOpts.nonEmpty) s" WITH (${withOpts.mkString(", ")})" else ""
+        // SearchRequest.filter (types.rs:110-113): the JSON condition DSL
+        // ({"condition": {"type": "eq", ...}}) lowers to a VelesQL WHERE
+        // fragment with $-params for every value (no string injection);
+        // search is then filter-then-NEAR, matching search_with_filter
+        val params = scala.collection.mutable.Map[String, Any]("__v" -> vec)
+        val filterSql = Option(b.get("filter")).filter(_.isObject).map { f =>
+          val cond = Option(f.get("condition")).filter(_.isObject)
+            .getOrElse(badRequest("filter must carry a 'condition' object"))
+          jsonConditionToVql(cond, params) + " AND "
+        }.getOrElse("")
         searchResponse(name,
-          s"SELECT * FROM $name WHERE vector NEAR $$__v LIMIT $k$w",
-          Map("__v" -> vec))
+          s"SELECT * FROM $name WHERE ${filterSql}vector NEAR $$__v LIMIT $k$w",
+          params.toMap)
       case ("POST", "collections" :: name :: "search" :: "text" :: Nil) =>
         existing(name)
         val b = json(ex)
@@ -548,6 +559,69 @@ class RestServer(g: Graft, port: Int = 0) {
     if (ex.getRequestMethod != "POST") badRequest("POST required")
 
   private def ok(body: String): (Int, String) = (200, body)
+
+  /** The reference's JSON filter condition DSL (filter/mod.rs:55-175 —
+    * eq/neq/gt/gte/lt/lte/in/contains/is_null/is_not_null/and/or/not/
+    * like/ilike, nested via `conditions`) lowered to a parenthesized
+    * VelesQL condition. Every VALUE becomes a fresh `$f<n>` parameter
+    * registered in `params` — client data never concatenates into the
+    * query text. Field names must be identifier-shaped (dot paths ok);
+    * anything else is a 400, same as the reference's serde reject. */
+  private def jsonConditionToVql(node: JsonNode,
+      params: scala.collection.mutable.Map[String, Any]): String = {
+    def field(): String = {
+      val f = text(node, "field")
+        .getOrElse(badRequest("filter condition missing 'field'"))
+      if (!f.matches("[A-Za-z_][A-Za-z0-9_.]*"))
+        badRequest(s"invalid filter field name")
+      f
+    }
+    def bind(v: JsonNode): String = {
+      val key = s"f${params.size}"
+      params += key -> jsonScalar(v)
+      "$" + key
+    }
+    def sub(n: JsonNode): String = jsonConditionToVql(n, params)
+    text(node, "type").getOrElse(badRequest("filter condition missing 'type'")) match {
+      case "eq" => s"${field()} = ${bind(node.get("value"))}"
+      case "neq" => s"${field()} != ${bind(node.get("value"))}"
+      case "gt" => s"${field()} > ${bind(node.get("value"))}"
+      case "gte" => s"${field()} >= ${bind(node.get("value"))}"
+      case "lt" => s"${field()} < ${bind(node.get("value"))}"
+      case "lte" => s"${field()} <= ${bind(node.get("value"))}"
+      case "in" =>
+        val vs = Option(node.get("values")).filter(_.isArray)
+          .getOrElse(badRequest("filter 'in' needs 'values'"))
+        if (vs.isEmpty) badRequest("filter 'in' needs a non-empty 'values'")
+        s"${field()} IN (${vs.elements().asScala.map(bind).mkString(", ")})"
+      case "contains" => s"${field()} CONTAINS ${bind(node.get("value"))}"
+      case "is_null" => s"${field()} IS NULL"
+      case "is_not_null" => s"${field()} IS NOT NULL"
+      case "like" => s"${field()} LIKE ${bind(node.get("pattern"))}"
+      case "ilike" => s"${field()} ILIKE ${bind(node.get("pattern"))}"
+      case "and" | "or" =>
+        val op = if (text(node, "type").contains("and")) " AND " else " OR "
+        val cs = Option(node.get("conditions")).filter(_.isArray)
+          .filter(!_.isEmpty)
+          .getOrElse(badRequest("filter and/or needs non-empty 'conditions'"))
+        cs.elements().asScala.map(sub).mkString("(", op, ")")
+      case "not" =>
+        val c = Option(node.get("condition")).filter(_.isObject)
+          .getOrElse(badRequest("filter 'not' needs 'condition'"))
+        s"NOT (${sub(c)})"
+      case other => badRequest(s"unknown filter condition type '$other'")
+    }
+  }
+
+  /** JSON scalar → the param value VelesQL compares with. */
+  private def jsonScalar(v: JsonNode): Any = {
+    if (v == null || v.isNull) badRequest("filter value must be a scalar")
+    else if (v.isTextual) v.asText
+    else if (v.isIntegralNumber) v.asLong
+    else if (v.isNumber) v.asDouble
+    else if (v.isBoolean) v.asBoolean
+    else badRequest("filter value must be a scalar")
+  }
 
   /** URL-decoded query-string parameters (last value wins per key). */
   private def queryParams(ex: HttpExchange): Map[String, String] =

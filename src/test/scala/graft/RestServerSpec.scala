@@ -44,6 +44,34 @@ class RestServerSpec extends SparkSpecBase {
     assert(r.body().contains("\"vec_id\""))
   }
 
+  test("POST search with the JSON filter condition DSL (SearchRequest.filter)") {
+    // {"condition": {...}} lowers to a parameterized VelesQL WHERE and
+    // runs filter-then-NEAR (reference search_with_filter)
+    val vec = (0 until 64).map(i => math.sin(i * 0.7).toFloat)
+    val body =
+      s"""{"vector": [${vec.mkString(", ")}], "top_k": 5,
+         | "filter": {"condition": {"type": "and", "conditions": [
+         |   {"type": "in", "field": "label", "values": [1, 2]},
+         |   {"type": "gte", "field": "vec_id", "value": 0}]}}}""".stripMargin
+    val r = post("/collections/embeddings/search", body)
+    assert(r.statusCode() == 200, r.body())
+    val ids = """"id":(\d+)""".r.findAllMatchIn(r.body()).map(_.group(1).toLong).toSeq
+    assert(ids.nonEmpty && ids.size <= 5)
+    // every hit satisfies the filter
+    val lab12 = Tables.table(spark, sfDir, "embeddings")
+      .where(org.apache.spark.sql.functions.col("label").isin(1, 2))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids.forall(lab12), s"hits outside filter: ${ids.filterNot(lab12)}")
+    // malformed filter → 400, unknown type → 400
+    assert(post("/collections/embeddings/search",
+      s"""{"vector": [${vec.mkString(", ")}], "filter": {"nope": 1}}""")
+      .statusCode() == 400)
+    assert(post("/collections/embeddings/search",
+      s"""{"vector": [${vec.mkString(", ")}],
+         | "filter": {"condition": {"type": "regex", "field": "x"}}}""".stripMargin)
+      .statusCode() == 400)
+  }
+
   test("POST /collections/embeddings/search returns id/score/payload rows") {
     val vec = graft.functions.VectorFunctions.syntheticQuery(64)
       .mkString("[", ",", "]")
