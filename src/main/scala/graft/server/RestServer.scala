@@ -263,9 +263,17 @@ class RestServer(g: Graft, port: Int = 0) {
         val parts = searches.elements().asScala.map { s =>
           val vec = floatSeq(s.get("vector")).getOrElse(badRequest("search missing 'vector'"))
           val k = intOr(s, "top_k", 10)
+          // each batch item is a full SearchRequest: per-item filter
+          // (q57's per-query-filter semantics) + mode/ef passthrough
+          val params = scala.collection.mutable.Map[String, Any]("__v" -> vec)
+          val fSql = filterFragment(s, params)
+          val withOpts = text(s, "mode").map(m => s"mode = '$m'").toSeq ++
+            Option(s.get("ef_search")).filter(_.isNumber)
+              .map(n => s"ef_search = ${n.asInt}").toSeq
+          val w = if (withOpts.nonEmpty) s" WITH (${withOpts.mkString(", ")})" else ""
           searchResponse(name,
-            s"SELECT * FROM $name WHERE vector NEAR $$__v LIMIT $k",
-            Map("__v" -> vec))._2
+            s"SELECT * FROM $name WHERE ${fSql}vector NEAR $$__v LIMIT $k$w",
+            params.toMap)._2
         }.toSeq
         val ms = (System.nanoTime() - t0) / 1e6
         ok(s"""{"results":[${parts.mkString(",")}],"timing_ms":$ms}""")
@@ -309,11 +317,7 @@ class RestServer(g: Graft, port: Int = 0) {
         // fragment with $-params for every value (no string injection);
         // search is then filter-then-NEAR, matching search_with_filter
         val params = scala.collection.mutable.Map[String, Any]("__v" -> vec)
-        val filterSql = Option(b.get("filter")).filter(_.isObject).map { f =>
-          val cond = Option(f.get("condition")).filter(_.isObject)
-            .getOrElse(badRequest("filter must carry a 'condition' object"))
-          jsonConditionToVql(cond, params) + " AND "
-        }.getOrElse("")
+        val filterSql = filterFragment(b, params)
         searchResponse(name,
           s"SELECT * FROM $name WHERE ${filterSql}vector NEAR $$__v LIMIT $k$w",
           params.toMap)
@@ -332,11 +336,19 @@ class RestServer(g: Graft, port: Int = 0) {
         val q = text(b, "query").getOrElse(badRequest("missing 'query'"))
         val vec = floatSeq(b.get("vector")).getOrElse(badRequest("missing 'vector'"))
         val k = intOr(b, "top_k", 10)
+        // HybridSearchRequest (types.rs:189-205): vector_weight (text
+        // weight = 1 - it) and the optional JSON filter, which runs
+        // BEFORE both legs (residual-filter-before-legs, q116 semantics)
+        val vw = Option(b.get("vector_weight")).filter(_.isNumber)
+          .map(_.asDouble).getOrElse(0.5)
+        if (vw < 0.0 || vw > 1.0) badRequest("vector_weight must be in [0, 1]")
+        val params = scala.collection.mutable.Map[String, Any]("__v" -> vec)
+        val fSql = filterFragment(b, params)
         val tcol = g.catalog.metaOf(name).textCol.getOrElse("text")
         searchResponse(name,
-          s"SELECT * FROM $name WHERE $tcol MATCH ${matchLit(q)} AND vector NEAR $$__v LIMIT $k" +
-            " USING FUSION(strategy = 'rrf', k = 60, vector_weight = 0.5)",
-          Map("__v" -> vec))
+          s"SELECT * FROM $name WHERE $fSql$tcol MATCH ${matchLit(q)} AND vector NEAR $$__v LIMIT $k" +
+            s" USING FUSION(strategy = 'rrf', k = 60, vector_weight = $vw)",
+          params.toMap)
       case ("POST", "collections" :: name :: "graph" :: "edges" :: Nil) =>
         // AddEdge batch (graph_api.rs:40-107): {edges: [{id?, source,
         // target, label, properties?}]}; id auto-assigned when absent
@@ -559,6 +571,17 @@ class RestServer(g: Graft, port: Int = 0) {
     if (ex.getRequestMethod != "POST") badRequest("POST required")
 
   private def ok(body: String): (Int, String) = (200, body)
+
+  /** `"<cond> AND "` for a request carrying the optional `filter` object,
+    * empty string otherwise — prepended to the NEAR/MATCH condition so
+    * the filter runs BEFORE candidate generation. */
+  private def filterFragment(b: JsonNode,
+      params: scala.collection.mutable.Map[String, Any]): String =
+    Option(b.get("filter")).filter(_.isObject).map { f =>
+      val cond = Option(f.get("condition")).filter(_.isObject)
+        .getOrElse(badRequest("filter must carry a 'condition' object"))
+      jsonConditionToVql(cond, params) + " AND "
+    }.getOrElse("")
 
   /** The reference's JSON filter condition DSL (filter/mod.rs:55-175 —
     * eq/neq/gt/gte/lt/lte/in/contains/is_null/is_not_null/and/or/not/

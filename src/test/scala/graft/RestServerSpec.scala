@@ -70,6 +70,29 @@ class RestServerSpec extends SparkSpecBase {
       s"""{"vector": [${vec.mkString(", ")}],
          | "filter": {"condition": {"type": "regex", "field": "x"}}}""".stripMargin)
       .statusCode() == 400)
+    // batch items carry per-item filters (q57 semantics over HTTP)
+    val batch = post("/collections/embeddings/search/batch",
+      s"""{"searches": [
+         |  {"vector": [${vec.mkString(", ")}], "top_k": 3,
+         |   "filter": {"condition": {"type": "eq", "field": "label", "value": 1}}},
+         |  {"vector": [${vec.mkString(", ")}], "top_k": 3}]}""".stripMargin)
+    assert(batch.statusCode() == 200, batch.body())
+    val lab1 = Tables.table(spark, sfDir, "embeddings")
+      .where(org.apache.spark.sql.functions.col("label") === 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // item 1's three hits serialize first; item 2 is unfiltered
+    val firstIds = """"id":(\d+)""".r.findAllMatchIn(batch.body())
+      .map(_.group(1).toLong).toSeq.take(3)
+    assert(firstIds.size == 3 && firstIds.forall(lab1), batch.body().take(400))
+    // hybrid honors vector_weight and the filter
+    val hy = post("/collections/corpus/search/hybrid",
+      s"""{"query": "merge parquet", "vector": [${vec.mkString(", ")}],
+         | "top_k": 5, "vector_weight": 0.8,
+         | "filter": {"condition": {"type": "is_not_null", "field": "doc_id"}}}""".stripMargin)
+    assert(hy.statusCode() == 200, hy.body().take(400))
+    assert(post("/collections/corpus/search/hybrid",
+      s"""{"query": "x", "vector": [${vec.mkString(", ")}], "vector_weight": 1.5}""")
+      .statusCode() == 400)
   }
 
   test("POST /collections/embeddings/search returns id/score/payload rows") {
