@@ -327,9 +327,13 @@ class RestServer(g: Graft, port: Int = 0) {
         val q = text(b, "query").getOrElse(badRequest("missing 'query'"))
         val k = intOr(b, "top_k", 10)
         val tcol = g.catalog.metaOf(name).textCol.getOrElse("text")
+        // TextSearchRequest.filter (types.rs:182-184): filtered text
+        // search is filter-then-score (T3 exact semantics)
+        val params = scala.collection.mutable.Map[String, Any]()
+        val fSql = filterFragment(b, params)
         searchResponse(name,
-          s"SELECT * FROM $name WHERE $tcol MATCH ${matchLit(q)} LIMIT $k",
-          Map.empty)
+          s"SELECT * FROM $name WHERE $fSql$tcol MATCH ${matchLit(q)} LIMIT $k",
+          params.toMap)
       case ("POST", "collections" :: name :: "search" :: "hybrid" :: Nil) =>
         existing(name)
         val b = json(ex)

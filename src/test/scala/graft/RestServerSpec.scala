@@ -93,6 +93,11 @@ class RestServerSpec extends SparkSpecBase {
     assert(post("/collections/corpus/search/hybrid",
       s"""{"query": "x", "vector": [${vec.mkString(", ")}], "vector_weight": 1.5}""")
       .statusCode() == 400)
+    // text search accepts the filter too (filter-then-score, T3)
+    val txt = post("/collections/documents/search/text",
+      """{"query": "merge parquet", "top_k": 5,
+        | "filter": {"condition": {"type": "gte", "field": "n_chars", "value": 100}}}""".stripMargin)
+    assert(txt.statusCode() == 200, txt.body().take(300))
   }
 
   test("POST /collections/embeddings/search returns id/score/payload rows") {
