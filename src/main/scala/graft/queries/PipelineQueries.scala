@@ -168,7 +168,7 @@ object PipelineQueries {
     // Benchmarked: this is a real lineitem⋈orders shuffle workload.
     QueryDef("q135_skew_salted_join",
       """SELECT o_orderpriority, count(*) AS n,
-        |  round(sum(CAST(l_quantity AS DECIMAL(18,4))), 4) AS qty
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
       import graft.operators.Skew
@@ -179,8 +179,11 @@ object PipelineQueries {
       Skew.saltedJoin(li, ord, "k", salt = 8)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
+          // Decimal sum for exactness, but the FINAL output type is DOUBLE:
+          // the correctness driver normalizes Spark decimal(18,4) and
+          // DuckDB DECIMAL(38,4) differently (q01 dsum convention).
           round(sum(col("l_quantity").cast("decimal(18,4)")), 4)
-            .cast("decimal(18,4)").as("qty"))
+            .cast("double").as("qty"))
         .orderBy(col("o_orderpriority"))
     },
 
@@ -362,7 +365,7 @@ object PipelineQueries {
         |SELECT kind, count(*) AS n, round(avg(n_bytes), 4) AS avg_bytes,
         |  round(avg(feat_mean), 4) AS avg_feat,
         |  round(avg(hist0), 6) AS avg_hist0,
-        |  sum(CASE WHEN kind = 'video' THEN declared_frames ELSE 0 END) AS n_frames
+        |  CAST(sum(CASE WHEN kind = 'video' THEN declared_frames ELSE 0 END) AS BIGINT) AS n_frames
         |FROM m GROUP BY kind ORDER BY kind""".stripMargin) { (s, d) =>
       val media = MultiModal.mediaFromDocuments(s, d)
       val feats = MultiModal.extractFeatures(media)
