@@ -83,7 +83,7 @@ object Bench {
         if (failed) Double.PositiveInfinity else t
       }
       val warm = if (times.min.isInfinity) -1.0 else times.min
-      (name, cold, warm)
+      (name, cold, warm, times)
     }
     // Locale-pinned formatting: the JSON line must use '.' decimals
     // regardless of the JVM's default locale.
@@ -91,9 +91,17 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     def jsonMap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val warm = results.map { case (k, _, w) => (k, w) }
+    val warm = results.map { case (k, _, w, _) => (k, w) }
     val total = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
+    // Per-rep times (failed rep = -1) so a host-stall artifact — one rep
+    // 10× its siblings inflating even the min — is diagnosable from the
+    // driver record alone (r8 verdict: q81 recorded 9.76 s steady vs
+    // 0.34-0.46 s measured; without reps that can't be adjudicated).
+    val repsAll = results.map { case (k, _, _, ts) =>
+      "\"" + k + "\":[" +
+        ts.map(t => if (t.isInfinity) "-1" else fmt(t)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     // The driver records only the LAST ~2000 chars of sbt output; a single
     // line carrying all ~113 per-query times is ~4.5k chars, so its
     // '{"metric"' head fell off the buffer and BENCH_r2..r7 all recorded
@@ -102,7 +110,7 @@ object Bench {
     // line LAST — compact (headline subset, 4-decimal times, ~800 chars)
     // so it always survives the tail whole.
     println("BENCH_DETAIL " +
-      s"""{"queries_all":${jsonMap(warm)},"cold_total_sec":${fmt(coldTotal)}}""")
+      s"""{"queries_all":${jsonMap(warm)},"reps_all":$repsAll,"cold_total_sec":${fmt(coldTotal)}}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(warm.filter(q => Headline.contains(q._1)))},"n_queries":${warm.size},"cold_total_sec":${fmt(coldTotal)},"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
