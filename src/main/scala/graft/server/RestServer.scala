@@ -267,10 +267,7 @@ class RestServer(g: Graft, port: Int = 0) {
           // (q57's per-query-filter semantics) + mode/ef passthrough
           val params = scala.collection.mutable.Map[String, Any]("__v" -> vec)
           val fSql = filterFragment(s, params)
-          val withOpts = text(s, "mode").map(m => s"mode = '$m'").toSeq ++
-            Option(s.get("ef_search")).filter(_.isNumber)
-              .map(n => s"ef_search = ${n.asInt}").toSeq
-          val w = if (withOpts.nonEmpty) s" WITH (${withOpts.mkString(", ")})" else ""
+          val w = searchWithOpts(s)
           searchResponse(name,
             s"SELECT * FROM $name WHERE ${fSql}vector NEAR $$__v LIMIT $k$w",
             params.toMap)._2
@@ -308,10 +305,7 @@ class RestServer(g: Graft, port: Int = 0) {
         val b = json(ex)
         val vec = floatSeq(b.get("vector")).getOrElse(badRequest("missing 'vector'"))
         val k = intOr(b, "top_k", 10)
-        val withOpts = text(b, "mode").map(m => s"mode = '$m'").toSeq ++
-          Option(b.get("ef_search")).filter(_.isNumber).map(n => s"ef_search = ${n.asInt}").toSeq ++
-          Option(b.get("timeout_ms")).filter(_.isNumber).map(n => s"timeout_ms = ${n.asLong}").toSeq
-        val w = if (withOpts.nonEmpty) s" WITH (${withOpts.mkString(", ")})" else ""
+        val w = searchWithOpts(b)
         // SearchRequest.filter (types.rs:110-113): the JSON condition DSL
         // ({"condition": {"type": "eq", ...}}) lowers to a VelesQL WHERE
         // fragment with $-params for every value (no string injection);
@@ -570,7 +564,41 @@ class RestServer(g: Graft, port: Int = 0) {
   /** Non-local exit for handler validation (converted to a response). */
   private case class Halt(code: Int, body: String) extends RuntimeException
   private def badRequest(msg: String): Nothing =
-    throw Halt(400, s"""{"error":"$msg"}""")
+    // through the mapper, not interpolation: msg may carry client text
+    // (e.g. an unknown filter type), and a quote/backslash in it must
+    // not produce a malformed JSON error body
+    throw Halt(400, mapper.writeValueAsString(java.util.Map.of("error", msg)))
+
+  /** SearchRequest WITH-option passthrough, shared by the single and
+    * batch search routes (ast/with_clause.rs:12-47 — the language's WITH
+    * options are request fields). `mode` and `quantization` are enum
+    * fields in the reference, so they validate against the closed sets
+    * here (mirroring Compiler's acceptance) instead of splicing client
+    * text into the generated VelesQL. */
+  private val SearchModes =
+    Set("fast", "balanced", "accurate", "perfect", "exact")
+  private val QuantModes = Set("binary", "dual", "hybrid", "int8", "sq8",
+    "quantized", "pq", "f32", "full", "exact", "auto", "default")
+  private def searchWithOpts(b: JsonNode): String = {
+    val opts =
+      text(b, "mode").map { m =>
+        if (!SearchModes.contains(m))
+          badRequest(s"unknown mode '$m' (expected one of ${SearchModes.toSeq.sorted.mkString("/")})")
+        s"mode = '$m'"
+      }.toSeq ++
+      Option(b.get("ef_search")).filter(_.isNumber)
+        .map(n => s"ef_search = ${n.asInt}").toSeq ++
+      Option(b.get("timeout_ms")).filter(_.isNumber)
+        .map(n => s"timeout_ms = ${n.asLong}").toSeq ++
+      text(b, "quantization").map { q =>
+        if (!QuantModes.contains(q))
+          badRequest(s"unknown quantization '$q' (expected one of ${QuantModes.toSeq.sorted.mkString("/")})")
+        s"quantization = '$q'"
+      }.toSeq ++
+      Option(b.get("oversampling")).filter(_.isNumber)
+        .map(n => s"oversampling = ${n.asInt}").toSeq
+    if (opts.nonEmpty) s" WITH (${opts.mkString(", ")})" else ""
+  }
   private def requirePost(ex: HttpExchange): Unit =
     if (ex.getRequestMethod != "POST") badRequest("POST required")
 
@@ -619,8 +647,11 @@ class RestServer(g: Graft, port: Int = 0) {
       case "in" =>
         val vs = Option(node.get("values")).filter(_.isArray)
           .getOrElse(badRequest("filter 'in' needs 'values'"))
-        if (vs.isEmpty) badRequest("filter 'in' needs a non-empty 'values'")
-        s"${field()} IN (${vs.elements().asScala.map(bind).mkString(", ")})"
+        // the reference's In { values: Vec<Value> } accepts an empty
+        // list and matches nothing — lower it to a constant-false
+        // condition instead of a 400
+        if (vs.isEmpty) s"(${field()} IS NULL AND ${field()} IS NOT NULL)"
+        else s"${field()} IN (${vs.elements().asScala.map(bind).mkString(", ")})"
       case "contains" => s"${field()} CONTAINS ${bind(node.get("value"))}"
       case "is_null" => s"${field()} IS NULL"
       case "is_not_null" => s"${field()} IS NOT NULL"
@@ -640,7 +671,10 @@ class RestServer(g: Graft, port: Int = 0) {
     }
   }
 
-  /** JSON scalar → the param value VelesQL compares with. */
+  /** JSON scalar → the param value VelesQL compares with. Narrower than
+    * the reference's `Value` (which admits arrays/objects in eq/neq):
+    * VelesQL comparisons are scalar-typed, so non-scalar filter values
+    * reject with 400 rather than silently comparing representations. */
   private def jsonScalar(v: JsonNode): Any = {
     if (v == null || v.isNull) badRequest("filter value must be a scalar")
     else if (v.isTextual) v.asText

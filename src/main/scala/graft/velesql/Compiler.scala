@@ -363,9 +363,13 @@ class Compiler(
         val isInt8 = quant.exists(q => q == "int8" || q == "sq8" || q == "quantized")
         val isSketch = quant.exists(q => q == "binary" || q == "dual" || q == "hybrid")
         val isPq = quant.contains("pq")
+        // PQ's calibrated operating point (RecallProbe / q133_pq_recall)
+        // only reaches the >=0.95 recall bar at oversampling=16 for the
+        // default m=8/k=32 — a plain WITH (quantization='pq') must land
+        // there, not at the generic sketch default of 4.
         val oversample = sel.withOptions.get("oversampling")
           .map(_.toDouble.toInt)
-          .getOrElse(if (quant.isDefined) 4 else 2)
+          .getOrElse(if (isPq) 16 else if (quant.isDefined) 4 else 2)
         val k = sel.limit.getOrElse(NearDefaultLimit)
         import graft.operators.Quantization
         if (isPq) {

@@ -328,6 +328,52 @@ class RestServerSpec extends SparkSpecBase {
     assert(d3.statusCode() == 404, s"${d3.statusCode()} ${d3.body()}")
   }
 
+  test("search routes reach the quantized tiers (SearchRequest WITH parity)") {
+    val vec = (0 until 64).map(i => math.sin(i * 0.7).toFloat)
+    // REST quantization='pq' agrees with the language-level path
+    val r = post("/collections/embeddings/search",
+      s"""{"vector": [${vec.mkString(", ")}], "top_k": 5,
+         | "quantization": "pq", "oversampling": 16}""".stripMargin)
+    assert(r.statusCode() == 200, r.body())
+    val restIds = """"id":(\d+)""".r.findAllMatchIn(r.body()).map(_.group(1).toLong).toSeq
+    val langIds = g.sql(
+      "SELECT vec_id, score FROM embeddings WHERE vector NEAR $q LIMIT 5" +
+        " WITH (quantization = 'pq', oversampling = 16)",
+      Map("q" -> vec)).select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(restIds == langIds, s"REST $restIds vs language $langIds")
+    // invalid enum values reject with 400 — no client text reaches the
+    // generated VelesQL (the injection shape the closed set forecloses)
+    assert(post("/collections/embeddings/search",
+      s"""{"vector": [${vec.mkString(", ")}], "mode": "fast', ef_search = 1"}""")
+      .statusCode() == 400)
+    assert(post("/collections/embeddings/search",
+      s"""{"vector": [${vec.mkString(", ")}], "quantization": "nope"}""")
+      .statusCode() == 400)
+    // batch items accept the same fields
+    val batch = post("/collections/embeddings/search/batch",
+      s"""{"searches": [{"vector": [${vec.mkString(", ")}], "top_k": 3,
+         |  "quantization": "int8"}]}""".stripMargin)
+    assert(batch.statusCode() == 200, batch.body())
+  }
+
+  test("filter DSL edge shapes: empty IN matches nothing; errors are valid JSON") {
+    val vec = (0 until 64).map(i => math.sin(i * 0.7).toFloat)
+    // reference In { values: [] } deserializes and matches nothing
+    val r = post("/collections/embeddings/search",
+      s"""{"vector": [${vec.mkString(", ")}], "top_k": 5,
+         | "filter": {"condition": {"type": "in", "field": "label", "values": []}}}""".stripMargin)
+    assert(r.statusCode() == 200, r.body())
+    assert(""""id":""".r.findAllIn(r.body()).isEmpty, s"empty IN matched rows: ${r.body()}")
+    // a quote in client-controlled text must still yield a parseable
+    // JSON error body (message goes through the jackson mapper)
+    val bad = post("/collections/embeddings/search",
+      s"""{"vector": [${vec.mkString(", ")}],
+         | "filter": {"condition": {"type": "we\\"ird", "field": "x"}}}""".stripMargin)
+    assert(bad.statusCode() == 400)
+    val parsed = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bad.body())
+    assert(parsed.has("error") && parsed.get("error").asText.contains("we\"ird"))
+  }
+
   test("error taxonomy maps to HTTP codes") {
     // unknown collection → 404 (NotFoundError)
     val nf = post("/query", """{"query": "SELECT x FROM nope LIMIT 1"}""")
