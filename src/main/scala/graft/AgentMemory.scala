@@ -46,4 +46,15 @@ class AgentMemory(spark: SparkSession, collections: Collections,
   def expire(nowEpoch: Long): Unit =
     collections.deleteWhere(name, col("ttl_seconds").isNotNull &&
       unix_timestamp(col("ts")) + col("ttl_seconds") <= nowEpoch)
+
+  // ---- snapshots (agent/snapshot.rs SnapshotManager): persist the
+  // memory state under a tag; restore makes that state current again.
+  // Thin delegation to [[Collections.snapshot]]/[[Collections
+  // .restoreSnapshot]] — the memory store IS a collection, so snapshot
+  // durability and atomic-restore semantics come from the generation
+  // machinery for free.
+
+  def snapshot(tag: String): Unit = collections.snapshot(name, tag)
+  def restore(tag: String): Unit = collections.restoreSnapshot(name, tag)
+  def listSnapshots(): Seq[String] = collections.listSnapshots(name)
 }

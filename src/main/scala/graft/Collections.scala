@@ -47,14 +47,45 @@ class Collections(spark: SparkSession, dataDir: String) {
     colDir(name).resolve(frame).toString
   private def metaPath(name: String): Path = colDir(name).resolve("meta.json")
 
-  /** S1: create — empty collection with metadata sidecar. */
+  /** S1: create — empty collection with metadata sidecar.
+    *
+    * `storageMode` is the reference's per-collection quantization regime
+    * fixed at create time (`StorageMode::{Full,SQ8,Binary}`,
+    * collection/types.rs:32-61, quantization.rs:20-29): searches on the
+    * collection default to that regime without a per-query WITH clause
+    * (an explicit WITH quantization still overrides). "full" is the
+    * exact default; "sq8"/"binary" route NEAR through the matching
+    * quantized path. */
+  /** `graphSchema` is the reference's create-time graph schema
+    * (`CollectionType::Graph { schema }`, types.rs:53-61): a JSON
+    * document parsed by [[GraphSchema.parse]]. When strict (schemaless
+    * = false), every later point/edge upsert validates labels and
+    * property value types against it and rejects with a SemanticError. */
   def create(name: String, idCol: String = "id",
-      vectorCol: Option[String] = None, metric: String = "cosine"): Unit = {
+      vectorCol: Option[String] = None, metric: String = "cosine",
+      storageMode: Option[String] = None,
+      graphSchema: Option[String] = None): Unit = {
     require(!exists(name), s"collection $name already exists")
+    storageMode.foreach { m =>
+      require(Set("full", "sq8", "binary").contains(m),
+        s"unknown storage mode '$m' (expected full/sq8/binary)")
+    }
+    // parse BEFORE creating anything: an invalid schema must not leave
+    // a half-created collection behind
+    val parsedSchema = graphSchema.map(GraphSchema.parse)
     Files.createDirectories(colDir(name))
     val vc = vectorCol.map(v => s""""$v"""").getOrElse("null")
+    val sm = storageMode.map(m => s""", "storageMode": "$m"""").getOrElse("")
     Files.writeString(metaPath(name),
-      s"""{"idCol": "$idCol", "vectorCol": $vc, "metric": "$metric"}""")
+      s"""{"idCol": "$idCol", "vectorCol": $vc, "metric": "$metric"$sm}""")
+    parsedSchema.foreach(s => Files.writeString(
+      colDir(name).resolve("graph_schema.json"), GraphSchema.render(s)))
+  }
+
+  /** The collection's graph schema sidecar, if one was declared. */
+  def graphSchemaOf(name: String): Option[GraphSchema] = {
+    val p = colDir(name).resolve("graph_schema.json")
+    if (Files.exists(p)) Some(GraphSchema.parse(Files.readString(p))) else None
   }
 
   def exists(name: String): Boolean = Files.exists(metaPath(name))
@@ -77,6 +108,13 @@ class Collections(spark: SparkSession, dataDir: String) {
       (s""""$k":\\s*"([^"]+)"""").r.findFirstMatchIn(meta).map(_.group(1))
     (field("idCol").getOrElse("id"), field("vectorCol"),
       field("metric").getOrElse("cosine"))
+  }
+
+  /** The collection's create-time storage mode, if one was declared
+    * ("full"/"sq8"/"binary"); None means exact full-precision. */
+  def storageModeOf(name: String): Option[String] = {
+    val meta = Files.readString(metaPath(name))
+    """"storageMode":\s*"([^"]+)"""".r.findFirstMatchIn(meta).map(_.group(1))
   }
 
   /** S3: read all points (empty frame with no schema if never written).
@@ -116,8 +154,38 @@ class Collections(spark: SparkSession, dataDir: String) {
     * of an error — same as writing a misspelled key into the reference's
     * payload map. Pinned by MultiModalCrudSpec "upsert widens". */
   def upsert(name: String, batch: DataFrame): Unit = this.synchronized {
+    validateNodeBatch(name, batch)
     publish(name, mergeById(table(name), batch, idColOf(name)))
   }
+
+  /** Strict-schema node validation: a batch's `labels` must all be
+    * declared node types (validate_node_type, schema.rs:211-225). A
+    * strict graph collection also REQUIRES labels — an untyped node has
+    * no type to validate. */
+  private def validateNodeBatch(name: String, batch: DataFrame): Unit =
+    graphSchemaOf(name).filterNot(_.schemaless).foreach { sch =>
+      def fail(msg: String): Nothing = throw new graft.velesql.SemanticError(msg)
+      if (!batch.columns.contains("labels"))
+        fail(s"collection '$name' has a strict graph schema: point batches " +
+          "need a 'labels' column naming each node's type")
+      val labels = labelsCol(batch).map { lc =>
+        batch.select(explode(lc).as("__l")).distinct()
+          .collect().map(_.getString(0)).toSeq
+      }.getOrElse(Nil)
+      val unknown = labels.filterNot(l => sch.nodeType(l).isDefined)
+      if (unknown.nonEmpty)
+        fail(s"node type(s) ${unknown.mkString("'", "', '", "'")} not allowed. " +
+          s"Valid types: ${sch.nodeTypes.map(_.name).mkString(", ")}")
+    }
+
+  /** The batch's `labels` column normalized to array<string> (payload
+    * labels may arrive as an array OR a scalar — same tolerance as
+    * [[graft.velesql.Catalog.scopedToGraph]]), None when absent. */
+  private def labelsCol(df: DataFrame): Option[org.apache.spark.sql.Column] =
+    df.schema.find(_.name == "labels").map(_.dataType).map {
+      case _: org.apache.spark.sql.types.ArrayType => col("labels").cast("array<string>")
+      case _ => array(col("labels").cast("string"))
+    }
 
   /** Insert-or-replace by key: the incoming batch wins over stored rows. */
   private def mergeById(existing: Option[DataFrame], batch: DataFrame,
@@ -151,6 +219,7 @@ class Collections(spark: SparkSession, dataDir: String) {
     * counter is persisted). Callers that need never-reused ids should
     * pass explicit ids. */
   def upsertEdges(name: String, batch0: DataFrame): Unit = this.synchronized {
+    validateEdgeBatch(name, batch0)
     val existing = edges(name)
     val batch = {
       val withId =
@@ -178,6 +247,69 @@ class Collections(spark: SparkSession, dataDir: String) {
     }
     publish(name, mergeById(existing, batch, "id"), "edges")
   }
+
+  /** Strict-schema edge validation (validate_edge_type,
+    * schema.rs:230-283), raised as SemanticError (REST: 400):
+    *  1. every `label` must be a declared edge type;
+    *  2. every property column (beyond id/src/dst/label) must be
+    *     declared by some edge type present in the batch, with a Spark
+    *     type satisfying the declared ValueType;
+    *  3. endpoints that EXIST in the points frame must carry the edge
+    *     type's from/to node type in their labels. (Dangling endpoints
+    *     stay permitted — this store allows edges ahead of points; the
+    *     reference's in-memory store requires the nodes first, a
+    *     documented divergence of the batch-first shape.)
+    * The batch is request-sized, so the distinct-label collect and the
+    * endpoint-check join are driver-cheap. */
+  private def validateEdgeBatch(name: String, batch: DataFrame): Unit =
+    graphSchemaOf(name).filterNot(_.schemaless).foreach { sch =>
+      def fail(msg: String): Nothing = throw new graft.velesql.SemanticError(msg)
+      if (!batch.columns.contains("label"))
+        fail(s"collection '$name' has a strict graph schema: edge batches " +
+          "need a 'label' column naming each edge's type")
+      val labels = batch.select("label").distinct()
+        .collect().map(_.getString(0)).toSeq
+      val unknown = labels.filterNot(l => sch.edgeType(l).isDefined)
+      if (unknown.nonEmpty)
+        fail(s"edge type(s) ${unknown.mkString("'", "', '", "'")} not allowed. " +
+          s"Valid types: ${sch.edgeTypes.map(_.name).mkString(", ")}")
+      val present = labels.flatMap(sch.edgeType)
+      val reserved = Set("id", "src", "dst", "label")
+      batch.schema.fields.filterNot(f => reserved(f.name)).foreach { f =>
+        val declaring = present.filter(_.properties.contains(f.name))
+        if (declaring.isEmpty)
+          fail(s"edge property '${f.name}' is not declared by any edge type " +
+            s"in this batch (${labels.mkString(", ")})")
+        declaring.foreach { et =>
+          val vt = et.properties(f.name)
+          if (!GraphSchema.sparkTypeOk(vt, f.dataType))
+            fail(s"edge property '${f.name}' on '${et.name}' expects $vt, " +
+              s"got ${f.dataType.simpleString}")
+        }
+      }
+      table(name).foreach { pts =>
+        val idCol = idColOf(name)
+        val nodeLabels = labelsCol(pts).getOrElse(array(lit("Point")))
+        val nodes = pts.select(col(idCol).as("__nid"), nodeLabels.as("__nlab"))
+        import spark.implicits._
+        val defs = present.map(e => (e.name, e.fromType, e.toType))
+          .toDF("label", "__ft", "__tt")
+        val bad = batch.select(col("src"), col("dst"), col("label"))
+          .join(defs, "label")
+          .join(nodes.select(col("__nid").as("src"), col("__nlab").as("__slab")),
+            Seq("src"), "left")
+          .join(nodes.select(col("__nid").as("dst"), col("__nlab").as("__dlab")),
+            Seq("dst"), "left")
+          .where((col("__slab").isNotNull && !array_contains(col("__slab"), col("__ft"))) ||
+            (col("__dlab").isNotNull && !array_contains(col("__dlab"), col("__tt"))))
+          .select("label", "src", "dst").limit(1).collect()
+        bad.headOption.foreach { r =>
+          val et = sch.edgeType(r.getString(0)).get
+          fail(s"edge '${r.getString(0)}' (${r.get(1)} -> ${r.get(2)}) " +
+            s"expects endpoint types '${et.fromType}' -> '${et.toType}'")
+        }
+      }
+    }
 
   /** S5: edge removal by id (graph_api.rs `remove_edge`). */
   def deleteEdges(name: String, ids: Seq[Long]): Unit = this.synchronized {
@@ -223,6 +355,18 @@ class Collections(spark: SparkSession, dataDir: String) {
     }
   }
 
+  /** COST AT SCALE, explicit: creating an index REPUBLISHES the whole
+    * collection — a full parquet rewrite — because the "index" IS the
+    * physical clustering. At 100 TB that is a one-time full-scan +
+    * full-write job (hours, not seconds), the same order of work as any
+    * engine's index build over the same bytes; it is NOT a metadata
+    * flip. Plan index creation before bulk load when possible (create,
+    * then upsert: every publish clusters incrementally and no rewrite
+    * is ever needed), and expect later `createIndex` calls on a loaded
+    * collection to cost a full rewrite. Ongoing maintenance is free-ish:
+    * each upsert already rewrites the merged frame, so re-applying the
+    * clustering adds only the range-partition shuffle to a write that
+    * was happening anyway. */
   def createIndex(name: String, label: String, property: String,
       indexType: String): Long = this.synchronized {
     require(indexType == "hash" || indexType == "range",
@@ -338,6 +482,47 @@ class Collections(spark: SparkSession, dataDir: String) {
 
   /** S3: count (crud.rs:328 len). */
   def count(name: String): Long = table(name).map(_.count()).getOrElse(0L)
+
+  // ---- snapshots (agent/snapshot.rs:147-394 SnapshotManager:
+  // create_versioned_snapshot / load_version / list_versions). Spark
+  // shape: a snapshot is the current points frame COPIED (parquet
+  // rewrite) under snapshots/<tag>; restore publishes that copy as a
+  // fresh generation through the same atomic-symlink machinery as
+  // upsert, so in-flight readers are never broken. The copy — not a
+  // generation re-link — is deliberate: generations older than one
+  // publish are garbage-collected, while a snapshot must survive any
+  // number of later writes. Cost is O(frame) parquet I/O at snapshot
+  // time; for agent-memory-sized stores that is trivial, and at scale
+  // it is the honest durability price (the reference serializes the
+  // full MemoryState to bytes too, snapshot.rs:147-188).
+
+  private def snapDir(name: String): Path = colDir(name).resolve("snapshots")
+
+  /** Persist the current points frame under `tag` (overwrites a
+    * same-named snapshot, like the reference's versioned re-save). */
+  def snapshot(name: String, tag: String): Unit = this.synchronized {
+    require(tag.matches("[A-Za-z0-9_.-]+"), s"invalid snapshot tag '$tag'")
+    val df = table(name).getOrElse(
+      throw new graft.velesql.NotFoundError(s"collection $name has no data to snapshot"))
+    df.write.mode(SaveMode.Overwrite).parquet(snapDir(name).resolve(tag).toString)
+  }
+
+  /** Replace the live points frame with snapshot `tag` (load_version →
+    * the restored state becomes current; later writes build on it). */
+  def restoreSnapshot(name: String, tag: String): Unit = this.synchronized {
+    val p = snapDir(name).resolve(tag)
+    if (!Files.exists(p))
+      throw new graft.velesql.NotFoundError(s"snapshot $tag not found on $name")
+    publish(name, spark.read.parquet(p.toString))
+  }
+
+  def listSnapshots(name: String): Seq[String] =
+    if (!Files.exists(snapDir(name))) Nil
+    else children(snapDir(name)).map(_.getFileName.toString).sorted
+
+  def dropSnapshot(name: String, tag: String): Unit = this.synchronized {
+    deleteRec(snapDir(name).resolve(tag))
+  }
 
   /** L2: compaction — rewrite the collection into `numFiles` parquet files
     * (the reference's vacuum/compaction, column_store/mod.rs:420-573 /

@@ -10,9 +10,18 @@ import org.apache.spark.sql.functions._
   * is the plan-level tool when a single key's fan-out must be spread
   * BEFORE the shuffle (e.g. a BFS frontier hitting a celebrity node).
   * `saltedJoin` replicates the build side `salt` times and spreads the
-  * probe side uniformly: probe row → (key, hash(row)%salt), build row →
-  * (key, 0..salt-1), so one hot key lands on `salt` reducers instead
-  * of one.
+  * probe side uniformly: probe row → (key, row-position % salt), build
+  * row → (key, 0..salt-1), so one hot key lands on `salt` reducers
+  * instead of one.
+  *
+  * COST, measured (q135 at sf0.1): salting a UNIFORM key distribution
+  * is ~10× slower than the plain join — the build side is written
+  * `salt`× and every probe row pays the salt column — with zero skew to
+  * amortize it. Salting is the tool for KNOWN-hot keys (a celebrity
+  * node, a null-heavy foreign key), applied to that key's rows only or
+  * behind a frequency check; for skew discovered at runtime, AQE's
+  * skew-join splitting already handles sort-merge cases for free. Do
+  * not salt by default.
   */
 object Skew {
 
@@ -23,8 +32,12 @@ object Skew {
       salt: Int): DataFrame = {
     require(salt >= 1)
     val spark = left.sparkSession
+    // position-based salt, not hash-of-row: hashing the whole row sends
+    // DUPLICATE probe rows to the same reducer (the spread comes from
+    // row diversity), and pays a wide hash per row. Partition-local
+    // positions cycle 0..salt-1, spreading duplicates too.
     val salted = left.withColumn("__salt",
-      pmod(xxhash64(struct(left.columns.map(col).toIndexedSeq: _*)), lit(salt)))
+      pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
     val replicated = right.crossJoin(
       broadcast(spark.range(salt).select(col("id").cast("int").as("__salt"))))
     salted.join(replicated,

@@ -88,10 +88,20 @@ object PipelineQueries {
           .toDF("id", "kind", "content", "embedding", "ts", "ttl_seconds"))
         val liveIds = mem.live(now).select("id").collect().map(_.getLong(0)).toSet
         val rec = mem.recall("semantic", Seq(1.0f, 0.0f), 1, now).collect()
+        // snapshot BEFORE expiry; restore must bring the dead row back
+        mem.snapshot("before_expire")
         mem.expire(now)
+        val afterExpire = cols.count(memName) // dead row physically deleted
+        mem.restore("before_expire")
+        val restored = cols.count(memName)
+        // recall still works over the restored state
+        val rec2 = mem.recall("semantic", Seq(1.0f, 0.0f), 1, now).collect()
         liveIds == Set(1L, 3L) && // id 2's 60 s TTL lapsed; id 3 has none
           rec.length == 1 && rec.head.getAs[Long]("id") == 1L &&
-          cols.count(memName) == 2 // dead row physically deleted
+          afterExpire == 2 &&
+          restored == 3 && // snapshot/restore round-trip (agent/snapshot.rs)
+          mem.listSnapshots() == Seq("before_expire") &&
+          rec2.length == 1 && rec2.head.getAs[Long]("id") == 1L
       } finally graft.Collections.deleteRec(tmp)
       s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("memory_ok"))
     },

@@ -189,14 +189,32 @@ class RestServer(g: Graft, port: Int = 0) {
       case ("POST", "collections" :: Nil) =>
         val b = json(ex)
         val name = safeName(text(b, "name").getOrElse(badRequest("missing 'name'")))
+        val sm = text(b, "storage_mode")
+        sm.foreach { m =>
+          if (!Set("full", "sq8", "binary").contains(m))
+            badRequest(s"unknown storage_mode '$m' (expected full/sq8/binary)")
+        }
         g.collections.create(name,
           idCol = text(b, "id_col").getOrElse("id"),
           vectorCol = text(b, "vector_col"),
-          metric = text(b, "metric").getOrElse("cosine"))
+          metric = text(b, "metric").getOrElse("cosine"),
+          storageMode = sm,
+          // CollectionType::Graph { schema } (types.rs:53-61): the graph
+          // schema is part of the create request; parse rejects → 400
+          graphSchema = Option(b.get("graph_schema")).filter(_.isObject).map(_.toString))
         ok(mapper.writeValueAsString(java.util.Map.of("name", name, "status", "created")))
+      case ("GET", "collections" :: name :: "graph" :: "schema" :: Nil) =>
+        g.collections.graphSchemaOf(existingUserCollection(name)) match {
+          case Some(s) => ok(graft.GraphSchema.render(s))
+          case None => error(404, s"collection $name has no graph schema")
+        }
       case ("GET", "collections" :: name :: Nil) =>
         val n = g.catalog.table(existing(name)).count()
-        ok(mapper.writeValueAsString(java.util.Map.of("name", name, "points_count", n)))
+        val info = new java.util.HashMap[String, Object]()
+        info.put("name", name)
+        info.put("points_count", Long.box(n))
+        g.catalog.metaOf(name).storageMode.foreach(info.put("storage_mode", _))
+        ok(mapper.writeValueAsString(info))
       case ("DELETE", "collections" :: name :: Nil) =>
         g.collections.drop(existingUserCollection(name))
         ok(mapper.writeValueAsString(java.util.Map.of("name", name, "status", "deleted")))

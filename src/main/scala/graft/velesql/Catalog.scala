@@ -17,7 +17,11 @@ final case class CollectionMeta(
     idCol: String = "id",
     vectorCol: Option[String] = None,
     metric: String = "cosine",
-    textCol: Option[String] = None)
+    textCol: Option[String] = None,
+    // per-collection quantization regime fixed at create time
+    // (StorageMode, collection/types.rs:32-61): the default WITH
+    // quantization for NEAR on this collection; "full"/None = exact
+    storageMode: Option[String] = None)
 
 class Catalog(spark: SparkSession, val dir: String) {
 
@@ -90,7 +94,8 @@ class Catalog(spark: SparkSession, val dir: String) {
     meta.getOrElse(name,
       if (userCollections.exists(name)) {
         val (idCol, vecCol, metric) = userCollections.metaOf(name)
-        CollectionMeta(idCol, vecCol, metric)
+        CollectionMeta(idCol, vecCol, metric,
+          storageMode = userCollections.storageModeOf(name))
       } else CollectionMeta())
 
   /** Graph node table for MATCH queries: typed nodes from the derived

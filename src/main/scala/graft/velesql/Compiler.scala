@@ -342,7 +342,14 @@ class Compiler(
         // default 2 — config.rs:228,240). Quantization value names follow
         // QuantizationMode::parse (with_clause.rs:27-35) plus our 'binary'
         // sketch; unknown values are an error, not a silent exact scan.
-        val quant: Option[String] = sel.withOptions.get("quantization").map {
+        // the collection's create-time storage mode is the default
+        // quantization regime (StorageMode, collection/types.rs:32-61,
+        // quantization.rs:20-29); an explicit WITH overrides it — incl.
+        // WITH (quantization='full') to force exact on an SQ8 collection
+        // ("full" storage is the exact default — dropped here so a bare
+        // WITH rerank=true keeps its sketch-prefilter meaning on it)
+        val quant: Option[String] = sel.withOptions.get("quantization")
+          .orElse(meta.storageMode.filterNot(_ == "full")).map {
           case q @ ("binary" | "dual" | "hybrid" | "int8" | "sq8" | "quantized" | "pq") => q
           case "f32" | "full" | "exact" | "auto" | "default" => "f32"
           case other => fail(s"unknown WITH quantization '$other'")

@@ -289,4 +289,126 @@ class EdgeStoreSpec extends SparkSpecBase {
       assert(bad.statusCode() == 404, s"${bad.statusCode()} ${bad.body()}")
     } finally srv.stop()
   }
+
+  private val strictSchema =
+    """{"schemaless": false,
+      | "node_types": [
+      |   {"name": "Person", "properties": {"name": "string"}},
+      |   {"name": "Doc", "properties": {"title": "string"}}],
+      | "edge_types": [
+      |   {"name": "wrote", "from_type": "Person", "to_type": "Doc",
+      |    "properties": {"year": "integer", "weight": "float"}}]}""".stripMargin
+
+  test("strict graph schema: valid nodes and edges are accepted") {
+    val g = freshGraft()
+    import spark.implicits._
+    g.collections.create("kg", idCol = "id", graphSchema = Some(strictSchema))
+    assert(g.collections.graphSchemaOf("kg").exists(!_.schemaless))
+    g.collections.upsert("kg",
+      Seq((1L, Seq("Person"), "ann"), (2L, Seq("Doc"), "paper"))
+        .toDF("id", "labels", "name"))
+    g.collections.upsertEdges("kg",
+      Seq((10L, 1L, 2L, "wrote", 2020L, 0.9))
+        .toDF("id", "src", "dst", "label", "year", "weight"))
+    assert(g.collections.edges("kg").get.count() == 1)
+  }
+
+  test("strict graph schema: unknown types and bad property types reject") {
+    val g = freshGraft()
+    import spark.implicits._
+    g.collections.create("kg2", idCol = "id", graphSchema = Some(strictSchema))
+    // node label not in the schema
+    val e1 = intercept[graft.velesql.SemanticError] {
+      g.collections.upsert("kg2",
+        Seq((1L, Seq("Alien"), "zork")).toDF("id", "labels", "name"))
+    }
+    assert(e1.getMessage.contains("Alien"))
+    // a strict collection requires labels on points
+    intercept[graft.velesql.SemanticError] {
+      g.collections.upsert("kg2", Seq((1L, "x")).toDF("id", "name"))
+    }
+    g.collections.upsert("kg2",
+      Seq((1L, Seq("Person"), "ann"), (2L, Seq("Doc"), "paper"))
+        .toDF("id", "labels", "name"))
+    // unknown edge type
+    val e2 = intercept[graft.velesql.SemanticError] {
+      g.collections.upsertEdges("kg2",
+        Seq((10L, 1L, 2L, "likes")).toDF("id", "src", "dst", "label"))
+    }
+    assert(e2.getMessage.contains("likes"))
+    // property with the wrong value type ('year' declared integer)
+    val e3 = intercept[graft.velesql.SemanticError] {
+      g.collections.upsertEdges("kg2",
+        Seq((10L, 1L, 2L, "wrote", "twenty-twenty"))
+          .toDF("id", "src", "dst", "label", "year"))
+    }
+    assert(e3.getMessage.contains("year"))
+    // undeclared property column
+    val e4 = intercept[graft.velesql.SemanticError] {
+      g.collections.upsertEdges("kg2",
+        Seq((10L, 1L, 2L, "wrote", true)).toDF("id", "src", "dst", "label", "pinned"))
+    }
+    assert(e4.getMessage.contains("pinned"))
+    // endpoint node type mismatch: 'wrote' is Person -> Doc, reversed here
+    val e5 = intercept[graft.velesql.SemanticError] {
+      g.collections.upsertEdges("kg2",
+        Seq((10L, 2L, 1L, "wrote")).toDF("id", "src", "dst", "label"))
+    }
+    assert(e5.getMessage.contains("endpoint"))
+    // the valid direction still lands
+    g.collections.upsertEdges("kg2",
+      Seq((10L, 1L, 2L, "wrote")).toDF("id", "src", "dst", "label"))
+    assert(g.collections.edges("kg2").get.count() == 1)
+    // invalid schema documents reject at create (nothing half-created)
+    intercept[graft.velesql.SemanticError] {
+      g.collections.create("kg3", graphSchema =
+        Some("""{"schemaless": false, "edge_types": [
+               |  {"name": "e", "from_type": "Ghost", "to_type": "Ghost"}]}""".stripMargin))
+    }
+    assert(!g.collections.exists("kg3"))
+    // schemaless schema documents keep accepting anything
+    g.collections.create("kg4", graphSchema = Some("""{"schemaless": true}"""))
+    g.collections.upsert("kg4", Seq((1L, "x")).toDF("id", "name"))
+    g.collections.upsertEdges("kg4",
+      Seq((1L, 1L, 1L, "whatever", "anything")).toDF("id", "src", "dst", "label", "note"))
+    assert(g.collections.edges("kg4").get.count() == 1)
+  }
+
+  test("strict graph schema over REST: create carries it, GET serves it, bad upserts are 400") {
+    val g = freshGraft()
+    val srv = new graft.server.RestServer(g, port = 0).start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val client = java.net.http.HttpClient.newHttpClient()
+      def post(path: String, body: String) =
+        client.send(java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"$base$path"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .header("Content-Type", "application/json").build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+      def get(path: String) =
+        client.send(java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"$base$path"))
+          .GET().build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      val schemaJson = strictSchema.replaceAll("\n\\s*\\|", " ")
+      assert(post("/collections",
+        s"""{"name": "kgr", "graph_schema": $schemaJson}""").statusCode() == 200)
+      val got = get("/collections/kgr/graph/schema")
+      assert(got.statusCode() == 200 && got.body().contains("\"wrote\""), got.body())
+      // an out-of-schema point batch rejects with 400, not 500
+      val badPt = post("/collections/kgr/points",
+        """{"points": [{"id": 1, "payload": {"labels": ["Alien"], "name": "zork"}}]}""")
+      assert(badPt.statusCode() == 400, s"${badPt.statusCode()} ${badPt.body()}")
+      // a valid typed batch lands
+      val okPt = post("/collections/kgr/points",
+        """{"points": [{"id": 1, "payload": {"labels": ["Person"], "name": "ann"}},
+          |            {"id": 2, "payload": {"labels": ["Doc"], "title": "paper"}}]}""".stripMargin)
+      assert(okPt.statusCode() == 200, s"${okPt.statusCode()} ${okPt.body()}")
+      // schema itself invalid → 400 at create
+      val badCreate = post("/collections",
+        """{"name": "kgr2", "graph_schema": {"schemaless": false,
+          |  "edge_types": [{"name": "e", "from_type": "Ghost", "to_type": "Ghost"}]}}""".stripMargin)
+      assert(badCreate.statusCode() == 400, s"${badCreate.statusCode()} ${badCreate.body()}")
+      // no schema → 404 on the schema route
+      assert(get("/collections/nope/graph/schema").statusCode() == 404)
+    } finally srv.stop()
+  }
 }

@@ -65,6 +65,43 @@ class MultiModalCrudSpec extends SparkSpecBase {
     cols.drop("agent_memory")
   }
 
+  test("agent memory snapshot/restore: recall works over a restored state") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_agent_snap").toString
+    val cols = new Collections(spark, dir)
+    val mem = new AgentMemory(spark, cols)
+    mem.create()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val now = t0.toInstant.getEpochSecond
+    mem.remember(Seq(
+      (1L, "semantic", "v1 fact", Seq(1.0f, 0.0f), t0, null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "kind", "content", "embedding", "ts", "ttl_seconds"))
+    mem.snapshot("v1")
+    // mutate past the snapshot: overwrite 1, add 2
+    mem.remember(Seq(
+      (1L, "semantic", "v2 fact", Seq(0.0f, 1.0f), t0, null.asInstanceOf[java.lang.Long]),
+      (2L, "semantic", "new fact", Seq(0.5f, 0.5f), t0, null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "kind", "content", "embedding", "ts", "ttl_seconds"))
+    assert(cols.count("agent_memory") == 2)
+    assert(mem.listSnapshots() == Seq("v1"))
+    // restore: state is exactly the v1 snapshot again
+    mem.restore("v1")
+    assert(cols.count("agent_memory") == 1)
+    val rec = mem.recall("semantic", Seq(1.0f, 0.0f), 1, now).collect()
+    assert(rec.head.getAs[Long]("id") == 1L)
+    assert(rec.head.getAs[String]("content") == "v1 fact")
+    // restore is a publish: later writes build on the restored state
+    mem.remember(Seq(
+      (3L, "semantic", "post-restore", Seq(0.2f, 0.8f), t0, null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "kind", "content", "embedding", "ts", "ttl_seconds"))
+    assert(cols.count("agent_memory") == 2)
+    // unknown snapshot → NotFoundError; snapshots survive until dropped
+    intercept[graft.velesql.NotFoundError] { mem.restore("nope") }
+    cols.dropSnapshot("agent_memory", "v1")
+    assert(mem.listSnapshots().isEmpty)
+    cols.drop("agent_memory")
+  }
+
   test("deleteWhere keeps rows whose predicate is NULL (not TRUE ≠ delete)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_delwhere").toString

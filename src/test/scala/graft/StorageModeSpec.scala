@@ -1,0 +1,81 @@
+package graft
+
+import graft.server.RestServer
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+/** Collection-level storage mode (reference `StorageMode::{Full,SQ8,
+  * Binary}`, collection/types.rs:32-61, quantization.rs:20-29): the
+  * quantization regime is fixed at create time and becomes the default
+  * for every NEAR on that collection; a per-query WITH still overrides. */
+class StorageModeSpec extends SparkSpecBase {
+
+  private def freshGraft(): Graft = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-storagemode").toString
+    Graft(spark, tmp)
+  }
+
+  private def seed(g: Graft, name: String, mode: Option[String]): Unit = {
+    import spark.implicits._
+    g.collections.create(name, idCol = "id", vectorCol = Some("vec"),
+      storageMode = mode)
+    val rows = (1L to 50L).map { i =>
+      (i, (0 until 8).map(d => math.sin(i * 0.37 + d * 1.3).toFloat))
+    }
+    g.collections.upsert(name, rows.toDF("id", "vec"))
+  }
+
+  private val q = (0 until 8).map(d => math.cos(d * 0.7).toFloat)
+
+  private def run(g: Graft, sql: String): Seq[(Long, Double)] =
+    g.sql(sql, Map("q" -> q)).select("id", "score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("sq8 storage mode routes bare NEAR through the int8 path; WITH overrides") {
+    val g = freshGraft()
+    seed(g, "quantized", Some("sq8"))
+    seed(g, "fullcol", None)
+    val bare = run(g, "SELECT id, score FROM quantized WHERE vector NEAR $q LIMIT 5")
+    val explicitSq8 = run(g,
+      "SELECT id, score FROM quantized WHERE vector NEAR $q LIMIT 5 WITH (quantization = 'sq8')")
+    val overridden = run(g,
+      "SELECT id, score FROM quantized WHERE vector NEAR $q LIMIT 5 WITH (quantization = 'full')")
+    val exact = run(g, "SELECT id, score FROM fullcol WHERE vector NEAR $q LIMIT 5")
+    // the default IS the declared mode
+    assert(bare == explicitSq8, s"bare $bare vs explicit sq8 $explicitSq8")
+    // explicit WITH restores the exact path
+    assert(overridden == exact, s"override $overridden vs exact $exact")
+    // and the sq8 regime actually computed approximate scores
+    assert(bare.map(_._2) != exact.map(_._2),
+      "sq8 scores should differ from exact (dequantization error)")
+  }
+
+  test("create validates the mode; REST create persists and reports it") {
+    val g = freshGraft()
+    intercept[IllegalArgumentException] {
+      g.collections.create("bad", storageMode = Some("int4"))
+    }
+    val srv = new RestServer(g, port = 0).start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val client = HttpClient.newHttpClient()
+      def post(path: String, body: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(s"$base$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body))
+          .header("Content-Type", "application/json").build(),
+          HttpResponse.BodyHandlers.ofString())
+      def get(path: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(s"$base$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      assert(post("/collections",
+        """{"name": "sq8col", "vector_col": "vec", "storage_mode": "sq8"}""")
+        .statusCode() == 200)
+      assert(g.collections.storageModeOf("sq8col").contains("sq8"))
+      val info = get("/collections/sq8col")
+      assert(info.statusCode() == 200 && info.body().contains("\"storage_mode\":\"sq8\""))
+      assert(post("/collections",
+        """{"name": "badcol", "storage_mode": "int4"}""").statusCode() == 400)
+    } finally srv.stop()
+  }
+}
