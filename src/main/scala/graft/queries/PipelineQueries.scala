@@ -197,6 +197,85 @@ object PipelineQueries {
         .orderBy(col("o_orderpriority"))
     },
 
+    // ---- Collection-level storage mode (StorageMode::{Full,SQ8,Binary},
+    // collection/types.rs:32-61), lifecycle-pinned: an sq8 collection's
+    // bare NEAR must equal the explicit WITH (quantization='sq8') path,
+    // an explicit 'full' must restore the exact scores, and the sq8
+    // regime must actually be approximate (scores differ from exact).
+    QueryDef.lifecyclePin("q137_storage_mode",
+      "SELECT CAST(1 AS INT) AS storage_mode_ok") { (s, _) =>
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q137")
+      val ok = try {
+        val g = Graft(s, tmp.toString)
+        val rows = (1L to 40L).map { i =>
+          (i, (0 until 8).map(d => math.sin(i * 0.37 + d * 1.3).toFloat))
+        }
+        g.collections.create("sq8col", idCol = "id", vectorCol = Some("vec"),
+          storageMode = Some("sq8"))
+        g.collections.upsert("sq8col", rows.toDF("id", "vec"))
+        g.collections.create("fullcol", idCol = "id", vectorCol = Some("vec"))
+        g.collections.upsert("fullcol", rows.toDF("id", "vec"))
+        val q = (0 until 8).map(d => math.cos(d * 0.7).toFloat)
+        def run(sql: String): Seq[(Long, Double)] =
+          g.sql(sql, Map("q" -> q)).select("id", "score")
+            .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val bare = run("SELECT id, score FROM sq8col WHERE vector NEAR $q LIMIT 5")
+        val explicitSq8 = run(
+          "SELECT id, score FROM sq8col WHERE vector NEAR $q LIMIT 5 WITH (quantization = 'sq8')")
+        val overridden = run(
+          "SELECT id, score FROM sq8col WHERE vector NEAR $q LIMIT 5 WITH (quantization = 'full')")
+        val exact = run("SELECT id, score FROM fullcol WHERE vector NEAR $q LIMIT 5")
+        bare == explicitSq8 && overridden == exact &&
+          bare.map(_._2) != exact.map(_._2)
+      } finally graft.Collections.deleteRec(tmp)
+      s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("storage_mode_ok"))
+    },
+
+    // ---- Strict graph schema (collection/graph/schema.rs:1-300),
+    // lifecycle-pinned: declared node/edge types + typed properties are
+    // accepted; unknown labels, mistyped properties, and reversed
+    // endpoints reject with SemanticError; MATCH runs over the typed
+    // edges that landed.
+    QueryDef.lifecyclePin("q138_graph_schema",
+      "SELECT CAST(1 AS INT) AS schema_ok") { (s, _) =>
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q138")
+      val ok = try {
+        val g = Graft(s, tmp.toString)
+        val schema =
+          """{"schemaless": false,
+            | "node_types": [{"name": "Person", "properties": {"name": "string"}},
+            |                {"name": "Doc", "properties": {"title": "string"}}],
+            | "edge_types": [{"name": "wrote", "from_type": "Person",
+            |                 "to_type": "Doc", "properties": {"year": "integer"}}]}""".stripMargin
+        g.collections.create("kg", idCol = "id", graphSchema = Some(schema))
+        g.collections.upsert("kg",
+          Seq((1L, Seq("Person"), "ann"), (2L, Seq("Doc"), "paper"))
+            .toDF("id", "labels", "name"))
+        def rejects(f: => Unit): Boolean =
+          try { f; false } catch { case _: graft.velesql.SemanticError => true }
+        val badNode = rejects(g.collections.upsert("kg",
+          Seq((9L, Seq("Alien"), "zork")).toDF("id", "labels", "name")))
+        val badEdge = rejects(g.collections.upsertEdges("kg",
+          Seq((10L, 1L, 2L, "likes")).toDF("id", "src", "dst", "label")))
+        val badProp = rejects(g.collections.upsertEdges("kg",
+          Seq((10L, 1L, 2L, "wrote", "not-a-year"))
+            .toDF("id", "src", "dst", "label", "year")))
+        val badEndpoint = rejects(g.collections.upsertEdges("kg",
+          Seq((10L, 2L, 1L, "wrote")).toDF("id", "src", "dst", "label")))
+        g.collections.upsertEdges("kg",
+          Seq((10L, 1L, 2L, "wrote", 2020L)).toDF("id", "src", "dst", "label", "year"))
+        val matched = g.sql(
+          "MATCH (a)-[:wrote]->(b) RETURN a.id AS src_id, b.id AS dst_id",
+          graphScope = Some("kg")).collect()
+        badNode && badEdge && badProp && badEndpoint &&
+          matched.length == 1 && matched.head.getLong(0) == 1L &&
+          matched.head.getLong(1) == 2L
+      } finally graft.Collections.deleteRec(tmp)
+      s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("schema_ok"))
+    },
+
     // ---- §2.13 language-surface contract, lifecycle-pinned: the error
     // taxonomy (Syntax/NotFound/Semantic/CostLimit raised for the right
     // inputs), EXPLAIN intent rendering, parse-cache identity, and the
