@@ -53,6 +53,33 @@ object RecallProbe {
       }
       enc.unpersist()
     }
+
+    // IVF-PQ calibration: coarse probe (nprobe of 8 cells) + ADC within
+    // probed cells + exact rerank, per (nprobe, oversample)
+    {
+      val cents = operators.Ivf.trainCentroids(emb, "embedding", 8, iters = 2)
+      val cells = operators.Ivf.buildIndex(emb, "embedding", cents)
+      val cb = operators.Pq.train(emb, "embedding", 64, 8, 32)
+      val enc = operators.Pq.encodeForProbe(emb, "embedding", "vec_id", cb)
+        .join(cells.select(col("vec_id"), col("cell")), "vec_id").cache()
+      enc.count()
+      for (nprobe <- Seq(2, 4, 7); os <- Seq(8, 16, 32)) {
+        val hits = Seq(qa, qb, qc).map { q =>
+          val exact = Knn.topK(emb, "embedding", q, 10, "cosine", idCol = "vec_id").select("vec_id")
+          val probes = operators.IvfPq.probeCells(cents, q.toArray, nprobe)
+          val (ord, asc) = operators.Pq.adcOrdering(col("codes"), q.toArray, cb, "cosine")
+          val cand = enc.where(col("cell").isin(probes: _*))
+            .withColumn("__adc", ord)
+            .orderBy(if (asc) col("__adc").asc else col("__adc").desc, col("vec_id").asc)
+            .limit(10 * os).select("vec_id")
+          val rer = Knn.topK(emb.join(cand, "vec_id"), "embedding", q, 10, "cosine",
+            idCol = "vec_id").select("vec_id")
+          rer.join(exact, "vec_id").count()
+        }.sum
+        println(s"PROBE ivfpq cells=8 nprobe=$nprobe oversample=$os hits=$hits/30")
+      }
+      enc.unpersist()
+    }
     spark.stop()
   }
 }

@@ -163,6 +163,56 @@ object Dedup {
       .groupBy("a", "b").agg(count(lit(1)).as("nshared"))
       .where(col("nshared") >= minShared)
 
+  /** Test-set decontamination — the published pre-training hygiene step
+    * (GPT-3 used 13-gram collision removal; Gopher/Llama report n-gram
+    * overlap scrubs): flag every training document sharing at least one
+    * n-gram with a held-out benchmark/eval set, with overlap counts so
+    * the pipeline can threshold or hard-drop.
+    *
+    * Inputs are `(doc_id, g)` exploded gram frames (one row per DISTINCT
+    * gram per doc — call `.distinct()` upstream if grams repeat). The
+    * join is inverted-index shaped: grams are the join/shuffle key, the
+    * quadratic term is bounded per gram by (train df × bench df), and
+    * the benchmark side is tiny by construction — at 100 TB the bench
+    * gram set broadcasts and the scan over train grams is map-side.
+    * `dfCap` drops corpus-boilerplate grams from BOTH sides (same
+    * consistency rule as [[ngramJaccardPairs]]).
+    *
+    * Returns one row per contaminated train doc:
+    * `(doc_id, n_shared_grams, n_bench_docs)`. */
+  def contamination(trainGrams: DataFrame, benchGrams: DataFrame,
+      dfCap: Option[Long] = None): DataFrame = {
+    val bench = dfCap match {
+      case Some(cap) =>
+        val keep = trainGrams.select("g").unionAll(benchGrams.select("g"))
+          .groupBy("g").agg(count(lit(1)).as("__df")).where(col("__df") <= cap)
+          .select("g")
+        benchGrams.join(keep, "g")
+      case None => benchGrams
+    }
+    trainGrams.join(
+        broadcast(bench.select(col("doc_id").as("__bid"), col("g"))), Seq("g"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_shared_grams"),
+        countDistinct(col("__bid")).as("n_bench_docs"))
+  }
+
+  /** Exploded distinct word n-grams per doc — the [[contamination]]
+    * input granularity (plain-text grams, not hashes, so the overlap
+    * report stays human-auditable; swap for [[tokenGramHashes]] output
+    * exploded when the corpus is large enough to care). */
+  def wordGrams(docs: DataFrame, n: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val gram = (0 until n).map(j => s"tks[i + $j]").mkString("concat_ws(' ', ", ", ", ")")
+    docs
+      .select(col(idCol).as("doc_id"),
+        expr(s"filter(split(lower($textCol), '[^a-z0-9]+'), t -> length(t) > 0)").as("tks"))
+      .where(size(col("tks")) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          s"transform(sequence(0, size(tks) - $n), i -> $gram)"))).as("g"))
+  }
+
   /** LSH-blocked embedding near-dup: `tables` independent
     * random-hyperplane signatures of `nPlanes` bits each; candidate
     * pairs form ONLY inside a (table, bucket) group, then exact cosine ≥

@@ -504,6 +504,84 @@ object TextQueries {
         .withColumn("cos_sim", cs)
         .where(col("cos_sim") > 0.4)
         .select("a", "b", "cos_sim")
+    },
+
+    // ---- Decontamination: flag training documents sharing any word
+    // n-gram with the held-out benchmark split (doc_id % 97 = 0 plays
+    // the eval set) — the published pre-training hygiene step (GPT-3's
+    // 13-gram collision scrub; 3-grams here carry the same signal on the
+    // tiny-vocab synthetic corpus). Inverted gram join via
+    // Dedup.contamination: the bench gram set is tiny and broadcasts;
+    // never all-pairs.
+    QueryDef(
+      "q140_decontamination",
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             t -> len(t) > 0) AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, u.g FROM (
+        |    SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> array_to_string(w[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))) AS gs
+        |    FROM tok WHERE len(w) >= 3), unnest(gs) AS u(g))
+        |SELECT t.doc_id,
+        |  CAST(count(DISTINCT t.g) AS BIGINT) AS n_shared_grams,
+        |  CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs
+        |FROM grams t JOIN grams b ON t.g = b.g
+        |  AND t.doc_id % 97 <> 0 AND b.doc_id % 97 = 0
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      val grams = graft.operators.Dedup.wordGrams(t(s, d, "documents"), 3)
+      graft.operators.Dedup.contamination(
+          grams.where(col("doc_id") % 97 =!= 0),
+          grams.where(col("doc_id") % 97 === 0))
+        .orderBy("doc_id")
+    },
+
+    // ---- Quality: Gopher-style repetition filters (Rae et al. 2021
+    // §A1.1 shape) — top-unigram mass fraction and duplicate-bigram
+    // fraction per doc, with the keep/drop verdict a pipeline would
+    // filter on. One explode + two partial aggs per doc; no shuffle
+    // beyond the per-doc groupBy. Thresholds sit at the corpus's p75-p90
+    // (top_frac ≤ 0.12, dup_bigram ≤ 0.05) so the verdict genuinely
+    // splits the data. Verdicts compare the ROUNDED metrics on both
+    // engines, so the boundary is hash-stable.
+    QueryDef(
+      "q141_quality_gopher",
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             t -> len(t) > 0) AS w
+        |  FROM documents),
+        |uni AS (SELECT doc_id, u.t AS term, count(*) AS c
+        |        FROM tok, unnest(w) AS u(t) GROUP BY doc_id, u.t),
+        |topu AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_frac
+        |         FROM uni GROUP BY doc_id),
+        |bi AS (SELECT doc_id, list_transform(range(1, len(w)),
+        |         i -> w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)]) AS bg
+        |       FROM tok WHERE len(w) >= 2),
+        |dup AS (SELECT doc_id,
+        |          round(1.0 - len(list_distinct(bg)) * 1.0 / len(bg), 6) AS dup_bigram_frac
+        |        FROM bi)
+        |SELECT doc_id, top_frac, dup_bigram_frac,
+        |  (top_frac <= 0.12 AND dup_bigram_frac <= 0.05) AS keep
+        |FROM topu JOIN dup USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tok = t(s, d, "documents").select(col("doc_id"),
+        expr("filter(split(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)").as("w"))
+      val topu = tok.select(col("doc_id"), explode(col("w")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(round(max(col("c")) * lit(1.0) / sum(col("c")), 6).as("top_frac"))
+      // Spark bracket indexing is 0-based (DuckDB's is 1-based): bigram i
+      // pairs w[i-1], w[i] here and w[i], w[i+1] there — same bigrams
+      val dup = tok.where(size(col("w")) >= 2)
+        .select(col("doc_id"), expr(
+          "transform(sequence(1, size(w) - 1), i -> concat_ws(' ', w[i - 1], w[i]))").as("bg"))
+        .select(col("doc_id"),
+          round(lit(1.0) - size(array_distinct(col("bg"))) * lit(1.0) / size(col("bg")), 6)
+            .as("dup_bigram_frac"))
+      topu.join(dup, "doc_id")
+        .select(col("doc_id"), col("top_frac"), col("dup_bigram_frac"),
+          (col("top_frac") <= 0.12 && col("dup_bigram_frac") <= 0.05).as("keep"))
+        .orderBy("doc_id")
     }
   )
 

@@ -579,6 +579,30 @@ object VelesqlQueries {
       hits.agg((count(lit(1)) >= lit(29)).cast("int").as("recall_ok"))
     },
 
+    // ---- V8+V11 composed, beyond-reference: IVF-PQ recall pin — the
+    // cluster-scale ANN shape (coarse cell probe prunes the scan to
+    // nprobe/cells of the NARROW codes table, ADC orders inside, exact
+    // rerank). Same shape as q125/q133 but `WITH (mode = 'accurate',
+    // index = 'ivf', quantization = 'pq')`. Calibration (RecallProbe,
+    // near-uniform worst-case testdata): nprobe=7 of 8 cells at the
+    // composed default oversampling=32 → 29/30 at sf0.01. Same ≥0.95
+    // Accurate-tier bar as q123/q125/q133.
+    QueryDef("q139_ivfpq_recall", "SELECT CAST(1 AS INT) AS recall_ok") { (s, d) =>
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val qb = (0 until 64).map(i => (math.cos(i * 0.31) * 0.4 - 0.05).toFloat)
+      val qc = (0 until 64).map(i => (math.sin(i * 1.3 + 0.5) * 0.3).toFloat)
+      val cat = new Catalog(s, d)
+      def leg(v: Seq[Float], withOpts: String): DataFrame =
+        new Compiler(s, cat, Map("q" -> v))
+          .run(s"SELECT vec_id FROM embeddings WHERE vector NEAR $$q LIMIT 10 WITH ($withOpts)")
+          .select(col("vec_id"))
+      val hits = Seq(qvec, qb, qc)
+        .map(v => leg(v, "mode = 'accurate', index = 'ivf', quantization = 'pq'")
+          .join(leg(v, "mode = 'perfect'"), "vec_id"))
+        .reduce(_ unionAll _)
+      hits.agg((count(lit(1)) >= lit(29)).cast("int").as("recall_ok"))
+    },
+
     // ---- P12: scalar $params inside IN lists
     vql("q108_vql_in_params",
       """SELECT o_orderkey, o_orderpriority FROM orders

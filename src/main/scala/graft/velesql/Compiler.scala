@@ -374,9 +374,15 @@ class Compiler(
         // only reaches the >=0.95 recall bar at oversampling=16 for the
         // default m=8/k=32 — a plain WITH (quantization='pq') must land
         // there, not at the generic sketch default of 4.
+        // composed IVF-PQ loses a little recall to the coarse probe, so
+        // its calibrated default is higher: nprobe=7, oversampling=32 →
+        // 29/30 (RecallProbe; 16 measures 28/30)
+        val pqProbing = quant.contains("pq") &&
+          tier.exists(Set("fast", "balanced", "accurate"))
         val oversample = sel.withOptions.get("oversampling")
           .map(_.toDouble.toInt)
-          .getOrElse(if (isPq) 16 else if (quant.isDefined) 4 else 2)
+          .getOrElse(if (pqProbing) 32 else if (isPq) 16
+            else if (quant.isDefined) 4 else 2)
         val k = sel.limit.getOrElse(NearDefaultLimit)
         import graft.operators.Quantization
         if (isPq) {
@@ -392,14 +398,36 @@ class Compiler(
           if (!(sel.joins.isEmpty && graft.Tables.All.contains(sel.from)))
             fail("WITH quantization='pq' needs a plain dataset table (the " +
               "trained codebooks are materialized per dataset)")
-          if (tier.exists(Set("fast", "balanced", "accurate")))
-            fail("quantization='pq' conflicts with a probing mode — PQ is " +
-              "its own candidate structure")
-          import graft.operators.Pq
+          val probing = tier.exists(Set("fast", "balanced", "accurate"))
+          if (probing && !indexKind.contains("ivf"))
+            fail("quantization='pq' composes only with index='ivf' probing " +
+              "(the LSH buckets aren't trained with the codebooks); add " +
+              "index='ivf' or drop the mode for a full-codes ADC scan")
+          import graft.operators.{IvfPq, Pq}
           val m = spark.conf.get("graft.pq.m", "8").toInt
           val kc = spark.conf.get("graft.pq.k", "32").toInt
-          val (cb, codes) = Pq.materializedIndex(spark, catalog.dir, sel.from,
-            vcolName, meta.idCol, vec.length, m, kc)
+          // IVF-PQ (probing tier + index='ivf'): phase 1 scans only the
+          // probed cells of the combined (id, cell, codes) table —
+          // row-group-pruned by the cell clustering — then ADC-orders as
+          // below; rerank joins back to dfF, which the tier match above
+          // already scoped to the same probed cells (+ residual filter).
+          // Calibration (RecallProbe, near-uniform worst case): nprobe=7
+          // of 8 cells, oversampling=16 → recall@10 29/30, pinned by
+          // q139_ivfpq_recall.
+          val (cb, codes) =
+            if (probing) {
+              val cellsN = spark.conf.get("graft.ivf.cells", "8").toInt
+              val nprobe = tier.get match {
+                case "fast" => 2; case "balanced" => 4; case _ => cellsN - 1
+              }
+              val (cents, books, combined) = IvfPq.materializedIndex(spark,
+                catalog.dir, sel.from, vcolName, meta.idCol, vec.length,
+                cellsN, m, kc)
+              val probes = IvfPq.probeCells(cents, vec.toArray, nprobe)
+              (books,
+                combined.where(col("cell").isin(probes: _*)).drop("cell"))
+            } else Pq.materializedIndex(spark, catalog.dir, sel.from,
+              vcolName, meta.idCol, vec.length, m, kc)
           val (ord, asc) = Pq.adcOrdering(col("codes"), vec.toArray, cb, meta.metric)
           // filter-then-search: with a residual WHERE, candidates come
           // from the filtered frame's ids only
