@@ -129,15 +129,23 @@ class Collections(spark: SparkSession, dataDir: String) {
     * first [[upsertEdges]]. */
   def edges(name: String): Option[DataFrame] = frameTable(name, "edges")
 
-  private def frameTable(name: String, frame: String): Option[DataFrame] = {
+  private def frameTable(name: String, frame: String): Option[DataFrame] =
+    framePath(name, frame).map(real => spark.read.parquet(real.toString))
+
+  /** The RESOLVED current points generation directory — the content
+    * stamp for materialized ANN structures over this collection
+    * ([[graft.Materialize.atPaths]]): a publish moves the symlink to a
+    * new generation dir, so path-stamped indexes rebuild on the next
+    * query. None until the first write. */
+  def pointsRealPath(name: String): Option[java.nio.file.Path] =
+    framePath(name, "points")
+
+  private def framePath(name: String, frame: String): Option[java.nio.file.Path] = {
     val p = Paths.get(dataPath(name, frame))
     if (!Files.exists(p)) None
-    else {
-      val real =
-        if (Files.isSymbolicLink(p)) p.getParent.resolve(Files.readSymbolicLink(p))
-        else p
-      Some(spark.read.parquet(real.toString))
-    }
+    else Some(
+      if (Files.isSymbolicLink(p)) p.getParent.resolve(Files.readSymbolicLink(p))
+      else p)
   }
 
   /** S2: upsert — insert-or-replace by id (crud.rs:19-127). Batch

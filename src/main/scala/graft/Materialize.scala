@@ -19,15 +19,25 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 object Materialize {
 
   def apply(spark: SparkSession, dir: String, kind: String,
-      sources: Seq[String], partCol: Option[String])(build: => DataFrame): DataFrame = {
-    val stamp = sources.map { t =>
-      val f = Paths.get(s"$dir/$t.parquet")
+      sources: Seq[String], partCol: Option[String])(build: => DataFrame): DataFrame =
+    atPaths(spark, dir, kind,
+      sources.map(t => Paths.get(s"$dir/$t.parquet")), partCol)(build)
+
+  /** Path-stamped variant: `token` is the cache identity (the dataset
+    * dir, or a collection's identity), `sources` the concrete files/dirs
+    * whose listing stamps the content. User-collection ANN indexes key
+    * on the CURRENT points generation path — a publish changes the
+    * listing, so the next query rebuilds (the reference's insert-time
+    * index update re-expressed as build-on-read). */
+  def atPaths(spark: SparkSession, token: String, kind: String,
+      sources: Seq[Path], partCol: Option[String])(build: => DataFrame): DataFrame = {
+    val stamp = sources.map { f =>
       // fail fast: a silently-missing source would stamp a constant and
       // pin a stale cache forever (r3 ADVICE)
       require(Files.exists(f), s"Materialize($kind): missing source $f")
       listingHash(f)
     }.mkString("_")
-    val key = s"v3_${kind}_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}__$stamp"
+    val key = s"v3_${kind}_${token.replaceAll("[^A-Za-z0-9._-]", "_")}__$stamp"
     val path = Paths.get(s"${sys.props("java.io.tmpdir")}/graft-derived/$key")
     this.synchronized {
       if (!Files.exists(path.resolve("_SUCCESS"))) {

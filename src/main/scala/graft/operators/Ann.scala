@@ -120,9 +120,17 @@ object Ann {
     * (index/hnsw/native_index.rs:317). */
   def materializedIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       table: String, vecCol: String, nPlanes: Int, dim: Int): DataFrame =
-    graft.Materialize(spark, dir, s"lsh${nPlanes}_buckets_$table", Seq(table),
-      Some("bucket"))(
-      buildIndex(graft.Tables.table(spark, dir, table), vecCol, nPlanes, Some(dim)))
+    materializedIndexAt(spark, dir,
+      Seq(java.nio.file.Paths.get(s"$dir/$table.parquet")), table,
+      graft.Tables.table(spark, dir, table), vecCol, nPlanes, dim)
+
+  /** Path-stamped variant (user collections: stamp = the current points
+    * generation, so a publish rebuilds on next query). */
+  def materializedIndexAt(spark: org.apache.spark.sql.SparkSession,
+      token: String, sources: Seq[java.nio.file.Path], name: String,
+      base: => DataFrame, vecCol: String, nPlanes: Int, dim: Int): DataFrame =
+    graft.Materialize.atPaths(spark, token, s"lsh${nPlanes}_buckets_$name",
+      sources, Some("bucket"))(buildIndex(base, vecCol, nPlanes, Some(dim)))
 
   def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -114,17 +114,28 @@ object Ivf {
     * partitionBy("cell") parquet layout ([[buildIndex]] scaladoc). */
   def materializedIndex(spark: SparkSession, dir: String, table: String,
       vecCol: String, k: Int,
-      iters: Int = 2): (Array[(Int, Array[Float])], DataFrame) = {
+      iters: Int = 2): (Array[(Int, Array[Float])], DataFrame) =
+    materializedIndexAt(spark, dir,
+      Seq(java.nio.file.Paths.get(s"$dir/$table.parquet")),
+      graft.Tables.table(spark, dir, table), vecCol, k, iters)
+
+  /** Path-stamped variant (user collections: stamp = the current points
+    * generation, so a publish rebuilds on next query). */
+  def materializedIndexAt(spark: SparkSession, token: String,
+      sources: Seq[java.nio.file.Path], base: => DataFrame, vecCol: String,
+      k: Int, iters: Int = 2): (Array[(Int, Array[Float])], DataFrame) = {
     import spark.implicits._
-    val centDf = graft.Materialize(spark, dir, s"ivf${k}_centroids", Seq(table), None) {
-      trainCentroids(graft.Tables.table(spark, dir, table), vecCol, k, iters)
+    val centDf = graft.Materialize.atPaths(spark, token, s"ivf${k}_centroids",
+      sources, None) {
+      trainCentroids(base, vecCol, k, iters)
         .toSeq.map { case (c, cen) => (c, cen.toSeq) }.toDF("cell", "centroid")
     }
     val centroids = centDf.collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    val cells = graft.Materialize(spark, dir, s"ivf${k}_cells", Seq(table), Some("cell")) {
-      buildIndex(graft.Tables.table(spark, dir, table), vecCol, centroids)
+    val cells = graft.Materialize.atPaths(spark, token, s"ivf${k}_cells",
+      sources, Some("cell")) {
+      buildIndex(base, vecCol, centroids)
     }
     (centroids, cells)
   }

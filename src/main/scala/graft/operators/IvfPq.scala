@@ -40,11 +40,23 @@ object IvfPq {
     * codebooks, combined codes table). */
   def materializedIndex(spark: SparkSession, dir: String, table: String,
       vecCol: String, idCol: String, dim: Int, cells: Int, m: Int, k: Int)
+      : (Array[(Int, Array[Float])], Array[Array[Array[Float]]], DataFrame) =
+    materializedIndexAt(spark, dir,
+      Seq(java.nio.file.Paths.get(s"$dir/$table.parquet")),
+      graft.Tables.table(spark, dir, table), vecCol, idCol, dim, cells, m, k)
+
+  /** Path-stamped variant (user collections: stamp = the current points
+    * generation, so a publish rebuilds on next query). */
+  def materializedIndexAt(spark: SparkSession, token: String,
+      sources: Seq[java.nio.file.Path], base: => DataFrame, vecCol: String,
+      idCol: String, dim: Int, cells: Int, m: Int, k: Int)
       : (Array[(Int, Array[Float])], Array[Array[Array[Float]]], DataFrame) = {
-    val (cents, cellsDf) = Ivf.materializedIndex(spark, dir, table, vecCol, cells)
-    val (cb, codes) = Pq.materializedIndex(spark, dir, table, vecCol, idCol, dim, m, k)
-    val combined = graft.Materialize(spark, dir, s"ivfpq${cells}_${m}x${k}_codes",
-      Seq(table), Some("cell")) {
+    val (cents, cellsDf) = Ivf.materializedIndexAt(spark, token, sources,
+      base, vecCol, cells)
+    val (cb, codes) = Pq.materializedIndexAt(spark, token, sources, base,
+      vecCol, idCol, dim, m, k)
+    val combined = graft.Materialize.atPaths(spark, token,
+      s"ivfpq${cells}_${m}x${k}_codes", sources, Some("cell")) {
       cellsDf.select(col(idCol), col("cell")).join(codes, Seq(idCol))
     }
     (cents, cb, combined)

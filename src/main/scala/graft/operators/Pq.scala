@@ -69,11 +69,21 @@ object Pq {
     * phase-1 ADC scan reads ~8× less than the base table. */
   def materializedIndex(spark: SparkSession, dir: String, table: String,
       vecCol: String, idCol: String, dim: Int, m: Int, k: Int)
+      : (Array[Array[Array[Float]]], DataFrame) =
+    materializedIndexAt(spark, dir,
+      Seq(java.nio.file.Paths.get(s"$dir/$table.parquet")),
+      graft.Tables.table(spark, dir, table), vecCol, idCol, dim, m, k)
+
+  /** Path-stamped variant (user collections: stamp = the current points
+    * generation, so a publish rebuilds on next query). */
+  def materializedIndexAt(spark: SparkSession, token: String,
+      sources: Seq[java.nio.file.Path], base: => DataFrame, vecCol: String,
+      idCol: String, dim: Int, m: Int, k: Int)
       : (Array[Array[Array[Float]]], DataFrame) = {
     import spark.implicits._
-    val cbDf = graft.Materialize(spark, dir, s"pq${m}x${k}_codebooks",
-      Seq(table), None) {
-      train(graft.Tables.table(spark, dir, table), vecCol, dim, m, k)
+    val cbDf = graft.Materialize.atPaths(spark, token, s"pq${m}x${k}_codebooks",
+      sources, None) {
+      train(base, vecCol, dim, m, k)
         .zipWithIndex.flatMap { case (book, i) =>
           book.zipWithIndex.map { case (cen, j) => (i, j, cen.toSeq) }
         }.toSeq.toDF("sub", "code", "centroid")
@@ -83,10 +93,9 @@ object Pq {
         r.getSeq[Float](2).toArray))
       Array.tabulate(m)(i => rows.filter(_._1 == i).sortBy(_._2).map(_._3))
     }
-    val codes = graft.Materialize(spark, dir, s"pq${m}x${k}_codes",
-      Seq(table), None) {
-      graft.Tables.table(spark, dir, table)
-        .select(col(idCol), udfEncode(codebooks)(col(vecCol)).as("codes"))
+    val codes = graft.Materialize.atPaths(spark, token, s"pq${m}x${k}_codes",
+      sources, None) {
+      base.select(col(idCol), udfEncode(codebooks)(col(vecCol)).as("codes"))
     }
     (codebooks, codes)
   }

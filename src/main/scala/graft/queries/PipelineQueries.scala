@@ -276,6 +276,58 @@ object PipelineQueries {
       s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("schema_ok"))
     },
 
+    // ---- ANN index tiers over USER collections, lifecycle-pinned (the
+    // reference's primary search surface is its auto-indexed
+    // collections, index/hnsw/native_index.rs:317): the materialized
+    // LSH / IVF / PQ structures — previously dataset-table-only — build
+    // against a collection's CURRENT points generation and REBUILD when
+    // an upsert publishes a new one. Pins: (1) accurate LSH probe vs
+    // perfect recall ≥ 8/10; (2) IVF cell probe likewise; (3) PQ ADC
+    // rerank returns exact scores; (4) after upserting a vector equal to
+    // the query, the probed search finds it at rank 1 — stale index
+    // would miss it (build-on-read stamp invalidation).
+    QueryDef.lifecyclePin("q142_collection_ann",
+      "SELECT CAST(1 AS INT) AS collection_ann_ok") { (s, _) =>
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q142")
+      val ok = try {
+        val g = Graft(s, tmp.toString)
+        val dim = 16
+        val rows = (1L to 200L).map { i =>
+          (i, (0 until dim).map(d => math.sin(i * 0.37 + d * 1.3).toFloat))
+        }
+        g.collections.create("vecs", idCol = "id", vectorCol = Some("vec"))
+        g.collections.upsert("vecs", rows.toDF("id", "vec"))
+        val q = (0 until dim).map(d => math.cos(d * 0.7).toFloat)
+        def ids(sql: String): Seq[Long] =
+          g.sql(sql, Map("q" -> q)).select("id").collect().map(_.getLong(0)).toSeq
+        def scores(sql: String): Map[Long, Double] =
+          g.sql(sql, Map("q" -> q)).select("id", "score")
+            .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val perfect = ids("SELECT id FROM vecs WHERE vector NEAR $q LIMIT 10")
+        val lsh = ids("SELECT id FROM vecs WHERE vector NEAR $q LIMIT 10 " +
+          "WITH (mode = 'accurate')")
+        val ivf = ids("SELECT id FROM vecs WHERE vector NEAR $q LIMIT 10 " +
+          "WITH (mode = 'accurate', index = 'ivf')")
+        val exactScores = scores("SELECT id, score FROM vecs WHERE vector NEAR $q LIMIT 10")
+        val pqScores = scores("SELECT id, score FROM vecs WHERE vector NEAR $q " +
+          "LIMIT 10 WITH (quantization = 'pq', oversampling = 16)")
+        val lshOk = lsh.toSet.intersect(perfect.toSet).size >= 8
+        val ivfOk = ivf.toSet.intersect(perfect.toSet).size >= 8
+        val pqOk = pqScores.nonEmpty && pqScores.forall { case (id, sc) =>
+          exactScores.get(id).forall(e => math.abs(e - sc) < 1e-9)
+        }
+        // upsert the query vector itself: the probed search must see the
+        // new generation (a stale materialized index would miss id 999)
+        g.collections.upsert("vecs", Seq((999L, q)).toDF("id", "vec"))
+        val after = ids("SELECT id FROM vecs WHERE vector NEAR $q LIMIT 3 " +
+          "WITH (mode = 'accurate')")
+        val rebuildOk = after.headOption.contains(999L)
+        lshOk && ivfOk && pqOk && rebuildOk
+      } finally graft.Collections.deleteRec(tmp)
+      s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("collection_ann_ok"))
+    },
+
     // ---- §2.13 language-surface contract, lifecycle-pinned: the error
     // taxonomy (Syntax/NotFound/Semantic/CostLimit raised for the right
     // inputs), EXPLAIN intent rendering, parse-cache identity, and the

@@ -597,12 +597,18 @@ class RestServer(g: Graft, port: Int = 0) {
     Set("fast", "balanced", "accurate", "perfect", "exact")
   private val QuantModes = Set("binary", "dual", "hybrid", "int8", "sq8",
     "quantized", "pq", "f32", "full", "exact", "auto", "default")
+  private val IndexKinds = Set("lsh", "ivf")
   private def searchWithOpts(b: JsonNode): String = {
     val opts =
       text(b, "mode").map { m =>
         if (!SearchModes.contains(m))
           badRequest(s"unknown mode '$m' (expected one of ${SearchModes.toSeq.sorted.mkString("/")})")
         s"mode = '$m'"
+      }.toSeq ++
+      text(b, "index").map { i =>
+        if (!IndexKinds.contains(i))
+          badRequest(s"unknown index '$i' (expected one of ${IndexKinds.toSeq.sorted.mkString("/")})")
+        s"index = '$i'"
       }.toSeq ++
       Option(b.get("ef_search")).filter(_.isNumber)
         .map(n => s"ef_search = ${n.asInt}").toSeq ++

@@ -23,6 +23,12 @@ final case class CollectionMeta(
     // quantization for NEAR on this collection; "full"/None = exact
     storageMode: Option[String] = None)
 
+object Catalog {
+  /** See [[Catalog.indexSource]]. */
+  final case class IndexSource(token: String,
+      paths: Seq[java.nio.file.Path], frame: () => org.apache.spark.sql.DataFrame)
+}
+
 class Catalog(spark: SparkSession, val dir: String) {
 
   /** Testdata collection registry: every driver table, with vector/text
@@ -89,6 +95,28 @@ class Catalog(spark: SparkSession, val dir: String) {
       e.select(col("vec_id"), col("label"),
         concat(col("embedding"), col("embedding")).as("embedding"))
     } else Tables.table(spark, dir, name)
+
+  /** Source descriptor for materialized ANN structures (LSH buckets,
+    * IVF cells, PQ codes): a stable cache token, the content-stamp
+    * paths, and the base frame. Dataset tables stamp on their parquet
+    * file; USER collections stamp on the current points generation —
+    * an upsert publishes a new generation, so the next indexed query
+    * rebuilds (the reference's insert-time index update,
+    * index/hnsw/native_index.rs:317, re-expressed as build-on-read).
+    * None for joins-free-violations, derived frames (corpus,
+    * embeddings_wide), and never-written collections — callers fall
+    * back to on-the-fly filtering or fail with their own message. */
+  def indexSource(name: String): Option[Catalog.IndexSource] =
+    if (meta.contains(name))
+      if (Tables.All.contains(name))
+        Some(Catalog.IndexSource(dir,
+          Seq(java.nio.file.Paths.get(s"$dir/$name.parquet")),
+          () => table(name)))
+      else None // derived frames: no stable file to stamp
+    else if (userCollections.exists(name))
+      userCollections.pointsRealPath(name).map(p =>
+        Catalog.IndexSource(s"${dir}_col_$name", Seq(p), () => table(name)))
+    else None
 
   def metaOf(name: String): CollectionMeta =
     meta.getOrElse(name,

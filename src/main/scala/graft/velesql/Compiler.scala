@@ -279,17 +279,18 @@ class Compiler(
           case Some(t @ ("fast" | "balanced" | "accurate"))
               if indexKind.contains("ivf") =>
             import graft.operators.Ivf
-            if (!(sel.joins.isEmpty && graft.Tables.All.contains(sel.from)))
-              fail("WITH index='ivf' needs a plain dataset table (the trained " +
-                "index is materialized per dataset; joins/derived frames can't use it)")
+            val src = (if (sel.joins.isEmpty) catalog.indexSource(sel.from) else None)
+              .getOrElse(fail("WITH index='ivf' needs a dataset table or a " +
+                "written user collection (the trained index is materialized " +
+                "per source; joins/derived frames can't use it)"))
             val k = spark.conf.get("graft.ivf.cells", "8").toInt
             // nprobe per tier, calibrated like the LSH radii (RecallProbe,
             // same worst-case near-uniform testdata): fast=2 ≈ 0.43-0.53,
             // balanced=4 ≈ 0.77-0.8, accurate=7 ≥ 0.95 — the reference's
             // Accurate bar, oracle-pinned by q125_ann_recall_ivf
             val nprobe = t match { case "fast" => 2; case "balanced" => 4; case _ => k - 1 }
-            val (cents, cells) = Ivf.materializedIndex(spark, catalog.dir, sel.from,
-              vcolName, k)
+            val (cents, cells) = Ivf.materializedIndexAt(spark, src.token,
+              src.paths, src.frame(), vcolName, k)
             val probeCells = cents
               .map { case (c, cen) =>
                 (c, graft.functions.VectorKernels.l2Squared(vec.toArray, cen)) }
@@ -314,14 +315,18 @@ class Compiler(
             val radius = t match { case "fast" => 1; case "balanced" => 2; case _ => 4 }
             val sig = Ann.signature(vec.toArray, Ann.planes(nPlanes, vec.length))
             val probes = Ann.probeBuckets(sig, nPlanes, radius)
-            if (sel.joins.isEmpty && graft.Tables.All.contains(sel.from)) {
+            val srcOpt = if (sel.joins.isEmpty) catalog.indexSource(sel.from) else None
+            if (srcOpt.isDefined) {
               // probe the MATERIALIZED bucket-clustered index: `bucket IN
               // (probes)` pushes into the parquet scan and prunes row
               // groups — no per-query re-hash of every vector, no scan
               // outside the Hamming ball (the 100 TB shape; on-the-fly
-              // signature filtering below is a full scan per query)
-              val idx = Ann.materializedIndex(spark, catalog.dir, sel.from,
-                  vcolName, nPlanes, vec.length)
+              // signature filtering below is a full scan per query).
+              // Dataset tables AND written user collections both resolve
+              // an indexSource; derived frames fall to on-the-fly.
+              val src = srcOpt.get
+              val idx = Ann.materializedIndexAt(spark, src.token, src.paths,
+                  sel.from, src.frame(), vcolName, nPlanes, vec.length)
                 .as(sel.fromAlias.getOrElse(sel.from))
               val idxF = residualCond match {
                 case Some(c) => idx.where(compileCond(c, idx, meta))
@@ -395,9 +400,10 @@ class Compiler(
           // near-uniform testdata (the ANN worst case), m=8 k=32
           // oversampling=16 measures recall@10 = 29/30 (RecallProbe) —
           // pinned by q133_pq_recall.
-          if (!(sel.joins.isEmpty && graft.Tables.All.contains(sel.from)))
-            fail("WITH quantization='pq' needs a plain dataset table (the " +
-              "trained codebooks are materialized per dataset)")
+          val pqSrc = (if (sel.joins.isEmpty) catalog.indexSource(sel.from) else None)
+            .getOrElse(fail("WITH quantization='pq' needs a dataset table " +
+              "or a written user collection (the trained codebooks are " +
+              "materialized per source)"))
           val probing = tier.exists(Set("fast", "balanced", "accurate"))
           if (probing && !indexKind.contains("ivf"))
             fail("quantization='pq' composes only with index='ivf' probing " +
@@ -420,14 +426,14 @@ class Compiler(
               val nprobe = tier.get match {
                 case "fast" => 2; case "balanced" => 4; case _ => cellsN - 1
               }
-              val (cents, books, combined) = IvfPq.materializedIndex(spark,
-                catalog.dir, sel.from, vcolName, meta.idCol, vec.length,
-                cellsN, m, kc)
+              val (cents, books, combined) = IvfPq.materializedIndexAt(spark,
+                pqSrc.token, pqSrc.paths, pqSrc.frame(), vcolName, meta.idCol,
+                vec.length, cellsN, m, kc)
               val probes = IvfPq.probeCells(cents, vec.toArray, nprobe)
               (books,
                 combined.where(col("cell").isin(probes: _*)).drop("cell"))
-            } else Pq.materializedIndex(spark, catalog.dir, sel.from,
-              vcolName, meta.idCol, vec.length, m, kc)
+            } else Pq.materializedIndexAt(spark, pqSrc.token, pqSrc.paths,
+              pqSrc.frame(), vcolName, meta.idCol, vec.length, m, kc)
           val (ord, asc) = Pq.adcOrdering(col("codes"), vec.toArray, cb, meta.metric)
           // filter-then-search: with a residual WHERE, candidates come
           // from the filtered frame's ids only

@@ -37,7 +37,8 @@ class BenchContractSpec extends AnyFunSuite {
     val pins = SparkEntry.allDefs.filterNot(_.benchmarked).map(_.name).sorted
     assert(pins == Seq("q126_edge_store", "q129_agent_memory",
       "q130_importers", "q132_streaming_state", "q134_language_contract",
-      "q136_streaming_ingest", "q137_storage_mode", "q138_graph_schema"),
+      "q136_streaming_ingest", "q137_storage_mode", "q138_graph_schema",
+      "q142_collection_ann"),
       s"unexpected unbenchmarked queries: $pins — every exclusion from " +
         "bench timing must be a deliberate lifecycle pin")
   }
