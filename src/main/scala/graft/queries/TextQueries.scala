@@ -582,6 +582,86 @@ object TextQueries {
         .select(col("doc_id"), col("top_frac"), col("dup_bigram_frac"),
           (col("top_frac") <= 0.12 && col("dup_bigram_frac") <= 0.05).as("keep"))
         .orderBy("doc_id")
+    },
+
+    // ---- Quality: unigram language-model score (the CCNet shape —
+    // perplexity-filtering against a reference LM, here the corpus's own
+    // unigram distribution): bits/token = avg −log2 p(term). Two
+    // shuffles total (term df agg + per-doc agg); the term-frequency
+    // table is vocabulary-sized and broadcasts at any corpus scale.
+    QueryDef(
+      "q143_unigram_logprob",
+      """WITH tok AS (SELECT doc_id, u.t AS term FROM (
+        |    SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                               t -> len(t) > 0) AS w
+        |    FROM documents), unnest(w) AS u(t)),
+        |tf AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+        |tot AS (SELECT sum(c) AS n FROM tf)
+        |SELECT doc_id, round(avg(-log2(c * 1.0 / n)), 6) AS bits_per_token
+        |FROM tok JOIN tf USING (term) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tok = t(s, d, "documents").select(col("doc_id"),
+        explode(expr("filter(split(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)"))
+          .as("term"))
+      val tf = tok.groupBy("term").agg(count(lit(1)).as("c"))
+      val tot = tf.agg(sum(col("c")).as("n"))
+      tok.join(broadcast(tf), "term").crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(round(avg(-log2(col("c") * lit(1.0) / col("n"))), 6).as("bits_per_token"))
+        .orderBy("doc_id")
+    },
+
+    // ---- Mixing: deterministic per-source sampling rates (the
+    // data-mixture step of a pretraining pipeline — e.g. upsample
+    // curated sources, downsample crawl): keep iff
+    // md5-hash(doc_id) mod 1000 < rate×1000. Hash-gated Bernoulli is
+    // reproducible across engines AND across runs — no RNG state, no
+    // sampleBy seed drift; the decision is a map-side filter.
+    QueryDef(
+      "q144_source_mixing",
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS h,
+        |    CASE WHEN CAST(substring(source, 4) AS INT) < 5 THEN 1000
+        |         WHEN CAST(substring(source, 4) AS INT) < 10 THEN 500
+        |         ELSE 200 END AS gate
+        |  FROM documents)
+        |WHERE h < gate ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val sid = substring(col("source"), 4, 10).cast("int")
+      val gate = when(sid < 5, 1000).when(sid < 10, 500).otherwise(200)
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast(LongType) % 1000
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"), h.as("h"), gate.as("gate"))
+        .where(col("h") < col("gate"))
+        .select("doc_id", "source").orderBy("doc_id")
+    },
+
+    // ---- Packing: greedy sequence packing into fixed token budgets
+    // (the sample-packing step before pretraining): per source, docs in
+    // id order accumulate BPE-ish token counts; a doc's pack is its
+    // STARTING offset ÷ budget. One window per source partition — the
+    // partition key is the shuffle key, packs never cross sources.
+    QueryDef(
+      "q145_sequence_packing",
+      """SELECT doc_id, source, tok,
+        |  CAST(floor(coalesce(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT) AS pack
+        |FROM (
+        |  SELECT doc_id, source,
+        |    len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +')) AS tok
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = size(regexp_extract_all(lower(col("text")),
+        lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"), lit(0))).cast(LongType)
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"), tok.as("tok"))
+        .withColumn("pack",
+          floor(coalesce(sum(col("tok")).over(w), lit(0L)) / 2048).cast(LongType))
+        .orderBy("doc_id")
     }
   )
 
