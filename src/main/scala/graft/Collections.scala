@@ -55,7 +55,9 @@ class Collections(spark: SparkSession, dataDir: String) {
     * collection default to that regime without a per-query WITH clause
     * (an explicit WITH quantization still overrides). "full" is the
     * exact default; "sq8"/"binary" route NEAR through the matching
-    * quantized path. */
+    * quantized path; "pq" (beyond-reference) routes through the
+    * materialized product-quantization codes index — the collection's
+    * vector dimension must be divisible by `graft.pq.m` (default 8). */
   /** `graphSchema` is the reference's create-time graph schema
     * (`CollectionType::Graph { schema }`, types.rs:53-61): a JSON
     * document parsed by [[GraphSchema.parse]]. When strict (schemaless
@@ -67,8 +69,8 @@ class Collections(spark: SparkSession, dataDir: String) {
       graphSchema: Option[String] = None): Unit = {
     require(!exists(name), s"collection $name already exists")
     storageMode.foreach { m =>
-      require(Set("full", "sq8", "binary").contains(m),
-        s"unknown storage mode '$m' (expected full/sq8/binary)")
+      require(Set("full", "sq8", "binary", "pq").contains(m),
+        s"unknown storage mode '$m' (expected full/sq8/binary/pq)")
     }
     // parse BEFORE creating anything: an invalid schema must not leave
     // a half-created collection behind

@@ -51,6 +51,34 @@ class StorageModeSpec extends SparkSpecBase {
       "sq8 scores should differ from exact (dequantization error)")
   }
 
+  test("pq storage mode routes bare NEAR through the codes index (beyond-ref)") {
+    import spark.implicits._
+    val g = freshGraft()
+    // dim 16 (divisible by graft.pq.m = 8); 200 rows so codebooks train
+    g.collections.create("pqcol", idCol = "id", vectorCol = Some("vec"),
+      storageMode = Some("pq"))
+    val rows = (1L to 200L).map { i =>
+      (i, (0 until 16).map(d => math.sin(i * 0.37 + d * 1.3).toFloat))
+    }
+    g.collections.upsert("pqcol", rows.toDF("id", "vec"))
+    val q16 = (0 until 16).map(d => math.cos(d * 0.7).toFloat)
+    def run16(sql: String): Seq[(Long, Double)] =
+      g.sql(sql, Map("q" -> q16)).select("id", "score")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val bare = run16("SELECT id, score FROM pqcol WHERE vector NEAR $q LIMIT 5")
+    val explicitPq = run16(
+      "SELECT id, score FROM pqcol WHERE vector NEAR $q LIMIT 5 WITH (quantization = 'pq')")
+    val exact = run16(
+      "SELECT id, score FROM pqcol WHERE vector NEAR $q LIMIT 5 WITH (quantization = 'full')")
+    assert(bare == explicitPq, s"bare $bare vs explicit pq $explicitPq")
+    // PQ reranks exactly, so every returned (id, score) matches the
+    // exact score for that id even when the candidate set differs
+    val exactById = exact.toMap
+    bare.foreach { case (id, sc) =>
+      exactById.get(id).foreach(e => assert(math.abs(e - sc) < 1e-9))
+    }
+  }
+
   test("create validates the mode; REST create persists and reports it") {
     val g = freshGraft()
     intercept[IllegalArgumentException] {
