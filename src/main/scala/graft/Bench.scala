@@ -29,7 +29,8 @@ object Bench {
     "q67_ngram_jaccard", "q68_minhash_lsh", "q70_embedding_neardup",
     "q73_dedup_clusters", "q82_bfs_varlength", "q93_vql_flagship",
     "q104_vql_hybrid", "q105_vql_varlength", "q123_ann_recall",
-    "q127_streaming_window", "q128_multimodal", "q131_streaming_sessions")
+    "q127_streaming_window", "q128_multimodal", "q131_streaming_sessions",
+    "q139_ivfpq_recall", "q140_decontamination")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -662,6 +662,46 @@ object TextQueries {
         .withColumn("pack",
           floor(coalesce(sum(col("tok")).over(w), lit(0L)) / 2048).cast(LongType))
         .orderBy("doc_id")
+    },
+
+    // ---- Pipeline composition: end-to-end near-dup RETENTION — the
+    // report a dedup pass actually ships: shingle Jaccard pairs →
+    // connected components → keep one representative (min id) per
+    // cluster → per-source kept/dropped counts. Composes q67's pair
+    // join and q73's label propagation into the funnel deliverable.
+    QueryDef(
+      "q146_dedup_retention",
+      s"""WITH RECURSIVE sh AS ($duckTokToShingles),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+         |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT a, b FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+         |  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8),
+         |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v AND e.v <> r.u),
+         |clus AS (SELECT u AS doc_id, least(u, min(v)) AS cluster
+         |         FROM reach GROUP BY u)
+         |SELECT d.source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) FILTER (WHERE c.cluster IS NOT NULL AND c.cluster <> d.doc_id)
+         |       AS BIGINT) AS n_dropped
+         |FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, d) =>
+      val sh = shinglesTab(s, d).select(col("doc_id"), col("sh64").as("sh"))
+      val pairs = graft.operators.Dedup.ngramJaccardPairs(sh, 0.8)
+      val clus = graft.operators.Dedup.components(pairs)
+        .select(col("id").as("doc_id"), col("comp").as("cluster"))
+      t(s, d, "documents").join(clus, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("cluster").isNotNull && col("cluster") =!= col("doc_id"),
+            lit(1))).as("n_dropped"))
+        .orderBy("source")
     }
   )
 
