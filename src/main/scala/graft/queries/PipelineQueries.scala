@@ -430,6 +430,37 @@ object PipelineQueries {
       out
     },
 
+    // ---- L5 stream-stream interval join, value-level: click→purchase
+    // attribution per user within 30 minutes, both legs watermarked file
+    // streams (state bounded by watermark + interval, stock
+    // stream-stream join cleanup), checked against the plain batch
+    // interval join in DuckDB. Append mode — every joined pair is
+    // emitted exactly once.
+    QueryDef("q147_streaming_join",
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.user_id, round(p.value, 4) AS purchase_value
+        |FROM events c JOIN events p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND c.user_id = p.user_id
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin) { (s, d) =>
+      val joined = StreamingOps.intervalJoin(StreamingOps.eventsStream(s, d))
+      val qn = s"q147_sink_${System.nanoTime()}"
+      val q = joined.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      // see q127: FALSE from awaitTermination means timeout, fail loudly
+      try require(q.awaitTermination(300000), s"$qn timed out after 300 s")
+      finally q.stop()
+      val out = s.table(qn)
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          round(col("purchase_value"), 4).as("purchase_value"))
+        .orderBy(col("click_id"), col("purchase_id"))
+        .localCheckpoint(true)
+      s.catalog.dropTempView(qn)
+      out
+    },
+
     // ---- L5 keyed state + streaming dedup, lifecycle-pinned: the two
     // streaming surfaces a SQL oracle can't replay (multi-batch state
     // evolution). mapGroupsWithState must CARRY state across micro-

@@ -99,6 +99,30 @@ object StreamingOps {
       }
       .start()
 
+  /** Stream-stream INTERVAL join — the attribution shape (click →
+    * purchase within `within`, per user): both legs filter the same
+    * event stream, carry watermarks, and join under an event-time range
+    * constraint, so Structured Streaming bounds each side's state to
+    * the watermark + interval window and ages rows out exactly (the
+    * stock stream-stream join state cleanup). At 100 TB/day both legs
+    * shuffle on `user_id` — the join key is the state partition key. */
+  def intervalJoin(events: DataFrame, leftType: String = "click",
+      rightType: String = "purchase", within: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val l = events.where(col("event_type") === leftType)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val r = events.where(col("event_type") === rightType)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    l.join(r, col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $within"))
+      .drop("p_user")
+  }
+
   /** Read the events parquet directory as a stream (file source — at
     * scale this is the landing-zone pattern: new files appear, Spark
     * incrementally processes them). */

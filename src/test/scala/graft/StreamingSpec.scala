@@ -123,4 +123,31 @@ class StreamingSpec extends SparkSpecBase {
       Map("q" -> Seq(1.0f, 0.0f))).collect().map(_.getLong(0)).toSeq
     assert(top == Seq(1L, 3L), s"got $top")
   }
+
+  test("stream-stream interval join matches the batch join, emitted once") {
+    import org.apache.spark.sql.functions._
+    val joined = StreamingOps.intervalJoin(StreamingOps.eventsStream(spark, sfDir))
+    val qn = s"sj_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(qn)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try require(q.awaitTermination(120000), "interval join timed out")
+    finally q.stop()
+    val got = spark.table(qn)
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    spark.catalog.dropTempView(qn)
+    val ev = Tables.table(spark, sfDir, "events")
+    val c = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id"), col("ts").as("cts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts").as("pts"))
+    val want = c.join(p, col("user_id") === col("pu") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 30 minutes"))
+      .select("cid", "pid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.sorted == want.sorted, s"stream ${got.size} vs batch ${want.size}")
+    assert(got.distinct.size == got.size, "append mode must emit each pair once")
+  }
 }
