@@ -63,7 +63,7 @@ object RecallProbe {
       val enc = operators.Pq.encodeForProbe(emb, "embedding", "vec_id", cb)
         .join(cells.select(col("vec_id"), col("cell")), "vec_id").cache()
       enc.count()
-      for (nprobe <- Seq(2, 4, 7); os <- Seq(8, 16, 32)) {
+      for (nprobe <- Seq(2, 4, 7); os <- Seq(8, 16, 32, 64)) {
         val hits = Seq(qa, qb, qc).map { q =>
           val exact = Knn.topK(emb, "embedding", q, 10, "cosine", idCol = "vec_id").select("vec_id")
           val probes = operators.IvfPq.probeCells(cents, q.toArray, nprobe)

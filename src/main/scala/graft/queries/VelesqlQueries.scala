@@ -585,8 +585,8 @@ object VelesqlQueries {
     // rerank). Same shape as q125/q133 but `WITH (mode = 'accurate',
     // index = 'ivf', quantization = 'pq')`. Calibration (RecallProbe,
     // near-uniform worst-case testdata): nprobe=7 of 8 cells at the
-    // composed default oversampling=32 → 29/30 at sf0.01. Same ≥0.95
-    // Accurate-tier bar as q123/q125/q133.
+    // composed default oversampling=64 → 29/30 at sf0.01 and 30/30 at
+    // sf0.1. Same ≥0.95 Accurate-tier bar as q123/q125/q133.
     QueryDef("q139_ivfpq_recall", "SELECT CAST(1 AS INT) AS recall_ok") { (s, d) =>
       import org.apache.spark.sql.functions.{col, count, lit}
       val qb = (0 until 64).map(i => (math.cos(i * 0.31) * 0.4 - 0.05).toFloat)

@@ -380,13 +380,15 @@ class Compiler(
         // default m=8/k=32 — a plain WITH (quantization='pq') must land
         // there, not at the generic sketch default of 4.
         // composed IVF-PQ loses a little recall to the coarse probe, so
-        // its calibrated default is higher: nprobe=7, oversampling=32 →
-        // 29/30 (RecallProbe; 16 measures 28/30)
+        // its calibrated default is higher: nprobe=7, oversampling=64 →
+        // 29/30 at sf0.01 AND 30/30 at sf0.1 (RecallProbe; 32 measures
+        // 29/30 and 28/30 — the pool must grow with the corpus fraction
+        // it represents, and 64 holds the bar at both scales)
         val pqProbing = quant.contains("pq") &&
           tier.exists(Set("fast", "balanced", "accurate"))
         val oversample = sel.withOptions.get("oversampling")
           .map(_.toDouble.toInt)
-          .getOrElse(if (pqProbing) 32 else if (isPq) 16
+          .getOrElse(if (pqProbing) 64 else if (isPq) 16
             else if (quant.isDefined) 4 else 2)
         val k = sel.limit.getOrElse(NearDefaultLimit)
         import graft.operators.Quantization
@@ -418,7 +420,8 @@ class Compiler(
           // below; rerank joins back to dfF, which the tier match above
           // already scoped to the same probed cells (+ residual filter).
           // Calibration (RecallProbe, near-uniform worst case): nprobe=7
-          // of 8 cells, oversampling=16 → recall@10 29/30, pinned by
+          // of 8 cells at the composed default oversampling=64 →
+          // recall@10 29/30 (sf0.01) / 30/30 (sf0.1), pinned by
           // q139_ivfpq_recall.
           val (cb, codes) =
             if (probing) {
