@@ -1033,7 +1033,7 @@ class Compiler(
       var df = nodes
       np.labels.foreach(l => df = df.where(array_contains(col("labels"), l)))
       np.properties.foreach { case (k, v) => df = df.where(col(k) === literal(v)) }
-      df.select(df.columns.map(c => col(c).as(s"${alias}__$c")): _*)
+      df.select(df.columns.toIndexedSeq.map(c => col(c).as(s"${alias}__$c")): _*)
     }
 
     val aliases = m.pattern.nodes.zipWithIndex.map { case (np, i) =>

@@ -72,6 +72,34 @@ class CollectionAnnSpec extends SparkSpecBase {
     assert(e.getMessage.contains("written user collection"))
   }
 
+  test("concurrent first-touch probes race one index build safely") {
+    import spark.implicits._
+    // a FRESH collection so no index exists yet: N threads all trigger
+    // the materialize; the synchronized build + atomic publish must
+    // yield one index and identical, correct results for every thread
+    g.collections.create("racecol", idCol = "id", vectorCol = Some("vec"))
+    val rows = (1L to 120L).map { i =>
+      (i, (0 until 16).map(d => math.sin(i * 0.53 + d * 0.9).toFloat))
+    }
+    g.collections.upsert("racecol", rows.toDF("id", "vec"))
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = (1 to 4).map(_ => Future {
+        g.sql("SELECT id FROM racecol WHERE vector NEAR $q LIMIT 5 " +
+          "WITH (mode = 'accurate')", Map("q" -> q))
+          .collect().map(_.getLong(0)).toSeq
+      })
+      val results = Await.result(Future.sequence(futures), 120.seconds)
+      assert(results.distinct.size == 1,
+        s"racing probes disagreed: ${results.distinct}")
+      assert(results.head.size == 5)
+    } finally pool.shutdown()
+  }
+
   test("REST search reaches the probed tiers on a user collection") {
     val srv = new RestServer(g, port = 0).start()
     try {
