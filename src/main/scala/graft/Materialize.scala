@@ -52,9 +52,37 @@ object Materialize {
           s"${path.getFileName}.tmp-${java.util.UUID.randomUUID()}")
         clustered.write.mode("overwrite").parquet(tmp.toString)
         publish(tmp, path)
+        pruneStaleSiblings(key, kind, token, path)
       }
     }
     spark.read.parquet(path.toString)
+  }
+
+  /** Retention for superseded index generations: building a NEW stamp of
+    * (kind, token) makes every OLDER same-prefix sibling stale — without
+    * pruning, each collection publish strands a full index copy forever
+    * (unbounded temp growth in any long-lived process; the same leak a
+    * 100 TB deployment would hit on its index store). Mirror
+    * [[Collections.publish]]'s policy: keep the newest OTHER sibling for
+    * in-flight readers (their plans resolved file lists already), delete
+    * anything older. */
+  private def pruneStaleSiblings(key: String, kind: String, token: String,
+      current: Path): Unit = {
+    val prefix = s"v3_${kind}_${token.replaceAll("[^A-Za-z0-9._-]", "_")}__"
+    val parent = current.getParent
+    if (parent == null || !Files.exists(parent)) return
+    val s = Files.list(parent)
+    val stale = try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith(prefix) &&
+          p.getFileName.toString != key &&
+          !p.getFileName.toString.contains(".tmp-"))
+        .toSeq
+    } finally s.close()
+    stale.sortBy(p => Files.getLastModifiedTime(p).toMillis)
+      .dropRight(1) // newest other generation survives one more build
+      .foreach(Collections.deleteRec)
   }
 
   /** Recursive (name, mtime, size) listing folded into one hex token —

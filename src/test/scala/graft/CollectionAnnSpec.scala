@@ -100,6 +100,32 @@ class CollectionAnnSpec extends SparkSpecBase {
     } finally pool.shutdown()
   }
 
+  test("superseded index generations are pruned (keep current + one)") {
+    import spark.implicits._
+    g.collections.create("gc", idCol = "id", vectorCol = Some("vec"))
+    def gens(): Int = {
+      val parent = java.nio.file.Paths.get(
+        s"${sys.props("java.io.tmpdir")}/graft-derived")
+      val prefix = s"v3_lsh6_buckets_gc_${tmp.toString}_col_gc"
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val s = java.nio.file.Files.list(parent)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count(_.getFileName.toString.startsWith(prefix))
+      } finally s.close()
+    }
+    for (round <- 1 to 3) {
+      val rows = (1L to (50L * round)).map { i =>
+        (i, (0 until 16).map(d => math.sin(i * 0.29 + d * 1.1).toFloat))
+      }
+      g.collections.upsert("gc", rows.toDF("id", "vec"))
+      g.sql("SELECT id FROM gc WHERE vector NEAR $q LIMIT 5 " +
+        "WITH (mode = 'accurate')", Map("q" -> q)).collect()
+    }
+    assert(gens() <= 2, s"stale index generations not pruned: ${gens()}")
+    assert(gens() >= 1, "current generation must survive")
+  }
+
   test("REST search reaches the probed tiers on a user collection") {
     val srv = new RestServer(g, port = 0).start()
     try {
