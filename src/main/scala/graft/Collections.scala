@@ -178,10 +178,16 @@ class Collections(spark: SparkSession, dataDir: String) {
       if (!batch.columns.contains("labels"))
         fail(s"collection '$name' has a strict graph schema: point batches " +
           "need a 'labels' column naming each node's type")
-      val labels = labelsCol(batch).map { lc =>
-        batch.select(explode(lc).as("__l")).distinct()
-          .collect().map(_.getString(0)).toSeq
-      }.getOrElse(Nil)
+      // a null/empty labels array would slip past the unknown-label
+      // check below (explode drops those rows) and land an UNTYPED node
+      // in a strict graph — every row must declare at least one type
+      val lc = labelsCol(batch).get
+      val untyped = batch.where(lc.isNull || size(lc) === 0).limit(1).count()
+      if (untyped > 0)
+        fail(s"collection '$name' has a strict graph schema: every point " +
+          "must carry at least one label")
+      val labels = batch.select(explode(lc).as("__l")).distinct()
+        .collect().map(_.getString(0)).toSeq
       val unknown = labels.filterNot(l => sch.nodeType(l).isDefined)
       if (unknown.nonEmpty)
         fail(s"node type(s) ${unknown.mkString("'", "', '", "'")} not allowed. " +
@@ -508,22 +514,36 @@ class Collections(spark: SparkSession, dataDir: String) {
 
   private def snapDir(name: String): Path = colDir(name).resolve("snapshots")
 
-  /** Persist the current points frame under `tag` (overwrites a
-    * same-named snapshot, like the reference's versioned re-save). */
+  /** Persist the current state under `tag` (overwrites a same-named
+    * snapshot, like the reference's versioned re-save). Covers BOTH
+    * frames — the reference SnapshotManager serializes the full
+    * MemoryState (snapshot.rs:147-188); points-only restore would leave
+    * edges referencing endpoint states that never coexisted. */
   def snapshot(name: String, tag: String): Unit = this.synchronized {
     require(tag.matches("[A-Za-z0-9_.-]+"), s"invalid snapshot tag '$tag'")
     val df = table(name).getOrElse(
       throw new graft.velesql.NotFoundError(s"collection $name has no data to snapshot"))
-    df.write.mode(SaveMode.Overwrite).parquet(snapDir(name).resolve(tag).toString)
+    df.write.mode(SaveMode.Overwrite).parquet(
+      snapDir(name).resolve(tag).resolve("points").toString)
+    edges(name).foreach(e => e.write.mode(SaveMode.Overwrite).parquet(
+      snapDir(name).resolve(tag).resolve("edges").toString))
   }
 
-  /** Replace the live points frame with snapshot `tag` (load_version →
-    * the restored state becomes current; later writes build on it). */
+  /** Replace the live state with snapshot `tag` (load_version → the
+    * restored state becomes current; later writes build on it). Edges
+    * restore to the snapshot's edge frame — or to empty when the
+    * snapshot predates the first edge upsert. */
   def restoreSnapshot(name: String, tag: String): Unit = this.synchronized {
     val p = snapDir(name).resolve(tag)
     if (!Files.exists(p))
       throw new graft.velesql.NotFoundError(s"snapshot $tag not found on $name")
-    publish(name, spark.read.parquet(p.toString))
+    // pre-edges-coverage snapshots wrote points at the tag root; accept
+    // both layouts so existing snapshots stay restorable
+    val pts = if (Files.exists(p.resolve("points"))) p.resolve("points") else p
+    publish(name, spark.read.parquet(pts.toString))
+    if (Files.exists(p.resolve("edges")))
+      publish(name, spark.read.parquet(p.resolve("edges").toString), "edges")
+    else edges(name).foreach(e => publish(name, e.limit(0), "edges"))
   }
 
   def listSnapshots(name: String): Seq[String] =

@@ -87,15 +87,28 @@ object GraphSchema {
     GraphSchema(schemaless, nodes, edges)
   }
 
-  /** Canonical JSON for the sidecar (round-trips through [[parse]]). */
+  /** Canonical JSON for the sidecar (round-trips through [[parse]]).
+    * Names are JSON-escaped: parse accepts any string Jackson can
+    * decode (quotes, backslashes, control chars), and writing one
+    * unescaped would corrupt the sidecar — every later upsert/read of
+    * the collection's schema then fails, with no API-level repair. */
   def render(s: GraphSchema): String = {
+    def q(v: String): String = "\"" + v.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     def propsJson(p: Map[String, String]): String =
-      p.toSeq.sorted.map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
+      p.toSeq.sorted.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ", ", "}")
     val nodes = s.nodeTypes.map(n =>
-      s"""{"name": "${n.name}", "properties": ${propsJson(n.properties)}}""")
+      s"""{"name": ${q(n.name)}, "properties": ${propsJson(n.properties)}}""")
       .mkString("[", ", ", "]")
     val edges = s.edgeTypes.map(e =>
-      s"""{"name": "${e.name}", "from_type": "${e.fromType}", "to_type": "${e.toType}", "properties": ${propsJson(e.properties)}}""")
+      s"""{"name": ${q(e.name)}, "from_type": ${q(e.fromType)}, "to_type": ${q(e.toType)}, "properties": ${propsJson(e.properties)}}""")
       .mkString("[", ", ", "]")
     s"""{"schemaless": ${s.schemaless}, "node_types": $nodes, "edge_types": $edges}"""
   }

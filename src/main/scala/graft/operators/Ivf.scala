@@ -116,24 +116,28 @@ object Ivf {
       vecCol: String, k: Int,
       iters: Int = 2): (Array[(Int, Array[Float])], DataFrame) =
     materializedIndexAt(spark, dir,
-      Seq(java.nio.file.Paths.get(s"$dir/$table.parquet")),
+      Seq(java.nio.file.Paths.get(s"$dir/$table.parquet")), table,
       graft.Tables.table(spark, dir, table), vecCol, k, iters)
 
   /** Path-stamped variant (user collections: stamp = the current points
-    * generation, so a publish rebuilds on next query). */
+    * generation, so a publish rebuilds on next query). `name` (the
+    * table/collection) is part of the cache kind — two vector tables in
+    * one dir must never share a key prefix, or generation pruning would
+    * delete one table's live index when the other rebuilds. */
   def materializedIndexAt(spark: SparkSession, token: String,
-      sources: Seq[java.nio.file.Path], base: => DataFrame, vecCol: String,
-      k: Int, iters: Int = 2): (Array[(Int, Array[Float])], DataFrame) = {
+      sources: Seq[java.nio.file.Path], name: String, base: => DataFrame,
+      vecCol: String, k: Int,
+      iters: Int = 2): (Array[(Int, Array[Float])], DataFrame) = {
     import spark.implicits._
-    val centDf = graft.Materialize.atPaths(spark, token, s"ivf${k}_centroids",
-      sources, None) {
+    val centDf = graft.Materialize.atPaths(spark, token,
+      s"ivf${k}_centroids_$name", sources, None) {
       trainCentroids(base, vecCol, k, iters)
         .toSeq.map { case (c, cen) => (c, cen.toSeq) }.toDF("cell", "centroid")
     }
     val centroids = centDf.collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    val cells = graft.Materialize.atPaths(spark, token, s"ivf${k}_cells",
+    val cells = graft.Materialize.atPaths(spark, token, s"ivf${k}_cells_$name",
       sources, Some("cell")) {
       buildIndex(base, vecCol, centroids)
     }

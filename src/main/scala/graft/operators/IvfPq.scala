@@ -42,21 +42,22 @@ object IvfPq {
       vecCol: String, idCol: String, dim: Int, cells: Int, m: Int, k: Int)
       : (Array[(Int, Array[Float])], Array[Array[Array[Float]]], DataFrame) =
     materializedIndexAt(spark, dir,
-      Seq(java.nio.file.Paths.get(s"$dir/$table.parquet")),
+      Seq(java.nio.file.Paths.get(s"$dir/$table.parquet")), table,
       graft.Tables.table(spark, dir, table), vecCol, idCol, dim, cells, m, k)
 
   /** Path-stamped variant (user collections: stamp = the current points
-    * generation, so a publish rebuilds on next query). */
+    * generation, so a publish rebuilds on next query). `name` is part of
+    * the cache kind — see [[Ivf.materializedIndexAt]]'s pruning note. */
   def materializedIndexAt(spark: SparkSession, token: String,
-      sources: Seq[java.nio.file.Path], base: => DataFrame, vecCol: String,
-      idCol: String, dim: Int, cells: Int, m: Int, k: Int)
+      sources: Seq[java.nio.file.Path], name: String, base: => DataFrame,
+      vecCol: String, idCol: String, dim: Int, cells: Int, m: Int, k: Int)
       : (Array[(Int, Array[Float])], Array[Array[Array[Float]]], DataFrame) = {
     val (cents, cellsDf) = Ivf.materializedIndexAt(spark, token, sources,
-      base, vecCol, cells)
-    val (cb, codes) = Pq.materializedIndexAt(spark, token, sources, base,
-      vecCol, idCol, dim, m, k)
+      name, base, vecCol, cells)
+    val (cb, codes) = Pq.materializedIndexAt(spark, token, sources, name,
+      base, vecCol, idCol, dim, m, k)
     val combined = graft.Materialize.atPaths(spark, token,
-      s"ivfpq${cells}_${m}x${k}_codes", sources, Some("cell")) {
+      s"ivfpq${cells}_${m}x${k}_codes_$name", sources, Some("cell")) {
       cellsDf.select(col(idCol), col("cell")).join(codes, Seq(idCol))
     }
     (cents, cb, combined)

@@ -71,18 +71,19 @@ object Pq {
       vecCol: String, idCol: String, dim: Int, m: Int, k: Int)
       : (Array[Array[Array[Float]]], DataFrame) =
     materializedIndexAt(spark, dir,
-      Seq(java.nio.file.Paths.get(s"$dir/$table.parquet")),
+      Seq(java.nio.file.Paths.get(s"$dir/$table.parquet")), table,
       graft.Tables.table(spark, dir, table), vecCol, idCol, dim, m, k)
 
   /** Path-stamped variant (user collections: stamp = the current points
-    * generation, so a publish rebuilds on next query). */
+    * generation, so a publish rebuilds on next query). `name` is part of
+    * the cache kind — see [[Ivf.materializedIndexAt]]'s pruning note. */
   def materializedIndexAt(spark: SparkSession, token: String,
-      sources: Seq[java.nio.file.Path], base: => DataFrame, vecCol: String,
-      idCol: String, dim: Int, m: Int, k: Int)
+      sources: Seq[java.nio.file.Path], name: String, base: => DataFrame,
+      vecCol: String, idCol: String, dim: Int, m: Int, k: Int)
       : (Array[Array[Array[Float]]], DataFrame) = {
     import spark.implicits._
-    val cbDf = graft.Materialize.atPaths(spark, token, s"pq${m}x${k}_codebooks",
-      sources, None) {
+    val cbDf = graft.Materialize.atPaths(spark, token,
+      s"pq${m}x${k}_codebooks_$name", sources, None) {
       train(base, vecCol, dim, m, k)
         .zipWithIndex.flatMap { case (book, i) =>
           book.zipWithIndex.map { case (cen, j) => (i, j, cen.toSeq) }
@@ -93,8 +94,8 @@ object Pq {
         r.getSeq[Float](2).toArray))
       Array.tabulate(m)(i => rows.filter(_._1 == i).sortBy(_._2).map(_._3))
     }
-    val codes = graft.Materialize.atPaths(spark, token, s"pq${m}x${k}_codes",
-      sources, None) {
+    val codes = graft.Materialize.atPaths(spark, token,
+      s"pq${m}x${k}_codes_$name", sources, None) {
       base.select(col(idCol), udfEncode(codebooks)(col(vecCol)).as("codes"))
     }
     (codebooks, codes)

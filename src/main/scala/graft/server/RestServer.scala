@@ -191,17 +191,27 @@ class RestServer(g: Graft, port: Int = 0) {
         val name = safeName(text(b, "name").getOrElse(badRequest("missing 'name'")))
         val sm = text(b, "storage_mode")
         sm.foreach { m =>
-          if (!Set("full", "sq8", "binary").contains(m))
-            badRequest(s"unknown storage_mode '$m' (expected full/sq8/binary)")
+          if (!Set("full", "sq8", "binary", "pq").contains(m))
+            badRequest(s"unknown storage_mode '$m' (expected full/sq8/binary/pq)")
+        }
+        // CollectionType::Graph { schema } (types.rs:53-61): the graph
+        // schema is part of the create request; parse rejects → 400, and
+        // a present-but-non-object value (e.g. the schema sent as a
+        // JSON-encoded STRING) must also 400 — silently creating the
+        // collection schemaless would skip the validation the client
+        // believes is active
+        val gs = Option(b.get(
+          "graph_schema")).map { n =>
+          if (!n.isObject)
+            badRequest("graph_schema must be a JSON object")
+          n.toString
         }
         g.collections.create(name,
           idCol = text(b, "id_col").getOrElse("id"),
           vectorCol = text(b, "vector_col"),
           metric = text(b, "metric").getOrElse("cosine"),
           storageMode = sm,
-          // CollectionType::Graph { schema } (types.rs:53-61): the graph
-          // schema is part of the create request; parse rejects → 400
-          graphSchema = Option(b.get("graph_schema")).filter(_.isObject).map(_.toString))
+          graphSchema = gs)
         ok(mapper.writeValueAsString(java.util.Map.of("name", name, "status", "created")))
       case ("GET", "collections" :: name :: "graph" :: "schema" :: Nil) =>
         g.collections.graphSchemaOf(existingUserCollection(name)) match {
@@ -611,17 +621,28 @@ class RestServer(g: Graft, port: Int = 0) {
         s"index = '$i'"
       }.toSeq ++
       Option(b.get("ef_search")).filter(_.isNumber)
-        .map(n => s"ef_search = ${n.asInt}").toSeq ++
+        .map(n => s"ef_search = ${posInt("ef_search", n.asInt)}").toSeq ++
       Option(b.get("timeout_ms")).filter(_.isNumber)
-        .map(n => s"timeout_ms = ${n.asLong}").toSeq ++
+        .map(n => s"timeout_ms = ${posLong("timeout_ms", n.asLong)}").toSeq ++
       text(b, "quantization").map { q =>
         if (!QuantModes.contains(q))
           badRequest(s"unknown quantization '$q' (expected one of ${QuantModes.toSeq.sorted.mkString("/")})")
         s"quantization = '$q'"
       }.toSeq ++
       Option(b.get("oversampling")).filter(_.isNumber)
-        .map(n => s"oversampling = ${n.asInt}").toSeq
+        .map(n => s"oversampling = ${posInt("oversampling", n.asInt)}").toSeq
     if (opts.nonEmpty) s" WITH (${opts.mkString(", ")})" else ""
+  }
+  // numeric request fields fail as 400s HERE, like every other malformed
+  // shape on these routes — not as a Spark AnalysisException 500 (a
+  // negative oversampling reaches limit(k × os)) or a silent empty 200
+  private def posInt(field: String, v: Int): Int = {
+    if (v < 1) badRequest(s"$field must be a positive integer, got $v")
+    v
+  }
+  private def posLong(field: String, v: Long): Long = {
+    if (v < 1) badRequest(s"$field must be a positive integer, got $v")
+    v
   }
   private def requirePost(ex: HttpExchange): Unit =
     if (ex.getRequestMethod != "POST") badRequest("POST required")

@@ -290,7 +290,7 @@ class Compiler(
             // Accurate bar, oracle-pinned by q125_ann_recall_ivf
             val nprobe = t match { case "fast" => 2; case "balanced" => 4; case _ => k - 1 }
             val (cents, cells) = Ivf.materializedIndexAt(spark, src.token,
-              src.paths, src.frame(), vcolName, k)
+              src.paths, sel.from, src.frame(), vcolName, k)
             val probeCells = cents
               .map { case (c, cen) =>
                 (c, graft.functions.VectorKernels.l2Squared(vec.toArray, cen)) }
@@ -353,12 +353,23 @@ class Compiler(
         // WITH (quantization='full') to force exact on an SQ8 collection
         // ("full" storage is the exact default — dropped here so a bare
         // WITH rerank=true keeps its sketch-prefilter meaning on it)
-        val quant: Option[String] = sel.withOptions.get("quantization")
+        val quant0: Option[String] = sel.withOptions.get("quantization")
           .orElse(meta.storageMode.filterNot(_ == "full")).map {
           case q @ ("binary" | "dual" | "hybrid" | "int8" | "sq8" | "quantized" | "pq") => q
           case "f32" | "full" | "exact" | "auto" | "default" => "f32"
           case other => fail(s"unknown WITH quantization '$other'")
         }
+        // an IMPLICIT storage-mode 'pq' yields to an explicitly requested
+        // probing tier it can't compose with (the LSH tiers): the user
+        // asked for mode=…, not for PQ — erroring a query that works on
+        // every other collection (or wasting the already-built bucket
+        // probe) would make the storage default a trap. An EXPLICIT
+        // WITH (quantization='pq') still conflicts loudly below.
+        val quant: Option[String] =
+          if (quant0.contains("pq") && sel.withOptions.get("quantization").isEmpty &&
+              tier.exists(Set("fast", "balanced", "accurate")) &&
+              !indexKind.contains("ivf")) None
+          else quant0
         val rerank: Boolean = sel.withOptions.get("rerank") match {
           case Some("true") | Some("1") => true
           case Some("false") | Some("0") => false
@@ -430,13 +441,13 @@ class Compiler(
                 case "fast" => 2; case "balanced" => 4; case _ => cellsN - 1
               }
               val (cents, books, combined) = IvfPq.materializedIndexAt(spark,
-                pqSrc.token, pqSrc.paths, pqSrc.frame(), vcolName, meta.idCol,
-                vec.length, cellsN, m, kc)
+                pqSrc.token, pqSrc.paths, sel.from, pqSrc.frame(), vcolName,
+                meta.idCol, vec.length, cellsN, m, kc)
               val probes = IvfPq.probeCells(cents, vec.toArray, nprobe)
               (books,
                 combined.where(col("cell").isin(probes: _*)).drop("cell"))
             } else Pq.materializedIndexAt(spark, pqSrc.token, pqSrc.paths,
-              pqSrc.frame(), vcolName, meta.idCol, vec.length, m, kc)
+              sel.from, pqSrc.frame(), vcolName, meta.idCol, vec.length, m, kc)
           val (ord, asc) = Pq.adcOrdering(col("codes"), vec.toArray, cb, meta.metric)
           // filter-then-search: with a residual WHERE, candidates come
           // from the filtered frame's ids only

@@ -327,6 +327,13 @@ class EdgeStoreSpec extends SparkSpecBase {
     intercept[graft.velesql.SemanticError] {
       g.collections.upsert("kg2", Seq((1L, "x")).toDF("id", "name"))
     }
+    // ... and rejects rows whose labels array is EMPTY — explode would
+    // silently drop them past the unknown-label check and land an
+    // untyped node in a strict graph
+    intercept[graft.velesql.SemanticError] {
+      g.collections.upsert("kg2",
+        Seq((9L, Seq.empty[String], "x")).toDF("id", "labels", "name"))
+    }
     g.collections.upsert("kg2",
       Seq((1L, Seq("Person"), "ann"), (2L, Seq("Doc"), "paper"))
         .toDF("id", "labels", "name"))
@@ -372,6 +379,40 @@ class EdgeStoreSpec extends SparkSpecBase {
     g.collections.upsertEdges("kg4",
       Seq((1L, 1L, 1L, "whatever", "anything")).toDF("id", "src", "dst", "label", "note"))
     assert(g.collections.edges("kg4").get.count() == 1)
+  }
+
+  test("graph schema render escapes names (round-trips any parse-accepted string)") {
+    val sch = graft.GraphSchema.parse(
+      """{"schemaless": false,
+        | "node_types": [{"name": "A\"B", "properties": {"k\\x": "string"}}],
+        | "edge_types": []}""".stripMargin)
+    assert(sch.nodeTypes.head.name == "A\"B")
+    // render must emit valid JSON for the quote/backslash — an unescaped
+    // write would corrupt the sidecar and brick the collection's schema
+    val again = graft.GraphSchema.parse(graft.GraphSchema.render(sch))
+    assert(again == sch)
+  }
+
+  test("snapshot/restore covers the edge frame (full-state snapshots)") {
+    val g = freshGraft()
+    import spark.implicits._
+    g.collections.create("snapg", idCol = "id")
+    g.collections.upsert("snapg", Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    g.collections.upsertEdges("snapg",
+      Seq((10L, 1L, 2L, "knows")).toDF("id", "src", "dst", "label"))
+    g.collections.snapshot("snapg", "v1")
+    // mutate both frames past the snapshot
+    g.collections.upsertEdges("snapg",
+      Seq((11L, 2L, 1L, "blocks")).toDF("id", "src", "dst", "label"))
+    g.collections.upsert("snapg", Seq((3L, "c")).toDF("id", "name"))
+    assert(g.collections.edges("snapg").get.count() == 2)
+    g.collections.restoreSnapshot("snapg", "v1")
+    // both frames are back to the v1 state — a points-only restore
+    // would leave edge 11 referencing a state that never coexisted
+    assert(g.collections.count("snapg") == 2)
+    val labels = g.collections.edges("snapg").get
+      .select("label").collect().map(_.getString(0)).toSeq
+    assert(labels == Seq("knows"), s"got $labels")
   }
 
   test("strict graph schema over REST: create carries it, GET serves it, bad upserts are 400") {

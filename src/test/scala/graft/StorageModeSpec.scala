@@ -77,6 +77,17 @@ class StorageModeSpec extends SparkSpecBase {
     bare.foreach { case (id, sc) =>
       exactById.get(id).foreach(e => assert(math.abs(e - sc) < 1e-9))
     }
+    // an explicitly requested probing tier the implicit pq can't compose
+    // with (LSH) must WORK (the implicit default yields), not error
+    val probed = run16(
+      "SELECT id, score FROM pqcol WHERE vector NEAR $q LIMIT 5 WITH (mode = 'accurate')")
+    assert(probed.nonEmpty)
+    // an EXPLICIT pq + LSH probing still conflicts loudly
+    val e = intercept[Exception] {
+      run16("SELECT id FROM pqcol WHERE vector NEAR $q LIMIT 5 " +
+        "WITH (mode = 'accurate', quantization = 'pq')")
+    }
+    assert(e.getMessage.contains("index='ivf'"))
   }
 
   test("create validates the mode; REST create persists and reports it") {
@@ -104,6 +115,24 @@ class StorageModeSpec extends SparkSpecBase {
       assert(info.statusCode() == 200 && info.body().contains("\"storage_mode\":\"sq8\""))
       assert(post("/collections",
         """{"name": "badcol", "storage_mode": "int4"}""").statusCode() == 400)
+      // pq is a valid storage mode over REST too (engine accepts it)
+      assert(post("/collections",
+        """{"name": "pqrest", "vector_col": "vec", "storage_mode": "pq"}""")
+        .statusCode() == 200)
+      assert(g.collections.storageModeOf("pqrest").contains("pq"))
+      // a graph_schema that is not a JSON object must 400, not silently
+      // create the collection schemaless
+      val strAsSchema = post("/collections",
+        """{"name": "gstr", "graph_schema": "{\"schemaless\": false}"}""")
+      assert(strAsSchema.statusCode() == 400 &&
+        strAsSchema.body().contains("JSON object"), strAsSchema.body())
+      // nonsense numeric search fields are 400s, not Spark 500s
+      val vec = (0 until 8).map(i => math.sin(i * 0.3).toFloat)
+      val badOs = post("/collections/sq8col/search",
+        s"""{"vector": [${vec.mkString(", ")}], "top_k": 3,
+           | "quantization": "binary", "oversampling": -1}""".stripMargin)
+      assert(badOs.statusCode() == 400 &&
+        badOs.body().contains("positive"), badOs.body())
     } finally srv.stop()
   }
 }
