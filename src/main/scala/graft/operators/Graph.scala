@@ -188,4 +188,48 @@ object Graph {
     }
     acc
   }
+
+  /** Bounded Bellman-Ford single-source shortest paths over the weighted
+    * edge table (beyond-reference: the reference's traversal is
+    * unweighted BFS only, match_exec.rs:104-218; edge weights exist in
+    * its model, edge.rs:36-42, but nothing consumes them).
+    *
+    * Returns (start, node, cost) with the MINIMUM total weight over
+    * paths of ≤ `maxHops` edges — the bounded-hop formulation is
+    * deliberate: it is deterministic on any graph (no termination
+    * concerns on cycles), it is the oracle-checkable shape (a
+    * recursive-CTE enumeration computes the same set), and each hop is
+    * ONE relaxation join + min-aggregation — the classic distributed
+    * SSSP round, shuffling the frontier by node against src-clustered
+    * edges. Lineage per round truncates with the [[bfsVarLength]]
+    * eager-checkpoint discipline (one live checkpoint, blocks freed
+    * deterministically).
+    *
+    * Float determinism: a path's cost accumulates left-to-right in both
+    * this loop and a recursive-CTE enumeration, so every candidate is
+    * the same double and min() picks identical values. */
+  def shortestPaths(edges: DataFrame, starts: DataFrame, maxHops: Int,
+      relTypes: Seq[String] = Nil): DataFrame = {
+    require(maxHops <= 10, "hops capped at 10 (match_exec.rs:310)")
+    val e = (if (relTypes.nonEmpty) edges.where(col("label").isin(relTypes: _*))
+             else edges).select(col("src"), col("dst"), col("weight"))
+    var dist = starts.select(col("start"), col("start").as("node"),
+      lit(0.0).as("cost")).distinct()
+    var prevCkpt: DataFrame = null
+    for (_ <- 1 to maxHops) {
+      val eD = e.select(col("src").as("__s"), col("dst").as("__d"),
+        col("weight").as("__w"))
+      val relaxed = dist.join(eD, dist("node") === col("__s"))
+        .select(dist("start"), col("__d").as("node"),
+          (dist("cost") + col("__w")).as("cost"))
+      val updated = dist.unionAll(relaxed)
+        .groupBy("start", "node").agg(min(col("cost")).as("cost"))
+        .localCheckpoint(true)
+      if (prevCkpt != null)
+        org.apache.spark.sql.graft.CheckpointBlocks.unpersist(prevCkpt)
+      prevCkpt = updated
+      dist = updated
+    }
+    dist.where(col("node") =!= col("start"))
+  }
 }

@@ -130,6 +130,30 @@ object GraphQueries {
       Graph.edges(s, d).where(col("label") === "supplied_by")
         .groupBy(col("dst").as("node"))
         .agg(count(lit(1)).as("in_degree"))
+    },
+
+    // ---- Beyond-reference G: weighted shortest paths (bounded
+    // Bellman-Ford, ≤3 hops, customers 1-3 as sources) — the reference
+    // stores edge weights (edge.rs:36-42) but only traverses unweighted;
+    // this is the distributed SSSP round (one relaxation join + min-agg
+    // per hop). Oracle: bounded recursive-CTE path enumeration — same
+    // candidate set, same left-to-right float association per path.
+    QueryDef(
+      "q148_shortest_path",
+      s"""WITH RECURSIVE edges AS (${Graph.edgesSql}),
+         |walk(start, node, cost, hops) AS (
+         |  SELECT src, dst, weight, 1 FROM edges WHERE src IN (1, 2, 3)
+         |  UNION ALL
+         |  SELECT w.start, e.dst, w.cost + e.weight, w.hops + 1
+         |  FROM walk w JOIN edges e ON e.src = w.node
+         |  WHERE w.hops < 3)
+         |SELECT start, node, round(min(cost), 4) AS cost
+         |FROM walk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val starts = t(s, d, "customer").where(col("c_custkey").isin(1, 2, 3))
+        .select(col("c_custkey").as("start"))
+      Graph.shortestPaths(Graph.edges(s, d), starts, maxHops = 3)
+        .select(col("start"), col("node"), round(col("cost"), 4).as("cost"))
+        .orderBy("start", "node")
     }
   )
 }
