@@ -232,4 +232,37 @@ object Graph {
     }
     dist.where(col("node") =!= col("start"))
   }
+
+  /** PageRank, fixed-iteration form (beyond-reference: the canonical
+    * iterative distributed graph computation — rank_{k+1}(v) = (1−d) +
+    * d·Σ_{u→v} rank_k(u)/outdeg(u), simple form, dangling mass
+    * ignored). Each iteration is ONE contribution join + sum-aggregation
+    * shuffled on dst — the Pregel superstep shape; lineage truncates
+    * with the eager-checkpoint discipline. Fixed `iters` (not
+    * convergence-tested) keeps it deterministic and oracle-checkable by
+    * unrolling the same iterations in SQL. */
+  def pageRank(edges: DataFrame, iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    val e = edges.select("src", "dst")
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+    val outDeg = e.groupBy(col("src").as("dnode")).agg(count(lit(1)).as("deg"))
+    var ranks = nodes.withColumn("rank", lit(1.0)).localCheckpoint(true)
+    var prevCkpt: DataFrame = ranks
+    for (_ <- 1 to iters) {
+      val contrib = ranks
+        .join(outDeg, ranks("node") === col("dnode"))
+        .join(e, ranks("node") === col("src"))
+        .groupBy(col("dst").as("cnode"))
+        .agg(sum(col("rank") / col("deg")).as("c"))
+      val updated = nodes.join(contrib, nodes("node") === col("cnode"), "left")
+        .select(nodes("node"),
+          (lit(1 - damping) + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graft.CheckpointBlocks.unpersist(prevCkpt)
+      prevCkpt = updated
+      ranks = updated
+    }
+    ranks
+  }
 }

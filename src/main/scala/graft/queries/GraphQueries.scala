@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.operators.Graph
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Graph / MATCH operator surface (SURVEY.md §2.10) over the derived
   * customer→order→part→supplier property graph.
@@ -154,6 +155,49 @@ object GraphQueries {
       Graph.shortestPaths(Graph.edges(s, d), starts, maxHops = 3)
         .select(col("start"), col("node"), round(col("cost"), 4).as("cost"))
         .orderBy("start", "node")
+    },
+
+    // ---- Beyond-reference G: PageRank, 3 fixed iterations, d = 0.85
+    // (simple form, dangling mass ignored) — the canonical Pregel
+    // superstep as one contribution join + sum per iteration. The
+    // oracle unrolls the SAME three iterations in plain SQL. Two float
+    // traps both bit: (1) ranks compare as floor(rank·10⁴ + 0.5)
+    // BIGINTs — the seeds and small integer degrees produce EXACT
+    // 4-decimal ties (0.17125) where Spark's round() (half-up) and
+    // DuckDB's (half-even) disagree by construction; (2) the damping
+    // constants must be CAST(0.85 AS DOUBLE) — DuckDB parses a bare
+    // 0.85 as DECIMAL(3,2), so (1 - 0.85) is exact 0.15 there while
+    // Scala computes the double 0.15000000000000002.
+    QueryDef(
+      "q149_pagerank",
+      s"""WITH edges AS (${Graph.edgesSql}),
+         |e AS (SELECT src, dst FROM edges),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+         |r0 AS (SELECT node, 1.0 AS rank FROM nodes),
+         |c1 AS (SELECT e.dst AS node, sum(r.rank / g.deg) AS c
+         |       FROM r0 r JOIN deg g ON g.node = r.node
+         |       JOIN e ON e.src = r.node GROUP BY e.dst),
+         |r1 AS (SELECT n.node, (1 - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * coalesce(c1.c, 0) AS rank
+         |       FROM nodes n LEFT JOIN c1 ON c1.node = n.node),
+         |c2 AS (SELECT e.dst AS node, sum(r.rank / g.deg) AS c
+         |       FROM r1 r JOIN deg g ON g.node = r.node
+         |       JOIN e ON e.src = r.node GROUP BY e.dst),
+         |r2 AS (SELECT n.node, (1 - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * coalesce(c2.c, 0) AS rank
+         |       FROM nodes n LEFT JOIN c2 ON c2.node = n.node),
+         |c3 AS (SELECT e.dst AS node, sum(r.rank / g.deg) AS c
+         |       FROM r2 r JOIN deg g ON g.node = r.node
+         |       JOIN e ON e.src = r.node GROUP BY e.dst),
+         |r3 AS (SELECT n.node, (1 - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * coalesce(c3.c, 0) AS rank
+         |       FROM nodes n LEFT JOIN c3 ON c3.node = n.node)
+         |SELECT node, CAST(floor(rank * 10000 + 0.5) AS BIGINT) AS rank_e4
+         |FROM r3 ORDER BY node""".stripMargin) {
+      (s, d) =>
+      Graph.pageRank(Graph.edges(s, d), iters = 3)
+        .select(col("node"),
+          floor(col("rank") * 10000 + 0.5).cast(LongType).as("rank_e4"))
+        .orderBy("node")
     }
   )
 }
