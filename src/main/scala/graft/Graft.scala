@@ -83,6 +83,27 @@ class Graft(
     }
   }
 
+  /** Weighted shortest paths over the MATCH graph surface — the derived
+    * dataset graph, or a USER collection's own edge store via
+    * `graphScope` (same scoping rule as [[sql]]). Beyond-reference:
+    * the reference stores edge weights but only traverses unweighted.
+    * Edges without a weight property cost 1.0 per hop. */
+  def shortestPaths(starts: Seq[Long], maxHops: Int,
+      relTypes: Seq[String] = Nil,
+      graphScope: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val cat = graphScope.fold(catalog)(catalog.scopedToGraph)
+    operators.Graph.shortestPaths(cat.graphEdges, starts.toDF("start"),
+      maxHops, relTypes)
+  }
+
+  /** Fixed-iteration PageRank over the same graph surface. */
+  def pageRank(iters: Int = 3, damping: Double = 0.85,
+      graphScope: Option[String] = None): DataFrame = {
+    val cat = graphScope.fold(catalog)(catalog.scopedToGraph)
+    operators.Graph.pageRank(cat.graphEdges, iters, damping)
+  }
+
   /** Plan-intent summary (velesql/explain.rs shape). */
   def explain(query: String): String = Explain.render(parse(query))
 

@@ -211,8 +211,12 @@ object Graph {
   def shortestPaths(edges: DataFrame, starts: DataFrame, maxHops: Int,
       relTypes: Seq[String] = Nil): DataFrame = {
     require(maxHops <= 10, "hops capped at 10 (match_exec.rs:310)")
-    val e = (if (relTypes.nonEmpty) edges.where(col("label").isin(relTypes: _*))
-             else edges).select(col("src"), col("dst"), col("weight"))
+    // user edge stores need not carry a weight property — unweighted
+    // edges cost 1.0/hop, making this min-hop-count (weighted BFS)
+    val ew = if (edges.columns.contains("weight")) edges
+             else edges.withColumn("weight", lit(1.0))
+    val e = (if (relTypes.nonEmpty) ew.where(col("label").isin(relTypes: _*))
+             else ew).select(col("src"), col("dst"), col("weight"))
     var dist = starts.select(col("start"), col("start").as("node"),
       lit(0.0).as("cost")).distinct()
     var prevCkpt: DataFrame = null

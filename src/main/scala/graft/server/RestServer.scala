@@ -77,7 +77,7 @@ class RestServer(g: Graft, port: Int = 0) {
     * the /metrics payload) without bound. */
   private val KnownVerbs = Set("search", "points", "graph", "match", "empty", "flush",
     "batch", "multi", "text", "hybrid", "traverse", "nodes", "degree", "edges",
-    "indexes")
+    "indexes", "shortest_paths", "pagerank")
   private def countRequest(path: String, code: Int): Unit = {
     // low-cardinality route label: collapse collection names and ids
     val route = path.split("/").filter(_.nonEmpty).toList match {
@@ -492,6 +492,43 @@ class RestServer(g: Graft, port: Int = 0) {
             s"""{"results":[${rows.mkString(",")}],"next_cursor":null,""" +
               s""""has_more":${visited > limit},"stats":{"visited":$visited,"timing_ms":${ms()}}}"""
           } finally org.apache.spark.sql.graft.CheckpointBlocks.unpersist(res)
+        }
+      case ("POST", "collections" :: name :: "graph" :: "shortest_paths" :: Nil) =>
+        // beyond-reference: bounded Bellman-Ford over the collection's
+        // edge store (or the derived graph) — Graph.shortestPaths
+        val b = json(ex)
+        val starts = Option(b.get("starts")).filter(_.isArray)
+          .map(_.elements().asScala.filter(_.isNumber).map(_.asLong).toSeq)
+          .filter(_.nonEmpty)
+          .getOrElse(badRequest("missing 'starts' (non-empty array of node ids)"))
+        val maxHops = posInt("max_hops", intOr(b, "max_hops", 3))
+        if (maxHops > 10) badRequest("max_hops capped at 10")
+        val rels = Option(b.get("rel_types")).filter(_.isArray)
+          .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+        val limit = posInt("limit", intOr(b, "limit", 100))
+        timed { ms =>
+          import g.spark.implicits._
+          val rows = graft.operators.Graph.shortestPaths(
+              edgesFor(name), starts.toDF("start"), maxHops, rels)
+            .orderBy(col("start"), col("cost"), col("node")).limit(limit)
+            .toJSON.collect()
+          s"""{"results":[${rows.mkString(",")}],"timing_ms":${ms()}}"""
+        }
+      case ("POST", "collections" :: name :: "graph" :: "pagerank" :: Nil) =>
+        // beyond-reference: fixed-iteration PageRank — Graph.pageRank
+        val b = json(ex)
+        val iters = posInt("iterations", intOr(b, "iterations", 3))
+        if (iters > 20) badRequest("iterations capped at 20")
+        val damping = Option(b.get("damping")).filter(_.isNumber)
+          .map(_.asDouble).getOrElse(0.85)
+        if (damping <= 0.0 || damping >= 1.0)
+          badRequest(s"damping must be in (0, 1), got $damping")
+        val limit = posInt("limit", intOr(b, "limit", 100))
+        timed { ms =>
+          val rows = graft.operators.Graph.pageRank(edgesFor(name), iters, damping)
+            .orderBy(col("rank").desc, col("node")).limit(limit)
+            .toJSON.collect()
+          s"""{"results":[${rows.mkString(",")}],"timing_ms":${ms()}}"""
         }
       case ("POST", "collections" :: name :: "indexes" :: Nil) =>
         // create property/range index (handlers/indexes.rs create_index).

@@ -415,6 +415,47 @@ class EdgeStoreSpec extends SparkSpecBase {
     assert(labels == Seq("knows"), s"got $labels")
   }
 
+  test("shortest paths and pagerank run over a user graph (facade + REST)") {
+    val g = freshGraft()
+    import spark.implicits._
+    g.collections.create("wg", idCol = "id")
+    g.collections.upsert("wg", Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "name"))
+    // weighted diamond: 1→2 (1.0), 2→4 (5.0), 1→3 (2.0), 3→4 (1.5)
+    g.collections.upsertEdges("wg",
+      Seq((10L, 1L, 2L, "e", 1.0), (11L, 2L, 4L, "e", 5.0),
+        (12L, 1L, 3L, "e", 2.0), (13L, 3L, 4L, "e", 1.5))
+        .toDF("id", "src", "dst", "label", "weight"))
+    val sp = g.shortestPaths(Seq(1L), maxHops = 3, graphScope = Some("wg"))
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(sp(2L) == 1.0 && sp(3L) == 2.0)
+    assert(sp(4L) == 3.5, s"1→3→4 (3.5) beats 1→2→4 (6.0), got ${sp(4L)}")
+    // pagerank: sink node 4 (two in-edges) outranks everything
+    val pr = g.pageRank(iters = 3, graphScope = Some("wg"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr(4L) > pr(2L) && pr(4L) > pr(3L) && pr(2L) > pr(1L))
+    // REST round-trips
+    val srv = new graft.server.RestServer(g, port = 0).start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val client = java.net.http.HttpClient.newHttpClient()
+      def post(path: String, body: String) =
+        client.send(java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"$base$path"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .header("Content-Type", "application/json").build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+      val spR = post("/collections/wg/graph/shortest_paths",
+        """{"starts": [1], "max_hops": 3}""")
+      assert(spR.statusCode() == 200 && spR.body().contains("\"cost\":3.5"), spR.body())
+      val prR = post("/collections/wg/graph/pagerank", """{"iterations": 3}""")
+      assert(prR.statusCode() == 200 && prR.body().contains("\"rank\""), prR.body())
+      assert(post("/collections/wg/graph/pagerank",
+        """{"damping": 1.5}""").statusCode() == 400)
+      assert(post("/collections/wg/graph/shortest_paths",
+        """{"starts": []}""").statusCode() == 400)
+    } finally srv.stop()
+  }
+
   test("strict graph schema over REST: create carries it, GET serves it, bad upserts are 400") {
     val g = freshGraft()
     val srv = new graft.server.RestServer(g, port = 0).start()
