@@ -702,6 +702,85 @@ object TextQueries {
           count(when(col("cluster").isNotNull && col("cluster") =!= col("doc_id"),
             lit(1))).as("n_dropped"))
         .orderBy("source")
+    },
+
+    // ---- Pipeline composition: the CLEANING FUNNEL — the per-source
+    // report a C4/Gopher-style filtering pass ships: docs drop at the
+    // FIRST failing stage (language → repetition → quality), counts per
+    // stage per source. Composes the q63 stop-ratio rule, the q141
+    // repetition metrics, and a chars-per-token bar; all stage
+    // comparisons run on round(metric, 6) so the verdicts are
+    // hash-stable across engines. Thresholds sit at corpus p10/p75-p90
+    // so every stage genuinely fires.
+    QueryDef(
+      "q150_cleaning_funnel",
+      """WITH tok AS (
+        |  SELECT doc_id, source, n_chars,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> len(t) > 0) AS w
+        |  FROM documents WHERE n_chars > 0),
+        |m AS (
+        |  SELECT doc_id, source,
+        |    round(len(list_filter(w, t -> t IN ('the','a','of','to','and','in','is','it')))
+        |      * 1.0 / len(w), 6) AS stop_ratio,
+        |    round(n_chars * 1.0 / len(w), 6) AS cpt,
+        |    w
+        |  FROM tok WHERE len(w) >= 2),
+        |uni AS (SELECT doc_id, u.t AS term, count(*) AS c
+        |        FROM m, unnest(w) AS u(t) GROUP BY doc_id, u.t),
+        |topu AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_frac
+        |         FROM uni GROUP BY doc_id),
+        |bi AS (SELECT doc_id, list_transform(range(1, len(w)),
+        |         i -> w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)]) AS bg
+        |       FROM m),
+        |dup AS (SELECT doc_id,
+        |          round(1.0 - len(list_distinct(bg)) * 1.0 / len(bg), 6) AS dup2
+        |        FROM bi),
+        |v AS (
+        |  SELECT m.source,
+        |    (stop_ratio < 0.015) AS fail_lang,
+        |    (top_frac > 0.12 OR dup2 > 0.05) AS fail_rep,
+        |    (cpt > 5.8) AS fail_q
+        |  FROM m JOIN topu USING (doc_id) JOIN dup USING (doc_id))
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) FILTER (WHERE fail_lang) AS BIGINT) AS n_fail_lang,
+        |  CAST(count(*) FILTER (WHERE NOT fail_lang AND fail_rep) AS BIGINT) AS n_fail_rep,
+        |  CAST(count(*) FILTER (WHERE NOT fail_lang AND NOT fail_rep AND fail_q) AS BIGINT) AS n_fail_quality,
+        |  CAST(count(*) FILTER (WHERE NOT fail_lang AND NOT fail_rep AND NOT fail_q) AS BIGINT) AS n_kept
+        |FROM v GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val stop = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+      val tok = t(s, d, "documents").where(col("n_chars") > 0)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          expr("filter(split(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)").as("w"))
+        .where(size(col("w")) >= 2)
+      val m = tok.select(col("doc_id"), col("source"), col("w"),
+        round(size(filter(col("w"), x => x.isin(stop.map(lit(_)): _*)))
+          * lit(1.0) / size(col("w")), 6).as("stop_ratio"),
+        round(col("n_chars") * lit(1.0) / size(col("w")), 6).as("cpt"))
+      val topu = m.select(col("doc_id"), explode(col("w")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(round(max(col("c")) * lit(1.0) / sum(col("c")), 6).as("top_frac"))
+      val dup = m.select(col("doc_id"), expr(
+          "transform(sequence(1, size(w) - 1), i -> concat_ws(' ', w[i - 1], w[i]))").as("bg"))
+        .select(col("doc_id"),
+          round(lit(1.0) - size(array_distinct(col("bg"))) * lit(1.0) / size(col("bg")), 6)
+            .as("dup2"))
+      val v = m.join(topu, "doc_id").join(dup, "doc_id")
+        .select(col("source"),
+          (col("stop_ratio") < 0.015).as("fail_lang"),
+          (col("top_frac") > 0.12 || col("dup2") > 0.05).as("fail_rep"),
+          (col("cpt") > 5.8).as("fail_q"))
+      v.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("fail_lang"), 1)).as("n_fail_lang"),
+          count(when(!col("fail_lang") && col("fail_rep"), 1)).as("n_fail_rep"),
+          count(when(!col("fail_lang") && !col("fail_rep") && col("fail_q"), 1))
+            .as("n_fail_quality"),
+          count(when(!col("fail_lang") && !col("fail_rep") && !col("fail_q"), 1))
+            .as("n_kept"))
+        .orderBy("source")
     }
   )
 
