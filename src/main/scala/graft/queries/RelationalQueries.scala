@@ -432,6 +432,21 @@ object RelationalQueries {
           countDistinct(col("l_partkey")).as("n_part"))
     },
 
+    // ---- approx_count_distinct (SURVEY §7.1 step 9): HyperLogLog++
+    // partial-mergeable sketch — at 100 TB the exact count-distinct's
+    // per-group hash set becomes the memory bound, the HLL sketch is
+    // constant-size. Accuracy pin: every per-group estimate within 5%
+    // of the exact count (rsd default 0.05), as a constant-1 row.
+    QueryDef("q151_approx_distinct", "SELECT CAST(1 AS INT) AS approx_ok") { (s, d) =>
+      val both = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact"),
+          approx_count_distinct(col("l_partkey")).as("approx"))
+      both.agg((count(lit(1)) ===
+          count(when(abs(col("approx") - col("exact")) <= col("exact") * 0.05, 1)))
+        .cast("int").as("approx_ok"))
+    },
+
     // ---- CASE WHEN expression + aggregation over the derived column
     QueryDef(
       "q30_case_when",
