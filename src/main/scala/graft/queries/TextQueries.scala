@@ -781,6 +781,110 @@ object TextQueries {
           count(when(!col("fail_lang") && !col("fail_rep") && !col("fail_q"), 1))
             .as("n_kept"))
         .orderBy("source")
+    },
+
+    // ---- Sampling: EXACT per-source quotas (the other half of the
+    // mixture step next to q144's rate-gated Bernoulli): each source
+    // contributes exactly min(n, 10) docs, chosen by md5(doc_id) order —
+    // deterministic across engines and runs, no RNG state. Scale shape:
+    // one shuffle on the stratum key; the rank window sees only its own
+    // stratum, and the quota bounds what survives — at 100 TB the
+    // per-stratum sort is the standard top-k-per-group plan (window +
+    // filter ≈ per-partition heaps after AQE), never a global sort.
+    QueryDef(
+      "q152_stratified_sample",
+      """SELECT doc_id, source, rk FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 10 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          row_number().over(w).cast(LongType).as("rk"))
+        .where(col("rk") <= 10)
+        .orderBy("doc_id")
+    },
+
+    // ---- Keyword extraction: per-doc top-3 TF-IDF terms (tagging /
+    // corpus-analysis step; sklearn-style smooth idf = ln((1+N)/(1+df))+1).
+    // The ranking key is round(score, 6) + term so the kept set is
+    // hash-stable across engines (raw f64 products may differ in the last
+    // ulp; a rank flip there would swap rows, not just wiggle a value).
+    // Scale shape: tf is a partial+final agg, df is vocabulary-sized and
+    // broadcasts, the per-doc rank window sees ≤ |doc vocab| rows.
+    QueryDef(
+      "q153_tfidf_keywords",
+      """WITH tok AS (SELECT doc_id, u.t AS term FROM (
+        |    SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                               t -> len(t) > 0) AS w
+        |    FROM documents), unnest(w) AS u(t)),
+        |tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n FROM tok)
+        |SELECT doc_id, term, score FROM (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(c * (ln((1.0 + n) / (1.0 + df)) + 1.0), 6) AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY round(c * (ln((1.0 + n) / (1.0 + df)) + 1.0), 6) DESC, tf.term) AS rk
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN nd)
+        |WHERE rk <= 3 ORDER BY doc_id, term""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = t(s, d, "documents").select(col("doc_id"),
+        explode(expr("filter(split(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)"))
+          .as("term"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nd = tok.agg(countDistinct(col("doc_id")).as("n"))
+      val scored = tf.join(broadcast(dfq), "term").crossJoin(broadcast(nd))
+        .withColumn("score",
+          round(col("c") * (log((lit(1.0) + col("n")) / (lit(1.0) + col("df"))) + lit(1.0)), 6))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      scored.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("score"))
+        .orderBy("doc_id", "term")
+    },
+
+    // ---- Corpus diagnostics: pairwise SOURCE overlap — Jaccard over
+    // each source's distinct 3-word-shingle set (the cross-source
+    // contamination report a dedup pass ships next to q146's retention
+    // funnel). Starts from the materialized shingle table. Scale shape:
+    // the candidate join is INVERTED (keyed on shingle) — a shingle
+    // appearing in s sources yields s(s-1)/2 pair increments, bounded by
+    // source-count², never doc-count²; the per-source set sizes are one
+    // partial+final agg. Pairs sharing zero shingles are absent on both
+    // engines (inner-join semantics both sides).
+    QueryDef(
+      "q154_source_overlap",
+      s"""WITH sh0 AS ($duckTokToShingles),
+         |sh AS (SELECT DISTINCT d.source, s.shingle
+         |       FROM sh0 s JOIN documents d USING (doc_id)),
+         |cnt AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT x.source AS src_a, y.source AS src_b, count(*) AS i
+         |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.source < y.source
+         |          GROUP BY 1, 2)
+         |SELECT src_a, src_b, round(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+         |FROM inter JOIN cnt ca ON ca.source = src_a JOIN cnt cb ON cb.source = src_b
+         |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+      val docsrc = t(s, d, "documents").select(col("doc_id"), col("source"))
+      val sh = shinglesTab(s, d).select(col("doc_id"), col("shingle"))
+        .join(docsrc, "doc_id")
+        .select(col("source"), col("shingle")).distinct()
+      val cnt = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = sh.as("x").join(sh.as("y"),
+          col("x.shingle") === col("y.shingle") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        .agg(count(lit(1)).as("i"))
+      inter.join(broadcast(cnt).as("ca"), col("src_a") === col("ca.source"))
+        .join(broadcast(cnt).as("cb"), col("src_b") === col("cb.source"))
+        .select(col("src_a"), col("src_b"),
+          round(col("i") * lit(1.0) / (col("ca.n") + col("cb.n") - col("i")), 6)
+            .as("jaccard"))
+        .orderBy("src_a", "src_b")
     }
   )
 
