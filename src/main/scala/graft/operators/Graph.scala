@@ -210,7 +210,10 @@ object Graph {
     * the same double and min() picks identical values. */
   def shortestPaths(edges: DataFrame, starts: DataFrame, maxHops: Int,
       relTypes: Seq[String] = Nil): DataFrame = {
-    require(maxHops <= 10, "hops capped at 10 (match_exec.rs:310)")
+    // lower bound guards the facade path too (REST validates separately):
+    // maxHops = 0 would "succeed" with an empty frame instead of erroring
+    require(maxHops >= 1 && maxHops <= 10,
+      "hops must be in 1..10 (match_exec.rs:310)")
     // user edge stores need not carry a weight property — unweighted
     // edges cost 1.0/hop, making this min-hop-count (weighted BFS)
     val ew = if (edges.columns.contains("weight")) edges
@@ -234,7 +237,15 @@ object Graph {
       prevCkpt = updated
       dist = updated
     }
-    dist.where(col("node") =!= col("start"))
+    // return a BARE checkpoint (LogicalRDD), not a Filter over one: the
+    // caller (REST handler, bench loop) can then free the blocks
+    // deterministically via CheckpointBlocks.unpersist — on a Filter
+    // that call is a silent no-op and the blocks wait for the async
+    // ContextCleaner. The loop's final checkpoint is freed here.
+    val out = dist.where(col("node") =!= col("start")).localCheckpoint(true)
+    if (prevCkpt != null)
+      org.apache.spark.sql.graft.CheckpointBlocks.unpersist(prevCkpt)
+    out
   }
 
   /** PageRank, fixed-iteration form (beyond-reference: the canonical
@@ -247,10 +258,17 @@ object Graph {
     * unrolling the same iterations in SQL. */
   def pageRank(edges: DataFrame, iters: Int,
       damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(damping > 0.0 && damping < 1.0, "damping must be in (0, 1)")
     val e = edges.select("src", "dst")
+    // nodes and outDeg are loop INVARIANTS — materialize each once.
+    // Left lazy, the distinct and the groupBy (both full shuffles over
+    // the edge frame) re-execute inside every superstep.
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
     val outDeg = e.groupBy(col("src").as("dnode")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
     var ranks = nodes.withColumn("rank", lit(1.0)).localCheckpoint(true)
     var prevCkpt: DataFrame = ranks
     for (_ <- 1 to iters) {
@@ -267,6 +285,10 @@ object Graph {
       prevCkpt = updated
       ranks = updated
     }
+    // the invariants' blocks are dead once the loop ends; the returned
+    // ranks is a BARE checkpoint the caller can free the same way
+    org.apache.spark.sql.graft.CheckpointBlocks.unpersist(nodes)
+    org.apache.spark.sql.graft.CheckpointBlocks.unpersist(outDeg)
     ranks
   }
 }

@@ -27,6 +27,20 @@ object TextQueries {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Tables.table(s, d, n)
 
+  /** Cross-engine-stable 6-dp rounding for NON-NEGATIVE ratios: Spark's
+    * round() is half-up but DuckDB's is half-even, so an exact 6-dp tie
+    * (reachable whenever a ratio denominator is a power of two, e.g.
+    * 1/128 = 0.0078125) hashes differently — the q149 rank_e4 trap.
+    * floor(x·10⁶ + 0.5)/10⁶ is the same IEEE arithmetic in both engines
+    * (identical to Spark's half-up on non-negatives). SQL twin:
+    * [[r6Sql]]. */
+  private def r6(c: Column): Column =
+    floor(c * lit(1000000L) + lit(0.5)) / lit(1000000.0)
+
+  /** DuckDB twin of [[r6]] — splice around a non-negative expression. */
+  private def r6Sql(e: String): String =
+    s"floor(($e) * 1000000 + 0.5) / 1000000.0"
+
   /** BM25 tokens per doc (reference tokenizer: bm25.rs:114-120). */
   private def tokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
@@ -547,19 +561,19 @@ object TextQueries {
     // engines, so the boundary is hash-stable.
     QueryDef(
       "q141_quality_gopher",
-      """WITH tok AS (
+      s"""WITH tok AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
         |                             t -> len(t) > 0) AS w
         |  FROM documents),
         |uni AS (SELECT doc_id, u.t AS term, count(*) AS c
         |        FROM tok, unnest(w) AS u(t) GROUP BY doc_id, u.t),
-        |topu AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_frac
+        |topu AS (SELECT doc_id, ${r6Sql("max(c) * 1.0 / sum(c)")} AS top_frac
         |         FROM uni GROUP BY doc_id),
         |bi AS (SELECT doc_id, list_transform(range(1, len(w)),
         |         i -> w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)]) AS bg
         |       FROM tok WHERE len(w) >= 2),
         |dup AS (SELECT doc_id,
-        |          round(1.0 - len(list_distinct(bg)) * 1.0 / len(bg), 6) AS dup_bigram_frac
+        |          ${r6Sql("1.0 - len(list_distinct(bg)) * 1.0 / len(bg)")} AS dup_bigram_frac
         |        FROM bi)
         |SELECT doc_id, top_frac, dup_bigram_frac,
         |  (top_frac <= 0.12 AND dup_bigram_frac <= 0.05) AS keep
@@ -569,14 +583,14 @@ object TextQueries {
       val topu = tok.select(col("doc_id"), explode(col("w")).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
         .groupBy("doc_id")
-        .agg(round(max(col("c")) * lit(1.0) / sum(col("c")), 6).as("top_frac"))
+        .agg(r6(max(col("c")) * lit(1.0) / sum(col("c"))).as("top_frac"))
       // Spark bracket indexing is 0-based (DuckDB's is 1-based): bigram i
       // pairs w[i-1], w[i] here and w[i], w[i+1] there — same bigrams
       val dup = tok.where(size(col("w")) >= 2)
         .select(col("doc_id"), expr(
           "transform(sequence(1, size(w) - 1), i -> concat_ws(' ', w[i - 1], w[i]))").as("bg"))
         .select(col("doc_id"),
-          round(lit(1.0) - size(array_distinct(col("bg"))) * lit(1.0) / size(col("bg")), 6)
+          r6(lit(1.0) - size(array_distinct(col("bg"))) * lit(1.0) / size(col("bg")))
             .as("dup_bigram_frac"))
       topu.join(dup, "doc_id")
         .select(col("doc_id"), col("top_frac"), col("dup_bigram_frac"),
@@ -591,13 +605,13 @@ object TextQueries {
     // table is vocabulary-sized and broadcasts at any corpus scale.
     QueryDef(
       "q143_unigram_logprob",
-      """WITH tok AS (SELECT doc_id, u.t AS term FROM (
+      s"""WITH tok AS (SELECT doc_id, u.t AS term FROM (
         |    SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
         |                               t -> len(t) > 0) AS w
         |    FROM documents), unnest(w) AS u(t)),
         |tf AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
         |tot AS (SELECT sum(c) AS n FROM tf)
-        |SELECT doc_id, round(avg(-log2(c * 1.0 / n)), 6) AS bits_per_token
+        |SELECT doc_id, ${r6Sql("avg(-log2(c * 1.0 / n))")} AS bits_per_token
         |FROM tok JOIN tf USING (term) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       val tok = t(s, d, "documents").select(col("doc_id"),
@@ -607,7 +621,7 @@ object TextQueries {
       val tot = tf.agg(sum(col("c")).as("n"))
       tok.join(broadcast(tf), "term").crossJoin(broadcast(tot))
         .groupBy("doc_id")
-        .agg(round(avg(-log2(col("c") * lit(1.0) / col("n"))), 6).as("bits_per_token"))
+        .agg(r6(avg(-log2(col("c") * lit(1.0) / col("n")))).as("bits_per_token"))
         .orderBy("doc_id")
     },
 
@@ -709,32 +723,31 @@ object TextQueries {
     // FIRST failing stage (language → repetition → quality), counts per
     // stage per source. Composes the q63 stop-ratio rule, the q141
     // repetition metrics, and a chars-per-token bar; all stage
-    // comparisons run on round(metric, 6) so the verdicts are
+    // comparisons run on r6(metric) so the verdicts are
     // hash-stable across engines. Thresholds sit at corpus p10/p75-p90
     // so every stage genuinely fires.
     QueryDef(
       "q150_cleaning_funnel",
-      """WITH tok AS (
+      s"""WITH tok AS (
         |  SELECT doc_id, source, n_chars,
         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
         |                t -> len(t) > 0) AS w
         |  FROM documents WHERE n_chars > 0),
         |m AS (
         |  SELECT doc_id, source,
-        |    round(len(list_filter(w, t -> t IN ('the','a','of','to','and','in','is','it')))
-        |      * 1.0 / len(w), 6) AS stop_ratio,
-        |    round(n_chars * 1.0 / len(w), 6) AS cpt,
+        |    ${r6Sql("len(list_filter(w, t -> t IN ('the','a','of','to','and','in','is','it'))) * 1.0 / len(w)")} AS stop_ratio,
+        |    ${r6Sql("n_chars * 1.0 / len(w)")} AS cpt,
         |    w
         |  FROM tok WHERE len(w) >= 2),
         |uni AS (SELECT doc_id, u.t AS term, count(*) AS c
         |        FROM m, unnest(w) AS u(t) GROUP BY doc_id, u.t),
-        |topu AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_frac
+        |topu AS (SELECT doc_id, ${r6Sql("max(c) * 1.0 / sum(c)")} AS top_frac
         |         FROM uni GROUP BY doc_id),
         |bi AS (SELECT doc_id, list_transform(range(1, len(w)),
         |         i -> w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)]) AS bg
         |       FROM m),
         |dup AS (SELECT doc_id,
-        |          round(1.0 - len(list_distinct(bg)) * 1.0 / len(bg), 6) AS dup2
+        |          ${r6Sql("1.0 - len(list_distinct(bg)) * 1.0 / len(bg)")} AS dup2
         |        FROM bi),
         |v AS (
         |  SELECT m.source,
@@ -755,17 +768,17 @@ object TextQueries {
           expr("filter(split(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)").as("w"))
         .where(size(col("w")) >= 2)
       val m = tok.select(col("doc_id"), col("source"), col("w"),
-        round(size(filter(col("w"), x => x.isin(stop.map(lit(_)): _*)))
-          * lit(1.0) / size(col("w")), 6).as("stop_ratio"),
-        round(col("n_chars") * lit(1.0) / size(col("w")), 6).as("cpt"))
+        r6(size(filter(col("w"), x => x.isin(stop.map(lit(_)): _*)))
+          * lit(1.0) / size(col("w"))).as("stop_ratio"),
+        r6(col("n_chars") * lit(1.0) / size(col("w"))).as("cpt"))
       val topu = m.select(col("doc_id"), explode(col("w")).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
         .groupBy("doc_id")
-        .agg(round(max(col("c")) * lit(1.0) / sum(col("c")), 6).as("top_frac"))
+        .agg(r6(max(col("c")) * lit(1.0) / sum(col("c"))).as("top_frac"))
       val dup = m.select(col("doc_id"), expr(
           "transform(sequence(1, size(w) - 1), i -> concat_ws(' ', w[i - 1], w[i]))").as("bg"))
         .select(col("doc_id"),
-          round(lit(1.0) - size(array_distinct(col("bg"))) * lit(1.0) / size(col("bg")), 6)
+          r6(lit(1.0) - size(array_distinct(col("bg"))) * lit(1.0) / size(col("bg")))
             .as("dup2"))
       val v = m.join(topu, "doc_id").join(dup, "doc_id")
         .select(col("source"),
@@ -811,14 +824,15 @@ object TextQueries {
 
     // ---- Keyword extraction: per-doc top-3 TF-IDF terms (tagging /
     // corpus-analysis step; sklearn-style smooth idf = ln((1+N)/(1+df))+1).
-    // The ranking key is round(score, 6) + term so the kept set is
-    // hash-stable across engines (raw f64 products may differ in the last
-    // ulp; a rank flip there would swap rows, not just wiggle a value).
+    // The ranking key is r6(score) + term so the kept set is hash-stable
+    // across engines (raw f64 products may differ in the last ulp; a
+    // rank flip there would swap rows, not just wiggle a value — and on
+    // exact 6-dp ties Spark/DuckDB round() disagree, hence r6).
     // Scale shape: tf is a partial+final agg, df is vocabulary-sized and
     // broadcasts, the per-doc rank window sees ≤ |doc vocab| rows.
     QueryDef(
       "q153_tfidf_keywords",
-      """WITH tok AS (SELECT doc_id, u.t AS term FROM (
+      s"""WITH tok AS (SELECT doc_id, u.t AS term FROM (
         |    SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
         |                               t -> len(t) > 0) AS w
         |    FROM documents), unnest(w) AS u(t)),
@@ -827,9 +841,9 @@ object TextQueries {
         |nd AS (SELECT count(DISTINCT doc_id) AS n FROM tok)
         |SELECT doc_id, term, score FROM (
         |  SELECT tf.doc_id, tf.term,
-        |    round(c * (ln((1.0 + n) / (1.0 + df)) + 1.0), 6) AS score,
+        |    ${r6Sql("c * (ln((1.0 + n) / (1.0 + df)) + 1.0)")} AS score,
         |    row_number() OVER (PARTITION BY tf.doc_id
-        |      ORDER BY round(c * (ln((1.0 + n) / (1.0 + df)) + 1.0), 6) DESC, tf.term) AS rk
+        |      ORDER BY ${r6Sql("c * (ln((1.0 + n) / (1.0 + df)) + 1.0)")} DESC, tf.term) AS rk
         |  FROM tf JOIN dfq USING (term) CROSS JOIN nd)
         |WHERE rk <= 3 ORDER BY doc_id, term""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
@@ -841,7 +855,7 @@ object TextQueries {
       val nd = tok.agg(countDistinct(col("doc_id")).as("n"))
       val scored = tf.join(broadcast(dfq), "term").crossJoin(broadcast(nd))
         .withColumn("score",
-          round(col("c") * (log((lit(1.0) + col("n")) / (lit(1.0) + col("df"))) + lit(1.0)), 6))
+          r6(col("c") * (log((lit(1.0) + col("n")) / (lit(1.0) + col("df"))) + lit(1.0))))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
       scored.withColumn("rk", row_number().over(w))
         .where(col("rk") <= 3)
@@ -867,7 +881,7 @@ object TextQueries {
          |inter AS (SELECT x.source AS src_a, y.source AS src_b, count(*) AS i
          |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.source < y.source
          |          GROUP BY 1, 2)
-         |SELECT src_a, src_b, round(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+         |SELECT src_a, src_b, ${r6Sql("i * 1.0 / (ca.n + cb.n - i)")} AS jaccard
          |FROM inter JOIN cnt ca ON ca.source = src_a JOIN cnt cb ON cb.source = src_b
          |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
       val docsrc = t(s, d, "documents").select(col("doc_id"), col("source"))
@@ -882,7 +896,7 @@ object TextQueries {
       inter.join(broadcast(cnt).as("ca"), col("src_a") === col("ca.source"))
         .join(broadcast(cnt).as("cb"), col("src_b") === col("cb.source"))
         .select(col("src_a"), col("src_b"),
-          round(col("i") * lit(1.0) / (col("ca.n") + col("cb.n") - col("i")), 6)
+          r6(col("i") * lit(1.0) / (col("ca.n") + col("cb.n") - col("i")))
             .as("jaccard"))
         .orderBy("src_a", "src_b")
     }

@@ -497,10 +497,14 @@ class RestServer(g: Graft, port: Int = 0) {
         // beyond-reference: bounded Bellman-Ford over the collection's
         // edge store (or the derived graph) — Graph.shortestPaths
         val b = json(ex)
-        val starts = Option(b.get("starts")).filter(_.isArray)
-          .map(_.elements().asScala.filter(_.isNumber).map(_.asLong).toSeq)
-          .filter(_.nonEmpty)
+        // reject (not silently drop) non-numeric ids: a partially-valid
+        // array would otherwise 200 with silently incomplete results
+        val startsArr = Option(b.get("starts")).filter(_.isArray)
+          .map(_.elements().asScala.toSeq).filter(_.nonEmpty)
           .getOrElse(badRequest("missing 'starts' (non-empty array of node ids)"))
+        if (startsArr.exists(!_.isNumber))
+          badRequest("'starts' elements must be numeric node ids")
+        val starts = startsArr.map(_.asLong)
         val maxHops = posInt("max_hops", intOr(b, "max_hops", 3))
         if (maxHops > 10) badRequest("max_hops capped at 10")
         val rels = Option(b.get("rel_types")).filter(_.isArray)
@@ -508,11 +512,18 @@ class RestServer(g: Graft, port: Int = 0) {
         val limit = posInt("limit", intOr(b, "limit", 100))
         timed { ms =>
           import g.spark.implicits._
-          val rows = graft.operators.Graph.shortestPaths(
-              edgesFor(name), starts.toDF("start"), maxHops, rels)
-            .orderBy(col("start"), col("cost"), col("node")).limit(limit)
-            .toJSON.collect()
-          s"""{"results":[${rows.mkString(",")}],"timing_ms":${ms()}}"""
+          // the operator returns a bare checkpoint — free its blocks
+          // deterministically after the collect (traverse-handler
+          // discipline; the async ContextCleaner is too late for a
+          // long-running server taking repeated graph POSTs)
+          val res = graft.operators.Graph.shortestPaths(
+            edgesFor(name), starts.toDF("start"), maxHops, rels)
+          try {
+            val rows = res
+              .orderBy(col("start"), col("cost"), col("node")).limit(limit)
+              .toJSON.collect()
+            s"""{"results":[${rows.mkString(",")}],"timing_ms":${ms()}}"""
+          } finally org.apache.spark.sql.graft.CheckpointBlocks.unpersist(res)
         }
       case ("POST", "collections" :: name :: "graph" :: "pagerank" :: Nil) =>
         // beyond-reference: fixed-iteration PageRank — Graph.pageRank
@@ -525,10 +536,12 @@ class RestServer(g: Graft, port: Int = 0) {
           badRequest(s"damping must be in (0, 1), got $damping")
         val limit = posInt("limit", intOr(b, "limit", 100))
         timed { ms =>
-          val rows = graft.operators.Graph.pageRank(edgesFor(name), iters, damping)
-            .orderBy(col("rank").desc, col("node")).limit(limit)
-            .toJSON.collect()
-          s"""{"results":[${rows.mkString(",")}],"timing_ms":${ms()}}"""
+          val res = graft.operators.Graph.pageRank(edgesFor(name), iters, damping)
+          try {
+            val rows = res.orderBy(col("rank").desc, col("node")).limit(limit)
+              .toJSON.collect()
+            s"""{"results":[${rows.mkString(",")}],"timing_ms":${ms()}}"""
+          } finally org.apache.spark.sql.graft.CheckpointBlocks.unpersist(res)
         }
       case ("POST", "collections" :: name :: "indexes" :: Nil) =>
         // create property/range index (handlers/indexes.rs create_index).

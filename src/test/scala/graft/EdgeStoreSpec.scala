@@ -453,6 +453,16 @@ class EdgeStoreSpec extends SparkSpecBase {
         """{"damping": 1.5}""").statusCode() == 400)
       assert(post("/collections/wg/graph/shortest_paths",
         """{"starts": []}""").statusCode() == 400)
+      // partially-invalid starts must 400, not silently drop the bad id
+      assert(post("/collections/wg/graph/shortest_paths",
+        """{"starts": [1, "2"]}""").statusCode() == 400)
+      // non-positive bounds error at the operator too (facade path)
+      intercept[IllegalArgumentException] {
+        g.shortestPaths(Seq(1L), maxHops = 0, graphScope = Some("wg"))
+      }
+      intercept[IllegalArgumentException] {
+        g.pageRank(iters = 0, graphScope = Some("wg"))
+      }
     } finally srv.stop()
   }
 
