@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks as built-ins: backward AS-OF
+  * join and a bucketized time-RANGE join (beyond-reference: the
+  * reference's temporal surface is NOW/INTERVAL filters only,
+  * velesql/ast.rs — nothing joins two event streams by time; these are
+  * the batch complements of the streaming interval join,
+  * [[graft.streaming.StreamingOps.intervalJoin]]).
+  *
+  * Both avoid the plan Spark would otherwise pick for a pure
+  * inequality join — BroadcastNestedLoopJoin, O(|L|·|R|) and
+  * cluster-fatal at 100 TB — by reformulating as EQUI-joins:
+  *
+  *  - as-of: the classic union-tag trick (pandas merge_asof / KDB aj /
+  *    Flink temporal join shape): union both sides, ONE shuffle on the
+  *    match key, one in-partition ordered window pass carries the
+  *    latest right payload forward into each left row. No range
+  *    predicate ever reaches a join.
+  *  - range: bucket timestamps by the window width Δ; a right row in
+  *    (l.ts, l.ts+Δ] can only sit in the left row's bucket or the next
+  *    one, so probing buckets {b, b+1} (2× duplication of the LEFT
+  *    side only) turns the range predicate into an equi-join key +
+  *    residual filter — the Databricks/Photon range-join-hint shape.
+  *    Shuffle key = bucket: at scale the per-bucket row count is the
+  *    event rate × Δ, independent of total history length; AQE splits
+  *    a hot bucket (burst traffic) like any other skewed key.
+  */
+object TemporalJoins {
+
+  /** Backward as-of join: for each left row, the single most recent
+    * right row with `right.tsCol <= left.tsCol`, matched per `keyCols`.
+    * Right payload columns arrive null when no prior right row exists
+    * (left-outer semantics) or when it is older than `toleranceUs`.
+    *
+    * Ties: a right row AT the left row's timestamp matches (<=, the
+    * DuckDB/pandas ASOF convention). Right rows must be unique per
+    * (key, ts) — pre-aggregate duplicates or the carried payload is
+    * nondeterministic (documented, not checked: the check would cost a
+    * full groupBy).
+    *
+    * One shuffle (key), one window sort — no join node at all. */
+  def asofBackward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      tsCol: String, payloadCols: Seq[String],
+      toleranceUs: Long = Long.MaxValue): DataFrame = {
+    require(keyCols.nonEmpty, "as-of needs at least one match key")
+    require(toleranceUs > 0, "tolerance must be positive")
+    val leftCols = left.columns.toSeq
+    // tag = 0 sorts BEFORE tag = 1 at an equal timestamp, so the window
+    // running-last sees the right row first and the left row at the same
+    // ts picks it up (the <= tie rule falls out of the sort order)
+    val rTagged = right.select(
+      keyCols.map(col) ++ Seq(col(tsCol), lit(0).as("__tag")) ++
+        payloadCols.map(c => col(c).as(s"__r_$c")) ++
+        Seq(col(tsCol).as("__r_ts")): _*)
+    val lTagged = left.select(
+      keyCols.map(col) ++ Seq(col(tsCol), lit(1).as("__tag")) ++
+        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) ++
+        Seq(lit(null).cast(right.schema(tsCol).dataType).as("__r_ts")) ++
+        leftCols.filterNot(keyCols.contains).filterNot(_ == tsCol)
+          .map(c => col(c).as(s"__l_$c")): _*)
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned.select(
+      (keyCols.map(col) :+ col(tsCol) :+ col("__tag")) ++
+        lTagged.columns.filter(_.startsWith("__l_")).map(col) ++
+        (payloadCols.map(c =>
+          last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"__m_$c")) :+
+          last(col("__r_ts"), ignoreNulls = true).over(w).as("__m_ts")): _*)
+    val inTol = col("__m_ts").isNotNull &&
+      (unix_micros(col(tsCol)) - unix_micros(col("__m_ts")) <= toleranceUs)
+    carried.where(col("__tag") === 1).select(
+      keyCols.map(col) ++ Seq(col(tsCol)) ++
+        leftCols.filterNot(keyCols.contains).filterNot(_ == tsCol)
+          .map(c => col(s"__l_$c").as(c)) ++
+        payloadCols.map(c =>
+          when(inTol, col(s"__m_$c")).as(s"asof_$c")) ++
+        Seq(when(inTol, col("__m_ts")).as("asof_ts")): _*)
+  }
+
+  /** Range join: all (left, right) pairs with
+    * `0 < right.tsCol − left.tsCol <= deltaUs` and equal `keyCols`
+    * (keyCols may be empty — the pure time-range case). Returns the
+    * pair frame: every left column plus each `rightCols` renamed
+    * `r_<name>`.
+    *
+    * The left side probes buckets {b, b+1} (2× row duplication); the
+    * bucket becomes part of the equi-join key, the exact range
+    * predicate stays as a cheap residual filter. */
+  def rangeJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      tsCol: String, deltaUs: Long, rightCols: Seq[String]): DataFrame = {
+    require(deltaUs > 0, "delta must be positive")
+    val bL = floor(unix_micros(col(tsCol)) / deltaUs)
+    val probe = left.withColumn("__b", explode(array(bL, bL + 1)))
+    val build = right.select(
+      keyCols.map(col) ++ Seq(col(tsCol).as("__r_ts"),
+        floor(unix_micros(col(tsCol)) / deltaUs).as("__b")) ++
+        rightCols.filterNot(keyCols.contains).filterNot(_ == tsCol)
+          .map(c => col(c).as(s"r_$c")): _*)
+    val gap = unix_micros(col("__r_ts")) - unix_micros(col(tsCol))
+    probe.join(build, keyCols :+ "__b")
+      .where(gap > 0 && gap <= deltaUs)
+      .drop("__b")
+      .withColumnRenamed("__r_ts", s"r_$tsCol")
+  }
+}

@@ -535,6 +535,66 @@ object RelationalQueries {
         .select((get_json_object(col("props"), "$.k").cast("bigint") % 10).as("k_mod"))
         .groupBy(col("k_mod"))
         .agg(count(lit(1)).as("cnt"))
+    },
+
+    // ---- AS-OF join (beyond-reference; operators/TemporalJoins.scala):
+    // each purchase picks up the latest prior click of the same user.
+    // The operator is the union-tag + window shape — ONE shuffle on
+    // user_id, no join node, no range predicate (a naive formulation
+    // BNLJs). The oracle is the correlated-subquery definition of the
+    // same semantics; clicks pre-dedupe per (user, ts) so the carried
+    // payload is deterministic on both engines.
+    QueryDef(
+      "q155_asof_join",
+      """WITH c AS (SELECT user_id, ts, min(event_id) AS click_id FROM events
+        |           WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT p.event_id, p.user_id, p.ts,
+        |        (SELECT max(c.ts) FROM c WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS ats
+        |      FROM p)
+        |SELECT m.event_id, m.user_id,
+        |  epoch_us(m.ts) - epoch_us(m.ats) AS gap_us,
+        |  c.click_id
+        |FROM m LEFT JOIN c ON c.user_id = m.user_id AND c.ts = m.ats
+        |ORDER BY m.event_id""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(min(col("event_id")).as("click_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.TemporalJoins
+        .asofBackward(purchases, clicks, Seq("user_id"), "ts", Seq("click_id"))
+        .select(col("event_id"), col("user_id"),
+          (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("gap_us"),
+          col("asof_click_id").as("click_id"))
+        .orderBy("event_id")
+    },
+
+    // ---- Time-RANGE join, keyless (beyond-reference;
+    // operators/TemporalJoins.scala): every error within 60 s after any
+    // purchase, across ALL users — the pure-inequality-join case where
+    // Spark's native plan is a BroadcastNestedLoopJoin (O(|L|·|R|),
+    // cluster-fatal). The bucketized operator turns it into an
+    // equi-join on floor(ts/Δ) with a residual filter; the oracle
+    // states the same predicate directly (DuckDB IEJoins it).
+    QueryDef(
+      "q156_range_join",
+      """SELECT p.event_id AS purchase_id, e.event_id AS error_id,
+        |  epoch_us(e.ts) - epoch_us(p.ts) AS gap_us
+        |FROM events p JOIN events e
+        |  ON p.event_type = 'purchase' AND e.event_type = 'error'
+        | AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 60 SECOND
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val errs = ev.where(col("event_type") === "error")
+        .select(col("event_id"), col("ts"))
+      val purch = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts"))
+      graft.operators.TemporalJoins
+        .rangeJoin(purch, errs, Nil, "ts", 60L * 1000000L, Seq("event_id"))
+        .select(col("purchase_id"), col("r_event_id").as("error_id"),
+          (unix_micros(col("r_ts")) - unix_micros(col("ts"))).as("gap_us"))
+        .orderBy("purchase_id", "error_id")
     }
   )
 }
