@@ -3,7 +3,7 @@ package graft.queries
 import graft.{Graft, QueryDef}
 import graft.operators.MultiModal
 import graft.streaming.StreamingOps
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** CORRECTNESS pins for the surfaces that were previously spec-only —
@@ -20,6 +20,21 @@ import org.apache.spark.sql.functions._
   *    regression flips the row and turns the round red.
   */
 object PipelineQueries {
+
+  /** Run a streaming pin's start→await→stop with shuffle partitions
+    * sized for its STATE: every micro-batch instantiates one state
+    * store per shuffle partition (×2 sides for a stream-stream join),
+    * and the count is frozen at query start. The session's 32 local
+    * partitions are pure store overhead at pin volume — a deployment
+    * sizes this to the keyspace, which is the knob this models.
+    * Restored after the stream terminates (not after start(): the
+    * stream clones the session conf on its own thread during batch-0
+    * planning). */
+  private def withStreamParts[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -373,14 +388,16 @@ object PipelineQueries {
       val agg = StreamingOps.windowedAgg(
         StreamingOps.eventsStream(s, d), "6 hours", "6 hours", "1 hour")
       val qn = s"q127_sink_${System.nanoTime()}"
-      val q = agg.writeStream.format("memory").queryName(qn)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      // awaitTermination returns FALSE on timeout (no exception) — a
-      // silent false would read a partial sink and misreport a
-      // sessionization/windowing bug instead of the timeout
-      try require(q.awaitTermination(300000), s"$qn timed out after 300 s")
-      finally q.stop()
+      withStreamParts(s, 8) {
+        val q = agg.writeStream.format("memory").queryName(qn)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        // awaitTermination returns FALSE on timeout (no exception) — a
+        // silent false would read a partial sink and misreport a
+        // sessionization/windowing bug instead of the timeout
+        try require(q.awaitTermination(300000), s"$qn timed out after 300 s")
+        finally q.stop()
+      }
       // materialize off the sink, then DROP its temp view — a run per
       // bench rep would otherwise accumulate memory-sink tables in the
       // long-lived shared session
@@ -415,12 +432,14 @@ object PipelineQueries {
       val agg = StreamingOps.sessionAgg(
         StreamingOps.eventsStream(s, d), "30 minutes", "1 hour")
       val qn = s"q131_sink_${System.nanoTime()}"
-      val q = agg.writeStream.format("memory").queryName(qn)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      // see q127: FALSE from awaitTermination means timeout, fail loudly
-      try require(q.awaitTermination(300000), s"$qn timed out after 300 s")
-      finally q.stop()
+      withStreamParts(s, 8) {
+        val q = agg.writeStream.format("memory").queryName(qn)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        // see q127: FALSE from awaitTermination means timeout, fail loudly
+        try require(q.awaitTermination(300000), s"$qn timed out after 300 s")
+        finally q.stop()
+      }
       val out = s.table(qn)
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("n_events"), round(col("session_value"), 4).as("session_value"))
@@ -446,12 +465,14 @@ object PipelineQueries {
         |ORDER BY click_id, purchase_id""".stripMargin) { (s, d) =>
       val joined = StreamingOps.intervalJoin(StreamingOps.eventsStream(s, d))
       val qn = s"q147_sink_${System.nanoTime()}"
-      val q = joined.writeStream.format("memory").queryName(qn)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      // see q127: FALSE from awaitTermination means timeout, fail loudly
-      try require(q.awaitTermination(300000), s"$qn timed out after 300 s")
-      finally q.stop()
+      withStreamParts(s, 8) {
+        val q = joined.writeStream.format("memory").queryName(qn)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        // see q127: FALSE from awaitTermination means timeout, fail loudly
+        try require(q.awaitTermination(300000), s"$qn timed out after 300 s")
+        finally q.stop()
+      }
       val out = s.table(qn)
         .select(col("click_id"), col("purchase_id"), col("user_id"),
           round(col("purchase_value"), 4).as("purchase_value"))
