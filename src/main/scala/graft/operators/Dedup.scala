@@ -213,6 +213,53 @@ object Dedup {
           s"transform(sequence(0, size(tks) - $n), i -> $gram)"))).as("g"))
   }
 
+  /** CCNet-style sub-document span dedup: split each doc into
+    * consecutive `chunkWords`-word chunks ("paragraphs" for a corpus
+    * without newline structure), keep only each chunk's FIRST corpus
+    * occurrence (ordered by doc id, then position), and reassemble the
+    * surviving text. Boilerplate that repeats across crawled pages
+    * (headers, footers, license blocks) disappears from every copy but
+    * the first, which doc-level dedup (q66-q70) cannot do.
+    *
+    * Scale shape: one shuffle keyed by the chunk for the
+    * first-occurrence window, one partial+final agg per doc for the
+    * reassembly — no pairwise term at all. The window partitions here
+    * by the chunk STRING so the decision is exact and oracle-checkable;
+    * at 100 TB key it by `xxhash64(chunk)` instead (CCNet itself dedups
+    * on hashes) to shuffle 8-byte keys rather than text.
+    *
+    * Reference frames doc-level dedup only (`collection/mod.rs` upsert
+    * merge-by-id); span-level dedup is beyond-reference, per the
+    * training-data-pipeline brief. */
+  def chunkDedup(docs: DataFrame, chunkWords: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol).as("doc_id"),
+      expr(s"filter(split(lower($textCol), '[^a-z0-9]+'), t -> length(t) > 0)").as("w"))
+    // slice() is 1-based and clamps, so the tail chunk is just shorter;
+    // size(w)=0 guards sequence()'s descending-range behavior.
+    val ch = tok.select(col("doc_id"),
+        posexplode(expr(
+          s"""CASE WHEN size(w) = 0 THEN array()
+             |ELSE transform(sequence(0, cast(ceil(size(w) / $chunkWords.0) as int) - 1),
+             |               i -> concat_ws(' ', slice(w, i * $chunkWords + 1, $chunkWords)))
+             |END""".stripMargin)))
+      .toDF("doc_id", "cidx", "chunk")
+    val firstWin = Window.partitionBy("chunk").orderBy(col("doc_id"), col("cidx"))
+    val kept = ch.withColumn("rn", row_number().over(firstWin)).where(col("rn") === 1)
+    val counts = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    // array_sort on (cidx, chunk) structs orders by cidx (unique per doc)
+    val agg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ",
+        expr("transform(array_sort(collect_list(struct(cidx, chunk))), x -> x.chunk)"))
+        .as("cleaned"))
+    counts.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id").as(idCol), col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** LSH-blocked embedding near-dup: `tables` independent
     * random-hyperplane signatures of `nPlanes` bits each; candidate
     * pairs form ONLY inside a (table, bucket) group, then exact cosine ≥

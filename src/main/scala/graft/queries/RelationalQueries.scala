@@ -447,6 +447,33 @@ object RelationalQueries {
         .cast("int").as("approx_ok"))
     },
 
+    // ---- approx quantiles (companion to q151's HLL row): Spark's
+    // percentile_approx is a KLL/GK-style mergeable sketch — at 100 TB
+    // the exact percentile's per-group full sort is the bottleneck, the
+    // sketch is one partial+final agg with bounded memory. Accuracy pin
+    // uses the sketch's own contract (rank error ≤ 1/accuracy): each
+    // approx p-quantile must land between the EXACT (p−ε) and (p+ε)
+    // quantiles with ε = 2/accuracy slack, per l_returnflag group, for
+    // p ∈ {0.5, 0.9, 0.99}. Constant-1 row (both engines' approx
+    // sketches differ, so the assertion — not the estimate — is pinned).
+    QueryDef("q159_approx_quantiles", "SELECT CAST(1 AS INT) AS quantile_ok") { (s, d) =>
+      val eps = 2.0 / 1000 // accuracy = 1000
+      val ps = Seq(0.5, 0.9, 0.99)
+      val exPs = ps.flatMap(p => Seq(p - eps, p, p + eps))
+      val both = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr(s"percentile(l_extendedprice, array(${exPs.mkString(",")}))").as("ex"),
+          expr(s"percentile_approx(l_extendedprice, array(${ps.mkString(",")}), 1000)")
+            .as("ap"))
+        .withColumn("ok", expr(
+          """forall(sequence(0, 2), i ->
+            |  element_at(ap, i + 1) >= element_at(ex, 3 * i + 1) AND
+            |  element_at(ap, i + 1) <= element_at(ex, 3 * i + 3))""".stripMargin))
+      both.agg((count(lit(1)) === count(when(col("ok"), 1)))
+        .cast("int").as("quantile_ok"))
+    },
+
     // ---- CASE WHEN expression + aggregation over the derived column
     QueryDef(
       "q30_case_when",

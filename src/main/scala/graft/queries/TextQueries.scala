@@ -899,6 +899,81 @@ object TextQueries {
           r6(col("i") * lit(1.0) / (col("ca.n") + col("cb.n") - col("i")))
             .as("jaccard"))
         .orderBy("src_a", "src_b")
+    },
+
+    // ---- Cleaning: PII redaction (the privacy pass of a pre-training
+    // pipeline): a staged regexp_replace chain — emails → <EMAIL>,
+    // phone-shaped runs → <PHONE>, then any leftover digit run →
+    // <NUM> — over the events props payload (the corpus's only column
+    // with digit/identifier shapes; stage order matters because each
+    // stage must not see text a broader earlier stage already masked).
+    // n_redacted counts matches per stage via regexp_extract_all (this
+    // DuckDB build has no regexp_count). Scale shape: map-only — regex
+    // stages fuse into one whole-stage-codegen projection, no shuffle,
+    // no UDF. Beyond-reference, per the training-data-pipeline brief.
+    QueryDef(
+      "q157_pii_redaction",
+      """SELECT event_id,
+        |  regexp_replace(s2, '[0-9]+', '<NUM>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |     + len(regexp_extract_all(s1, '\+?[0-9][0-9() .-]{6,}[0-9]'))
+        |     + len(regexp_extract_all(s2, '[0-9]+')) AS BIGINT) AS n_redacted
+        |FROM (
+        |  SELECT event_id, props, s1,
+        |    regexp_replace(s1, '\+?[0-9][0-9() .-]{6,}[0-9]', '<PHONE>', 'g') AS s2
+        |  FROM (
+        |    SELECT event_id, props,
+        |      regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |                     '<EMAIL>', 'g') AS s1
+        |    FROM events))
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+      val phone = """\+?[0-9][0-9() .-]{6,}[0-9]"""
+      val num = "[0-9]+"
+      t(s, d, "events")
+        .select(col("event_id"), col("props"),
+          regexp_replace(col("props"), email, "<EMAIL>").as("s1"))
+        .select(col("event_id"), col("props"), col("s1"),
+          regexp_replace(col("s1"), phone, "<PHONE>").as("s2"))
+        .select(col("event_id"),
+          regexp_replace(col("s2"), num, "<NUM>").as("redacted"),
+          (size(expr(s"regexp_extract_all(props, '${email.replace("\\", "\\\\")}', 0)"))
+            + size(expr(s"regexp_extract_all(s1, '${phone.replace("\\", "\\\\")}', 0)"))
+            + size(expr(s"regexp_extract_all(s2, '$num', 0)")))
+            .cast(LongType).as("n_redacted"))
+        .orderBy("event_id")
+    },
+
+    // ---- Sub-document span dedup (the CCNet paragraph-dedup shape;
+    // operator: Dedup.chunkDedup): 10-word chunks, first corpus
+    // occurrence wins, survivors reassemble in position order. At
+    // sf0.01, 151 of 2949 chunks are corpus-duplicated, so the pin
+    // exercises real drops. See the operator scaladoc for the
+    // hash-keyed 100 TB variant.
+    QueryDef(
+      "q158_chunk_dedup",
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> len(t) > 0) AS w
+        |  FROM documents),
+        |ch AS (SELECT doc_id, i AS cidx,
+        |         array_to_string(w[(i*10+1):(i*10+10)], ' ') AS chunk
+        |       FROM tok, unnest(range(0, CAST(ceil(len(w)/10.0) AS BIGINT))) AS u(i)),
+        |kept AS (SELECT doc_id, cidx, chunk FROM (
+        |    SELECT doc_id, cidx, chunk,
+        |      row_number() OVER (PARTITION BY chunk ORDER BY doc_id, cidx) AS rn
+        |    FROM ch) WHERE rn = 1),
+        |cnt AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY 1),
+        |ka AS (SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(chunk, ' ' ORDER BY cidx) AS cleaned
+        |       FROM kept GROUP BY 1)
+        |SELECT cnt.doc_id, cnt.n_chunks,
+        |  cnt.n_chunks - coalesce(ka.n_kept, 0) AS n_dropped,
+        |  coalesce(ka.cleaned, '') AS cleaned
+        |FROM cnt LEFT JOIN ka ON cnt.doc_id = ka.doc_id
+        |ORDER BY cnt.doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Dedup.chunkDedup(t(s, d, "documents"), chunkWords = 10)
+        .orderBy("doc_id")
     }
   )
 
