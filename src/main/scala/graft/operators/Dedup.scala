@@ -234,6 +234,7 @@ object Dedup {
   def chunkDedup(docs: DataFrame, chunkWords: Int = 10,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(chunkWords > 0, "chunkWords must be positive")
     val tok = docs.select(col(idCol).as("doc_id"),
       expr(s"filter(split(lower($textCol), '[^a-z0-9]+'), t -> length(t) > 0)").as("w"))
     // slice() is 1-based and clamps, so the tail chunk is just shorter;
@@ -246,17 +247,25 @@ object Dedup {
              |END""".stripMargin)))
       .toDF("doc_id", "cidx", "chunk")
     val firstWin = Window.partitionBy("chunk").orderBy(col("doc_id"), col("cidx"))
-    val kept = ch.withColumn("rn", row_number().over(firstWin)).where(col("rn") === 1)
-    val counts = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
-    // array_sort on (cidx, chunk) structs orders by cidx (unique per doc)
-    val agg = kept.groupBy("doc_id").agg(
-      count(lit(1)).as("n_kept"),
-      concat_ws(" ",
-        expr("transform(array_sort(collect_list(struct(cidx, chunk))), x -> x.chunk)"))
-        .as("cleaned"))
-    counts.join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id").as(idCol), col("n_chunks"),
-        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+    // one pass over the exploded chunks: count + survivor reassembly in
+    // the same doc_id agg (array_sort on (cidx, …) structs orders by
+    // cidx, unique per doc); no second chunk derivation, no self-join
+    val agg = ch.withColumn("rn", row_number().over(firstWin))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_chunks"),
+        count(when(col("rn") === 1, 1)).as("n_kept"),
+        concat_ws(" ", expr(
+          """transform(filter(array_sort(collect_list(struct(cidx, rn, chunk))),
+            |          x -> x.rn = 1), x -> x.chunk)""".stripMargin))
+          .as("cleaned"))
+    // token-less docs emit no chunks at all — restore them from the doc
+    // universe as (0, 0, "") instead of silently vanishing from the
+    // cleaned corpus
+    docs.select(col(idCol).as("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id").as(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        (coalesce(col("n_chunks"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"),
         coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 

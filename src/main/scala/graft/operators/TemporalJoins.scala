@@ -42,24 +42,37 @@ object TemporalJoins {
     * nondeterministic (documented, not checked: the check would cost a
     * full groupBy).
     *
+    * The matched right row is carried as ONE struct (never per-column),
+    * so a right row whose payload VALUE is null still matches as a row
+    * — its null payload arrives as null instead of an older row's value
+    * leaking through — and multi-payload results can never mix columns
+    * from different right rows. `tsCol` must not be listed in
+    * `payloadCols`; the matched timestamp is always returned as
+    * `asof_ts`.
+    *
     * One shuffle (key), one window sort — no join node at all. */
   def asofBackward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       tsCol: String, payloadCols: Seq[String],
       toleranceUs: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     require(keyCols.nonEmpty, "as-of needs at least one match key")
     require(toleranceUs > 0, "tolerance must be positive")
+    require(!payloadCols.contains(tsCol),
+      s"payloadCols must not contain tsCol '$tsCol' — the matched timestamp is returned as asof_ts")
     val leftCols = left.columns.toSeq
+    val rStructType = StructType(
+      StructField("__ts", right.schema(tsCol).dataType) +:
+        payloadCols.map(c => StructField(c, right.schema(c).dataType)))
     // tag = 0 sorts BEFORE tag = 1 at an equal timestamp, so the window
     // running-last sees the right row first and the left row at the same
     // ts picks it up (the <= tie rule falls out of the sort order)
     val rTagged = right.select(
-      keyCols.map(col) ++ Seq(col(tsCol), lit(0).as("__tag")) ++
-        payloadCols.map(c => col(c).as(s"__r_$c")) ++
-        Seq(col(tsCol).as("__r_ts")): _*)
+      keyCols.map(col) ++ Seq(col(tsCol), lit(0).as("__tag"),
+        struct(col(tsCol).as("__ts") +: payloadCols.map(c => col(c).as(c)): _*)
+          .as("__r")): _*)
     val lTagged = left.select(
-      keyCols.map(col) ++ Seq(col(tsCol), lit(1).as("__tag")) ++
-        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) ++
-        Seq(lit(null).cast(right.schema(tsCol).dataType).as("__r_ts")) ++
+      keyCols.map(col) ++ Seq(col(tsCol), lit(1).as("__tag"),
+        lit(null).cast(rStructType).as("__r")) ++
         leftCols.filterNot(keyCols.contains).filterNot(_ == tsCol)
           .map(c => col(c).as(s"__l_$c")): _*)
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
@@ -68,19 +81,17 @@ object TemporalJoins {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.select(
       (keyCols.map(col) :+ col(tsCol) :+ col("__tag")) ++
-        lTagged.columns.filter(_.startsWith("__l_")).map(col) ++
-        (payloadCols.map(c =>
-          last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"__m_$c")) :+
-          last(col("__r_ts"), ignoreNulls = true).over(w).as("__m_ts")): _*)
-    val inTol = col("__m_ts").isNotNull &&
-      (unix_micros(col(tsCol)) - unix_micros(col("__m_ts")) <= toleranceUs)
+        lTagged.columns.filter(_.startsWith("__l_")).map(col) :+
+        last(col("__r"), ignoreNulls = true).over(w).as("__m"): _*)
+    val inTol = col("__m").isNotNull &&
+      (unix_micros(col(tsCol)) - unix_micros(col("__m.__ts")) <= toleranceUs)
     carried.where(col("__tag") === 1).select(
       keyCols.map(col) ++ Seq(col(tsCol)) ++
         leftCols.filterNot(keyCols.contains).filterNot(_ == tsCol)
           .map(c => col(s"__l_$c").as(c)) ++
         payloadCols.map(c =>
-          when(inTol, col(s"__m_$c")).as(s"asof_$c")) ++
-        Seq(when(inTol, col("__m_ts")).as("asof_ts")): _*)
+          when(inTol, col(s"__m.$c")).as(s"asof_$c")) ++
+        Seq(when(inTol, col("__m.__ts")).as("asof_ts")): _*)
   }
 
   /** Range join: all (left, right) pairs with

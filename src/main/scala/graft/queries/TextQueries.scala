@@ -967,11 +967,12 @@ object TextQueries {
         |ka AS (SELECT doc_id, count(*) AS n_kept,
         |         string_agg(chunk, ' ' ORDER BY cidx) AS cleaned
         |       FROM kept GROUP BY 1)
-        |SELECT cnt.doc_id, cnt.n_chunks,
-        |  cnt.n_chunks - coalesce(ka.n_kept, 0) AS n_dropped,
+        |SELECT d.doc_id, coalesce(cnt.n_chunks, 0) AS n_chunks,
+        |  coalesce(cnt.n_chunks, 0) - coalesce(ka.n_kept, 0) AS n_dropped,
         |  coalesce(ka.cleaned, '') AS cleaned
-        |FROM cnt LEFT JOIN ka ON cnt.doc_id = ka.doc_id
-        |ORDER BY cnt.doc_id""".stripMargin) { (s, d) =>
+        |FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+        |  LEFT JOIN ka ON d.doc_id = ka.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
       graft.operators.Dedup.chunkDedup(t(s, d, "documents"), chunkWords = 10)
         .orderBy("doc_id")
     }

@@ -224,15 +224,20 @@ class R5FeaturesSpec extends SparkSpecBase {
       (1L, "a b c d e f"), // both chunks unique
       (2L, "a b c x y z"), // "a b c" already seen in doc 1 → dropped
       (3L, "x y z"), // whole doc is doc 2's surviving chunk → emptied
-      (4L, "p q r p q r")) // within-doc repeat → second copy dropped
+      (4L, "p q r p q r"), // within-doc repeat → second copy dropped
+      (5L, "!!! ???")) // token-less doc survives as (0, 0, "")
       .toDF("doc_id", "text")
     val got = graft.operators.Dedup.chunkDedup(docs, chunkWords = 3)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
       .toMap
+    assert(got.size == 5)
     assert(got(1L) == ((2L, 0L, "a b c d e f")))
     assert(got(2L) == ((2L, 1L, "x y z")))
     assert(got(3L) == ((1L, 1L, "")))
     assert(got(4L) == ((2L, 1L, "p q r")))
+    assert(got(5L) == ((0L, 0L, "")))
+    intercept[IllegalArgumentException](
+      graft.operators.Dedup.chunkDedup(docs, chunkWords = 0))
   }
 
   test("property: components equals union-find on random graphs") {

@@ -50,6 +50,26 @@ class TemporalJoinsSpec extends SparkSpecBase {
       102L -> None, 103L -> Some(20.0), 104L -> None))
   }
 
+  test("as-of: a matched right row with a NULL payload yields null, not a stale older value") {
+    // quote @ 2s has px = NULL; the 3s trade must match THAT row (null px,
+    // asof_ts = 2s) — not skip back to the 1s row's 10.0
+    val q = Seq((1L, tsOf(1000000L), Some(10.0)), (1L, tsOf(2000000L), None))
+      .toDF("uid", "ts", "px")
+    val t = Seq((1L, tsOf(3000000L), 100L)).toDF("uid", "ts", "tid")
+    val row = TemporalJoins.asofBackward(t, q, Seq("uid"), "ts", Seq("px"))
+      .select(col("asof_px"), unix_micros(col("asof_ts"))).collect().head
+    assert(row.isNullAt(0), s"stale payload leaked: $row")
+    assert(row.getLong(1) == 2000000L, s"wrong matched ts: $row")
+    // and the payload/ts pair stays atomic under tolerance: the null-px
+    // match at 2s is in tolerance, the 1s row must not re-enter
+    val tol = TemporalJoins.asofBackward(t, q, Seq("uid"), "ts", Seq("px"),
+        toleranceUs = 1500000L)
+      .select(col("asof_px"), unix_micros(col("asof_ts"))).collect().head
+    assert(tol.isNullAt(0) && tol.getLong(1) == 2000000L, s"tolerance tore the row: $tol")
+    intercept[IllegalArgumentException](
+      TemporalJoins.asofBackward(t, q, Seq("uid"), "ts", Seq("ts", "px")))
+  }
+
   test("as-of plan has no join node (union + window, one shuffle)") {
     val plan = TemporalJoins.asofBackward(trades, quotes, Seq("uid"), "ts", Seq("px"))
       .queryExecution.executedPlan.toString
