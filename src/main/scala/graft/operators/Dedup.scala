@@ -269,6 +269,36 @@ object Dedup {
         coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 
+  /** Incremental exact dedup — the shape production corpora actually
+    * run (CCNet/RefinedWeb style): a NEW batch deduplicates against the
+    * already-kept corpus without reprocessing it. Each batch row is
+    * marked `dup_corpus` (its key already exists in the corpus),
+    * `dup_batch` (a smaller-id batch row has the same key), and `keep`
+    * (neither). `key` is any deterministic Column evaluable on both
+    * frames (e.g. `md5(substring(col("text"), 1, 40))`, the q66 key).
+    *
+    * Scale shape: the corpus reduces to DISTINCT keys (one narrow agg —
+    * in steady state persist that hash table instead of re-deriving),
+    * then one left join keyed on the hash and one within-batch
+    * first-occurrence window. At 100 TB the corpus-hash table dominates:
+    * store it bucketed BY the hash so the per-batch join co-locates
+    * against it with no corpus-side reshuffle — the batch side is the
+    * only thing that moves. */
+  def incrementalExact(batch: DataFrame, corpus: DataFrame, key: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = batch.select(col(idCol).as("__id"), key.as("__h"))
+    val c = corpus.select(key.as("__h")).distinct()
+      .withColumn("__in_corpus", lit(true))
+    val w = Window.partitionBy("__h").orderBy("__id")
+    b.join(c, Seq("__h"), "left")
+      .withColumn("__rn", row_number().over(w))
+      .select(col("__id").as(idCol),
+        coalesce(col("__in_corpus"), lit(false)).as("dup_corpus"),
+        (col("__rn") > 1).as("dup_batch"),
+        (!coalesce(col("__in_corpus"), lit(false)) && col("__rn") === 1).as("keep"))
+  }
+
   /** LSH-blocked embedding near-dup: `tables` independent
     * random-hyperplane signatures of `nPlanes` bits each; candidate
     * pairs form ONLY inside a (table, bucket) group, then exact cosine ≥

@@ -223,19 +223,28 @@ object Graph {
     var dist = starts.select(col("start"), col("start").as("node"),
       lit(0.0).as("cost")).distinct()
     var prevCkpt: DataFrame = null
-    for (_ <- 1 to maxHops) {
+    // Fixed hop count ⇒ no per-round action is needed (unlike
+    // components' convergence test): rounds chain LAZILY and only every
+    // `ckptEvery`-th one eagerly truncates lineage. Relaxation joins
+    // grow the plan linearly (not exponentially like a BFS visited-set
+    // anti-join), so a few chained rounds cost the analyzer nothing and
+    // save a per-round job floor.
+    val ckptEvery = 5
+    for (i <- 1 to maxHops) {
       val eD = e.select(col("src").as("__s"), col("dst").as("__d"),
         col("weight").as("__w"))
       val relaxed = dist.join(eD, dist("node") === col("__s"))
         .select(dist("start"), col("__d").as("node"),
           (dist("cost") + col("__w")).as("cost"))
-      val updated = dist.unionAll(relaxed)
+      val updated0 = dist.unionAll(relaxed)
         .groupBy("start", "node").agg(min(col("cost")).as("cost"))
-        .localCheckpoint(true)
-      if (prevCkpt != null)
-        org.apache.spark.sql.graft.CheckpointBlocks.unpersist(prevCkpt)
-      prevCkpt = updated
-      dist = updated
+      if (i == maxHops || i % ckptEvery == 0) {
+        val updated = updated0.localCheckpoint(true)
+        if (prevCkpt != null)
+          org.apache.spark.sql.graft.CheckpointBlocks.unpersist(prevCkpt)
+        prevCkpt = updated
+        dist = updated
+      } else dist = updated0
     }
     // return a BARE checkpoint (LogicalRDD), not a Filter over one: the
     // caller (REST handler, bench loop) can then free the blocks
@@ -269,21 +278,30 @@ object Graph {
       .localCheckpoint(true)
     val outDeg = e.groupBy(col("src").as("dnode")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
-    var ranks = nodes.withColumn("rank", lit(1.0)).localCheckpoint(true)
-    var prevCkpt: DataFrame = ranks
-    for (_ <- 1 to iters) {
+    var ranks = nodes.withColumn("rank", lit(1.0))
+    var prevCkpt: DataFrame = null
+    // Fixed iteration count ⇒ supersteps chain LAZILY; only every
+    // `ckptEvery`-th (and the last) eagerly truncates lineage — the
+    // contribution join + sum grow the plan linearly, so a few chained
+    // supersteps are analyzer-cheap and each skipped checkpoint saves a
+    // full job floor (see shortestPaths for the same discipline).
+    val ckptEvery = 5
+    for (i <- 1 to iters) {
       val contrib = ranks
         .join(outDeg, ranks("node") === col("dnode"))
         .join(e, ranks("node") === col("src"))
         .groupBy(col("dst").as("cnode"))
         .agg(sum(col("rank") / col("deg")).as("c"))
-      val updated = nodes.join(contrib, nodes("node") === col("cnode"), "left")
+      val updated0 = nodes.join(contrib, nodes("node") === col("cnode"), "left")
         .select(nodes("node"),
           (lit(1 - damping) + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
-      org.apache.spark.sql.graft.CheckpointBlocks.unpersist(prevCkpt)
-      prevCkpt = updated
-      ranks = updated
+      if (i == iters || i % ckptEvery == 0) {
+        val updated = updated0.localCheckpoint(true)
+        if (prevCkpt != null)
+          org.apache.spark.sql.graft.CheckpointBlocks.unpersist(prevCkpt)
+        prevCkpt = updated
+        ranks = updated
+      } else ranks = updated0
     }
     // the invariants' blocks are dead once the loop ends; the returned
     // ranks is a BARE checkpoint the caller can free the same way

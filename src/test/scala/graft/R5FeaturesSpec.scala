@@ -240,6 +240,25 @@ class R5FeaturesSpec extends SparkSpecBase {
       graft.operators.Dedup.chunkDedup(docs, chunkWords = 0))
   }
 
+  test("Dedup.incrementalExact: corpus dups, in-batch dups, and keeps") {
+    import spark.implicits._
+    val corpus = Seq((100L, "alpha"), (101L, "beta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "alpha"), // already in corpus → dup_corpus
+      (2L, "gamma"), // fresh, first → keep
+      (3L, "gamma"), // repeat within batch → dup_batch
+      (4L, "alpha")) // dup of corpus AND of batch row 1
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.incrementalExact(batch, corpus, md5(col("text")))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))))
+      .toMap
+    assert(got(1L) == ((true, false, false)))
+    assert(got(2L) == ((false, false, true)))
+    assert(got(3L) == ((false, true, false)))
+    assert(got(4L) == ((true, true, false)))
+  }
+
   test("property: components equals union-find on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
