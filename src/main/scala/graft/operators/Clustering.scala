@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Embedding-space clustering for the semantic tier of a training-data
+  * pipeline: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) and
+  * prototype-distance data pruning (Sorscher et al. 2022,
+  * arXiv:2206.14486) both cluster first and then work INSIDE clusters,
+  * so the quadratic pair term is bounded by Σ|cluster|², never corpus².
+  *
+  * Reference scope: velesdb ships vector search, not clustering — this
+  * module is the beyond-reference pipeline tier the build brief names
+  * (embedding near-dup at 100 TB needs a partitioner; k-means IS that
+  * partitioner).
+  *
+  * Engine-portability discipline (what makes the q161-q163 oracle pins
+  * hash-exact vs DuckDB): seeds are the k smallest-id vectors taken
+  * verbatim (float→double is exact), every centroid update rounds each
+  * coordinate with floor(x·1e6 + 0.5)/1e6 — the same IEEE double ops in
+  * any engine — and assignment minimizes the ROUNDED distance key
+  * floor(L2·1e6 + 0.5) with the centroid id as tie-break. Rounding at
+  * both places means a cross-engine difference in the last bits of a
+  * float sum cannot flip a label unless the true value sits within
+  * ~1e-12 of a 0.5e-6 grid boundary.
+  */
+object Clustering {
+
+  /** floor(x·1e6 + 0.5)/1e6 — the repo's cross-engine 6-dp rounding
+    * (same IEEE ops in Spark, Scala and DuckDB; see TextQueries.r6). */
+  private def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** Centroids as (cid, coordinates); cids survive empty-cluster death
+    * (standard Lloyd's degeneracy — the id keeps its value, the slot is
+    * not renumbered, mirroring what a grouped update naturally yields). */
+  type Centroids = Seq[(Int, IndexedSeq[Double])]
+
+  /** Deterministic seeds: the k smallest-`idCol` vectors, cid = rank. */
+  private def seed(df: DataFrame, vecCol: String, idCol: String,
+      k: Int): Centroids =
+    df.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol).cast(ArrayType(DoubleType))).collect()
+      .zipWithIndex
+      .map { case (r, j) => (j, r.getSeq[Double](0).toIndexedSeq) }
+      .toSeq
+
+  /** The per-row argmin struct: (rounded L2 sort key, cid). Map-only —
+    * centroids ride into the plan as broadcast literals; the in-order
+    * zip_with/aggregate fold reproduces the same left-associated double
+    * sum as any engine's loop, and sqrt is IEEE-exact. */
+  private def nearestStruct(vecCol: String, centroids: Centroids): Column = {
+    val v = col(vecCol).cast(ArrayType(DoubleType))
+    val cands = centroids.map { case (cid, c) =>
+      val diff = zip_with(v, typedlit(c), (x, y) => x - y)
+      val d2 = aggregate(diff, lit(0.0), (acc, dd) => acc + dd * dd)
+      struct(floor(sqrt(d2) * lit(1000000L) + lit(0.5)).as("rd"),
+        lit(cid).as("cid"))
+    }
+    array_min(array(cands: _*))
+  }
+
+  /** Lloyd's iterations: `iters - 1` assign→update rounds, returning
+    * the final centroids (the ones the `iters`-th assignment uses).
+    *
+    * Scale shape (the MLlib KMeans layout): driver state is k×dim
+    * centroid doubles — the only data that ever leaves the executors —
+    * assignment is a map-only pass against broadcast-literal centroids,
+    * and each update is ONE partially-aggregated shuffle whose reduce
+    * side is k×dim cells regardless of corpus size. */
+  private def fit(df: DataFrame, vecCol: String, idCol: String, k: Int,
+      iters: Int): Centroids = {
+    require(k >= 1 && iters >= 1, "k-means needs k >= 1 and iters >= 1")
+    var centroids = seed(df, vecCol, idCol, k)
+    for (_ <- 1 until iters) {
+      val upd = df
+        .withColumn("cid", nearestStruct(vecCol, centroids).getField("cid"))
+        .select(col("cid"),
+          posexplode(col(vecCol).cast(ArrayType(DoubleType))).as(Seq("p", "v")))
+        .groupBy("cid", "p").agg(avg(col("v")).as("m"))
+        .collect()
+      centroids = upd.groupBy(_.getInt(0)).toSeq.map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(r => r6d(r.getDouble(2))).toIndexedSeq)
+      }.sortBy(_._1)
+    }
+    centroids
+  }
+
+  /** Fixed-iteration deterministic k-means: returns `(idCol, cid)` for
+    * every row. See the object scaladoc for the portability contract
+    * and [[fit]] for the 100 TB shape. */
+  def kmeans(df: DataFrame, vecCol: String, idCol: String, k: Int,
+      iters: Int): DataFrame = {
+    val centroids = fit(df, vecCol, idCol, k, iters)
+    df.withColumn("cid", nearestStruct(vecCol, centroids).getField("cid"))
+      .select(col(idCol), col("cid"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023): k-means partition, then inside each
+    * cluster drop every row whose cosine similarity to a smaller-id row
+    * of the same cluster reaches `threshold` (the kept row is the
+    * smallest id of its semantic group — deterministic, no RNG).
+    * Returns `(idCol, cid, keep)` for every input row.
+    *
+    * Scale: the pairwise term is Σ|cluster|² — k is the knob that
+    * trades cluster size against centroid count; at 100 TB raise k so
+    * clusters stay join-able (the paper runs k in the tens of
+    * thousands) and the cid shuffle partitions the whole job. */
+  def semDedup(df: DataFrame, vecCol: String, idCol: String, k: Int,
+      iters: Int, threshold: Double): DataFrame = {
+    val centroids = fit(df, vecCol, idCol, k, iters)
+    val asg = df
+      .withColumn("cid", nearestStruct(vecCol, centroids).getField("cid"))
+      .select(col(idCol), col("cid"), col(vecCol))
+    val a = asg.select(col(idCol).as("a"), col("cid"), col(vecCol).as("va"))
+    val b = asg.select(col(idCol).as("b"), col("cid"), col(vecCol).as("vb"))
+    val dup = a.join(b, Seq("cid")).where(col("a") < col("b"))
+      .where(graft.functions.VectorFunctions
+        .cosine_sim(col("va"), col("vb")) >= threshold)
+      .select(col("b").as(idCol)).distinct()
+      .withColumn("__dup", lit(true))
+    asg.join(dup, Seq(idCol), "left")
+      .select(col(idCol), col("cid"),
+        coalesce(col("__dup"), lit(false)).unary_!.as("keep"))
+  }
+
+  /** Prototype-distance pruning (Sorscher et al. 2022): rank each row
+    * inside its cluster by rounded distance to its OWN centroid (id
+    * tie-break; rank 1 = most prototypical) and keep the nearest
+    * `keepFraction` of every cluster. Returns
+    * `(idCol, cid, rank, kept)`. One window shuffle on cid; the
+    * rank/count comparison `rank/n <= keepFraction` is the same IEEE
+    * division in any engine, so the kept set is reproducible. */
+  def prototypicalityPrune(df: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int, keepFraction: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = fit(df, vecCol, idCol, k, iters)
+    val near = nearestStruct(vecCol, centroids)
+    val asg = df.withColumn("__n", near)
+      .select(col(idCol), col("__n.cid").as("cid"), col("__n.rd").as("__rd"))
+    val w = Window.partitionBy("cid").orderBy(col("__rd"), col(idCol))
+    val wc = Window.partitionBy("cid")
+    asg
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("__cnt", count(lit(1)).over(wc))
+      .select(col(idCol), col("cid"), col("rank"),
+        (col("rank").cast("double") / col("__cnt") <= keepFraction).as("kept"))
+  }
+}

@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.operators.Clustering
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Semantic-clustering tier pins (operators.Clustering): deterministic
+  * k-means, SemDeDup, and prototype-distance pruning, each replayed
+  * value-level by an unrolled DuckDB CTE chain (the q149-pagerank
+  * oracle shape — fixed iterations unroll to CTEs).
+  *
+  * Why these hash-match across engines: see the Clustering scaladoc —
+  * seeds verbatim, centroids rounded 6 dp per update, assignment on the
+  * ROUNDED distance key with cid tie-break. Measured at sf0.01 the
+  * smallest best-vs-second-best rounded-key margin is 3 (×1e-6), so the
+  * two engines' last-bit float differences cannot flip a label. */
+object ClusteringQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.Tables.table(s, dir, name)
+
+  private val K = 8
+  private val Iters = 3
+  private val Dim = 64
+
+  /** Unrolled Lloyd's chain ending in `af(vec_id, cid, rd)` — the final
+    * assignment with its rounded distance key. Mirrors Clustering.fit +
+    * nearestStruct exactly: c0 = k smallest-id vectors, each a_i uses
+    * c_{i-1}, each c_i is the 6-dp-rounded per-dim mean over a_i. */
+  private def kmeansChain(k: Int = K, iters: Int = Iters,
+      dim: Int = Dim): String = {
+    val sb = new StringBuilder(
+      s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS c
+         |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k))""".stripMargin)
+    for (i <- 1 until iters) {
+      sb ++= s""",
+                |a$i AS (SELECT vec_id, cid FROM (
+                |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+                |    ORDER BY floor(list_distance(e.v, c.c) * 1000000 + 0.5), c.cid) AS rn
+                |  FROM e CROSS JOIN c${i - 1} c) WHERE rn = 1),
+                |c$i AS (SELECT cid, list(m ORDER BY p) AS c FROM (
+                |  SELECT a.cid, g.i AS p, floor(avg(e.v[g.i]) * 1000000 + 0.5) / 1000000.0 AS m
+                |  FROM a$i a JOIN e USING (vec_id), generate_series(1, $dim) AS g(i)
+                |  GROUP BY a.cid, g.i) GROUP BY cid)""".stripMargin
+    }
+    sb ++= s""",
+              |af AS (SELECT vec_id, cid, rd FROM (
+              |  SELECT e.vec_id, c.cid, floor(list_distance(e.v, c.c) * 1000000 + 0.5) AS rd,
+              |    row_number() OVER (PARTITION BY e.vec_id
+              |      ORDER BY floor(list_distance(e.v, c.c) * 1000000 + 0.5), c.cid) AS rn
+              |  FROM e CROSS JOIN c${iters - 1} c) WHERE rn = 1)""".stripMargin
+    sb.toString
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- Deterministic Lloyd's k-means over the embeddings table:
+    // every vector's final cluster label, bit-matched vs the unrolled
+    // DuckDB replay. At sf0.01: 8 balanced clusters (53-71 members).
+    QueryDef(
+      "q161_kmeans",
+      s"""WITH ${kmeansChain()}
+         |SELECT vec_id, cid FROM af ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Clustering.kmeans(t(s, d, "embeddings"), "embedding", "vec_id",
+          k = K, iters = Iters)
+        .orderBy("vec_id")
+    },
+
+    // ---- SemDeDup (Abbas et al. 2023): within-cluster cosine >= 0.4
+    // drops every row with a smaller-id semantic twin in its cluster.
+    // The cosine itself reuses the q70-proven parity pair
+    // (VectorFunctions.cosine_sim ≡ list_cosine_similarity on DOUBLE[]).
+    QueryDef(
+      "q162_semdedup",
+      s"""WITH ${kmeansChain()},
+         |dup AS (SELECT DISTINCT y.vec_id AS b
+         |  FROM af x JOIN af y ON x.cid = y.cid AND x.vec_id < y.vec_id
+         |  JOIN e ex ON ex.vec_id = x.vec_id
+         |  JOIN e ey ON ey.vec_id = y.vec_id
+         |  WHERE list_cosine_similarity(ex.v, ey.v) >= 0.4)
+         |SELECT af.vec_id, af.cid, (dup.b IS NULL) AS keep
+         |FROM af LEFT JOIN dup ON dup.b = af.vec_id
+         |ORDER BY af.vec_id""".stripMargin) { (s, d) =>
+      Clustering.semDedup(t(s, d, "embeddings"), "embedding", "vec_id",
+          k = K, iters = Iters, threshold = 0.4)
+        .orderBy("vec_id")
+    },
+
+    // ---- Prototype-distance pruning (Sorscher et al. 2022): keep the
+    // nearest 80% of every cluster, rank = rounded own-centroid
+    // distance with id tie-break. rank is BIGINT on both sides
+    // (row_number parity trap); the rank/n <= 0.8 comparison is the
+    // same IEEE division in both engines.
+    QueryDef(
+      "q163_prototype_prune",
+      s"""WITH ${kmeansChain()},
+         |r AS (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY cid ORDER BY rd, vec_id) AS rank,
+         |    count(*) OVER (PARTITION BY cid) AS n FROM af)
+         |SELECT vec_id, cid, rank, (CAST(rank AS DOUBLE) / n <= 0.8) AS kept
+         |FROM r ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Clustering.prototypicalityPrune(t(s, d, "embeddings"), "embedding",
+          "vec_id", k = K, iters = Iters, keepFraction = 0.8)
+        .orderBy("vec_id")
+    }
+  )
+}
