@@ -62,13 +62,16 @@ object Clustering {
 
   /** Lloyd's iterations: `iters - 1` assign→update rounds, returning
     * the final centroids (the ones the `iters`-th assignment uses).
+    * Public as the model-fitting half of the API: fit once on a corpus
+    * sample, then [[predict]] any frame (including a stream — the
+    * assignment is a stateless map) against the returned model.
     *
     * Scale shape (the MLlib KMeans layout): driver state is k×dim
     * centroid doubles — the only data that ever leaves the executors —
     * assignment is a map-only pass against broadcast-literal centroids,
     * and each update is ONE partially-aggregated shuffle whose reduce
     * side is k×dim cells regardless of corpus size. */
-  private def fit(df: DataFrame, vecCol: String, idCol: String, k: Int,
+  def fit(df: DataFrame, vecCol: String, idCol: String, k: Int,
       iters: Int): Centroids = {
     require(k >= 1 && iters >= 1, "k-means needs k >= 1 and iters >= 1")
     var centroids = seed(df, vecCol, idCol, k)
@@ -86,14 +89,20 @@ object Clustering {
     centroids
   }
 
+  /** Nearest-centroid assignment of ANY frame against a fitted model —
+    * kmeans.predict. Map-only (no shuffle, no state), so it composes
+    * with batch and Structured Streaming sources alike. Appends `cid`
+    * to the input columns. */
+  def predict(df: DataFrame, vecCol: String, centroids: Centroids): DataFrame =
+    df.withColumn("cid", nearestStruct(vecCol, centroids).getField("cid"))
+
   /** Fixed-iteration deterministic k-means: returns `(idCol, cid)` for
     * every row. See the object scaladoc for the portability contract
     * and [[fit]] for the 100 TB shape. */
   def kmeans(df: DataFrame, vecCol: String, idCol: String, k: Int,
       iters: Int): DataFrame = {
     val centroids = fit(df, vecCol, idCol, k, iters)
-    df.withColumn("cid", nearestStruct(vecCol, centroids).getField("cid"))
-      .select(col(idCol), col("cid"))
+    predict(df, vecCol, centroids).select(col(idCol), col("cid"))
   }
 
   /** SemDeDup (Abbas et al. 2023): k-means partition, then inside each

@@ -1010,6 +1010,29 @@ object TextQueries {
         docs.where(col("doc_id") % 2 === 1),
         docs.where(col("doc_id") % 2 === 0), key)
         .orderBy("doc_id")
+    },
+
+    // ---- RAG sliding-window chunker (operator: Chunking.slidingWindow):
+    // 32-token windows, stride 16 (50% overlap), last window short, 0
+    // tokens → no rows. Map-only — the whole thing fuses into one
+    // codegen projection (no shuffle). Value-level incl. the
+    // reassembled chunk text; at sf0.01: 500 docs → 1-6 chunks each.
+    QueryDef(
+      "q164_rag_chunks",
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, w, len(w) AS n FROM tok WHERE len(w) > 0),
+        |g AS (SELECT doc_id, w, n,
+        |    unnest(range(0, CAST(greatest(0, ceil((n - 32) / 16.0)) AS BIGINT) + 1)) AS chunk_id
+        |  FROM c)
+        |SELECT doc_id, chunk_id,
+        |  array_to_string(w[CAST(chunk_id * 16 + 1 AS BIGINT):CAST(chunk_id * 16 + 32 AS BIGINT)], ' ') AS chunk,
+        |  len(w[CAST(chunk_id * 16 + 1 AS BIGINT):CAST(chunk_id * 16 + 32 AS BIGINT)]) AS n_tokens
+        |FROM g ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      graft.operators.Chunking.slidingWindow(t(s, d, "documents"), "text",
+          "doc_id", windowTokens = 32, strideTokens = 16)
+        .orderBy("doc_id", "chunk_id")
     }
   )
 

@@ -67,6 +67,17 @@ class ClusteringSpec extends SparkSpecBase {
     }
   }
 
+  test("fit + predict assigns unseen points to the nearest centroid") {
+    val model = Clustering.fit(twoGroups, "vec", "id", k = 2, iters = 3)
+    val unseen = Seq(
+      (10L, Seq(0.8f, 0.05f, 0.0f)), // clearly group 1 (cid 0)
+      (11L, Seq(0.05f, 0.8f, 0.0f))) // clearly group 2 (cid 1)
+      .toDF("id", "vec")
+    val got = Clustering.predict(unseen, "vec", model)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got(10L) == 0 && got(11L) == 1)
+  }
+
   test("kmeans single cluster swallows all when k=1") {
     val got = Clustering.kmeans(twoGroups, "vec", "id", k = 1, iters = 2)
     assert(got.select("cid").distinct().collect().map(_.getInt(0)).toSeq == Seq(0))
