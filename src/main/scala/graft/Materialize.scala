@@ -31,13 +31,7 @@ object Materialize {
     * index update re-expressed as build-on-read). */
   def atPaths(spark: SparkSession, token: String, kind: String,
       sources: Seq[Path], partCol: Option[String])(build: => DataFrame): DataFrame = {
-    val stamp = sources.map { f =>
-      // fail fast: a silently-missing source would stamp a constant and
-      // pin a stale cache forever (r3 ADVICE)
-      require(Files.exists(f), s"Materialize($kind): missing source $f")
-      listingHash(f)
-    }.mkString("_")
-    val key = s"v3_${kind}_${token.replaceAll("[^A-Za-z0-9._-]", "_")}__$stamp"
+    val key = cacheKey(kind, token, sources)
     val path = Paths.get(s"${sys.props("java.io.tmpdir")}/graft-derived/$key")
     this.synchronized {
       if (!Files.exists(path.resolve("_SUCCESS"))) {
@@ -94,6 +88,39 @@ object Materialize {
     * the same key and would serve the stale cache. Parquet writers
     * (task-UUID part files, varying encoded sizes) don't do that in
     * practice — sources here are only ever regenerated wholesale. */
+  private def cacheKey(kind: String, token: String,
+      sources: Seq[Path]): String = {
+    val stamp = sources.map { f =>
+      // fail fast: a silently-missing source would stamp a constant and
+      // pin a stale cache forever (r3 ADVICE)
+      require(Files.exists(f), s"Materialize($kind): missing source $f")
+      listingHash(f)
+    }.mkString("_")
+    s"v3_${kind}_${token.replaceAll("[^A-Za-z0-9._-]", "_")}__$stamp"
+  }
+
+  /** Driver-side memo for the SMALL collected halves of an index (IVF
+    * centroids, PQ codebooks — k×dim-scale arrays): keyed by the same
+    * content stamp as [[atPaths]], so a data change invalidates both
+    * together, but the collect job runs once per stamp per JVM instead
+    * of once per query compile. This is the in-memory quantizer cache
+    * every ANN engine keeps; bounded — entries are tiny and stale
+    * stamps are dropped when a newer stamp of the same (kind, token)
+    * memoizes. */
+  private val memoCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Any)]
+  def memo[T](kind: String, token: String, sources: Seq[Path])(f: => T): T = {
+    val key = cacheKey(kind, token, sources)
+    val prefix = s"${kind}_$token"
+    memoCache.get(prefix) match {
+      case Some((k, v)) if k == key => v.asInstanceOf[T]
+      case _ =>
+        val v = f
+        memoCache.put(prefix, (key, v))
+        v
+    }
+  }
+
   private def listingHash(p: Path): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def walk(f: Path): Unit =

@@ -129,14 +129,19 @@ object Ivf {
       vecCol: String, k: Int,
       iters: Int = 2): (Array[(Int, Array[Float])], DataFrame) = {
     import spark.implicits._
-    val centDf = graft.Materialize.atPaths(spark, token,
-      s"ivf${k}_centroids_$name", sources, None) {
-      trainCentroids(base, vecCol, k, iters)
-        .toSeq.map { case (c, cen) => (c, cen.toSeq) }.toDF("cell", "centroid")
+    // Collected centroid table is k×dim-small; memoized per content
+    // stamp so repeat queries skip the read+collect job entirely (the
+    // in-memory quantizer cache every ANN engine keeps).
+    val centroids = graft.Materialize.memo(
+        s"ivf${k}_centroids_$name", token, sources) {
+      graft.Materialize.atPaths(spark, token,
+        s"ivf${k}_centroids_$name", sources, None) {
+        trainCentroids(base, vecCol, k, iters)
+          .toSeq.map { case (c, cen) => (c, cen.toSeq) }.toDF("cell", "centroid")
+      }.collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
     }
-    val centroids = centDf.collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
     val cells = graft.Materialize.atPaths(spark, token, s"ivf${k}_cells_$name",
       sources, Some("cell")) {
       buildIndex(base, vecCol, centroids)

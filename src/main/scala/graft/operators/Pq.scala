@@ -82,15 +82,17 @@ object Pq {
       vecCol: String, idCol: String, dim: Int, m: Int, k: Int)
       : (Array[Array[Array[Float]]], DataFrame) = {
     import spark.implicits._
-    val cbDf = graft.Materialize.atPaths(spark, token,
-      s"pq${m}x${k}_codebooks_$name", sources, None) {
-      train(base, vecCol, dim, m, k)
-        .zipWithIndex.flatMap { case (book, i) =>
-          book.zipWithIndex.map { case (cen, j) => (i, j, cen.toSeq) }
-        }.toSeq.toDF("sub", "code", "centroid")
-    }
-    val codebooks = {
-      val rows = cbDf.collect().map(r => (r.getInt(0), r.getInt(1),
+    // Collected codebooks are m×k-small; memoized per content stamp so
+    // repeat queries skip the read+collect job (see [[Ivf]] centroids).
+    val codebooks = graft.Materialize.memo(
+        s"pq${m}x${k}_codebooks_$name", token, sources) {
+      val rows = graft.Materialize.atPaths(spark, token,
+        s"pq${m}x${k}_codebooks_$name", sources, None) {
+        train(base, vecCol, dim, m, k)
+          .zipWithIndex.flatMap { case (book, i) =>
+            book.zipWithIndex.map { case (cen, j) => (i, j, cen.toSeq) }
+          }.toSeq.toDF("sub", "code", "centroid")
+      }.collect().map(r => (r.getInt(0), r.getInt(1),
         r.getSeq[Float](2).toArray))
       Array.tabulate(m)(i => rows.filter(_._1 == i).sortBy(_._2).map(_._3))
     }

@@ -104,6 +104,43 @@ object ClusteringQueries {
       Clustering.prototypicalityPrune(t(s, d, "embeddings"), "embedding",
           "vec_id", k = K, iters = Iters, keepFraction = 0.8)
         .orderBy("vec_id")
+    },
+
+    // ---- Streaming predict (lifecycle pin): a model fit in batch
+    // labels a STREAM of vectors micro-batch by micro-batch — predict
+    // is a stateless map, so append mode needs no watermark, no state
+    // store, no shuffle — and every streamed label must equal the batch
+    // label. The train-once/score-forever split is the production
+    // serving shape; the pin proves the same model object drives both.
+    QueryDef.lifecyclePin("q165_streaming_predict",
+      "SELECT CAST(1 AS INT) AS predict_ok") { (s, d) =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        .where(col("vec_id") < 100)
+      val model = Clustering.fit(emb, "embedding", "vec_id", k = 4, iters = 2)
+      val batchLabels = Clustering.predict(emb, "embedding", model)
+        .select("vec_id", "cid").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val rows = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val qn = s"q165_predict_${System.nanoTime()}"
+      val q = Clustering.predict(
+          mem.toDF().toDF("vec_id", "embedding"), "embedding", model)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      val ok = try {
+        val (b1, b2) = rows.splitAt(rows.length / 2)
+        mem.addData(b1.toSeq: _*)
+        q.processAllAvailable()
+        mem.addData(b2.toSeq: _*)
+        q.processAllAvailable()
+        val got = s.table(qn).select("vec_id", "cid").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+        got == batchLabels && got.nonEmpty
+      } finally { q.stop(); s.catalog.dropTempView(qn) }
+      s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("predict_ok"))
     }
   )
 }
