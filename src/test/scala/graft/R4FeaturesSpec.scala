@@ -34,6 +34,24 @@ class R4FeaturesSpec extends SparkSpecBase {
     assert(second.count() == 2)
   }
 
+  test("Materialize.memo runs once per content stamp and re-runs on change") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-memo").toString
+    val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    Seq((1L, "a")).toDF("id", "v").write.parquet(src.toString)
+    var runs = 0
+    def fetch(): Int =
+      Materialize.memo("memospec", dir, Seq(src)) { runs += 1; runs }
+    assert(fetch() == 1 && fetch() == 1 && runs == 1,
+      "same stamp must serve the memo without re-running")
+    // source rewrite → new listing stamp → the memo must recompute
+    // (a stale quantizer table silently served would be a wrong answer)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write
+      .mode("overwrite").parquet(src.toString)
+    assert(fetch() == 2 && runs == 2,
+      "a changed source stamp must invalidate the memo")
+  }
+
   test("never-written user collection queries as zero rows with declared schema") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-emptycol").toString
     val g = Graft(spark, tmp)
