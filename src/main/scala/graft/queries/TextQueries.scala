@@ -851,9 +851,20 @@ object TextQueries {
         explode(expr("filter(split(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)"))
           .as("term"))
       val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
-      val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val nd = tok.agg(countDistinct(col("doc_id")).as("n"))
-      val scored = tf.join(broadcast(dfq), "term").crossJoin(broadcast(nd))
+      // ONE tokenize pass: df comes from a window over tf (tf has one
+      // row per (doc, term), so rows-per-term == docs-per-term) instead
+      // of a groupBy+join whose branch would re-scan — the split/explode
+      // subtrees never canonicalize equal (lambda variables), so
+      // exchange reuse can't dedup them and every extra branch is a
+      // full regex pass over the corpus, the dominant cost of tf-idf.
+      val withDf = tf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy("term")))
+      // n = docs with >=1 token == docs whose text has an alphanumeric
+      // char: a per-row predicate, no second tokenize.
+      val nd = t(s, d, "documents")
+        .where(col("text").rlike("[a-zA-Z0-9]"))
+        .agg(count(lit(1)).as("n"))
+      val scored = withDf.crossJoin(broadcast(nd))
         .withColumn("score",
           r6(col("c") * (log((lit(1.0) + col("n")) / (lit(1.0) + col("df"))) + lit(1.0))))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
