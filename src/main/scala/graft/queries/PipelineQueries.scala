@@ -388,7 +388,7 @@ object PipelineQueries {
       val agg = StreamingOps.windowedAgg(
         StreamingOps.eventsStream(s, d), "6 hours", "6 hours", "1 hour")
       val qn = s"q127_sink_${System.nanoTime()}"
-      withStreamParts(s, 8) {
+      withStreamParts(s, 4) {
         val q = agg.writeStream.format("memory").queryName(qn)
           .outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -432,7 +432,7 @@ object PipelineQueries {
       val agg = StreamingOps.sessionAgg(
         StreamingOps.eventsStream(s, d), "30 minutes", "1 hour")
       val qn = s"q131_sink_${System.nanoTime()}"
-      withStreamParts(s, 8) {
+      withStreamParts(s, 4) {
         val q = agg.writeStream.format("memory").queryName(qn)
           .outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -465,7 +465,7 @@ object PipelineQueries {
         |ORDER BY click_id, purchase_id""".stripMargin) { (s, d) =>
       val joined = StreamingOps.intervalJoin(StreamingOps.eventsStream(s, d))
       val qn = s"q147_sink_${System.nanoTime()}"
-      withStreamParts(s, 8) {
+      withStreamParts(s, 4) {
         val q = joined.writeStream.format("memory").queryName(qn)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
