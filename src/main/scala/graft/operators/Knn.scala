@@ -74,4 +74,50 @@ object Knn {
     }
     s.where(cond)
   }
+
+  /** k-NN classification — batch scoring with a labeled corpus: each
+    * test row's prediction is the majority label of its `k` nearest
+    * train rows (vote ties break to the smallest label, the scikit
+    * convention). Beyond-reference pipeline tier: similarity search as
+    * a classifier (weak labeling / nearest-neighbor eval harness).
+    *
+    * Scale shape: the TEST batch broadcasts (queries are the small
+    * side); ONE pass over train scores |train|×|test| candidates, and
+    * the top-k runs two-phase — phase 1 ranks inside (salt, query)
+    * groups so each query's candidate stream spreads over `fanout`
+    * reducers instead of one, phase 2 ranks only the k×fanout
+    * survivors. Global top-k = top-k of per-salt top-k, exactly.
+    *
+    * Determinism (oracle parity): ranking uses the 6-dp-rounded score
+    * as a BIGINT key with train-id tie-break — see the Clustering
+    * scaladoc for why rounded keys make cross-engine rank stable. */
+  def classify(train: DataFrame, test: DataFrame, vecCol: String,
+      labelCol: String, idCol: String, k: Int,
+      metric: String = "cosine", fanout: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (fn, higherIsBetter) = VectorFunctions.metrics(metric)
+    val q = broadcast(test.select(col(idCol).as("__qid"), col(vecCol).as("__qv")))
+    val raw = fn(col(vecCol), col("__qv"))
+    val rounded = floor(raw * lit(1000000L) + lit(0.5)).cast("long")
+    // distance metrics rank ascending — negate once so both directions
+    // share the same descending window
+    val rs = if (higherIsBetter) rounded else -rounded
+    val scored = train.crossJoin(q)
+      .select(col("__qid"), col(idCol).as("__tid"),
+        col(labelCol).as("__lbl"), rs.as("__rs"))
+    val w1 = Window.partitionBy(col("__salt"), col("__qid"))
+      .orderBy(col("__rs").desc, col("__tid"))
+    val w2 = Window.partitionBy(col("__qid"))
+      .orderBy(col("__rs").desc, col("__tid"))
+    val top = scored
+      .withColumn("__salt", pmod(xxhash64(col("__tid")), lit(fanout)))
+      .withColumn("__r1", row_number().over(w1)).where(col("__r1") <= k)
+      .withColumn("__rk", row_number().over(w2)).where(col("__rk") <= k)
+    val votes = top.groupBy(col("__qid"), col("__lbl"))
+      .agg(count(lit(1)).as("votes"))
+    val wv = Window.partitionBy("__qid").orderBy(col("votes").desc, col("__lbl"))
+    votes.withColumn("__vr", row_number().over(wv)).where(col("__vr") === 1)
+      .select(col("__qid").as(idCol), col("__lbl").as("pred_label"),
+        col("votes"))
+  }
 }

@@ -141,6 +141,38 @@ object ClusteringQueries {
         got == batchLabels && got.nonEmpty
       } finally { q.stop(); s.catalog.dropTempView(qn) }
       s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("predict_ok"))
+    },
+
+    // ---- k-NN classification (Knn.classify): 20 held-out vectors get
+    // the majority label of their 10 nearest train vectors (rounded-key
+    // ranking + id tie-break; vote ties to the smallest label). The
+    // oracle ranks globally — identical by construction to the
+    // operator's two-phase salted top-k (global top-k = top-k of
+    // per-salt top-k). Cosine parity pair = the q70-proven
+    // list_cosine_similarity(CAST DOUBLE[]) vs the codegen kernel.
+    QueryDef(
+      "q166_knn_classify",
+      """WITH te AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |            FROM embeddings WHERE vec_id < 20),
+        |tr AS (SELECT vec_id AS tid, label, CAST(embedding AS DOUBLE[]) AS tv
+        |       FROM embeddings WHERE vec_id >= 20),
+        |sc AS (SELECT qid, tid, label,
+        |    CAST(floor(list_cosine_similarity(tv, qv) * 1000000 + 0.5) AS BIGINT) AS rs
+        |  FROM tr CROSS JOIN te),
+        |top AS (SELECT qid, label FROM (
+        |    SELECT qid, label,
+        |      row_number() OVER (PARTITION BY qid ORDER BY rs DESC, tid) AS rk
+        |    FROM sc) WHERE rk <= 10),
+        |votes AS (SELECT qid, label, count(*) AS votes FROM top GROUP BY 1, 2)
+        |SELECT qid AS vec_id, label AS pred_label, votes FROM (
+        |  SELECT qid, label, votes,
+        |    row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS vr
+        |  FROM votes) WHERE vr = 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      graft.operators.Knn.classify(
+          emb.where(col("vec_id") >= 20), emb.where(col("vec_id") < 20),
+          "embedding", "label", "vec_id", k = 10)
+        .orderBy("vec_id")
     }
   )
 }

@@ -69,4 +69,30 @@ class VectorSpec extends SparkSpecBase {
       .where(col("s") < 3.0)
     assert(got.count() == manual.count())
   }
+
+  test("knn classify: majority label, vote tie-break, distance metric") {
+    import spark.implicits._
+    // two tight clusters: label 1 near (1,0), label 2 near (0,1)
+    val train = Seq(
+      (10L, Seq(1.0f, 0.0f), 1), (11L, Seq(0.9f, 0.1f), 1),
+      (12L, Seq(0.95f, 0.05f), 1),
+      (20L, Seq(0.0f, 1.0f), 2), (21L, Seq(0.1f, 0.9f), 2),
+      (22L, Seq(0.05f, 0.95f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val test = Seq((1L, Seq(0.8f, 0.2f)), (2L, Seq(0.2f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val got = Knn.classify(train, test, "embedding", "label", "vec_id", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> ((1, 3L)), 2L -> ((2, 3L))))
+    // k=6 takes ALL train rows -> 3-3 vote tie -> smallest label wins
+    val tied = Knn.classify(train, test, "embedding", "label", "vec_id", k = 6)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(tied == Map(1L -> 1, 2L -> 1))
+    // distance metric ranks ascending: euclidean must agree with cosine
+    // on these well-separated clusters
+    val l2 = Knn.classify(train, test, "embedding", "label", "vec_id",
+        k = 3, metric = "euclidean")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(l2 == Map(1L -> 1, 2L -> 2))
+  }
 }
