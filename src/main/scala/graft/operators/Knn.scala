@@ -120,4 +120,55 @@ object Knn {
       .select(col("__qid").as(idCol), col("__lbl").as("pred_label"),
         col("votes"))
   }
+
+  /** MMR — maximal marginal relevance (Carbonell & Goldstein 1998)
+    * diversified top-k, the RAG retrieval step that trades relevance
+    * against redundancy: greedily pick argmax of
+    * `λ·sim(c, query) − (1−λ)·max_{s∈selected} sim(c, s)`.
+    *
+    * Scale shape: phase 1 is the DISTRIBUTED exact top-`candN`
+    * (TakeOrderedAndProject — per-partition heap, no shuffle of scored
+    * rows); the greedy loop then runs driver-side over those ≤candN
+    * rows — the same top-k-sized collect every RAG stack performs at
+    * serialization, NOT a corpus collect. O(k·candN) driver work.
+    *
+    * Determinism (oracle parity): every similarity is 6-dp-rounded
+    * before use, the greedy key is the rounded combined score as a
+    * BIGINT with id tie-break, and λ enters as a double (`1 − λ`
+    * computed in IEEE, matching a `CAST(λ AS DOUBLE)` oracle — the
+    * q149 damping-constant lesson). Cosine only: MMR needs one
+    * similarity space for both legs. Ids must be integral (`getLong`). */
+  def mmr(df: DataFrame, vecCol: String, query: Seq[Float], k: Int,
+      lambda: Double, candN: Int, idCol: String = "id"): DataFrame = {
+    require(k >= 1 && candN >= k, "mmr needs k >= 1 and candN >= k")
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val rel6 = floor(VectorFunctions.cosine_sim(col(vecCol),
+      VectorFunctions.vecLit(query)) * lit(1000000.0) + lit(0.5)).cast("long")
+    val cands = df.select(col(idCol), col(vecCol), rel6.as("__rel6"))
+      .orderBy(col("__rel6").desc, col(idCol).asc).limit(candN)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
+        r.getLong(2) / 1e6))
+    var remaining = cands.toList
+    val selected = scala.collection.mutable.ListBuffer.empty[(Long, Array[Float])]
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Double)]
+    for (step <- 1 to math.min(k, cands.length)) {
+      val best = remaining.map { case (id, v, rel) =>
+        val div =
+          if (selected.isEmpty) 0.0
+          else selected.map(s =>
+            r6(graft.functions.VectorKernels.cosine(v, s._2))).max
+        val key = math.floor(
+          (lambda * rel - (1 - lambda) * div) * 1e6 + 0.5).toLong
+        (key, id, v)
+      }.minBy { case (key, id, _) => (-key, id) }
+      selected += ((best._2, best._3))
+      out += ((best._2, step.toLong, best._1 / 1e6))
+      remaining = remaining.filterNot(_._1 == best._2)
+    }
+    out.toSeq.toDF(idCol, "rank", "mmr_score")
+  }
 }

@@ -452,6 +452,51 @@ object VectorQueries {
         .select(col("vec_id"), ScoreFusion.fuse(b, "weighted",
           Map("vector" -> 0.6, "graph" -> 0.3, "path" -> 0.1)).as("score"))
         .orderBy(col("score").desc, col("vec_id")).limit(10)
+    },
+
+    // ---- MMR diversified top-k (Knn.mmr): 5 greedy picks from the 30
+    // nearest candidates at λ = 0.7. The oracle unrolls the greedy loop
+    // as one CTE per step (the q149/q161 fixed-iteration shape); every
+    // similarity is 6-dp-rounded before use and λ enters as
+    // CAST(0.7 AS DOUBLE) so (1 − λ) is the same IEEE double both
+    // sides (the q149 damping-constant lesson).
+    QueryDef("q167_mmr_diversify", mmrChainSql(k = 5, candN = 30)) { (s, d) =>
+      Knn.mmr(t(s, d, "embeddings"), "embedding", q64, k = 5,
+          lambda = 0.7, candN = 30, idCol = "vec_id")
+        .orderBy("rank")
     }
   )
+
+  /** Unrolled MMR greedy chain in DuckDB SQL — mirrors [[Knn.mmr]]'s
+    * driver loop step for step. */
+  private def mmrChainSql(k: Int, candN: Int): String = {
+    val L = "CAST(0.7 AS DOUBLE)"
+    val sb = new StringBuilder(
+      s"""WITH c0 AS (
+         |  SELECT vec_id, $E AS v,
+         |    CAST(floor(list_cosine_similarity($E, ${sqlVec(q64)})
+         |      * 1000000.0 + 0.5) AS BIGINT) AS rel6
+         |  FROM embeddings ORDER BY rel6 DESC, vec_id LIMIT $candN),
+         |c AS (SELECT vec_id, v, rel6 / 1000000.0 AS rel FROM c0),
+         |p1 AS (SELECT vec_id, v, CAST(1 AS BIGINT) AS rank,
+         |    CAST(floor(($L * rel) * 1000000.0 + 0.5) AS BIGINT) AS key
+         |  FROM c ORDER BY key DESC, vec_id LIMIT 1),
+         |s1 AS (SELECT vec_id, v FROM p1)""".stripMargin)
+    for (i <- 2 to k) {
+      sb ++= s""",
+                |p$i AS (SELECT vec_id, v, CAST($i AS BIGINT) AS rank,
+                |    CAST(floor(($L * c.rel - (1 - $L) *
+                |      (SELECT max(floor(list_cosine_similarity(c.v, s.v)
+                |         * 1000000.0 + 0.5) / 1000000.0) FROM s${i - 1} s))
+                |      * 1000000.0 + 0.5) AS BIGINT) AS key
+                |  FROM c WHERE c.vec_id NOT IN (SELECT vec_id FROM s${i - 1})
+                |  ORDER BY key DESC, vec_id LIMIT 1),
+                |s$i AS (SELECT vec_id, v FROM s${i - 1}
+                |  UNION ALL SELECT vec_id, v FROM p$i)""".stripMargin
+    }
+    sb ++= "\n" + (1 to k).map(i =>
+      s"SELECT vec_id, rank, key / 1000000.0 AS mmr_score FROM p$i")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY rank")
+    sb.toString
+  }
 }

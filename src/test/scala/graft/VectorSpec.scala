@@ -95,4 +95,27 @@ class VectorSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(l2 == Map(1L -> 1, 2L -> 2))
   }
+
+  test("mmr trades relevance for diversity as lambda falls") {
+    import spark.implicits._
+    // 1-2: near-duplicates closest to the query; 3: slightly less
+    // relevant but orthogonal to them
+    val docs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.99f, 0.01f, 0.0f)),
+      (3L, Seq(0.6f, 0.0f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val q = Seq(1.0f, 0.0f, 0.0f)
+    def picks(lambda: Double) =
+      Knn.mmr(docs, "embedding", q, k = 3, lambda = lambda, candN = 3,
+        idCol = "vec_id").orderBy("rank")
+        .collect().map(_.getLong(0)).toSeq
+    // pure relevance keeps the near-duplicate adjacent
+    assert(picks(1.0) == Seq(1L, 2L, 3L))
+    // diversity pressure promotes the orthogonal doc above the near-dup
+    // (at 0.5 exactly, this geometry ties all scores at 0 — query is
+    // collinear with doc 1, so sim-to-doc1 == relevance for everyone)
+    assert(picks(0.4) == Seq(1L, 3L, 2L))
+    // rank 1 is always the most relevant doc
+    assert(picks(0.0).head == 1L)
+  }
 }
