@@ -138,6 +138,64 @@ class PropertySpec extends SparkSpecBase {
     assert(d1Set.size == 5000)
   }
 
+  test("knn classify equals a brute-force oracle on random labeled data") {
+    import spark.implicits._
+    import graft.operators.Knn
+    val dim = 4
+    val rowGen = Gen.zip(Gen.listOfN(dim, Gen.choose(-5.0f, 5.0f)),
+      Gen.choose(0, 2))
+    val dataGen = Gen.listOfN(24, rowGen)
+    // few samples — each drives a full distributed classify
+    samples(dataGen, 6).foreach { rows =>
+      val train = rows.zipWithIndex
+        .map { case ((v, l), i) => (i + 100L, v.toSeq, l) }
+      val test = rows.take(4).zipWithIndex
+        .map { case ((v, _), i) => (i.toLong, v.map(x => -x).toSeq) }
+      val got = Knn.classify(
+          train.toDF("vec_id", "embedding", "label"),
+          test.toDF("vec_id", "embedding"),
+          "embedding", "label", "vec_id", k = 5)
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+      // brute-force mirror of the operator's exact contract: rounded
+      // BIGINT key, id tie-break, majority vote, smallest-label tie
+      val expect = test.map { case (qid, qv) =>
+        val top = train
+          .map { case (tid, tv, l) =>
+            val rs = math.floor(VectorKernels.cosine(tv.toArray, qv.toArray)
+              * 1e6 + 0.5).toLong
+            (rs, tid, l)
+          }
+          .sortBy { case (rs, tid, _) => (-rs, tid) }.take(5)
+        val (lbl, n) = top.groupBy(_._3).view.mapValues(_.size).toSeq
+          .minBy { case (l, c) => (-c, l) }
+        qid -> ((lbl, n.toLong))
+      }.toMap
+      assert(got == expect)
+    }
+  }
+
+  test("mmr: distinct picks, rank 1 = top relevance, lambda=1 = relevance order") {
+    import spark.implicits._
+    import graft.operators.Knn
+    val dim = 4
+    val dataGen = Gen.listOfN(12, Gen.listOfN(dim, Gen.choose(-5.0f, 5.0f)))
+    samples(dataGen, 5).foreach { vecs =>
+      val docs = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      val df = docs.toDF("vec_id", "embedding")
+      val q = Seq(1.0f, 0.5f, -0.25f, 2.0f)
+      val picks = Knn.mmr(df, "embedding", q, k = 4, lambda = 1.0,
+          candN = 8, idCol = "vec_id")
+        .orderBy("rank").collect().map(_.getLong(0)).toSeq
+      assert(picks.distinct == picks, "picks must be distinct")
+      // λ=1 is pure relevance: must equal the rounded-key top-k order
+      val rel = docs.map { case (id, v) =>
+        (math.floor(VectorKernels.cosine(v.toArray, q.toArray)
+          * 1e6 + 0.5).toLong, id)
+      }.sortBy { case (rs, id) => (-rs, id) }.take(4).map(_._2)
+      assert(picks == rel, s"lambda=1 must rank by relevance: $picks vs $rel")
+    }
+  }
+
   test("Spark LIKE agrees with a regex oracle") {
     import spark.implicits._
     val strGen = Gen.listOfN(6, Gen.oneOf('a', 'b', '_', '%', 'x')).map(_.mkString)
