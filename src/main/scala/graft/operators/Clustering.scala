@@ -133,6 +133,45 @@ object Clustering {
         coalesce(col("__dup"), lit(false)).unary_!.as("keep"))
   }
 
+  /** Simplified silhouette (centroid-based — the O(n·k) variant every
+    * large-scale eval uses instead of the O(n²) pairwise original):
+    * per point, a = distance to its OWN centroid, b = the nearest OTHER
+    * centroid's distance, s = (b − a) / max(a, b) (0 when both are 0).
+    * Returns per-cluster `(cid, n, silhouette)` — the fit-quality
+    * report that closes the fit → evaluate → prune loop; near-zero or
+    * negative cluster means its members sit closer to a neighbor.
+    *
+    * Scale shape: map-only against broadcast-literal centroids (same
+    * as [[predict]]) plus ONE k-group aggregation — no shuffle of
+    * anything data-sized. Output rounds to 6 dp for the cross-engine
+    * pin; the per-point math is raw doubles. */
+  def silhouetteByCluster(df: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k >= 2, "silhouette needs k >= 2 (b is over OTHER clusters)")
+    val centroids = fit(df, vecCol, idCol, k, iters)
+    val v = col(vecCol).cast(ArrayType(DoubleType))
+    val cands = centroids.map { case (cid, c) =>
+      val diff = zip_with(v, typedlit(c), (x, y) => x - y)
+      val d = sqrt(aggregate(diff, lit(0.0), (acc, dd) => acc + dd * dd))
+      struct(floor(d * lit(1000000.0) + lit(0.5)).cast("long").as("rd"),
+        lit(cid).as("cid"), d.as("d"))
+    }
+    val arr = array(cands: _*)
+    // same (rounded key, cid) argmin as [[predict]] — labels agree
+    val assigned = array_min(arr)
+    val a = assigned.getField("d")
+    val acid = assigned.getField("cid")
+    val b = array_min(transform(
+      filter(arr, s => s.getField("cid") =!= acid), s => s.getField("d")))
+    val sil = when(greatest(a, b) > lit(0.0),
+      (b - a) / greatest(a, b)).otherwise(lit(0.0))
+    df.select(acid.as("cid"), sil.as("__s"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"),
+        (floor(avg(col("__s")) * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+          .as("silhouette"))
+  }
+
   /** Prototype-distance pruning (Sorscher et al. 2022): rank each row
     * inside its cluster by rounded distance to its OWN centroid (id
     * tie-break; rank 1 = most prototypical) and keep the nearest

@@ -106,6 +106,33 @@ object ClusteringQueries {
         .orderBy("vec_id")
     },
 
+    // ---- Simplified (centroid-based) silhouette per cluster — the
+    // fit-quality report closing the fit → evaluate → prune loop. The
+    // oracle extends the unrolled k-means chain with a distance cross
+    // join against the FINAL centroid table; per-point math is raw
+    // doubles, only the per-cluster mean rounds (6 dp), so ulp-level
+    // engine differences vanish in the rounding.
+    QueryDef(
+      "q168_silhouette",
+      s"""WITH ${kmeansChain()},
+         |dall AS (SELECT e.vec_id, c.cid, list_distance(e.v, c.c) AS d
+         |         FROM e CROSS JOIN c${Iters - 1} c),
+         |ab AS (SELECT a.vec_id, a.cid,
+         |    max(CASE WHEN d.cid = a.cid THEN d.d END) AS a,
+         |    min(CASE WHEN d.cid <> a.cid THEN d.d END) AS b
+         |  FROM af a JOIN dall d USING (vec_id) GROUP BY 1, 2),
+         |s AS (SELECT cid,
+         |    CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+         |         ELSE 0 END AS s
+         |  FROM ab)
+         |SELECT cid, CAST(count(*) AS BIGINT) AS n,
+         |  floor(avg(s) * 1000000.0 + 0.5) / 1000000.0 AS silhouette
+         |FROM s GROUP BY cid ORDER BY cid""".stripMargin) { (s, d) =>
+      Clustering.silhouetteByCluster(t(s, d, "embeddings"), "embedding",
+          "vec_id", k = K, iters = Iters)
+        .orderBy("cid")
+    },
+
     // ---- Streaming predict (lifecycle pin): a model fit in batch
     // labels a STREAM of vectors micro-batch by micro-batch — predict
     // is a stateless map, so append mode needs no watermark, no state

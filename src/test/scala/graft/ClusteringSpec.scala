@@ -82,4 +82,32 @@ class ClusteringSpec extends SparkSpecBase {
     val got = Clustering.kmeans(twoGroups, "vec", "id", k = 1, iters = 2)
     assert(got.select("cid").distinct().collect().map(_.getInt(0)).toSeq == Seq(0))
   }
+
+  test("silhouette: well-separated clusters score high, k=2 split of one cloud scores low") {
+    val good = Clustering.silhouetteByCluster(twoGroups, "vec", "id",
+        k = 2, iters = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(good.length == 2 && good.forall(_._2 == 3L))
+    assert(good.forall(_._3 > 0.5),
+      s"tight separated clusters must score > 0.5: ${good.toSeq}")
+    // a uniform line forcibly split into 2 scores WORSE than the truly
+    // separated groups (silhouette is scale-invariant, so even a tiny
+    // cloud splits with middling per-point scores — the signal is
+    // relative, which is how the metric is used: compare k choices)
+    val cloud = Seq(
+      (1L, Seq(1.0f, 0.00f)), (2L, Seq(1.0f, 0.01f)),
+      (3L, Seq(1.0f, 0.02f)), (4L, Seq(1.0f, 0.03f)),
+      (5L, Seq(1.0f, 0.04f)), (6L, Seq(1.0f, 0.05f))
+    ).toDF("id", "vec")
+    val bad = Clustering.silhouetteByCluster(cloud, "vec", "id",
+        k = 2, iters = 3)
+      .collect().map(_.getDouble(2))
+    assert(bad.sum / bad.length < good.map(_._3).sum / good.length,
+      s"uniform split must score below separated groups: " +
+        s"${bad.toSeq} vs ${good.map(_._3).toSeq}")
+    // k=1 is rejected: b has no other cluster to come from
+    intercept[IllegalArgumentException] {
+      Clustering.silhouetteByCluster(twoGroups, "vec", "id", k = 1, iters = 2)
+    }
+  }
 }
