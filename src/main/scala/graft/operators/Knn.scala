@@ -121,6 +121,41 @@ object Knn {
         col("votes"))
   }
 
+  /** Hard-negative mining — the negative-sampling step of contrastive
+    * embedding training (DPR/SBERT shape): for each ANCHOR, the `k`
+    * corpus rows most similar to it that carry a DIFFERENT label
+    * (same-label rows are positives; the high-similarity different-label
+    * rows are the hard negatives a trainer wants). Returns
+    * `(idCol, neg_id, neg_label, rank)` per anchor.
+    *
+    * Scale shape: identical to [[classify]] — anchors broadcast, one
+    * scoring pass over the corpus, two-phase salted top-k; the label
+    * inequality is a map-side filter before any ranking. Rounded-key
+    * ordering with id tie-break for cross-engine rank stability. */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, vecCol: String,
+      labelCol: String, idCol: String, k: Int,
+      fanout: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(anchors.select(col(idCol).as("__qid"),
+      col(vecCol).as("__qv"), col(labelCol).as("__qlbl")))
+    val rs = floor(VectorFunctions.cosine_sim(col(vecCol), col("__qv"))
+      * lit(1000000.0) + lit(0.5)).cast("long")
+    val scored = corpus.crossJoin(q)
+      .where(col(labelCol) =!= col("__qlbl") && col(idCol) =!= col("__qid"))
+      .select(col("__qid"), col(idCol).as("__tid"),
+        col(labelCol).as("__lbl"), rs.as("__rs"))
+    val w1 = Window.partitionBy(col("__salt"), col("__qid"))
+      .orderBy(col("__rs").desc, col("__tid"))
+    val w2 = Window.partitionBy(col("__qid"))
+      .orderBy(col("__rs").desc, col("__tid"))
+    scored
+      .withColumn("__salt", pmod(xxhash64(col("__tid")), lit(fanout)))
+      .withColumn("__r1", row_number().over(w1)).where(col("__r1") <= k)
+      .withColumn("rank", row_number().over(w2)).where(col("rank") <= k)
+      .select(col("__qid").as(idCol), col("__tid").as("neg_id"),
+        col("__lbl").as("neg_label"), col("rank").cast("long").as("rank"))
+  }
+
   /** MMR — maximal marginal relevance (Carbonell & Goldstein 1998)
     * diversified top-k, the RAG retrieval step that trades relevance
     * against redundancy: greedily pick argmax of

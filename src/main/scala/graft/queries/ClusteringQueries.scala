@@ -133,6 +133,30 @@ object ClusteringQueries {
         .orderBy("cid")
     },
 
+    // ---- Hard-negative mining (Knn.hardNegatives): for 10 anchors,
+    // the 5 most-similar corpus vectors with a DIFFERENT label — the
+    // contrastive-training negative-sampling step. Oracle ranks
+    // globally (two-phase salted top-k ≡ global top-k by construction).
+    QueryDef(
+      "q169_hard_negatives",
+      """WITH an AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+        |            label AS qlbl FROM embeddings WHERE vec_id < 10),
+        |sc AS (SELECT an.qid, e.vec_id AS tid, e.label,
+        |    CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), an.qv)
+        |      * 1000000.0 + 0.5) AS BIGINT) AS rs
+        |  FROM embeddings e CROSS JOIN an
+        |  WHERE e.label <> an.qlbl AND e.vec_id <> an.qid)
+        |SELECT qid AS vec_id, tid AS neg_id, label AS neg_label, rank
+        |FROM (SELECT qid, tid, label,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY rs DESC, tid)
+        |      AS BIGINT) AS rank
+        |  FROM sc) WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      graft.operators.Knn.hardNegatives(emb, emb.where(col("vec_id") < 10),
+          "embedding", "label", "vec_id", k = 5)
+        .orderBy("vec_id", "rank")
+    },
+
     // ---- Streaming predict (lifecycle pin): a model fit in batch
     // labels a STREAM of vectors micro-batch by micro-batch — predict
     // is a stateless map, so append mode needs no watermark, no state

@@ -96,6 +96,23 @@ class VectorSpec extends SparkSpecBase {
     assert(l2 == Map(1L -> 1, 2L -> 2))
   }
 
+  test("hard negatives: different-label only, self excluded, similarity order") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f), 1),   // anchor
+      (2L, Seq(0.99f, 0.1f), 1),  // same label: positive, never mined
+      (3L, Seq(0.98f, 0.05f), 2), // hardest negative (most similar)
+      (4L, Seq(0.8f, 0.3f), 2),
+      (5L, Seq(0.0f, 1.0f), 3)    // easy negative (least similar)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Knn.hardNegatives(corpus, corpus.where(col("vec_id") === 1),
+        "embedding", "label", "vec_id", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getLong(3)))
+    // ranked hardest-first, label 1 rows (anchor + positive) absent
+    assert(got.toSeq == Seq((3L, 2, 1L), (4L, 2, 2L), (5L, 3, 3L)))
+  }
+
   test("mmr trades relevance for diversity as lambda falls") {
     import spark.implicits._
     // 1-2: near-duplicates closest to the query; 3: slightly less
