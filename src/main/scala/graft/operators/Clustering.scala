@@ -100,8 +100,8 @@ object Clustering {
     * every row. See the object scaladoc for the portability contract
     * and [[fit]] for the 100 TB shape. */
   def kmeans(df: DataFrame, vecCol: String, idCol: String, k: Int,
-      iters: Int): DataFrame = {
-    val centroids = fit(df, vecCol, idCol, k, iters)
+      iters: Int, model: Option[Centroids] = None): DataFrame = {
+    val centroids = model.getOrElse(fit(df, vecCol, idCol, k, iters))
     predict(df, vecCol, centroids).select(col(idCol), col("cid"))
   }
 
@@ -116,8 +116,9 @@ object Clustering {
     * clusters stay join-able (the paper runs k in the tens of
     * thousands) and the cid shuffle partitions the whole job. */
   def semDedup(df: DataFrame, vecCol: String, idCol: String, k: Int,
-      iters: Int, threshold: Double): DataFrame = {
-    val centroids = fit(df, vecCol, idCol, k, iters)
+      iters: Int, threshold: Double,
+      model: Option[Centroids] = None): DataFrame = {
+    val centroids = model.getOrElse(fit(df, vecCol, idCol, k, iters))
     val asg = df
       .withColumn("cid", nearestStruct(vecCol, centroids).getField("cid"))
       .select(col(idCol), col("cid"), col(vecCol))
@@ -146,9 +147,9 @@ object Clustering {
     * anything data-sized. Output rounds to 6 dp for the cross-engine
     * pin; the per-point math is raw doubles. */
   def silhouetteByCluster(df: DataFrame, vecCol: String, idCol: String,
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int, model: Option[Centroids] = None): DataFrame = {
     require(k >= 2, "silhouette needs k >= 2 (b is over OTHER clusters)")
-    val centroids = fit(df, vecCol, idCol, k, iters)
+    val centroids = model.getOrElse(fit(df, vecCol, idCol, k, iters))
     val v = col(vecCol).cast(ArrayType(DoubleType))
     val cands = centroids.map { case (cid, c) =>
       val diff = zip_with(v, typedlit(c), (x, y) => x - y)
@@ -180,9 +181,10 @@ object Clustering {
     * rank/count comparison `rank/n <= keepFraction` is the same IEEE
     * division in any engine, so the kept set is reproducible. */
   def prototypicalityPrune(df: DataFrame, vecCol: String, idCol: String,
-      k: Int, iters: Int, keepFraction: Double): DataFrame = {
+      k: Int, iters: Int, keepFraction: Double,
+      model: Option[Centroids] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centroids = fit(df, vecCol, idCol, k, iters)
+    val centroids = model.getOrElse(fit(df, vecCol, idCol, k, iters))
     val near = nearestStruct(vecCol, centroids)
     val asg = df.withColumn("__n", near)
       .select(col(idCol), col("__n.cid").as("cid"), col("__n.rd").as("__rd"))

