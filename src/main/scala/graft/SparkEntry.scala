@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 import graft.operators.Knn
-import graft.queries.{ClusteringQueries, GraphQueries, PipelineQueries, RelationalQueries, TextQueries, VectorQueries, VelesqlQueries}
+import graft.queries.{ClusteringQueries, ExportQueries, GraphQueries, PipelineQueries, RelationalQueries, TextQueries, VectorQueries, VelesqlQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -15,7 +15,7 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     RelationalQueries.defs ++ VectorQueries.defs ++ TextQueries.defs ++
       GraphQueries.defs ++ VelesqlQueries.defs ++ PipelineQueries.defs ++
-      ClusteringQueries.defs
+      ClusteringQueries.defs ++ ExportQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * VelesDB's own flagship shape (reference README.md:163-176):
