@@ -1050,6 +1050,59 @@ object TextQueries {
       graft.operators.Chunking.slidingWindow(t(s, d, "documents"), "text",
           "doc_id", windowTokens = 32, strideTokens = 16)
         .orderBy("doc_id", "chunk_id")
+    },
+
+    // ---- BPE tokenizer TRAINING (lifecycle pin): the distributed
+    // merge-learning loop (vocabulary-sized iterations, one argmax row
+    // to the driver per merge) must learn EXACTLY the merge list a
+    // sequential Sennrich-style replay learns on the collected word-freq
+    // table, and the encode UDF must tokenize documents exactly as the
+    // model's own per-word replay does. Not SQL-expressible (the merge
+    // scan is sequential), so the conjunction pins as one boolean row.
+    QueryDef.lifecyclePin("q172_bpe_train",
+      "SELECT CAST(1 AS INT) AS bpe_ok") { (s, d) =>
+      import graft.operators.Bpe
+      val docs = t(s, d, "documents")
+      val words = Bpe.wordFreqs(docs, "text")
+      val model = Bpe.train(words, nMerges = 8)
+
+      // sequential replay on the collected vocabulary (vocab-sized)
+      val wf = words.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      val replay = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var stop = false
+      while (!stop && replay.length < 8) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        wf.foreach { case (w, f) =>
+          val sym = Bpe.Model(replay.toSeq).tokenize(w)
+          var i = 0
+          while (i + 1 < sym.length) {
+            val k = (sym(i), sym(i + 1))
+            counts(k) = counts.getOrElse(k, 0L) + f
+            i += 1
+          }
+        }
+        if (counts.isEmpty) stop = true
+        else {
+          val ((a, b), c) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+          if (c < 2L) stop = true else replay += ((a, b))
+        }
+      }
+      val trainOk = model.merges == replay.toSeq && model.merges.length == 8
+
+      // encode parity: the distributed UDF path ≡ the model's own replay
+      val sample = docs.where(col("doc_id") < 3).select("doc_id", "text")
+      val enc = Bpe.encode(sample, "text", model)
+        .select("doc_id", "tokens").collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val encodeOk = sample.collect().forall { r =>
+        val expect = "[^a-z0-9]+".r.split(r.getString(1).toLowerCase)
+          .iterator.filter(_.nonEmpty).flatMap(model.tokenize).toSeq
+        enc(r.getLong(0)) == expect
+      }
+      // merges actually compress: fewer tokens than characters
+      val compressOk = enc.values.forall(t => t.exists(_.length > 1))
+      val ok = trainOk && encodeOk && compressOk
+      s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("bpe_ok"))
     }
   )
 
