@@ -519,8 +519,17 @@ class Collections(spark: SparkSession, dataDir: String) {
     * frames — the reference SnapshotManager serializes the full
     * MemoryState (snapshot.rs:147-188); points-only restore would leave
     * edges referencing endpoint states that never coexisted. */
+  /** Tag syntax shared by every snapshot entry point. "." and ".." are
+    * excluded explicitly: a tag is used as ONE path segment under
+    * snapshots/, and those two are the only values the segment grammar
+    * admits that escape it — snapshot("..") would otherwise Overwrite
+    * the collection's live points path. */
+  private def requireValidTag(tag: String): Unit =
+    require(tag.matches("[A-Za-z0-9_.-]+") && tag != "." && tag != "..",
+      s"invalid snapshot tag '$tag'")
+
   def snapshot(name: String, tag: String): Unit = this.synchronized {
-    require(tag.matches("[A-Za-z0-9_.-]+"), s"invalid snapshot tag '$tag'")
+    requireValidTag(tag)
     val df = table(name).getOrElse(
       throw new graft.velesql.NotFoundError(s"collection $name has no data to snapshot"))
     df.write.mode(SaveMode.Overwrite).parquet(
@@ -534,6 +543,7 @@ class Collections(spark: SparkSession, dataDir: String) {
     * restore to the snapshot's edge frame — or to empty when the
     * snapshot predates the first edge upsert. */
   def restoreSnapshot(name: String, tag: String): Unit = this.synchronized {
+    requireValidTag(tag)
     val p = snapDir(name).resolve(tag)
     if (!Files.exists(p))
       throw new graft.velesql.NotFoundError(s"snapshot $tag not found on $name")
@@ -551,7 +561,35 @@ class Collections(spark: SparkSession, dataDir: String) {
     else children(snapDir(name)).map(_.getFileName.toString).sorted
 
   def dropSnapshot(name: String, tag: String): Unit = this.synchronized {
+    requireValidTag(tag)
     deleteRec(snapDir(name).resolve(tag))
+  }
+
+  /** Time-travel READ: the points frame as of snapshot `tag`, with the
+    * live state untouched — the cheap way to diff "now vs then" or to
+    * audit what a training run actually saw, without [[restoreSnapshot]]
+    * rewriting the current generation. The returned frame addresses the
+    * snapshot's immutable parquet directly (snapshots survive any number
+    * of later publishes, unlike superseded generations, which GC). */
+  def snapshotTable(name: String, tag: String): DataFrame = {
+    requireValidTag(tag)
+    val p = snapDir(name).resolve(tag)
+    if (!Files.exists(p))
+      throw new graft.velesql.NotFoundError(s"snapshot $tag not found on $name")
+    val pts = if (Files.exists(p.resolve("points"))) p.resolve("points") else p
+    spark.read.parquet(pts.toString)
+  }
+
+  /** Time-travel read of the edge frame; None when the snapshot
+    * predates the first edge upsert (old points-only layout). */
+  def snapshotEdges(name: String, tag: String): Option[DataFrame] = {
+    requireValidTag(tag)
+    val p = snapDir(name).resolve(tag)
+    if (!Files.exists(p))
+      throw new graft.velesql.NotFoundError(s"snapshot $tag not found on $name")
+    if (Files.exists(p.resolve("edges")))
+      Some(spark.read.parquet(p.resolve("edges").toString))
+    else None
   }
 
   /** L2: compaction — rewrite the collection into `numFiles` parquet files

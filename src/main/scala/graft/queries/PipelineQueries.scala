@@ -107,6 +107,10 @@ object PipelineQueries {
         mem.snapshot("before_expire")
         mem.expire(now)
         val afterExpire = cols.count(memName) // dead row physically deleted
+        // time-travel READ of the snapshot must see all 3 rows while the
+        // live (expired) state still has 2 — reading must not publish
+        val travel = cols.snapshotTable(memName, "before_expire").count()
+        val liveAfterRead = cols.count(memName)
         mem.restore("before_expire")
         val restored = cols.count(memName)
         // recall still works over the restored state
@@ -114,6 +118,7 @@ object PipelineQueries {
         liveIds == Set(1L, 3L) && // id 2's 60 s TTL lapsed; id 3 has none
           rec.length == 1 && rec.head.getAs[Long]("id") == 1L &&
           afterExpire == 2 &&
+          travel == 3 && liveAfterRead == 2 && // read-only time travel
           restored == 3 && // snapshot/restore round-trip (agent/snapshot.rs)
           mem.listSnapshots() == Seq("before_expire") &&
           rec2.length == 1 && rec2.head.getAs[Long]("id") == 1L

@@ -77,7 +77,7 @@ class RestServer(g: Graft, port: Int = 0) {
     * the /metrics payload) without bound. */
   private val KnownVerbs = Set("search", "points", "graph", "match", "empty", "flush",
     "batch", "multi", "text", "hybrid", "traverse", "nodes", "degree", "edges",
-    "indexes", "shortest_paths", "pagerank")
+    "indexes", "shortest_paths", "pagerank", "snapshots", "restore")
   private def countRequest(path: String, code: Int): Unit = {
     // low-cardinality route label: collapse collection names and ids
     val route = path.split("/").filter(_.nonEmpty).toList match {
@@ -569,6 +569,41 @@ class RestServer(g: Graft, port: Int = 0) {
           ok(mapper.writeValueAsString(java.util.Map.of(
             "status", "deleted", "label", label, "property", property)))
         else error(404, s"index $label/$property not found in $name")
+      // ---- snapshots (agent/snapshot.rs SnapshotManager over REST):
+      // create/list/restore/drop, plus a read-only time-travel page of
+      // the snapshot's points — the live state is untouched by GET.
+      case ("POST", "collections" :: name :: "snapshots" :: Nil) =>
+        val n = existingUserCollection(name)
+        val tag = text(json(ex), "tag").getOrElse(badRequest("missing 'tag'"))
+        g.collections.snapshot(n, tag) // bad tag → IllegalArgument → 400
+        (201, mapper.writeValueAsString(java.util.Map.of(
+          "name", n, "tag", tag, "status", "created")))
+      case ("GET", "collections" :: name :: "snapshots" :: Nil) =>
+        val tags = g.collections.listSnapshots(existing(name))
+        ok(mapper.writeValueAsString(java.util.Map.of(
+          "snapshots", java.util.List.of(tags: _*))))
+      case ("GET", "collections" :: name :: "snapshots" :: tag :: "points" :: Nil) =>
+        // bounded page (limit, default 100, cap 10k) — a snapshot can be
+        // arbitrarily large; full exports go through the library read
+        val n = existing(name)
+        val limit = math.min(
+          queryParams(ex).get("limit").flatMap(_.toIntOption).getOrElse(100), 10000)
+        if (limit <= 0) badRequest("limit must be positive")
+        val rows = g.collections.snapshotTable(n, tag).limit(limit).toJSON.collect()
+        ok(s"""{"tag":"$tag","count":${rows.length},"points":[${rows.mkString(",")}]}""")
+      case ("POST", "collections" :: name :: "snapshots" :: tag :: "restore" :: Nil) =>
+        g.collections.restoreSnapshot(existingUserCollection(name), tag)
+        ok(mapper.writeValueAsString(java.util.Map.of(
+          "name", name, "tag", tag, "status", "restored")))
+      case ("DELETE", "collections" :: name :: "snapshots" :: tag :: Nil) =>
+        val n = existingUserCollection(name)
+        if (!g.collections.listSnapshots(n).contains(tag))
+          error(404, s"snapshot $tag not found on $n")
+        else {
+          g.collections.dropSnapshot(n, tag)
+          ok(mapper.writeValueAsString(java.util.Map.of(
+            "tag", tag, "status", "deleted")))
+        }
       case ("POST", "collections" :: name :: "match" :: Nil) =>
         val b = json(ex)
         val m = text(b, "match").getOrElse(badRequest("missing 'match'"))

@@ -102,6 +102,34 @@ class MultiModalCrudSpec extends SparkSpecBase {
     cols.drop("agent_memory")
   }
 
+  test("snapshotTable is a read-only time-travel view; live state untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_read").toString
+    val cols = new Collections(spark, dir)
+    cols.create("docs")
+    cols.upsert("docs", Seq((1L, "old")).toDF("id", "body"))
+    cols.snapshot("docs", "v1")
+    cols.upsert("docs", Seq((1L, "new"), (2L, "more")).toDF("id", "body"))
+    // time travel sees the v1 state…
+    val then_ = cols.snapshotTable("docs", "v1")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(then_ == Seq(1L -> "old"))
+    // …and reading did not publish: the live frame still has both rows
+    val now = cols.table("docs").get.orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(now == Seq(1L -> "new", 2L -> "more"))
+    // edges frame appears in the snapshot once edges exist
+    cols.upsertEdges("docs", Seq((10L, 1L, 2L, "ref")).toDF("id", "src", "dst", "label"))
+    cols.snapshot("docs", "v2")
+    assert(cols.snapshotEdges("docs", "v2").get.count() == 1)
+    assert(cols.snapshotEdges("docs", "v1").isEmpty) // points-only era
+    // traversal tags can't escape the snapshots dir
+    intercept[IllegalArgumentException] { cols.snapshotTable("docs", "..") }
+    intercept[IllegalArgumentException] { cols.snapshot("docs", "..") }
+    intercept[graft.velesql.NotFoundError] { cols.snapshotTable("docs", "nope") }
+    cols.drop("docs")
+  }
+
   test("deleteWhere keeps rows whose predicate is NULL (not TRUE ≠ delete)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_delwhere").toString

@@ -374,6 +374,52 @@ class RestServerSpec extends SparkSpecBase {
     assert(parsed.has("error") && parsed.get("error").asText.contains("we\"ird"))
   }
 
+  test("snapshot routes: create, time-travel read, restore, drop") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rest-snap").toString
+    val g2 = Graft(spark, tmp)
+    val s2 = new RestServer(g2, port = 0).start()
+    try {
+      val b = s"http://127.0.0.1:${s2.boundPort}"
+      def send(r: HttpRequest): HttpResponse[String] =
+        client.send(r, HttpResponse.BodyHandlers.ofString())
+      def post2(path: String, body: String) =
+        send(HttpRequest.newBuilder(URI.create(s"$b$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build())
+      def get2(path: String) =
+        send(HttpRequest.newBuilder(URI.create(s"$b$path")).GET().build())
+      post2("/collections", """{"name": "notes", "id_col": "id"}""")
+      post2("/collections/notes/points",
+        """{"points": [{"id": 1, "payload": {"body": "old"}}]}""")
+      val created = post2("/collections/notes/snapshots", """{"tag": "v1"}""")
+      assert(created.statusCode() == 201 && created.body().contains("v1"))
+      // mutate past the snapshot
+      post2("/collections/notes/points",
+        """{"points": [{"id": 1, "payload": {"body": "new"}},
+          |            {"id": 2, "payload": {"body": "more"}}]}""".stripMargin)
+      assert(get2("/collections/notes/snapshots").body().contains("v1"))
+      // time travel: the snapshot page shows the OLD row, live has 2 points
+      val page = get2("/collections/notes/snapshots/v1/points?limit=10")
+      assert(page.statusCode() == 200 && page.body().contains("\"count\":1")
+        && page.body().contains("old"), page.body().take(300))
+      assert(get2("/collections/notes").body().contains("\"points_count\":2"))
+      // restore publishes the v1 state back
+      val restored = post2("/collections/notes/snapshots/v1/restore", "")
+      assert(restored.statusCode() == 200 && restored.body().contains("restored"))
+      assert(get2("/collections/notes").body().contains("\"points_count\":1"))
+      // drop; then 404s — and traversal tags are 400, not file access
+      val dropped = send(HttpRequest.newBuilder(
+        URI.create(s"$b/collections/notes/snapshots/v1")).DELETE().build())
+      assert(dropped.statusCode() == 200 && dropped.body().contains("deleted"))
+      assert(get2("/collections/notes/snapshots/v1/points").statusCode() == 404)
+      assert(send(HttpRequest.newBuilder(
+        URI.create(s"$b/collections/notes/snapshots/v1")).DELETE().build())
+        .statusCode() == 404)
+      assert(get2("/collections/notes/snapshots/../points").statusCode() != 200)
+      assert(post2("/collections/notes/snapshots", """{"tag": ".."}""")
+        .statusCode() == 400)
+    } finally s2.stop()
+  }
+
   test("error taxonomy maps to HTTP codes") {
     // unknown collection → 404 (NotFoundError)
     val nf = post("/query", """{"query": "SELECT x FROM nope LIMIT 1"}""")
