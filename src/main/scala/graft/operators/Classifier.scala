@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Model-based quality classification — the "train a small classifier
+  * on labeled documents, score the whole corpus, keep what passes" step
+  * of C4/CCNet/FineWeb-style pipelines (the heuristic filters in
+  * TextQueries q64/q141 are the rules half; this is the learned half).
+  *
+  * Features are hashing-trick n-grams (unigrams + bigrams → md5 60-bit
+  * id mod dim, the fastText shape): no vocabulary table, engine- and
+  * run-reproducible, and the SAME md5 idiom the repo's oracle pins
+  * already prove cross-engine (TextQueries header).
+  *
+  * Training is full-batch logistic regression by gradient descent.
+  * Scale shape per iteration: weights BROADCAST down (dim-sized array
+  * in the closure), one partial+final agg per doc for margins, one
+  * per-feature agg for the gradient, and the driver collects exactly
+  * dim+1 numbers (grad + bias) — the [[Clustering]] k-means layout with
+  * features in place of centroids. Corpus size only enters through the
+  * two aggs.
+  *
+  * Engine-portability discipline (same as q161's k-means): margins,
+  * residuals, gradient coordinates and weight updates all round on the
+  * floor(x·1e6 + 0.5)/1e6 grid, so a sequential replay (or another
+  * engine) reproduces the weights EXACTLY unless an unrounded sum sits
+  * within ~1e-12 of a grid boundary.
+  */
+object Classifier {
+
+  private def r6(c: Column): Column =
+    floor(c * lit(1000000L) + lit(0.5)) / lit(1000000.0)
+
+  private def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** Hashed (id, fid, tf) features: lowercase alnum tokens (the repo
+    * convention), unigrams + adjacent bigrams ("a b"), fid = first 15
+    * md5 hex chars mod dim. One flatMap + one count agg — no vocab. */
+  def hashedFeatures(df: DataFrame, textCol: String, idCol: String,
+      dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val toks = df.select(col(idCol),
+      filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => length(t) > 0)
+        .as("w"))
+    val grams = toks.select(col(idCol), explode(concat(
+        col("w"),
+        zip_with(slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))),
+          slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b)))).as("gram"))
+    grams.select(col(idCol),
+        (conv(substring(md5(col("gram")), 1, 15), 16, 10).cast(LongType)
+          % dim).as("fid"))
+      .groupBy(col(idCol), col("fid"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+  }
+
+  /** Margin + probability per id under a weight table (fid, w) and
+    * bias: margin = r6(Σ tf·w), prob = r6(sigmoid(margin + bias)).
+    * `weights` is dim-bounded → broadcast join; one per-id agg. */
+  def score(feats: DataFrame, weights: DataFrame, bias: Double,
+      idCol: String): DataFrame =
+    feats.join(broadcast(weights), "fid")
+      .groupBy(col(idCol))
+      .agg(r6(sum(col("tf") * col("w"))).as("margin"))
+      .withColumn("prob",
+        r6(lit(1.0) / (lit(1.0) + exp(-(col("margin") + lit(bias))))))
+
+  /** Trained model: dense weights (index = fid) + bias. */
+  final case class Model(weights: IndexedSeq[Double], bias: Double)
+
+  /** Full-batch logistic GD on (id, fid, tf) features and (id, y∈{0,1})
+    * labels. Plain GD, no momentum — determinism over convergence rate;
+    * `iters` is small by design (quality classifiers are shallow). */
+  def train(feats: DataFrame, labels: DataFrame, idCol: String, dim: Int,
+      iters: Int, lr: Double): Model = {
+    require(iters >= 0 && dim > 0, s"bad iters=$iters dim=$dim")
+    val spark = feats.sparkSession
+    val ckpt = org.apache.spark.sql.graft.CheckpointBlocks
+    val fl = feats.join(labels, idCol).localCheckpoint(true)
+    val n = labels.count().toDouble
+    var w = IndexedSeq.fill(dim)(0.0)
+    var b = 0.0
+    var it = 0
+    while (it < iters) {
+      val wLit = w.toArray
+      val look = udf((fid: Long) => wLit(fid.toInt))
+      // per-doc residual r = r6(sigmoid(r6(Σ tf·w) + b) − y)
+      val resid = fl.groupBy(col(idCol), col("y"))
+        .agg(r6(sum(col("tf") * look(col("fid")))).as("m"))
+        .select(col(idCol),
+          r6(lit(1.0) / (lit(1.0) + exp(-(col("m") + lit(b)))) - col("y"))
+            .as("r"))
+      // per-feature gradient g_f = r6(Σ tf·r / n); bias grad = r6(Σ r / n)
+      val grad = fl.join(resid, idCol)
+        .groupBy("fid").agg(r6(sum(col("tf") * col("r")) / lit(n)).as("g"))
+        .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+      val bg = resid.agg(r6(sum(col("r")) / lit(n))).head.getDouble(0)
+      w = w.indices.map(f => r6d(w(f) - lr * grad.getOrElse(f, 0.0)))
+      b = r6d(b - lr * bg)
+      it += 1
+    }
+    ckpt.unpersist(fl)
+    Model(w, b)
+  }
+
+  /** Model weights as a broadcastable (fid, w) frame for [[score]]. */
+  def weightsFrame(spark: org.apache.spark.sql.SparkSession,
+      model: Model): DataFrame = {
+    import spark.implicits._
+    model.weights.zipWithIndex
+      .map { case (wv, f) => (f.toLong, wv) }.toDF("fid", "w")
+  }
+}

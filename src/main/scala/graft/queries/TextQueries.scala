@@ -1103,6 +1103,102 @@ object TextQueries {
       val compressOk = enc.values.forall(t => t.exists(_.length > 1))
       val ok = trainOk && encodeOk && compressOk
       s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("bpe_ok"))
+    },
+
+    // ---- Model-based quality scoring, INFERENCE path (the score-the-
+    // corpus half of the C4/FineWeb classifier step), value-level: the
+    // hashing-trick features (unigram+bigram md5 mod 1024) and the
+    // margin/sigmoid scoring must agree with DuckDB replaying the same
+    // pipeline under the same DERIVED weight formula w(f) =
+    // (f·2654435761 mod 1000)/1000 − ½ (a fixed pseudo-model: the pin
+    // needs weights both engines can compute — a trained model's floats
+    // can't ride static oracle SQL; training itself is q174). Margins
+    // land on a 5e-4 grid, so r6 is far from every boundary.
+    QueryDef(
+      "q173_classifier_score",
+      """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0) AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(w) AS gram FROM tok
+        |  UNION ALL
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM tok)
+        |),
+        |f AS (SELECT doc_id,
+        |        CAST(concat('0x', substr(md5(gram),1,15)) AS BIGINT) % 1024 AS fid,
+        |        CAST(count(*) AS DOUBLE) AS tf
+        |      FROM g GROUP BY doc_id, fid),
+        |sc AS (SELECT doc_id, floor(sum(tf * (((fid * 2654435761) % 1000)/1000.0 - 0.5)) * 1000000 + 0.5)/1000000.0 AS margin
+        |       FROM f GROUP BY doc_id)
+        |SELECT doc_id, margin,
+        |  floor((1.0/(1.0 + exp(-margin))) * 1000000 + 0.5)/1000000.0 AS prob
+        |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.operators.Classifier
+      val feats = Classifier.hashedFeatures(t(s, d, "documents"), "text",
+        "doc_id", dim = 1024)
+      val weights = s.range(1024).select(col("id").as("fid"),
+        (((col("id") * 2654435761L) % 1000) / 1000.0 - 0.5).as("w"))
+      Classifier.score(feats, weights, bias = 0.0, idCol = "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // ---- Classifier TRAINING (lifecycle pin): distributed full-batch
+    // logistic GD (weights broadcast, two aggs + dim+1 driver numbers
+    // per iteration) must reproduce a sequential replay on the
+    // collected features to within ONE r6 grid step per coordinate —
+    // the q161 k-means rounding discipline; a sum that lands within an
+    // ulp of a 0.5e-6 boundary can round either way between the
+    // distributed and sequential sum orders (measured: exactly one of
+    // 256 coordinates at sf0.01), while any LOGIC divergence is ~1e-3
+    // scale — and the trained model must actually separate the classes
+    // it was fit on (mean P(en) > mean P(¬en)).
+    QueryDef.lifecyclePin("q174_classifier_train",
+      "SELECT CAST(1 AS INT) AS train_ok") { (s, d) =>
+      import graft.operators.Classifier
+      val dim = 256
+      val docs = t(s, d, "documents")
+      val feats = Classifier.hashedFeatures(docs, "text", "doc_id", dim)
+        .localCheckpoint(true)
+      val labels = docs.select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      val model = Classifier.train(feats, labels, "doc_id", dim,
+        iters = 3, lr = 0.5)
+
+      // sequential replay on collected features, same rounding grid
+      def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+      val f = feats.collect().map(r => (r.getLong(0), r.getLong(1).toInt,
+        r.getDouble(2)))
+      val ys = labels.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val n = ys.size.toDouble
+      var w = IndexedSeq.fill(dim)(0.0)
+      var b = 0.0
+      (1 to 3).foreach { _ =>
+        val m = f.groupBy(_._1).map { case (id, rows) =>
+          id -> r6d(rows.map { case (_, fid, tf) => tf * w(fid) }.sum)
+        }
+        val r = m.map { case (id, mm) =>
+          id -> r6d(1.0 / (1.0 + math.exp(-(mm + b))) - ys(id))
+        }
+        val g = f.groupBy(_._2).map { case (fid, rows) =>
+          fid -> r6d(rows.map { case (id, _, tf) => tf * r(id) }.sum / n)
+        }
+        val bg = r6d(r.values.sum / n)
+        w = w.indices.map(fid => r6d(w(fid) - 0.5 * g.getOrElse(fid, 0.0)))
+        b = r6d(b - 0.5 * bg)
+      }
+      val trainOk = model.weights.zip(w).forall {
+        case (a, c) => math.abs(a - c) <= 1.01e-6
+      } && math.abs(model.bias - b) <= 1.01e-6
+
+      // the model separates its own classes
+      val scored = Classifier.score(feats,
+          Classifier.weightsFrame(s, model), model.bias, "doc_id")
+        .join(labels, "doc_id")
+        .groupBy("y").agg(avg("prob").as("p"))
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      val sepOk = scored(1.0) > scored(0.0)
+      org.apache.spark.sql.graft.CheckpointBlocks.unpersist(feats)
+      val ok = trainOk && sepOk
+      s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("train_ok"))
     }
   )
 
