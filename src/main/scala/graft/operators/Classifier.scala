@@ -35,10 +35,9 @@ object Classifier {
 
   private def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
-  /** Hashed (id, fid, tf) features: lowercase alnum tokens (the repo
-    * convention), unigrams + adjacent bigrams ("a b"), fid = first 15
-    * md5 hex chars mod dim. One flatMap + one count agg — no vocab. */
-  def hashedFeatures(df: DataFrame, textCol: String, idCol: String,
+  /** Exploded (id, fid) gram occurrences — the map-only front half of
+    * both feature shapes below. */
+  private def gramFids(df: DataFrame, textCol: String, idCol: String,
       dim: Int): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
     val toks = df.select(col(idCol),
@@ -50,11 +49,22 @@ object Classifier {
           slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
           (a, b) => concat(a, lit(" "), b)))).as("gram"))
     grams.select(col(idCol),
-        (conv(substring(md5(col("gram")), 1, 15), 16, 10).cast(LongType)
-          % dim).as("fid"))
+      (conv(substring(md5(col("gram")), 1, 15), 16, 10).cast(LongType)
+        % dim).as("fid"))
+  }
+
+  /** Hashed (id, fid, tf) features: lowercase alnum tokens (the repo
+    * convention), unigrams + adjacent bigrams ("a b"), fid = first 15
+    * md5 hex chars mod dim. One flatMap + one count agg — no vocab.
+    * This is the TRAINING shape: collapsing occurrences to (fid, tf)
+    * once pays for itself across GD iterations that each re-touch the
+    * feature rows. For one-shot inference use [[scoreText]], which
+    * skips this corpus-wide shuffle entirely. */
+  def hashedFeatures(df: DataFrame, textCol: String, idCol: String,
+      dim: Int): DataFrame =
+    gramFids(df, textCol, idCol, dim)
       .groupBy(col(idCol), col("fid"))
       .agg(count(lit(1)).cast("double").as("tf"))
-  }
 
   /** Margin + probability per id under a weight table (fid, w) and
     * bias: margin = r6(Σ tf·w), prob = r6(sigmoid(margin + bias)).
@@ -66,6 +76,40 @@ object Classifier {
       .agg(r6(sum(col("tf") * col("w"))).as("margin"))
       .withColumn("prob",
         r6(lit(1.0) / (lit(1.0) + exp(-(col("margin") + lit(bias))))))
+
+  /** Fused inference: score documents straight from text with NO
+    * shuffle and no row explosion — the weight vector rides the plan as
+    * one dense array literal (dim-bounded, the PQ-codebook pattern) and
+    * the margin is a per-ROW `aggregate` over the gram array:
+    * Σ tf·w ≡ Σ w over occurrences, so the (fid, tf) collapse is
+    * skipped; summation-order differences vs the grouped path are
+    * absorbed by r6. Docs with zero grams carry no score (parity with
+    * the feature-join path, where they have no feature rows). This is
+    * the serving path: one map stage end to end. */
+  def scoreText(df: DataFrame, textCol: String, idCol: String,
+      weights: DataFrame, bias: Double, dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val dense = Array.fill(dim)(0.0)
+    weights.collect().foreach(r => dense(r.getLong(0).toInt) = r.getDouble(1))
+    val wArr = typedlit(dense.toSeq)
+    val toks = df.select(col(idCol),
+      filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => length(t) > 0)
+        .as("w"))
+    val grams = concat(
+      col("w"),
+      zip_with(slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))),
+        slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)))
+    val fidOf = (g: Column) =>
+      conv(substring(md5(g), 1, 15), 16, 10).cast(LongType) % dim
+    toks.where(size(col("w")) > 0)
+      .select(col(idCol),
+        r6(aggregate(grams, lit(0.0),
+          (acc, g) => acc + element_at(wArr, (fidOf(g) + 1).cast("int"))))
+          .as("margin"))
+      .withColumn("prob",
+        r6(lit(1.0) / (lit(1.0) + exp(-(col("margin") + lit(bias))))))
+  }
 
   /** Trained model: dense weights (index = fid) + bias. */
   final case class Model(weights: IndexedSeq[Double], bias: Double)

@@ -1133,11 +1133,10 @@ object TextQueries {
         |  floor((1.0/(1.0 + exp(-margin))) * 1000000 + 0.5)/1000000.0 AS prob
         |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
       import graft.operators.Classifier
-      val feats = Classifier.hashedFeatures(t(s, d, "documents"), "text",
-        "doc_id", dim = 1024)
       val weights = s.range(1024).select(col("id").as("fid"),
         (((col("id") * 2654435761L) % 1000) / 1000.0 - 0.5).as("w"))
-      Classifier.score(feats, weights, bias = 0.0, idCol = "doc_id")
+      Classifier.scoreText(t(s, d, "documents"), "text", "doc_id",
+          weights, bias = 0.0, dim = 1024)
         .orderBy("doc_id")
     },
 

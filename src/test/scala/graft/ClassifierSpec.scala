@@ -59,6 +59,18 @@ class ClassifierSpec extends SparkSpecBase {
     assert(probs(1L) > probs(3L) && probs(2L) > probs(4L))
   }
 
+  test("scoreText (fused inference) equals score over hashedFeatures") {
+    val docs = Seq((1L, "good fine great good"), (2L, "bad poor"), (3L, ""))
+      .toDF("id", "text")
+    val w = Seq.tabulate(64)(f => (f.toLong, f / 64.0 - 0.5)).toDF("fid", "w")
+    val viaFeats = Classifier.score(
+        Classifier.hashedFeatures(docs, "text", "id", 64), w, 0.25, "id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val fused = Classifier.scoreText(docs, "text", "id", w, 0.25, 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(fused == viaFeats && fused.map(_._1) == Set(1L, 2L))
+  }
+
   test("zero iterations yields the zero model") {
     val feats = Seq((1L, 0L, 1.0)).toDF("id", "fid", "tf")
     val labels = Seq((1L, 1.0)).toDF("id", "y")
