@@ -1198,6 +1198,71 @@ object TextQueries {
       org.apache.spark.sql.graft.CheckpointBlocks.unpersist(feats)
       val ok = trainOk && sepOk
       s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("train_ok"))
+    },
+
+    // ---- Bigram LM perplexity with backoff (between q143's unigram LM
+    // and CCNet's 5-gram KenLM): the model — bigram/unigram counts —
+    // builds from the EVEN doc_ids and scores the held-out ODD docs, so
+    // unseen bigrams and unseen words genuinely exercise the smoothing:
+    // p(w2|w1) = (c2 + 0.4·p1(w2)) / (c1(w1) + 0.4), with Laplace
+    // unigrams p1(w) = (c1(w)+1)/(n+V+1) keeping every p > 0. Scale
+    // shape: bigrams are one lead-window per doc (shuffle on doc_id),
+    // count tables are vocabulary-sized term-keyed joins (the BM25
+    // class — broadcast here, shuffle joins at corpus scale), scoring
+    // is one per-doc agg. bits = avg(−log2 p), r6 on the final avg.
+    QueryDef(
+      "q175_bigram_lm",
+      """WITH tokall AS (SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) AS pos FROM (
+        |    SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0) AS w
+        |    FROM documents)),
+        |mtok AS (SELECT * FROM tokall WHERE doc_id % 2 = 0),
+        |c1 AS (SELECT term, count(*) AS c FROM mtok GROUP BY term),
+        |tot AS (SELECT sum(c) AS n, count(*) AS v FROM c1),
+        |bg AS (SELECT doc_id, term AS w1,
+        |         lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |       FROM tokall WHERE doc_id % 2 = 1),
+        |bgx AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+        |c2 AS (SELECT w1, w2, count(*) AS c FROM (
+        |        SELECT doc_id, term AS w1, lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |        FROM mtok) WHERE w2 IS NOT NULL GROUP BY w1, w2)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  floor(avg(-log2( (coalesce(c2.c, 0) + 0.4 * ((coalesce(u.c, 0) + 1.0) / (tot.n + tot.v + 1.0)))
+        |                   / (coalesce(p.c, 0) + 0.4) )) * 1000000 + 0.5)/1000000.0 AS bits
+        |FROM bgx
+        |  LEFT JOIN c2 ON c2.w1 = bgx.w1 AND c2.w2 = bgx.w2
+        |  LEFT JOIN c1 p ON p.term = bgx.w1
+        |  LEFT JOIN c1 u ON u.term = bgx.w2
+        |  CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tokall = t(s, d, "documents").select(col("doc_id"),
+        posexplode(expr(
+          "filter(split(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)"))
+          .as(Seq("pos", "term")))
+      val mtok = tokall.where(col("doc_id") % 2 === 0)
+      val c1 = mtok.groupBy("term").agg(count(lit(1)).as("c"))
+      val tot = c1.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+      val wSpec = Window.partitionBy("doc_id").orderBy("pos")
+      def bigrams(df: DataFrame): DataFrame =
+        df.select(col("doc_id"), col("term").as("w1"),
+            lead("term", 1).over(wSpec).as("w2"))
+          .where(col("w2").isNotNull)
+      val c2 = bigrams(mtok).groupBy("w1", "w2").agg(count(lit(1)).as("c2c"))
+      val p1 = (coalesce(col("uc"), lit(0L)) + 1.0) /
+        (col("n") + col("v") + 1.0)
+      bigrams(tokall.where(col("doc_id") % 2 === 1))
+        .join(broadcast(c2), Seq("w1", "w2"), "left")
+        .join(broadcast(c1.select(col("term").as("w1"), col("c").as("pc"))),
+          Seq("w1"), "left")
+        .join(broadcast(c1.select(col("term").as("w2"), col("c").as("uc"))),
+          Seq("w2"), "left")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          r6(avg(-log2(
+            (coalesce(col("c2c"), lit(0L)) + lit(0.4) * p1) /
+              (coalesce(col("pc"), lit(0L)) + 0.4)))).as("bits"))
+        .orderBy("doc_id")
     }
   )
 
