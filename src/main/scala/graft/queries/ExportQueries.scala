@@ -72,6 +72,49 @@ object ExportQueries {
           element_at(col("embedding_sq8"), 1).cast(LongType).as("c0"),
           element_at(col("embedding_sq8"), 2).cast(LongType).as("c1"))
         .orderBy("vec_id")
+    },
+
+    // ---- PCA (lifecycle pin): the one-pass covariance fit + map-only
+    // projection must satisfy PCA's own contracts, asserted DISTRIBUTED
+    // on the real embeddings: orthonormal components, eigen-descending
+    // variances, per-component projected variance ≡ its eigenvalue
+    // (the fit's covariance and the projection agree end to end),
+    // sign-fixed determinism, and PCA optimality — the top-8 components
+    // capture at least as much variance as the first 8 raw dimensions
+    // (the data-driven cut beats the positional matryoshka cut).
+    QueryDef.lifecyclePin("q176_pca",
+      "SELECT CAST(1 AS INT) AS pca_ok") { (s, d) =>
+      import graft.operators.Pca
+      val k = 8
+      val emb = t(s, d, "embeddings")
+      val m = Pca.fit(emb, "embedding", k)
+      val orthoOk = (0 until k).forall { a =>
+        (a until k).forall { b =>
+          val dot = m.components(a).zip(m.components(b)).map(p => p._1 * p._2).sum
+          math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-9
+        }
+      }
+      val orderOk = m.explainedVariance == m.explainedVariance.sortBy(-_) &&
+        m.explainedVariance.forall(_ >= 0.0)
+      val proj = Pca.transform(emb, "embedding", m)
+      val vs = proj.agg(
+        var_samp(element_at(col("pca"), 1)).as("v"),
+        (2 to k).map(i => var_samp(element_at(col("pca"), i)).as(s"v$i")): _*)
+        .head
+      val varOk = (0 until k).forall { i =>
+        math.abs(vs.getDouble(i) - m.explainedVariance(i)) <=
+          1e-6 * (1.0 + m.explainedVariance(i))
+      }
+      val rawHead = emb.agg(
+        var_samp(element_at(col("embedding"), 1).cast("double")).as("r"),
+        (2 to k).map(i =>
+          var_samp(element_at(col("embedding"), i).cast("double")).as(s"r$i")): _*)
+        .head
+      val optOk = m.explainedVariance.sum >=
+        (0 until k).map(rawHead.getDouble).sum - 1e-9
+      val detOk = Pca.fit(emb, "embedding", k) == m
+      val ok = orthoOk && orderOk && varOk && optOk && detOk
+      s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("pca_ok"))
     }
   )
 }
