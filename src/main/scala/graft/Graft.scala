@@ -104,6 +104,23 @@ class Graft(
     operators.Graph.pageRank(cat.graphEdges, iters, damping)
   }
 
+  /** Per-node triangle counts over the same graph surface, treating
+    * edges as undirected (optionally restricted to `relTypes`) —
+    * degree-ordered enumeration, see
+    * [[operators.Graph.triangleCounts]]. */
+  def triangles(relTypes: Seq[String] = Nil,
+      graphScope: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, greatest, least}
+    val cat = graphScope.fold(catalog)(catalog.scopedToGraph)
+    val e0 = cat.graphEdges
+    val e = if (relTypes.nonEmpty) e0.where(col("label").isin(relTypes: _*))
+            else e0
+    val pairs = e.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    operators.Graph.triangleCounts(pairs)
+  }
+
   /** Plan-intent summary (velesql/explain.rs shape). */
   def explain(query: String): String = Explain.render(parse(query))
 

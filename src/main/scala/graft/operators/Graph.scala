@@ -309,4 +309,56 @@ object Graph {
     org.apache.spark.sql.graft.CheckpointBlocks.unpersist(outDeg)
     ranks
   }
+
+  /** Per-node triangle counts over an UNDIRECTED simple graph given as
+    * canonical distinct pairs `(a < b)` (beyond-reference: the classic
+    * cohesion statistic behind clustering coefficients and community
+    * seeds). One row per node that closes ≥1 triangle: `(node,
+    * n_triangles)`.
+    *
+    * Scale shape — degree-ordered edge orientation: every edge points
+    * from its lower-(degree, id) endpoint to the higher one, so each
+    * triangle is enumerated exactly once, at its lowest-degree corner,
+    * and the wedge join fans out as Σ outdeg(u)² where the orientation
+    * bounds outdeg by O(√m) on any graph. That keeps the candidate
+    * wedge set near-linear on skewed (power-law) co-occurrence graphs,
+    * where the naive `a<b<c` id-ordered join explodes on hub nodes.
+    * Three shuffles total (degree agg, wedge join on u, closing join on
+    * (v, w)); nothing touches the driver. */
+  def triangleCounts(undirected: DataFrame,
+      aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val e = undirected.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b"))
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+    // orient low-(deg, id) → high; carry the target's rank key so the
+    // wedge join can order its two legs without re-joining degrees
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+           (col("da") === col("db") && col("a") < col("b")), col("a"))
+        .otherwise(col("b")).as("u"),
+      when(col("da") < col("db") ||
+           (col("da") === col("db") && col("a") < col("b")), col("b"))
+        .otherwise(col("a")).as("v"),
+      when(col("da") < col("db") ||
+           (col("da") === col("db") && col("a") < col("b")), col("db"))
+        .otherwise(col("da")).as("dv"))
+    val l = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+    val r = oriented.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    // wedge (x, y) out of u with x before y in orientation order ⇒ the
+    // closing edge, if present, is oriented x → y
+    val wedges = l.join(r, Seq("u"))
+      .where(col("dx") < col("dy") ||
+             (col("dx") === col("dy") && col("x") < col("y")))
+      .select(col("u"), col("x"), col("y"))
+    val closing = oriented.select(col("u").as("x"), col("v").as("y"))
+    val tri = wedges.join(closing, Seq("x", "y"))
+    tri.select(col("u").as("node"))
+      .unionAll(tri.select(col("x").as("node")))
+      .unionAll(tri.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
 }

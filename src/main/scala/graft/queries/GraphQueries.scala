@@ -198,6 +198,36 @@ object GraphQueries {
         .select(col("node"),
           floor(col("rank") * 10000 + 0.5).cast(LongType).as("rank_e4"))
         .orderBy("node")
+    },
+
+    // ---- Beyond-reference G: per-node triangle counts over the
+    // co-purchase projection (parts sharing an order ≥2 times —
+    // the market-basket graph; 61 triangles / 165 nodes at sf0.01).
+    // Spark enumerates via degree-ordered orientation (each triangle
+    // found once at its lowest-degree corner — Σ outdeg² stays
+    // near-linear on skewed graphs); the oracle's plain a<b<c id-order
+    // join finds the SAME triangle set, so the per-node counts agree
+    // while the plans differ — exactly the operator-vs-SQL contract.
+    QueryDef(
+      "q177_triangles",
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT x.p AS a, y.p AS b FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1
+        |        JOIN e e2 ON e2.a = e1.b
+        |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |n AS (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |      UNION ALL SELECT c FROM tri)
+        |SELECT node, count(*) AS n_triangles FROM n
+        |GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
+      val op = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val pairs = op.as("x")
+        .join(op.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+        .agg(count(lit(1)).as("w"))
+        .where(col("w") >= 2).select("a", "b")
+      Graph.triangleCounts(pairs).orderBy("node")
     }
   )
 }

@@ -77,7 +77,8 @@ class RestServer(g: Graft, port: Int = 0) {
     * the /metrics payload) without bound. */
   private val KnownVerbs = Set("search", "points", "graph", "match", "empty", "flush",
     "batch", "multi", "text", "hybrid", "traverse", "nodes", "degree", "edges",
-    "indexes", "shortest_paths", "pagerank", "snapshots", "restore")
+    "indexes", "shortest_paths", "pagerank", "triangles", "snapshots",
+    "restore")
   private def countRequest(path: String, code: Int): Unit = {
     // low-cardinality route label: collapse collection names and ids
     val route = path.split("/").filter(_.nonEmpty).toList match {
@@ -542,6 +543,26 @@ class RestServer(g: Graft, port: Int = 0) {
               .toJSON.collect()
             s"""{"results":[${rows.mkString(",")}],"timing_ms":${ms()}}"""
           } finally org.apache.spark.sql.graft.CheckpointBlocks.unpersist(res)
+        }
+      case ("POST", "collections" :: name :: "graph" :: "triangles" :: Nil) =>
+        // beyond-reference: per-node triangle counts (degree-ordered
+        // enumeration — Graph.triangleCounts) over the collection's
+        // edge store treated as undirected
+        val b = json(ex)
+        val rels = Option(b.get("rel_types")).filter(_.isArray)
+          .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+        val limit = posInt("limit", intOr(b, "limit", 100))
+        timed { ms =>
+          val e0 = edgesFor(name)
+          val e = if (rels.nonEmpty) e0.where(col("label").isin(rels: _*))
+                  else e0
+          val pairs = e.select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+            .where(col("a") =!= col("b")).distinct()
+          val rows = graft.operators.Graph.triangleCounts(pairs)
+            .orderBy(col("n_triangles").desc, col("node")).limit(limit)
+            .toJSON.collect()
+          s"""{"results":[${rows.mkString(",")}],"timing_ms":${ms()}}"""
         }
       case ("POST", "collections" :: name :: "indexes" :: Nil) =>
         // create property/range index (handlers/indexes.rs create_index).

@@ -466,6 +466,44 @@ class EdgeStoreSpec extends SparkSpecBase {
     } finally srv.stop()
   }
 
+  test("triangle counts run over a user graph (facade + REST)") {
+    val g = freshGraft()
+    import spark.implicits._
+    g.collections.create("tg", idCol = "id")
+    g.collections.upsert("tg",
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "name"))
+    // triangle 1-2-3, with the 1-2 edge stored in BOTH directions (the
+    // undirected canonicalization must not double-count it) + a
+    // pendant 3→4 edge under a different label
+    g.collections.upsertEdges("tg",
+      Seq((10L, 1L, 2L, "e"), (11L, 2L, 1L, "e"), (12L, 2L, 3L, "e"),
+        (13L, 1L, 3L, "e"), (14L, 3L, 4L, "x"))
+        .toDF("id", "src", "dst", "label"))
+    val tri = g.triangles(graphScope = Some("tg"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $tri")
+    // restricting to the pendant label leaves no closed wedge
+    assert(g.triangles(relTypes = Seq("x"), graphScope = Some("tg"))
+      .collect().isEmpty)
+    val srv = new graft.server.RestServer(g, port = 0).start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val client = java.net.http.HttpClient.newHttpClient()
+      def post(path: String, body: String) =
+        client.send(java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"$base$path"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .header("Content-Type", "application/json").build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+      val r = post("/collections/tg/graph/triangles", "{}")
+      assert(r.statusCode() == 200 && r.body().contains("\"n_triangles\":1"),
+        r.body())
+      val filtered = post("/collections/tg/graph/triangles",
+        """{"rel_types": ["x"]}""")
+      assert(filtered.statusCode() == 200 &&
+        filtered.body().contains("\"results\":[]"), filtered.body())
+    } finally srv.stop()
+  }
+
   test("strict graph schema over REST: create carries it, GET serves it, bad upserts are 400") {
     val g = freshGraft()
     val srv = new graft.server.RestServer(g, port = 0).start()

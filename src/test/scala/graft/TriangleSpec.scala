@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Graph
+
+/** [[Graph.triangleCounts]] — degree-ordered triangle enumeration vs a
+  * brute-force oracle, plus shape cases (complete graph, triangle-free
+  * star, pendant edges).
+  */
+class TriangleSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def counts(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.triangleCounts(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** O(n³) reference: every unordered node triple with all three edges. */
+  private def brute(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val triples = for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size
+      k <- (j + 1) until nodes.size
+      (a, b, c) = (nodes(i), nodes(j), nodes(k))
+      if es((a, b)) && es((b, c)) && es((a, c))
+    } yield (a, b, c)
+    triples.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+  }
+
+  test("K4: four triangles, every node in three") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(counts(k4) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("star graph is triangle-free (hub degree does not fabricate wedges)") {
+    val star = (2L to 12L).map(i => (1L, i))
+    assert(counts(star).isEmpty)
+  }
+
+  test("pendant edges join no triangles; counts match brute force") {
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), // triangle
+      (3L, 4L), (4L, 5L)) // pendant path
+    val c = counts(g)
+    assert(c == brute(g))
+    assert(c == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("deterministic pseudo-random graph matches brute force") {
+    // 30 nodes, edge (i, j) present when a fixed hash bit fires — no
+    // runtime randomness, same graph every run
+    val edges = for {
+      i <- 1L to 30L; j <- (i + 1) to 30L
+      if ((i * 2654435761L + j * 40503L) % 97) < 22
+    } yield (i, j)
+    assert(counts(edges) == brute(edges))
+  }
+
+  test("orientation is input-order independent (reversed pair columns)") {
+    val g = Seq((2L, 1L), (3L, 2L), (3L, 1L), (4L, 3L))
+    // same graph with swapped endpoints: canonicalization happens in
+    // the caller normally, but orientation must still count correctly
+    // because (deg, id) ordering ignores the input direction
+    assert(counts(g) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+}
