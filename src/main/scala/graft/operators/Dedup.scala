@@ -269,6 +269,60 @@ object Dedup {
         coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 
+  /** Exact-substring duplicate-SPAN report (the Lee et al. 2022
+    * suffix-array dedup shape, approximated at n-token-window
+    * alignment): a token window is DUPLICATED when its n-token gram
+    * occurs more than once in the corpus — in another doc or elsewhere
+    * in the same doc — and, per doc, overlapping duplicated windows
+    * merge into MAXIMAL spans (the gaps-and-islands pass), which is
+    * what distinguishes this from [[chunkDedup]]'s fixed-boundary
+    * paragraphs: a repeated passage is reported once at its true
+    * extent, at any alignment. Output per doc: `n_tokens`, `n_spans`,
+    * `dup_tokens` (tokens covered by ≥1 duplicated window) — the
+    * per-doc removal plan a span-level dedup pass executes.
+    *
+    * Scale shape: the gram table is the same inverted-join asset the
+    * dedup family shares (shuffle keyed by the gram — at 100 TB key by
+    * `xxhash64(gram)` so 8-byte keys move, and df-cap the HAVING group
+    * like [[ngramJaccardPairs]]); the island merge is one window
+    * partitioned by doc, bounded by doc length. Integer arithmetic
+    * end-to-end — nothing float-sensitive. */
+  def duplicateSpans(docs: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 2, "n must be >= 2")
+    val gram = (0 until n).map(j => s"tks[i + $j]")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    val tok = docs.select(col(idCol).as("doc_id"),
+      expr(s"filter(split(lower($textCol), '[^a-z0-9]+'), t -> length(t) > 0)")
+        .as("tks"))
+    val g = tok.where(size(col("tks")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(tks) - $n), i -> $gram)")))
+      .toDF("doc_id", "pos", "gram")
+    val dup = g.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1).select("gram")
+    val m = g.join(dup, Seq("gram"))
+      .select(col("doc_id"), col("pos").cast("long").as("s"),
+        (col("pos") + (n - 1)).cast("long").as("e"))
+    val prevMax = Window.partitionBy("doc_id").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val running = Window.partitionBy("doc_id").orderBy("s")
+    val isl = m.withColumn("pmax", max(col("e")).over(prevMax))
+      .withColumn("island",
+        sum(when(col("pmax").isNull || col("s") > col("pmax"), 1L)
+          .otherwise(0L)).over(running))
+    val agg = isl.groupBy("doc_id", "island")
+      .agg(min("s").as("s"), max("e").as("e"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"))
+    tok.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id").as(idCol),
+        size(col("tks")).cast("long").as("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+
   /** Incremental exact dedup — the shape production corpora actually
     * run (CCNet/RefinedWeb style): a NEW batch deduplicates against the
     * already-kept corpus without reprocessing it. Each batch row is

@@ -1029,6 +1029,43 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- Exact-substring duplicate SPANS (operator:
+    // Dedup.duplicateSpans — the Lee et al. 2022 suffix-array dedup
+    // shape at 4-token alignment): duplicated windows merge into
+    // maximal per-doc spans via gaps-and-islands. Distinct from q158's
+    // fixed chunks: any alignment, true extents. At sf0.01: 369 docs
+    // carry 659 spans (up to 5 per doc — the island merge is
+    // exercised), 5013 dup tokens. Integer-only output; the oracle's
+    // sum() casts to BIGINT (HUGEINT parity trap).
+    QueryDef(
+      "q178_dup_spans",
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> len(t) > 0) AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, i AS pos, array_to_string(w[(i+1):(i+4)], ' ') AS gram
+        |      FROM tok, unnest(range(0, greatest(len(w) - 3, 0))) AS u(i)),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+        |m AS (SELECT g.doc_id, g.pos AS s, g.pos + 3 AS e FROM g JOIN dup USING (gram)),
+        |o AS (SELECT doc_id, s, e,
+        |        max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |      FROM m),
+        |isl AS (SELECT doc_id, s, e,
+        |        sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY s) AS island FROM o),
+        |sp AS (SELECT doc_id, island, min(s) AS s, max(e) AS e FROM isl GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |        CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens FROM sp GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens
+        |FROM tok t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Dedup.duplicateSpans(t(s, d, "documents"), n = 4)
+        .orderBy("doc_id")
+    },
+
     // ---- RAG sliding-window chunker (operator: Chunking.slidingWindow):
     // 32-token windows, stride 16 (50% overlap), last window short, 0
     // tokens → no rows. Map-only — the whole thing fuses into one

@@ -240,6 +240,35 @@ class R5FeaturesSpec extends SparkSpecBase {
       graft.operators.Dedup.chunkDedup(docs, chunkWords = 0))
   }
 
+  test("Dedup.duplicateSpans: maximal spans at any alignment, self-repeats count") {
+    import spark.implicits._
+    val docs = Seq(
+      // docs 1/2 share a 5-token passage, offset differently → the two
+      // overlapping 4-gram windows must merge into ONE 5-token span
+      (1L, "the quick brown fox jumps over lazy dogs"),
+      (2L, "said the quick brown fox jumps aloud"),
+      // self-repetition: 4-gram "p q r s" occurs twice WITHIN doc 3 →
+      // two disjoint spans of 4 in the same doc
+      (3L, "p q r s gap1 gap2 p q r s"),
+      // shorter than n → no grams, zero report
+      (4L, "one two three"),
+      (5L, "entirely unique words nowhere else repeated ever")) // no dups
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.duplicateSpans(docs, n = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.size == 5)
+    // "the quick brown fox jumps" = 5 tokens in both docs
+    assert(got(1L) == ((8L, 1L, 5L)), s"got ${got(1L)}")
+    assert(got(2L) == ((7L, 1L, 5L)), s"got ${got(2L)}")
+    assert(got(3L) == ((10L, 2L, 8L)), s"got ${got(3L)}")
+    assert(got(4L) == ((3L, 0L, 0L)))
+    assert(got(5L) == ((7L, 0L, 0L)))
+    intercept[IllegalArgumentException](
+      graft.operators.Dedup.duplicateSpans(docs, n = 1))
+  }
+
   test("Dedup.incrementalExact: corpus dups, in-batch dups, and keeps") {
     import spark.implicits._
     val corpus = Seq((100L, "alpha"), (101L, "beta")).toDF("doc_id", "text")
