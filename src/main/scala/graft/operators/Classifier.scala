@@ -36,8 +36,9 @@ object Classifier {
   private def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
   /** Exploded (id, fid) gram occurrences — the map-only front half of
-    * both feature shapes below. */
-  private def gramFids(df: DataFrame, textCol: String, idCol: String,
+    * both feature shapes below (shared with [[Dsir]], which needs the
+    * same hashed unigram+bigram bucket ids). */
+  private[operators] def gramFids(df: DataFrame, textCol: String, idCol: String,
       dim: Int): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
     val toks = df.select(col(idCol),

@@ -1066,6 +1066,49 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- DSIR importance weights (operator: Dsir.importanceWeights —
+    // Xie et al. 2023, deterministic ranking form): hashed
+    // unigram+bigram buckets (q173's md5 convention, 4096 buckets),
+    // add-one-smoothed target (lang='en') vs raw distributions,
+    // per-bucket log-ratio snapped to integer micros BEFORE the
+    // per-doc sum — document weights are exact BIGINT arithmetic, so
+    // the cross-engine compare has no float-association surface at
+    // all (the only floats are per-bucket ln's on identical inputs).
+    QueryDef(
+      "q179_dsir_weights",
+      """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0) AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(w) AS gram FROM tok
+        |  UNION ALL
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM tok)
+        |),
+        |occ AS (SELECT doc_id,
+        |        CAST(concat('0x', substr(md5(gram),1,15)) AS BIGINT) % 4096 AS fid,
+        |        count(*) AS cnt FROM g GROUP BY 1, 2),
+        |b AS (SELECT fid,
+        |        sum(CASE WHEN d.lang = 'en' THEN cnt ELSE 0 END) AS ct,
+        |        sum(cnt) AS cr
+        |      FROM occ JOIN documents d USING (doc_id) GROUP BY fid),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+        |               CAST(sum(cr) AS BIGINT) AS nr FROM b),
+        |bw AS (SELECT fid,
+        |        CAST(floor((ln(ct + 1.0) - ln(CAST(nt + 4096 AS DOUBLE))
+        |          - ln(cr + 1.0) + ln(CAST(nr + 4096 AS DOUBLE)))
+        |          * 1000000 + 0.5) AS BIGINT) AS c_micro
+        |       FROM b, tot),
+        |pd AS (SELECT occ.doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+        |         CAST(sum(cnt * c_micro) AS BIGINT) AS w_micro
+        |       FROM occ JOIN bw USING (fid) GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(pd.w_micro, 0) AS BIGINT) AS w_micro
+        |FROM documents d LEFT JOIN pd USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Dsir.importanceWeights(
+          t(s, d, "documents"), col("lang") === "en", dim = 4096)
+        .orderBy("doc_id")
+    },
+
     // ---- RAG sliding-window chunker (operator: Chunking.slidingWindow):
     // 32-token windows, stride 16 (50% overlap), last window short, 0
     // tokens → no rows. Map-only — the whole thing fuses into one
