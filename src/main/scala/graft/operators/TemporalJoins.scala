@@ -119,4 +119,39 @@ object TemporalJoins {
       .drop("__b")
       .withColumnRenamed("__r_ts", s"r_$tsCol")
   }
+
+  /** Batch sessionization — the batch complement of
+    * [[graft.streaming.StreamingOps.sessionAgg]]'s live session
+    * windows (same semantics, replayable over history): per key,
+    * events closer than `gapUs` chain into one session; a gap larger
+    * than `gapUs` starts the next. One per-session summary row:
+    * `(keyCol, session_idx, n_events, start_us, end_us, duration_us)`
+    * with `session_idx` numbering a key's sessions 1..n in time order.
+    *
+    * The classic gaps-and-islands pass: lag + running sum + one agg,
+    * all inside a single window partitioned BY THE KEY — one shuffle,
+    * per-partition work bounded by a key's own event count, nothing
+    * global. Timestamps reduce to `unix_micros` BIGINTs up front
+    * (≡ DuckDB `epoch_us` — the repo's cross-engine timestamp idiom),
+    * so everything downstream is exact integer arithmetic. Ties on
+    * `tsCol` order by `idCol` — deterministic on both engines. */
+  def sessionize(events: DataFrame, gapUs: Long,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    require(gapUs > 0, "gapUs must be positive")
+    val e = events.select(col(keyCol), col(idCol).as("__id"),
+      unix_micros(col(tsCol)).as("__us"))
+    val order = Window.partitionBy(keyCol).orderBy("__us", "__id")
+    val marked = e
+      .withColumn("__pus", lag(col("__us"), 1).over(order))
+      .withColumn("__brk",
+        when(col("__pus").isNull || col("__us") - col("__pus") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("__brk")).over(order))
+    marked.groupBy(col(keyCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("__us")).as("start_us"),
+        max(col("__us")).as("end_us"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+  }
 }

@@ -622,6 +622,35 @@ object RelationalQueries {
         .select(col("purchase_id"), col("r_event_id").as("error_id"),
           (unix_micros(col("r_ts")) - unix_micros(col("ts"))).as("gap_us"))
         .orderBy("purchase_id", "error_id")
+    },
+
+    // ---- Batch sessionization (operator: TemporalJoins.sessionize —
+    // the replay-over-history complement of q131's streaming session
+    // windows): per-user gaps-and-islands at a 12 h inactivity gap.
+    // At sf0.01: 3292 sessions over 150 users, up to 18 events each.
+    // Micro-second BIGINTs end to end — no float surface; the
+    // oracle's count() needs no cast (BIGINT both engines) but the
+    // session_idx running sum does (HUGEINT trap).
+    QueryDef(
+      "q180_sessionize",
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT user_id, event_id, us,
+        |        lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS pus
+        |      FROM e),
+        |f AS (SELECT user_id, event_id, us,
+        |        CASE WHEN pus IS NULL OR us - pus > 43200000000 THEN 1 ELSE 0 END AS brk
+        |      FROM l),
+        |s AS (SELECT user_id, us,
+        |        CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |             AS BIGINT) AS session_idx
+        |      FROM f)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us,
+        |  max(us) - min(us) AS duration_us
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      graft.operators.TemporalJoins
+        .sessionize(t(s, d, "events"), gapUs = 43200000000L)
+        .orderBy("user_id", "session_idx")
     }
   )
 }

@@ -99,6 +99,29 @@ class TemporalJoinsSpec extends SparkSpecBase {
     assert(got == Seq(60L))
   }
 
+  test("sessionize: gap chains, exact-gap stays, per-key numbering, ties") {
+    val ev = Seq(
+      // user 1: events at 0s, 5s (gap 5 ≤ 10 → same), 15s (gap 10 =
+      // gapUs → SAME session, strict >), 30s (gap 15 → new session)
+      (1L, tsOf(0L), 1L), (1L, tsOf(5000000L), 2L),
+      (1L, tsOf(15000000L), 3L), (1L, tsOf(30000000L), 4L),
+      // user 2: two events at the SAME µs → one session of 2, then far
+      (2L, tsOf(7000000L), 5L), (2L, tsOf(7000000L), 6L),
+      (2L, tsOf(100000000L), 7L))
+      .toDF("user_id", "ts", "event_id")
+    val got = TemporalJoins.sessionize(ev, gapUs = 10000000L)
+      .orderBy("user_id", "session_idx")
+      .select("user_id", "session_idx", "n_events", "start_us", "end_us",
+        "duration_us")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 3L, 0L, 15000000L, 15000000L),
+      (1L, 2L, 1L, 30000000L, 30000000L, 0L),
+      (2L, 1L, 2L, 7000000L, 7000000L, 0L),
+      (2L, 2L, 1L, 100000000L, 100000000L, 0L)), s"got $got")
+    intercept[IllegalArgumentException](TemporalJoins.sessionize(ev, 0L))
+  }
+
   test("keyless range plan is an equi-join on the bucket, never BNLJ") {
     val left = Seq((1L, tsOf(0L))).toDF("lid", "ts")
     val right = Seq((2L, tsOf(1L))).toDF("rid", "ts")
