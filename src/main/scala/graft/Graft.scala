@@ -104,6 +104,22 @@ class Graft(
     operators.Graph.pageRank(cat.graphEdges, iters, damping)
   }
 
+  /** Connected components over the same graph surface (undirected,
+    * optionally restricted to `relTypes`): `(id, comp)` with `comp` =
+    * the component's minimum node id — label propagation with the
+    * checkpointed-superstep discipline
+    * ([[operators.Dedup.components]]). */
+  def connectedComponents(relTypes: Seq[String] = Nil,
+      graphScope: Option[String] = None, maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val cat = graphScope.fold(catalog)(catalog.scopedToGraph)
+    val e0 = cat.graphEdges
+    val e = if (relTypes.nonEmpty) e0.where(col("label").isin(relTypes: _*))
+            else e0
+    operators.Dedup.components(
+      e.select(col("src").as("a"), col("dst").as("b")), maxIters = maxIters)
+  }
+
   /** Per-node triangle counts over the same graph surface, treating
     * edges as undirected (optionally restricted to `relTypes`) —
     * degree-ordered enumeration, see

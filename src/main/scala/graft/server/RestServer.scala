@@ -77,8 +77,8 @@ class RestServer(g: Graft, port: Int = 0) {
     * the /metrics payload) without bound. */
   private val KnownVerbs = Set("search", "points", "graph", "match", "empty", "flush",
     "batch", "multi", "text", "hybrid", "traverse", "nodes", "degree", "edges",
-    "indexes", "shortest_paths", "pagerank", "triangles", "snapshots",
-    "restore")
+    "indexes", "shortest_paths", "pagerank", "triangles", "components",
+    "snapshots", "restore")
   private def countRequest(path: String, code: Int): Unit = {
     // low-cardinality route label: collapse collection names and ids
     val route = path.split("/").filter(_.nonEmpty).toList match {
@@ -540,6 +540,31 @@ class RestServer(g: Graft, port: Int = 0) {
           val res = graft.operators.Graph.pageRank(edgesFor(name), iters, damping)
           try {
             val rows = res.orderBy(col("rank").desc, col("node")).limit(limit)
+              .toJSON.collect()
+            s"""{"results":[${rows.mkString(",")}],"timing_ms":${ms()}}"""
+          } finally org.apache.spark.sql.graft.CheckpointBlocks.unpersist(res)
+        }
+      case ("POST", "collections" :: name :: "graph" :: "components" :: Nil) =>
+        // beyond-reference: undirected connected components (label
+        // propagation — Dedup.components); comp = min node id in the
+        // component
+        val b = json(ex)
+        val rels = Option(b.get("rel_types")).filter(_.isArray)
+          .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+        val limit = posInt("limit", intOr(b, "limit", 100))
+        val maxIters = posInt("max_iters", intOr(b, "max_iters", 20))
+        if (maxIters > 50) badRequest("max_iters capped at 50")
+        timed { ms =>
+          val e0 = edgesFor(name)
+          val e = if (rels.nonEmpty) e0.where(col("label").isin(rels: _*))
+                  else e0
+          // the operator returns a bare checkpoint — free its blocks
+          // after the collect (shortest-paths handler discipline)
+          val res = graft.operators.Dedup.components(
+            e.select(col("src").as("a"), col("dst").as("b")),
+            maxIters = maxIters)
+          try {
+            val rows = res.orderBy(col("comp"), col("id")).limit(limit)
               .toJSON.collect()
             s"""{"results":[${rows.mkString(",")}],"timing_ms":${ms()}}"""
           } finally org.apache.spark.sql.graft.CheckpointBlocks.unpersist(res)

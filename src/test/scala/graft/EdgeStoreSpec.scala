@@ -501,6 +501,18 @@ class EdgeStoreSpec extends SparkSpecBase {
         """{"rel_types": ["x"]}""")
       assert(filtered.statusCode() == 200 &&
         filtered.body().contains("\"results\":[]"), filtered.body())
+      // connected components on the same graph: all four nodes join
+      // via the pendant edge; restricted to label x only {3, 4} remain
+      val cc = g.connectedComponents(graphScope = Some("tg"))
+      val ccm = try cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        finally org.apache.spark.sql.graft.CheckpointBlocks.unpersist(cc)
+      assert(ccm == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L), s"got $ccm")
+      val ccR = post("/collections/tg/graph/components",
+        """{"rel_types": ["x"]}""")
+      assert(ccR.statusCode() == 200 &&
+        ccR.body().contains("\"comp\":3"), ccR.body())
+      assert(post("/collections/tg/graph/components",
+        """{"max_iters": 99}""").statusCode() == 400)
     } finally srv.stop()
   }
 
