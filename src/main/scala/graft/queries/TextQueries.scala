@@ -1109,6 +1109,37 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- Corpus profile / data card (the report every curation run
+    // publishes next to its output): per-source doc count, English
+    // share, token volume, median doc length, mean char length — ONE
+    // pass, one partial+final agg keyed by source. Float discipline:
+    // median of BIGINTs interpolates to exact halves in both engines;
+    // avg_chars divides an exact BIGINT sum once.
+    QueryDef(
+      "q181_corpus_profile",
+      """WITH tok AS (SELECT doc_id, source, lang, n_chars,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |        t -> len(t) > 0)) AS n_tok
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  median(n_tok) AS median_tokens,
+        |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+        |FROM tok GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("source"), col("lang"), col("n_chars"),
+          size(filter(split(lower(col("text")), "[^a-z0-9]+"),
+            t => length(t) > 0)).cast("long").as("n_tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+          sum(col("n_tok")).as("total_tokens"),
+          expr("percentile(n_tok, 0.5)").as("median_tokens"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+        .orderBy("source")
+    },
+
     // ---- RAG sliding-window chunker (operator: Chunking.slidingWindow):
     // 32-token windows, stride 16 (50% overlap), last window short, 0
     // tokens → no rows. Map-only — the whole thing fuses into one
