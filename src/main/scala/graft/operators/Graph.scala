@@ -310,6 +310,59 @@ object Graph {
     ranks
   }
 
+  /** k-core of an UNDIRECTED simple graph given as canonical distinct
+    * pairs `(a < b)` (beyond-reference: the standard density filter —
+    * iteratively peel nodes of degree < k until the remainder is
+    * stable; what survives is the maximal subgraph where every node
+    * keeps ≥ k neighbors, the usual seed for community mining and
+    * spam/bot-ring detection). Returns `(node, core_deg)` — the
+    * surviving nodes with their degree INSIDE the core; empty when the
+    * graph has no k-core.
+    *
+    * Scale shape: each peel round is one degree agg + one semi-join
+    * edge restriction — the superstep shape, shuffled on the node key;
+    * round count is bounded by the graph's degeneracy ordering depth
+    * (typically ≲ 10 on real graphs). Lineage truncates per round with
+    * the eager-checkpoint + unpersist discipline ([[bfsVarLength]]);
+    * the convergence check reads the checkpointed edge count, nothing
+    * data-sized reaches the driver. */
+  def kCore(undirected: DataFrame, k: Int, maxIters: Int = 30,
+      aCol: String = "a", bCol: String = "b"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val e0 = undirected.select(col(aCol).cast("long").as("u"),
+      col(bCol).cast("long").as("v"))
+    var edges = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint(true)
+    var nEdges = edges.count()
+    var it = 0
+    var converged = nEdges == 0L
+    while (!converged && it < maxIters) {
+      val keep = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("u").as("__n"))
+      val pruned = edges
+        .join(keep, edges("u") === col("__n")).drop("__n")
+        .join(keep, edges("v") === col("__n")).drop("__n")
+        .localCheckpoint(true)
+      val n = pruned.count()
+      org.apache.spark.sql.graft.CheckpointBlocks.unpersist(edges)
+      converged = n == nEdges || n == 0L
+      edges = pruned
+      nEdges = n
+      it += 1
+    }
+    if (!converged) {
+      org.apache.spark.sql.graft.CheckpointBlocks.unpersist(edges)
+      throw new IllegalStateException(
+        s"kCore: no fixpoint after $maxIters rounds")
+    }
+    // materialize the result BEFORE freeing the edge blocks it reads
+    val out = edges.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("core_deg"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.CheckpointBlocks.unpersist(edges)
+    out
+  }
+
   /** Per-node triangle counts over an UNDIRECTED simple graph given as
     * canonical distinct pairs `(a < b)` (beyond-reference: the classic
     * cohesion statistic behind clustering coefficients and community

@@ -18,6 +18,35 @@ object GraphQueries {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Tables.table(s, d, n)
 
+  /** Co-purchase projection shared by q177/q182: parts sharing an order
+    * ≥2 times, as canonical `(a < b)` distinct pairs. */
+  private def coPurchasePairs(s: SparkSession, d: String): DataFrame = {
+    val op = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    op.as("x")
+      .join(op.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .where(col("w") >= 2).select("a", "b")
+  }
+
+  /** The co-purchase edge CTEs + `rounds` unrolled k=2 peel rounds
+    * (`s0` symmetrized, `n_i` = surviving nodes, `s_i` = restricted
+    * edges) — the q182 oracle chain. */
+  private def kcoreChain(rounds: Int): String = {
+    val sb = new StringBuilder(
+      """op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT x.p AS a, y.p AS b FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |s0 AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e)""".stripMargin)
+    for (i <- 1 to rounds) sb.append(
+      s""",
+         |n$i AS (SELECT u FROM s${i - 1} GROUP BY u HAVING count(*) >= 2),
+         |s$i AS (SELECT s.u, s.v FROM s${i - 1} s
+         |        JOIN n$i x ON s.u = x.u JOIN n$i y ON s.v = y.u)""".stripMargin)
+    sb.toString
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- S5/G9: degree — out-degree per (node, label)
@@ -220,14 +249,21 @@ object GraphQueries {
         |      UNION ALL SELECT c FROM tri)
         |SELECT node, count(*) AS n_triangles FROM n
         |GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
-      val op = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val pairs = op.as("x")
-        .join(op.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-        .agg(count(lit(1)).as("w"))
-        .where(col("w") >= 2).select("a", "b")
-      Graph.triangleCounts(pairs).orderBy("node")
+      Graph.triangleCounts(coPurchasePairs(s, d)).orderBy("node")
+    },
+
+    // ---- Beyond-reference G: 2-core of the co-purchase projection —
+    // iterative degree-< k peeling to the fixpoint (1535 of ~2000
+    // parts survive at sf0.01, converging in 3 rounds). The operator
+    // iterates until STABLE (checkpointed supersteps); the oracle
+    // unrolls 4 peel rounds — one more than sf0.01 needs, so the last
+    // is provably a no-op and the fixpoint claim is itself checked.
+    QueryDef(
+      "q182_kcore",
+      s"""WITH ${kcoreChain(4)}
+         |SELECT u AS node, count(*) AS core_deg FROM s4
+         |GROUP BY u ORDER BY node""".stripMargin) { (s, d) =>
+      Graph.kCore(coPurchasePairs(s, d), k = 2).orderBy("node")
     }
   )
 }

@@ -513,6 +513,13 @@ class EdgeStoreSpec extends SparkSpecBase {
         ccR.body().contains("\"comp\":3"), ccR.body())
       assert(post("/collections/tg/graph/components",
         """{"max_iters": 99}""").statusCode() == 400)
+      // 2-core: the triangle survives, the pendant 4 peels off
+      val kc = post("/collections/tg/graph/kcore", """{"k": 2}""")
+      assert(kc.statusCode() == 200 &&
+        kc.body().contains("\"core_deg\":2") &&
+        !kc.body().contains("\"node\":4"), kc.body())
+      assert(post("/collections/tg/graph/kcore",
+        """{"k": 0}""").statusCode() == 400)
     } finally srv.stop()
   }
 

@@ -62,4 +62,31 @@ class TriangleSpec extends SparkSpecBase {
     // because (deg, id) ordering ignores the input direction
     assert(counts(g) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  private def core(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+    Graph.kCore(edges.toDF("a", "b"), k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kCore: path graph has no 2-core, cycle is all 2-core") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(core(path, 2).isEmpty)
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(core(cycle, 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+  }
+
+  test("kCore: cascading peel (removing a leaf degrades its neighbor)") {
+    // triangle 1-2-3 with a tail 3-4-5: peeling 5 drops 4 to degree 1,
+    // peeling 4 drops 3 to degree 2 — the triangle alone survives,
+    // and it takes multiple rounds to get there
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    assert(core(g, 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // the 3-core is empty (triangle degrees are only 2)
+    assert(core(g, 3).isEmpty)
+  }
+
+  test("kCore: 1-core keeps everything with at least one edge") {
+    val g = Seq((1L, 2L), (3L, 4L))
+    assert(core(g, 1) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    intercept[IllegalArgumentException](core(g, 0))
+  }
 }
