@@ -154,6 +154,24 @@ class Graft(
     operators.Graph.triangleCounts(pairs)
   }
 
+  /** Adamic-Adar link prediction over the same graph surface, treating
+    * edges as undirected (optionally restricted to `relTypes`) —
+    * common-neighbor scoring of NON-adjacent pairs, see
+    * [[operators.Graph.adamicAdar]]. */
+  def linkPredict(minCommon: Int = 1, relTypes: Seq[String] = Nil,
+      graphScope: Option[String] = None,
+      maxDeg: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.{col, greatest, least}
+    val cat = graphScope.fold(catalog)(catalog.scopedToGraph)
+    val e0 = cat.graphEdges
+    val e = if (relTypes.nonEmpty) e0.where(col("label").isin(relTypes: _*))
+            else e0
+    val pairs = e.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    operators.Graph.adamicAdar(pairs, minCommon, maxDeg)
+  }
+
   /** Plan-intent summary (velesql/explain.rs shape). */
   def explain(query: String): String = Explain.render(parse(query))
 

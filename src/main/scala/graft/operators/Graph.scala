@@ -414,4 +414,52 @@ object Graph {
       .unionAll(tri.select(col("y").as("node")))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Adamic-Adar link prediction over an UNDIRECTED simple graph given
+    * as canonical distinct pairs `(a < b)` (beyond-reference: the
+    * classic common-neighbor recommender — "parts bought together with
+    * the same third parts", co-author suggestion, etc.). Scores every
+    * NON-adjacent pair that shares ≥ `minCommon` neighbors:
+    * `AA(a, b) = Σ_{z ∈ N(a)∩N(b)} 1 / ln(deg(z))` — rarer shared
+    * neighbors count more. One row per predicted link:
+    * `(a, b, n_common, score_micros)`.
+    *
+    * Determinism: each center weight is snapped to integer MICROS
+    * (`floor(10⁶/ln(deg) + 0.5)` as BIGINT — the q179 DSIR idiom)
+    * BEFORE the per-pair sum, so scores are exact integer arithmetic,
+    * identical under any aggregation order or engine. Only nodes with
+    * deg ≥ 2 can center a wedge, so ln(deg) ≥ ln 2 > 0 always.
+    *
+    * Scale shape: wedge enumeration through each center z fans out as
+    * Σ deg(z)² — on power-law graphs the hub term dominates, so
+    * `maxDeg` caps the centers considered (the df-cap idiom from the
+    * shingle joins): hubs carry the LEAST Adamic-Adar mass per wedge
+    * (1/ln(deg) → 0) while costing quadrically, so dropping them
+    * bounds the join at almost no score loss. Three shuffles (degree
+    * agg, wedge self-join on the center, anti-join against existing
+    * edges); nothing driver-sized. */
+  def adamicAdar(undirected: DataFrame, minCommon: Int = 1,
+      maxDeg: Long = Long.MaxValue,
+      aCol: String = "a", bCol: String = "b"): DataFrame = {
+    require(minCommon >= 1, "minCommon must be >= 1")
+    require(maxDeg >= 2, "maxDeg must be >= 2")
+    val e = undirected.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b")).distinct()
+    val adj = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+    val w = deg.where(col("deg") >= 2 && col("deg") <= maxDeg)
+      .select(col("u"),
+        floor(lit(1000000.0) / log(col("deg")) + lit(0.5))
+          .cast("long").as("wm"))
+    val l = adj.join(w, Seq("u")).select(col("u"), col("v").as("pa"), col("wm"))
+    val r = adj.select(col("u"), col("v").as("pb"))
+    val scored = l.join(r, Seq("u")).where(col("pa") < col("pb"))
+      .groupBy(col("pa").as("a"), col("pb").as("b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("wm")).as("score_micros"))
+      .where(col("n_common") >= minCommon)
+    // predictions are NEW links only — drop already-connected pairs
+    // (wedge pairs are canonical a < b, same key shape as the input)
+    scored.join(e, Seq("a", "b"), "left_anti")
+  }
 }

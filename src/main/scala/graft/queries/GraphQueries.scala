@@ -264,6 +264,35 @@ object GraphQueries {
          |SELECT u AS node, count(*) AS core_deg FROM s4
          |GROUP BY u ORDER BY node""".stripMargin) { (s, d) =>
       Graph.kCore(coPurchasePairs(s, d), k = 2).orderBy("node")
+    },
+
+    // ---- Beyond-reference G: Adamic-Adar link prediction over the
+    // co-purchase projection — score NON-adjacent part pairs by their
+    // shared neighbors, rarer neighbors weighted higher (1/ln deg).
+    // Cross-engine exactness: each center's weight snaps to integer
+    // MICROS before the per-pair sum (the q179 idiom), so scores are
+    // order-independent BIGINT arithmetic; the only float step is
+    // ln(deg) on identical integer inputs. minCommon=2 keeps the
+    // report to genuinely-supported suggestions.
+    QueryDef(
+      "q183_adamic_adar",
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT x.p AS a, y.p AS b FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |s AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT u, count(*) AS deg FROM s GROUP BY u),
+        |w AS (SELECT u, CAST(floor(1000000.0 / ln(deg) + 0.5) AS BIGINT) AS wm
+        |      FROM deg WHERE deg >= 2),
+        |wedge AS (SELECT x.v AS a, y.v AS b, w.wm
+        |          FROM s x JOIN s y ON x.u = y.u AND x.v < y.v
+        |          JOIN w ON w.u = x.u),
+        |sc AS (SELECT a, b, count(*) AS n_common,
+        |              CAST(sum(wm) AS BIGINT) AS score_micros
+        |       FROM wedge GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT sc.a, sc.b, sc.n_common, sc.score_micros
+        |FROM sc LEFT JOIN e ON e.a = sc.a AND e.b = sc.b
+        |WHERE e.a IS NULL ORDER BY sc.a, sc.b""".stripMargin) { (s, d) =>
+      Graph.adamicAdar(coPurchasePairs(s, d), minCommon = 2).orderBy("a", "b")
     }
   )
 }

@@ -78,7 +78,7 @@ class RestServer(g: Graft, port: Int = 0) {
   private val KnownVerbs = Set("search", "points", "graph", "match", "empty", "flush",
     "batch", "multi", "text", "hybrid", "traverse", "nodes", "degree", "edges",
     "indexes", "shortest_paths", "pagerank", "triangles", "components",
-    "kcore", "snapshots", "restore")
+    "kcore", "link_predict", "snapshots", "restore")
   private def countRequest(path: String, code: Int): Unit = {
     // low-cardinality route label: collapse collection names and ids
     val route = path.split("/").filter(_.nonEmpty).toList match {
@@ -587,6 +587,24 @@ class RestServer(g: Graft, port: Int = 0) {
               .limit(limit).toJSON.collect()
             s"""{"results":[${rows.mkString(",")}],"timing_ms":${ms()}}"""
           } finally org.apache.spark.sql.graft.CheckpointBlocks.unpersist(res)
+        }
+      case ("POST", "collections" :: name :: "graph" :: "link_predict" :: Nil) =>
+        // beyond-reference: Adamic-Adar common-neighbor link prediction
+        // (Graph.adamicAdar) over the collection's edge store treated
+        // as undirected — suggests NEW (non-adjacent) node pairs
+        val b = json(ex)
+        val minCommon = posInt("min_common", intOr(b, "min_common", 1))
+        val maxDeg = posInt("max_degree", intOr(b, "max_degree", 10000))
+        if (maxDeg < 2) badRequest("max_degree must be >= 2")
+        val rels = Option(b.get("rel_types")).filter(_.isArray)
+          .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+        val limit = posInt("limit", intOr(b, "limit", 100))
+        timed { ms =>
+          val rows = g.linkPredict(minCommon, rels, Some(name).filter(n =>
+              isSafeName(n) && g.collections.exists(n)), maxDeg.toLong)
+            .orderBy(col("score_micros").desc, col("a"), col("b"))
+            .limit(limit).toJSON.collect()
+          s"""{"results":[${rows.mkString(",")}],"timing_ms":${ms()}}"""
         }
       case ("POST", "collections" :: name :: "graph" :: "triangles" :: Nil) =>
         // beyond-reference: per-node triangle counts (degree-ordered

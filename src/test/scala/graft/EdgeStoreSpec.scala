@@ -520,6 +520,15 @@ class EdgeStoreSpec extends SparkSpecBase {
         !kc.body().contains("\"node\":4"), kc.body())
       assert(post("/collections/tg/graph/kcore",
         """{"k": 0}""").statusCode() == 400)
+      // Adamic-Adar: the only non-adjacent pairs are (1,4) and (2,4),
+      // both through center 3 (degree 3)
+      val lp = post("/collections/tg/graph/link_predict", "{}")
+      assert(lp.statusCode() == 200 &&
+        lp.body().contains("\"a\":1,\"b\":4") &&
+        lp.body().contains("\"a\":2,\"b\":4") &&
+        lp.body().contains("\"score_micros\":910239"), lp.body())
+      assert(post("/collections/tg/graph/link_predict",
+        """{"max_degree": 1}""").statusCode() == 400)
     } finally srv.stop()
   }
 

@@ -89,4 +89,41 @@ class TriangleSpec extends SparkSpecBase {
     assert(core(g, 1) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
     intercept[IllegalArgumentException](core(g, 0))
   }
+
+  private def aa(edges: Seq[(Long, Long)], minCommon: Int = 1,
+      maxDeg: Long = Long.MaxValue): Map[(Long, Long), (Long, Long)] =
+    Graph.adamicAdar(edges.toDF("a", "b"), minCommon, maxDeg)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+
+  // floor(1e6 / ln(deg) + 0.5) for the degrees the cases below use
+  private val w2 = math.floor(1e6 / math.log(2.0) + 0.5).toLong // 1442695
+  private val w3 = math.floor(1e6 / math.log(3.0) + 0.5).toLong //  910239
+
+  test("adamicAdar: path predicts the endpoints through the center") {
+    // 1-2-3: only non-adjacent pair is (1,3), one common neighbor of
+    // degree 2
+    assert(aa(Seq((1L, 2L), (2L, 3L))) == Map((1L, 3L) -> (1L, w2)))
+  }
+
+  test("adamicAdar: square predicts both diagonals with two centers each") {
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(aa(sq) == Map((1L, 3L) -> (2L, 2 * w2), (2L, 4L) -> (2L, 2 * w2)))
+    // minCommon = 3 filters everything
+    assert(aa(sq, minCommon = 3).isEmpty)
+  }
+
+  test("adamicAdar: existing edges are never predicted (K3 is silent)") {
+    assert(aa(Seq((1L, 2L), (2L, 3L), (1L, 3L))).isEmpty)
+  }
+
+  test("adamicAdar: hub cap drops high-degree centers (df-cap idiom)") {
+    // star 1-{2,3,4}: leaf pairs share only the hub (degree 3)
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L))
+    assert(aa(star) == Map((2L, 3L) -> (1L, w3), (2L, 4L) -> (1L, w3),
+      (3L, 4L) -> (1L, w3)))
+    assert(aa(star, maxDeg = 2).isEmpty)
+    intercept[IllegalArgumentException](aa(star, maxDeg = 1))
+  }
 }
