@@ -17,6 +17,9 @@ object Plans {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // driver-generated parquet stamps tz-naive timestamp[us]; read as
+      // TIMESTAMP (UTC instants) so unix_micros/watermarks keep working
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()

@@ -11,6 +11,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // driver-generated parquet stamps tz-naive timestamp[us]; read as
+      // TIMESTAMP (UTC instants) so unix_micros/watermarks keep working
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS) which vanilla Spark 4
       // rejects; read as long and re-derive the timestamp in Tables.
