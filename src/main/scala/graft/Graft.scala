@@ -120,6 +120,26 @@ class Graft(
       e.select(col("src").as("a"), col("dst").as("b")), maxIters = maxIters)
   }
 
+  /** Label-propagation communities over the same graph surface,
+    * undirected (optionally restricted to `relTypes`): `(node,
+    * community)` after `iters` synchronous plurality-vote rounds —
+    * density grouping, vs [[connectedComponents]]' connectivity
+    * grouping; see [[operators.Graph.lpaCommunities]]. Returns a bare
+    * checkpoint; free with `CheckpointBlocks.unpersist` after
+    * consuming. */
+  def communities(iters: Int = 3, relTypes: Seq[String] = Nil,
+      graphScope: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, greatest, least}
+    val cat = graphScope.fold(catalog)(catalog.scopedToGraph)
+    val e0 = cat.graphEdges
+    val e = if (relTypes.nonEmpty) e0.where(col("label").isin(relTypes: _*))
+            else e0
+    val pairs = e.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    operators.Graph.lpaCommunities(pairs, iters)
+  }
+
   /** k-core over the same graph surface, undirected (optionally
     * restricted to `relTypes`) — iterative peeling, see
     * [[operators.Graph.kCore]]. Returns a bare checkpoint; free it

@@ -462,4 +462,56 @@ object Graph {
     // (wedge pairs are canonical a < b, same key shape as the input)
     scored.join(e, Seq("a", "b"), "left_anti")
   }
+
+  /** Label-propagation communities over an UNDIRECTED simple graph
+    * given as canonical distinct pairs `(a < b)` (beyond-reference:
+    * Raghavan et al. 2007 — the near-linear community detector, the
+    * same algorithm GraphFrames ships as `labelPropagation`). This is
+    * the SYNCHRONOUS fixed-iteration deterministic variant: every
+    * label starts as its node id; each round ALL nodes simultaneously
+    * adopt the label held by the plurality of their neighbors, ties
+    * resolved to the smallest label. No RNG and no asynchronous sweep
+    * order, so the result is reproducible and oracle-checkable by
+    * unrolling the same rounds in SQL; a FIXED `iters` (instead of a
+    * convergence test) sidesteps synchronous LPA's known two-cycle
+    * oscillation on bipartite-ish regions. Distinct from
+    * [[graft.operators.Dedup.components]]: components spreads the MIN
+    * label (connectivity), LPA spreads the MAJORITY label (density) —
+    * a connected graph has one component but many communities.
+    * Returns `(node, community)`.
+    *
+    * Scale shape: each round is ONE join (current labels onto the
+    * symmetrized edge list, shuffled on the node key), one
+    * (node, label) count aggregation, and one per-node argmin — the
+    * Pregel superstep; votes are exact integers, nothing data-sized
+    * reaches the driver. The label frame's plan would double per
+    * round, so every round localCheckpoints eagerly and frees the
+    * previous generation ([[pageRank]]'s discipline — label frames
+    * are node-sized, the cheapest state in the job to pin). */
+  def lpaCommunities(undirected: DataFrame, iters: Int,
+      aCol: String = "a", bCol: String = "b"): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e0 = undirected.select(col(aCol).cast("long").as("u"),
+      col(bCol).cast("long").as("v"))
+    val adj = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint(true)
+    var labels = adj.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      // plurality via min(struct(-count, label)): lexicographic struct
+      // ordering gives most-votes-first, then smallest label — one
+      // aggregation instead of a rank window.
+      val updated = adj
+        .join(labels, adj("v") === labels("node"))
+        .groupBy(adj("u"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("u").as("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("label"))
+        .localCheckpoint(true) // eager — safe to free the input below
+      org.apache.spark.sql.graft.CheckpointBlocks.unpersist(labels)
+      labels = updated
+    }
+    org.apache.spark.sql.graft.CheckpointBlocks.unpersist(adj)
+    labels.select(col("node"), col("label").as("community"))
+  }
 }

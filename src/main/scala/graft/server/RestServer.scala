@@ -78,7 +78,7 @@ class RestServer(g: Graft, port: Int = 0) {
   private val KnownVerbs = Set("search", "points", "graph", "match", "empty", "flush",
     "batch", "multi", "text", "hybrid", "traverse", "nodes", "degree", "edges",
     "indexes", "shortest_paths", "pagerank", "triangles", "components",
-    "kcore", "link_predict", "snapshots", "restore")
+    "communities", "kcore", "link_predict", "snapshots", "restore")
   private def countRequest(path: String, code: Int): Unit = {
     // low-cardinality route label: collapse collection names and ids
     val route = path.split("/").filter(_.nonEmpty).toList match {
@@ -566,6 +566,25 @@ class RestServer(g: Graft, port: Int = 0) {
           try {
             val rows = res.orderBy(col("comp"), col("id")).limit(limit)
               .toJSON.collect()
+            s"""{"results":[${rows.mkString(",")}],"timing_ms":${ms()}}"""
+          } finally org.apache.spark.sql.graft.CheckpointBlocks.unpersist(res)
+        }
+      case ("POST", "collections" :: name :: "graph" :: "communities" :: Nil) =>
+        // beyond-reference: label-propagation communities
+        // (Graph.lpaCommunities) — synchronous plurality-vote rounds,
+        // undirected; density grouping vs /components' connectivity
+        val b = json(ex)
+        val iters = posInt("iterations", intOr(b, "iterations", 3))
+        if (iters > 20) badRequest("iterations capped at 20")
+        val rels = Option(b.get("rel_types")).filter(_.isArray)
+          .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+        val limit = posInt("limit", intOr(b, "limit", 100))
+        timed { ms =>
+          val res = g.communities(iters, rels, Some(name).filter(n =>
+            isSafeName(n) && g.collections.exists(n)))
+          try {
+            val rows = res.orderBy(col("community"), col("node"))
+              .limit(limit).toJSON.collect()
             s"""{"results":[${rows.mkString(",")}],"timing_ms":${ms()}}"""
           } finally org.apache.spark.sql.graft.CheckpointBlocks.unpersist(res)
         }

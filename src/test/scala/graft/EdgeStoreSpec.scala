@@ -513,6 +513,14 @@ class EdgeStoreSpec extends SparkSpecBase {
         ccR.body().contains("\"comp\":3"), ccR.body())
       assert(post("/collections/tg/graph/components",
         """{"max_iters": 99}""").statusCode() == 400)
+      // LPA communities: triangle + pendant all absorb label 1 within
+      // the default 3 rounds (plurality vote, ties → smallest label)
+      val cm = post("/collections/tg/graph/communities", "{}")
+      assert(cm.statusCode() == 200 &&
+        cm.body().contains("\"node\":4,\"community\":1") &&
+        !cm.body().contains("\"community\":3"), cm.body())
+      assert(post("/collections/tg/graph/communities",
+        """{"iterations": 99}""").statusCode() == 400)
       // 2-core: the triangle survives, the pendant 4 peels off
       val kc = post("/collections/tg/graph/kcore", """{"k": 2}""")
       assert(kc.statusCode() == 200 &&

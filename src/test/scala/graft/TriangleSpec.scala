@@ -126,4 +126,39 @@ class TriangleSpec extends SparkSpecBase {
     assert(aa(star, maxDeg = 2).isEmpty)
     intercept[IllegalArgumentException](aa(star, maxDeg = 1))
   }
+
+  private def lpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val res = Graph.lpaCommunities(edges.toDF("a", "b"), iters)
+    try res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    finally org.apache.spark.sql.graft.CheckpointBlocks.unpersist(res)
+  }
+
+  test("lpaCommunities: bridge between two triangles splits ONE component into TWO communities") {
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), // triangle A
+      (4L, 5L), (4L, 6L), (5L, 6L), // triangle B
+      (3L, 4L)) // bridge
+    // hand-traced 3 synchronous rounds (plurality, ties → smallest):
+    // r1: 1→2 2→1 3→1 4→3 5→4 6→4; r2: 1→1 2→1 3→1 4→4 5→3 6→3;
+    // r3: triangle A all 1, triangle B all 3
+    assert(lpa(g, 3) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // the SAME graph is one connected component — density vs
+    // connectivity is exactly the lpa/components distinction
+    val comp = operators.Dedup.components(g.toDF("a", "b"))
+      .select("comp").distinct().count()
+    assert(comp == 1L)
+  }
+
+  test("lpaCommunities: synchronous two-cycle on a single edge (fixed-iters contract)") {
+    // 1-2: each round the nodes swap labels — iters parity decides,
+    // exactly the documented deterministic contract (no damping/RNG)
+    assert(lpa(Seq((1L, 2L)), 1) == Map(1L -> 2L, 2L -> 1L))
+    assert(lpa(Seq((1L, 2L)), 2) == Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("lpaCommunities: clique converges to the smallest id in two rounds") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(lpa(k4, 2).values.toSet == Set(1L))
+    intercept[IllegalArgumentException](lpa(k4, 0))
+  }
 }
