@@ -69,8 +69,8 @@ class Collections(spark: SparkSession, dataDir: String) {
       graphSchema: Option[String] = None): Unit = {
     require(!exists(name), s"collection $name already exists")
     storageMode.foreach { m =>
-      require(Set("full", "sq8", "binary", "pq").contains(m),
-        s"unknown storage mode '$m' (expected full/sq8/binary/pq)")
+      require(Set("full", "sq8", "binary", "pq", "f16", "bf16").contains(m),
+        s"unknown storage mode '$m' (expected full/sq8/binary/pq/f16/bf16)")
     }
     // parse BEFORE creating anything: an invalid schema must not leave
     // a half-created collection behind
@@ -165,8 +165,31 @@ class Collections(spark: SparkSession, dataDir: String) {
     * payload map. Pinned by MultiModalCrudSpec "upsert widens". */
   def upsert(name: String, batch: DataFrame): Unit = this.synchronized {
     validateNodeBatch(name, batch)
-    publish(name, mergeById(table(name), batch, idColOf(name)))
+    publish(name, halfRoundIfConfigured(name,
+      mergeById(table(name), batch, idColOf(name))))
   }
+
+  /** Half-precision storage modes (`f16`/`bf16` — half_precision.rs):
+    * round the vector column through the configured precision at WRITE
+    * time, so the stored values are exactly the value set a
+    * half-precision store holds while every read path (NEAR scoring,
+    * ANN tiers, snapshots) stays f32. Parquet has no 2-byte float
+    * physical type to shrink the file itself, but the zeroed low
+    * mantissa bits compress away under the column codec — the 100 TB
+    * saving lands in storage and scan IO either way. Idempotent
+    * (rounding a rounded value is a no-op), so re-publishes through
+    * compaction/index paths are safe. */
+  private def halfRoundIfConfigured(name: String, df: DataFrame): DataFrame =
+    storageModeOf(name).filter(m => m == "f16" || m == "bf16") match {
+      case Some(m) =>
+        metaOf(name)._2.filter(df.columns.contains) match {
+          case Some(vc) => df.withColumn(vc,
+            graft.functions.VectorFunctions.half_round(
+              col(vc).cast("array<float>"), m))
+          case None => df
+        }
+      case None => df
+    }
 
   /** Strict-schema node validation: a batch's `labels` must all be
     * declared node types (validate_node_type, schema.rs:211-225). A

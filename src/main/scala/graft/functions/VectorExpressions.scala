@@ -22,6 +22,12 @@ object VectorFunctions {
   def hamming_dist(a: Column, b: Column): Column = wrap(HammingDistance.apply)(a, b)
   def jaccard_sim(a: Column, b: Column): Column = wrap(JaccardSimilarity.apply)(a, b)
 
+  /** Elementwise half-precision round-trip (`fmt` = "f16"/"bf16") over
+    * an `array<float>` column — the write-path kernel for the f16/bf16
+    * collection storage modes (half_precision.rs). */
+  def half_round(v: Column, fmt: String): Column =
+    Bridge.column(org.apache.spark.sql.graft.HalfRound(Bridge.expression(v), fmt))
+
   /** Literal query vector as ArrayType(FloatType) column. */
   def vecLit(v: Seq[Float]): Column = typedlit(v)
 

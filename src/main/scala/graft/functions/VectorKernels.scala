@@ -84,4 +84,87 @@ object VectorKernels {
     }
     if (union == 0L) 1.0 else inter.toDouble / union.toDouble
   }
+
+  // ---- Half-precision storage kernels (reference: half_precision.rs —
+  // f16 IEEE 754 binary16 and bf16 with round-to-nearest-even). The
+  // Spark shape stores the ROUNDED f32 values (the exact value set a
+  // half-precision store holds; scoring stays f32, matching the
+  // reference's to_f32_vec() read path). Hand-rolled because
+  // Float.floatToFloat16 only exists from Java 20.
+
+  /** f32 → IEEE 754 binary16 bits, round-to-nearest-even (including
+    * subnormals; overflow → ±Inf; NaN → canonical half NaN). */
+  def floatToHalf(f: Float): Short = {
+    val bits = java.lang.Float.floatToRawIntBits(f)
+    val sign = (bits >>> 16) & 0x8000
+    val x = bits & 0x7FFFFFFF
+    if (x >= 0x7F800000) { // Inf / NaN
+      (sign | (if (x > 0x7F800000) 0x7E00 else 0x7C00)).toShort
+    } else {
+      val exp = x >>> 23 // biased f32 exponent
+      if (exp >= 113) { // normal half range (unbiased >= -14)
+        var mant = x & 0x7FFFFF
+        var e = exp
+        // round to nearest even on the 13 dropped mantissa bits
+        mant += 0xFFF + ((mant >>> 13) & 1)
+        if ((mant & 0x800000) != 0) { mant = 0; e += 1 }
+        if (e >= 143) (sign | 0x7C00).toShort // rounded past max → Inf
+        else (sign | ((e - 112) << 10) | (mant >>> 13)).toShort
+      } else { // subnormal half or zero
+        val shift = 126 - exp // >= 14
+        if (shift > 24) sign.toShort // below half of the smallest subnormal
+        else {
+          val mant24 = (x & 0x7FFFFF) | 0x800000
+          val m = (mant24 + ((1 << (shift - 1)) - 1) +
+            ((mant24 >>> shift) & 1)) >>> shift
+          (sign | m).toShort // m may carry into the exponent field — still correct
+        }
+      }
+    }
+  }
+
+  /** IEEE 754 binary16 bits → the exactly-represented f32. */
+  def halfToFloat(h: Short): Float = {
+    val bits = h & 0xFFFF
+    val sign = (bits & 0x8000) << 16
+    val exp = (bits >>> 10) & 0x1F
+    val mant = bits & 0x3FF
+    if (exp == 31)
+      java.lang.Float.intBitsToFloat(sign | 0x7F800000 | (mant << 13))
+    else if (exp == 0) {
+      // subnormal: mant × 2⁻²⁴ is exact in f32
+      val v = mant * java.lang.Float.intBitsToFloat(0x33800000) // 2^-24
+      if (sign != 0) -v else v
+    } else
+      java.lang.Float.intBitsToFloat(sign | ((exp + 112) << 23) | (mant << 13))
+  }
+
+  /** Round-trip one f32 through binary16 (the value a half-precision
+    * store would hold). */
+  def f16RoundScalar(f: Float): Float = halfToFloat(floatToHalf(f))
+
+  /** Round one f32 to bfloat16 (truncate to the upper 16 bits with
+    * round-to-nearest-even; NaN kept, overflow → ±Inf). */
+  def bf16RoundScalar(f: Float): Float = {
+    val x = java.lang.Float.floatToRawIntBits(f)
+    if ((x & 0x7FFFFFFF) > 0x7F800000) f // NaN unchanged
+    else java.lang.Float.intBitsToFloat(
+      (x + 0x7FFF + ((x >>> 16) & 1)) & 0xFFFF0000)
+  }
+
+  /** Elementwise f16 round-trip — called from generated code. */
+  def f16Round(v: Array[Float]): Array[Float] = {
+    val out = new Array[Float](v.length)
+    var i = 0
+    while (i < v.length) { out(i) = f16RoundScalar(v(i)); i += 1 }
+    out
+  }
+
+  /** Elementwise bf16 round-trip — called from generated code. */
+  def bf16Round(v: Array[Float]): Array[Float] = {
+    val out = new Array[Float](v.length)
+    var i = 0
+    while (i < v.length) { out(i) = bf16RoundScalar(v(i)); i += 1 }
+    out
+  }
 }

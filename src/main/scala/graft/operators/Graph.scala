@@ -484,10 +484,11 @@ object Graph {
     * symmetrized edge list, shuffled on the node key), one
     * (node, label) count aggregation, and one per-node argmin — the
     * Pregel superstep; votes are exact integers, nothing data-sized
-    * reaches the driver. The label frame's plan would double per
-    * round, so every round localCheckpoints eagerly and frees the
-    * previous generation ([[pageRank]]'s discipline — label frames
-    * are node-sized, the cheapest state in the job to pin). */
+    * reaches the driver. Supersteps chain LAZILY — the label frame
+    * appears once per level, so the plan grows linearly — and only
+    * every `ckptEvery`-th (and the last) round eagerly truncates
+    * lineage, each skipped checkpoint saving a full local job floor
+    * ([[pageRank]]'s discipline). */
   def lpaCommunities(undirected: DataFrame, iters: Int,
       aCol: String = "a", bCol: String = "b"): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
@@ -496,20 +497,26 @@ object Graph {
     val adj = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint(true)
     var labels = adj.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint(true)
-    for (_ <- 1 to iters) {
+      .withColumn("label", col("node"))
+    var prevCkpt: DataFrame = null
+    val ckptEvery = 5
+    for (i <- 1 to iters) {
       // plurality via min(struct(-count, label)): lexicographic struct
       // ordering gives most-votes-first, then smallest label — one
       // aggregation instead of a rank window.
-      val updated = adj
+      val updated0 = adj
         .join(labels, adj("v") === labels("node"))
         .groupBy(adj("u"), col("label")).agg(count(lit(1)).as("c"))
         .groupBy(col("u").as("node"))
         .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
         .select(col("node"), col("m.l").as("label"))
-        .localCheckpoint(true) // eager — safe to free the input below
-      org.apache.spark.sql.graft.CheckpointBlocks.unpersist(labels)
-      labels = updated
+      if (i == iters || i % ckptEvery == 0) {
+        val updated = updated0.localCheckpoint(true) // eager — frees input
+        if (prevCkpt != null)
+          org.apache.spark.sql.graft.CheckpointBlocks.unpersist(prevCkpt)
+        prevCkpt = updated
+        labels = updated
+      } else labels = updated0
     }
     org.apache.spark.sql.graft.CheckpointBlocks.unpersist(adj)
     labels.select(col("node"), col("label").as("community"))

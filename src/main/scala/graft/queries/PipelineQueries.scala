@@ -252,6 +252,54 @@ object PipelineQueries {
       s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("storage_mode_ok"))
     },
 
+    // ---- Half-precision storage modes (half_precision.rs: f16 IEEE
+    // binary16 + bf16, "50% memory, minimal precision loss"),
+    // lifecycle-pinned: create-time `storage_mode='f16'/'bf16'` rounds
+    // every stored vector through the declared precision at publish
+    // (the exact value set VectorData::from_f32_slice holds), reads
+    // score full f32 over the rounded values (to_f32_vec). The pin
+    // checks the stored values ARE the kernel-rounded ones, NEAR keeps
+    // the full twin's ids while its scores move by the precision loss,
+    // and the loss is bounded (f16 keeps ~3 decimal digits).
+    QueryDef.lifecyclePin("q187_storage_half",
+      "SELECT CAST(1 AS INT) AS half_ok") { (s, _) =>
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q187")
+      val ok = try {
+        val g = Graft(s, tmp.toString)
+        val rows = (1L to 40L).map { i =>
+          (i, (0 until 8).map(d => math.sin(i * 0.37 + d * 1.3).toFloat))
+        }
+        for ((name, mode) <- Seq(("hf16", Some("f16")), ("hbf16", Some("bf16")),
+            ("hfull", None))) {
+          g.collections.create(name, idCol = "id", vectorCol = Some("vec"),
+            storageMode = mode)
+          g.collections.upsert(name, rows.toDF("id", "vec"))
+        }
+        def stored(name: String): Map[Long, Seq[Float]] =
+          g.collections.table(name).get.select("id", "vec").collect()
+            .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+        import graft.functions.VectorKernels.{bf16RoundScalar, f16RoundScalar}
+        val roundedOk = stored("hf16").forall { case (id, v) =>
+          v == rows(id.toInt - 1)._2.map(f16RoundScalar)
+        } && stored("hbf16").forall { case (id, v) =>
+          v == rows(id.toInt - 1)._2.map(bf16RoundScalar)
+        }
+        val q = (0 until 8).map(d => math.cos(d * 0.7).toFloat)
+        def run(name: String): Seq[(Long, Double)] =
+          g.sql(s"SELECT id, score FROM $name WHERE vector NEAR $$q LIMIT 5",
+            Map("q" -> q)).select("id", "score")
+            .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val (hf, hb, full) = (run("hf16"), run("hbf16"), run("hfull"))
+        val searchOk = hf.map(_._1) == full.map(_._1) &&
+          hf.map(_._2) != full.map(_._2) &&
+          hf.zip(full).forall { case ((_, a), (_, b)) => math.abs(a - b) < 1e-3 } &&
+          hb.zip(full).forall { case ((_, a), (_, b)) => math.abs(a - b) < 1e-2 }
+        roundedOk && searchOk
+      } finally graft.Collections.deleteRec(tmp)
+      s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("half_ok"))
+    },
+
     // ---- Strict graph schema (collection/graph/schema.rs:1-300),
     // lifecycle-pinned: declared node/edge types + typed properties are
     // accepted; unknown labels, mistyped properties, and reversed

@@ -192,8 +192,9 @@ class RestServer(g: Graft, port: Int = 0) {
         val name = safeName(text(b, "name").getOrElse(badRequest("missing 'name'")))
         val sm = text(b, "storage_mode")
         sm.foreach { m =>
-          if (!Set("full", "sq8", "binary", "pq").contains(m))
-            badRequest(s"unknown storage_mode '$m' (expected full/sq8/binary/pq)")
+          if (!Set("full", "sq8", "binary", "pq", "f16", "bf16").contains(m))
+            badRequest(
+              s"unknown storage_mode '$m' (expected full/sq8/binary/pq/f16/bf16)")
         }
         // CollectionType::Graph { schema } (types.rs:53-61): the graph
         // schema is part of the create request; parse rejects → 400, and

@@ -357,6 +357,9 @@ class Compiler(
           .orElse(meta.storageMode.filterNot(_ == "full")).map {
           case q @ ("binary" | "dual" | "hybrid" | "int8" | "sq8" | "quantized" | "pq") => q
           case "f32" | "full" | "exact" | "auto" | "default" => "f32"
+          // half-precision STORAGE modes: precision was applied at write
+          // (Collections.halfRoundIfConfigured), reads score exact f32
+          case "f16" | "bf16" => "f32"
           case other => fail(s"unknown WITH quantization '$other'")
         }
         // an IMPLICIT storage-mode 'pq' yields to an explicitly requested

@@ -109,6 +109,38 @@ case class JaccardSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Elementwise half-precision round-trip over an `array<float>` column
+  * (reference: half_precision.rs — `VectorData::from_f32_slice` +
+  * `to_f32_vec`). `fmt` is "f16" (IEEE binary16) or "bf16" (bfloat16);
+  * the output holds the exact f32 values a half-precision store would
+  * return, so downstream scoring stays full-speed f32 codegen. Applied
+  * once at collection PUBLISH time for `storage_mode='f16'/'bf16'`, not
+  * per query. */
+case class HalfRound(child: Expression, fmt: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  require(fmt == "f16" || fmt == "bf16", s"HalfRound: unknown format '$fmt'")
+  private def kernel: String = if (fmt == "f16") "f16Round" else "bf16Round"
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(FloatType,
+    child.dataType.asInstanceOf[ArrayType].containsNull)
+  override def prettyName: String = s"${fmt}_round"
+
+  override def nullSafeEval(a: Any): Any =
+    ArrayData.toArrayData(
+      if (fmt == "f16") VectorKernels.f16Round(a.asInstanceOf[ArrayData].toFloatArray())
+      else VectorKernels.bf16Round(a.asInstanceOf[ArrayData].toFloatArray()))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
+        s".fromPrimitiveArray(graft.functions.VectorKernels.$kernel($a.toFloatArray()));")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Column ↔ Expression bridge for code outside org.apache.spark.sql. */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)

@@ -90,6 +90,70 @@ class StorageModeSpec extends SparkSpecBase {
     assert(e.getMessage.contains("index='ivf'"))
   }
 
+  test("f16/bf16 kernels match IEEE half-precision constants") {
+    import graft.functions.VectorKernels._
+    // binary16 nearest to 0.1 is 0x2E66 = 0.0999755859375
+    assert(f16RoundScalar(0.1f) == java.lang.Float.intBitsToFloat(0x3DCCC000))
+    assert(f16RoundScalar(1.0f) == 1.0f)
+    assert(f16RoundScalar(-2.5f) == -2.5f) // exactly representable
+    assert(f16RoundScalar(65504f) == 65504f) // max normal half
+    // 65520 is halfway to the next grid point — round-to-even → Inf
+    assert(f16RoundScalar(65520f).isPosInfinity)
+    assert(f16RoundScalar(-65520f).isNegInfinity)
+    val minSub = java.lang.Math.scalb(1.0f, -24) // smallest subnormal half
+    assert(f16RoundScalar(minSub) == minSub)
+    assert(f16RoundScalar(minSub / 2) == 0.0f) // halfway → even → 0
+    assert(f16RoundScalar(minSub * 1.5f) == minSub * 2) // halfway → even → 2u
+    assert(f16RoundScalar(Float.NaN).isNaN)
+    // bfloat16 nearest to 0.1 is 0x3DCD0000 = 0.10009765625
+    assert(bf16RoundScalar(0.1f) == java.lang.Float.intBitsToFloat(0x3DCD0000))
+    assert(bf16RoundScalar(1.0f) == 1.0f)
+    assert(bf16RoundScalar(3.3895314E38f) == 3.3895314E38f) // bf16 max normal
+    assert(bf16RoundScalar(Float.MaxValue).isPosInfinity) // rounds past max → Inf
+    assert(bf16RoundScalar(Float.NaN).isNaN)
+    // idempotence: a rounded value is a fixpoint (publish-path safety)
+    val probe = Seq(0.1f, -0.37f, 1e-6f, 123.456f, 65504f, minSub * 3)
+    probe.foreach { f =>
+      assert(f16RoundScalar(f16RoundScalar(f)) == f16RoundScalar(f))
+      assert(bf16RoundScalar(bf16RoundScalar(f)) == bf16RoundScalar(f))
+    }
+  }
+
+  test("f16 storage mode rounds vectors at write; NEAR scores the rounded values") {
+    import spark.implicits._
+    val g = freshGraft()
+    seed(g, "halfcol", Some("f16"))
+    seed(g, "fullcol2", None)
+    // stored vectors ARE the f16-rounded values
+    val stored = g.collections.table("halfcol").get
+      .orderBy("id").limit(1).select("vec").collect()(0).getSeq[Float](0)
+    val expected = (0 until 8).map(d =>
+      graft.functions.VectorKernels.f16RoundScalar(
+        math.sin(1 * 0.37 + d * 1.3).toFloat))
+    assert(stored == expected)
+    // bare NEAR is the exact f32 path over those rounded values —
+    // same ids as the full twin, scores shifted by the precision loss
+    val half = run(g, "SELECT id, score FROM halfcol WHERE vector NEAR $q LIMIT 5")
+    val full = run(g, "SELECT id, score FROM fullcol2 WHERE vector NEAR $q LIMIT 5")
+    assert(half.map(_._1) == full.map(_._1))
+    assert(half.map(_._2) != full.map(_._2),
+      "f16 rounding should move cosine scores")
+    half.zip(full).foreach { case ((_, hs), (_, fs)) =>
+      assert(math.abs(hs - fs) < 1e-3, s"f16 error too large: $hs vs $fs")
+    }
+    // quantized tiers compose on top of the rounded store
+    val sk = run(g,
+      "SELECT id, score FROM halfcol WHERE vector NEAR $q LIMIT 5 WITH (quantization = 'binary')")
+    assert(sk.nonEmpty)
+    // bf16 collection works end-to-end too
+    seed(g, "bhalf", Some("bf16"))
+    val b1 = g.collections.table("bhalf").get
+      .orderBy("id").limit(1).select("vec").collect()(0).getSeq[Float](0)
+    assert(b1 == (0 until 8).map(d =>
+      graft.functions.VectorKernels.bf16RoundScalar(
+        math.sin(1 * 0.37 + d * 1.3).toFloat)))
+  }
+
   test("create validates the mode; REST create persists and reports it") {
     val g = freshGraft()
     intercept[IllegalArgumentException] {
