@@ -18,17 +18,23 @@ object GraphQueries {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Tables.table(s, d, n)
 
-  /** Co-purchase projection shared by q177/q182: parts sharing an order
-    * ≥2 times, as canonical `(a < b)` distinct pairs. */
-  private def coPurchasePairs(s: SparkSession, d: String): DataFrame = {
-    val op = t(s, d, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    op.as("x")
-      .join(op.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-      .agg(count(lit(1)).as("w"))
-      .where(col("w") >= 2).select("a", "b")
-  }
+  /** Co-purchase projection shared by q177/q182/q183/q186: parts
+    * sharing an order ≥2 times, as canonical `(a < b)` distinct pairs.
+    * MATERIALIZED once per dataset dir (a-clustered parquet) — the
+    * projected graph is the artifact a production system persists next
+    * to its edge store; four analytics queries start from a scan
+    * instead of re-running the order×part self-join. Rebuilds when the
+    * lineitem parquet changes, like every derived index here. */
+  private def coPurchasePairs(s: SparkSession, d: String): DataFrame =
+    graft.Materialize(s, d, "copurchase", Seq("lineitem"), Some("a")) {
+      val op = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      op.as("x")
+        .join(op.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+        .agg(count(lit(1)).as("w"))
+        .where(col("w") >= 2).select("a", "b")
+    }
 
   /** The co-purchase edge CTEs + `rounds` unrolled k=2 peel rounds
     * (`s0` symmetrized, `n_i` = surviving nodes, `s_i` = restricted

@@ -1485,6 +1485,55 @@ object TextQueries {
         .select(col("source"), col("n_tokens"),
           (col("m") / lit(1000000000.0)).as("kl_nats"))
         .orderBy("source")
+    },
+
+    // ---- Mixture planning: the temperature-reweighted source blend
+    // (the "mixing card" a pre-training run is configured from, τ = 0.5
+    // — the multilingual-sampling standard that upsamples small
+    // sources): per source, raw token share → sqrt-tempered weight →
+    // planned tokens out of a 1M-token budget → implied epochs over the
+    // source (>1e4 in epochs_e4 means the plan re-reads that source).
+    // τ = 0.5 makes the tempering an IEEE sqrt — exact in any engine,
+    // unlike a general pow — and the weight NORMALIZATION (the one
+    // cross-source float sum) snaps each weight to integer PICOS first
+    // (the q179/q185 idiom), so the sum is exact BIGINT arithmetic
+    // under any aggregation order; everything downstream divides those
+    // exact integers. Scale shape: one tokenize pass into per-source
+    // counts (the only corpus-sized work); the 20-row plan math is
+    // driver-trivial but stays declarative.
+    QueryDef(
+      "q188_mixture_plan",
+      """WITH tok AS (SELECT d.source, u.t AS term
+        |  FROM documents d, unnest(string_split_regex(lower(d.text), '[^a-z0-9]+')) AS u(t)
+        |  WHERE len(u.t) > 1),
+        |st AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM st),
+        |w AS (SELECT source, n,
+        |    CAST(floor(sqrt(n * 1.0 / tot.nn) * 1000000000000 + 0.5) AS BIGINT) AS wp
+        |  FROM st CROSS JOIN tot),
+        |tw AS (SELECT CAST(sum(wp) AS BIGINT) AS t FROM w)
+        |SELECT source, n AS n_tokens, wp AS weight_e12,
+        |  CAST(floor(wp * 1.0 / tw.t * 1000000 + 0.5) AS BIGINT) AS planned_tokens,
+        |  CAST(floor((wp * 1.0 / tw.t * 1000000) / n * 10000 + 0.5) AS BIGINT) AS epochs_e4
+        |FROM w CROSS JOIN tw ORDER BY source""".stripMargin) { (s, d) =>
+      val tok = t(s, d, "documents").select(col("source"),
+        explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+          t => length(t) > 1)).as("term"))
+      val st = tok.groupBy("source").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // 20 rows; both branches below reuse it
+      val tot = st.agg(sum("n").as("nn"))
+      val w = st.crossJoin(broadcast(tot))
+        .withColumn("wp",
+          floor(sqrt(col("n") * lit(1.0) / col("nn")) * lit(1000000000000L) + lit(0.5))
+            .cast(LongType))
+      val tw = w.agg(sum("wp").as("t"))
+      w.crossJoin(broadcast(tw))
+        .select(col("source"), col("n").as("n_tokens"), col("wp").as("weight_e12"),
+          floor(col("wp") * lit(1.0) / col("t") * lit(1000000L) + lit(0.5))
+            .cast(LongType).as("planned_tokens"),
+          floor((col("wp") * lit(1.0) / col("t") * lit(1000000L)) / col("n")
+            * lit(10000L) + lit(0.5)).cast(LongType).as("epochs_e4"))
+        .orderBy("source")
     }
   )
 
