@@ -521,4 +521,48 @@ object Graph {
     org.apache.spark.sql.graft.CheckpointBlocks.unpersist(adj)
     labels.select(col("node"), col("label").as("community"))
   }
+
+  /** Newman modularity, per community, of a node partition over an
+    * UNDIRECTED simple graph given as canonical distinct pairs
+    * `(a < b)` (beyond-reference: THE community-quality statistic —
+    * Q = Σ_c [e_c/m − (d_c/2m)²], intra-edge share minus the share a
+    * degree-preserving random rewiring would give; positive
+    * contributions mean denser-than-chance groups). The evaluation
+    * companion to [[lpaCommunities]], as silhouette is to k-means.
+    * Returns `(community, n_nodes, intra_edges, degree_sum,
+    * contribution)`; Q is the contribution sum.
+    *
+    * Determinism: every input to the float math is an exact integer
+    * count (m, e_c, d_c), and each contribution is a fixed chain of
+    * scalar IEEE ops on them — identical in any engine, no
+    * aggregation-order surface. Scale shape: one degree aggregation,
+    * one two-sided label join over the edge list (shuffled on the node
+    * key), one community-keyed agg — nothing driver-sized. */
+  def modularityByCommunity(undirected: DataFrame, partition: DataFrame,
+      nodeCol: String = "node", labelCol: String = "community",
+      aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val e = undirected.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b"))
+    val lab = partition.select(col(nodeCol).cast("long").as("__n"),
+      col(labelCol).cast("long").as("__c"))
+    val deg = e.select(col("a").as("__n")).unionAll(e.select(col("b").as("__n")))
+      .groupBy("__n").agg(count(lit(1)).as("__d"))
+    val cdeg = lab.join(deg, "__n")
+      .groupBy(col("__c").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("__d")).as("degree_sum"))
+    val intra = e
+      .join(lab.select(col("__n").as("a"), col("__c").as("ca")), Seq("a"))
+      .join(lab.select(col("__n").as("b"), col("__c").as("cb")), Seq("b"))
+      .where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("intra_edges"))
+    val m = e.agg(count(lit(1)).as("__m"))
+    cdeg.join(intra, Seq("community"), "left").crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum"),
+        (coalesce(col("intra_edges"), lit(0L)) * lit(1.0) / col("__m")
+          - (col("degree_sum") * lit(1.0) / (lit(2) * col("__m")))
+            * (col("degree_sum") * lit(1.0) / (lit(2) * col("__m"))))
+          .as("contribution"))
+  }
 }

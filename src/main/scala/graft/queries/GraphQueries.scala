@@ -316,6 +316,43 @@ object GraphQueries {
          |SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS community
          |FROM l3 ORDER BY node""".stripMargin) { (s, d) =>
       Graph.lpaCommunities(coPurchasePairs(s, d), iters = 3).orderBy("node")
+    },
+
+    // ---- Beyond-reference G: Newman modularity of the q186 LPA
+    // partition — the fit-quality report for communities (what
+    // silhouette is to q161's k-means): per community, intra-edge
+    // count, degree mass, and the contribution e_c/m − (d_c/2m)², all
+    // from ONE degree agg + one two-sided label join over the
+    // materialized projection. Contributions are a few IEEE double ops
+    // on exact integer counts — identical in any engine — so the rows
+    // hash-match without snapping; only counts and one division chain
+    // appear. Positive total ⇒ denser-than-random grouping.
+    QueryDef(
+      "q189_modularity",
+      s"""WITH ${lpaChain(3)},
+         |deg AS (SELECT u, count(*) AS dg FROM s GROUP BY u),
+         |m AS (SELECT count(*) AS m FROM e),
+         |cdeg AS (SELECT l.label AS community, CAST(sum(d.dg) AS BIGINT) AS degree_sum,
+         |         CAST(count(*) AS BIGINT) AS n_nodes
+         |         FROM l3 l JOIN deg d ON d.u = l.node GROUP BY 1),
+         |intra AS (SELECT la.label AS community, CAST(count(*) AS BIGINT) AS intra_edges
+         |          FROM e JOIN l3 la ON la.node = e.a JOIN l3 lb ON lb.node = e.b
+         |          WHERE la.label = lb.label GROUP BY 1)
+         |SELECT CAST(c.community AS BIGINT) AS community, c.n_nodes,
+         |  coalesce(i.intra_edges, 0) AS intra_edges, c.degree_sum,
+         |  coalesce(i.intra_edges, 0) * 1.0 / m.m
+         |    - (c.degree_sum * 1.0 / (2 * m.m)) * (c.degree_sum * 1.0 / (2 * m.m))
+         |    AS contribution
+         |FROM cdeg c LEFT JOIN intra i ON i.community = c.community CROSS JOIN m
+         |ORDER BY community""".stripMargin) { (s, d) =>
+      val pairs = coPurchasePairs(s, d)
+      val labels = Graph.lpaCommunities(pairs, iters = 3)
+      val out = Graph.modularityByCommunity(pairs, labels,
+          nodeCol = "node", labelCol = "community")
+        .orderBy("community")
+        .localCheckpoint(true) // materialize before freeing the labels below
+      org.apache.spark.sql.graft.CheckpointBlocks.unpersist(labels)
+      out
     }
   )
 

@@ -161,4 +161,30 @@ class TriangleSpec extends SparkSpecBase {
     assert(lpa(k4, 2).values.toSet == Set(1L))
     intercept[IllegalArgumentException](lpa(k4, 0))
   }
+
+  test("modularityByCommunity: bridged triangles, hand-computed Q") {
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)) // m = 7
+    val part = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 3L), (5L, 3L), (6L, 3L)).toDF("node", "community")
+    val rows = Graph.modularityByCommunity(g.toDF("a", "b"), part)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // each community: 3 intra edges, degree mass 7 (2+2+3) of 2m = 14
+    // → contribution 3/7 − (7/14)² = 0.17857142857142855
+    val expected = 3.0 / 7 - 0.25
+    assert(rows.keySet == Set(1L, 3L))
+    rows.values.foreach { case (n, intra, dsum, c) =>
+      assert(n == 3L && intra == 3L && dsum == 7L)
+      assert(math.abs(c - expected) < 1e-15)
+    }
+    // Q > 0: the partition is denser than a random rewiring
+    assert(rows.values.map(_._4).sum > 0.35)
+    // an everything-in-one-community partition scores Q = 0 exactly
+    // (e_c/m = 1 and (d_c/2m)² = 1)
+    val one = Seq(1L, 2L, 3L, 4L, 5L, 6L).map((_, 9L)).toDF("node", "community")
+    val q0 = Graph.modularityByCommunity(g.toDF("a", "b"), one)
+      .collect().map(_.getDouble(4)).sum
+    assert(q0 == 0.0)
+  }
 }
