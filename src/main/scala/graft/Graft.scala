@@ -120,6 +120,23 @@ class Graft(
       e.select(col("src").as("a"), col("dst").as("b")), maxIters = maxIters)
   }
 
+  /** The graph surface as canonical UNDIRECTED simple pairs `(a < b)`
+    * (optionally restricted to `relTypes`, self-loops dropped) — the
+    * shared input shape of [[kCore]]/[[triangles]]/[[linkPredict]]/
+    * [[communities]]. One definition so a canonicalization fix lands
+    * everywhere at once. */
+  private def undirectedPairs(relTypes: Seq[String],
+      graphScope: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, greatest, least}
+    val cat = graphScope.fold(catalog)(catalog.scopedToGraph)
+    val e0 = cat.graphEdges
+    val e = if (relTypes.nonEmpty) e0.where(col("label").isin(relTypes: _*))
+            else e0
+    e.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+  }
+
   /** Label-propagation communities over the same graph surface,
     * undirected (optionally restricted to `relTypes`): `(node,
     * community)` after `iters` synchronous plurality-vote rounds —
@@ -128,51 +145,24 @@ class Graft(
     * checkpoint; free with `CheckpointBlocks.unpersist` after
     * consuming. */
   def communities(iters: Int = 3, relTypes: Seq[String] = Nil,
-      graphScope: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{col, greatest, least}
-    val cat = graphScope.fold(catalog)(catalog.scopedToGraph)
-    val e0 = cat.graphEdges
-    val e = if (relTypes.nonEmpty) e0.where(col("label").isin(relTypes: _*))
-            else e0
-    val pairs = e.select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .where(col("a") =!= col("b")).distinct()
-    operators.Graph.lpaCommunities(pairs, iters)
-  }
+      graphScope: Option[String] = None): DataFrame =
+    operators.Graph.lpaCommunities(undirectedPairs(relTypes, graphScope), iters)
 
   /** k-core over the same graph surface, undirected (optionally
     * restricted to `relTypes`) — iterative peeling, see
     * [[operators.Graph.kCore]]. Returns a bare checkpoint; free it
     * with `CheckpointBlocks.unpersist` after consuming. */
   def kCore(k: Int, relTypes: Seq[String] = Nil,
-      graphScope: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{col, greatest, least}
-    val cat = graphScope.fold(catalog)(catalog.scopedToGraph)
-    val e0 = cat.graphEdges
-    val e = if (relTypes.nonEmpty) e0.where(col("label").isin(relTypes: _*))
-            else e0
-    val pairs = e.select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .where(col("a") =!= col("b")).distinct()
-    operators.Graph.kCore(pairs, k)
-  }
+      graphScope: Option[String] = None): DataFrame =
+    operators.Graph.kCore(undirectedPairs(relTypes, graphScope), k)
 
   /** Per-node triangle counts over the same graph surface, treating
     * edges as undirected (optionally restricted to `relTypes`) —
     * degree-ordered enumeration, see
     * [[operators.Graph.triangleCounts]]. */
   def triangles(relTypes: Seq[String] = Nil,
-      graphScope: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{col, greatest, least}
-    val cat = graphScope.fold(catalog)(catalog.scopedToGraph)
-    val e0 = cat.graphEdges
-    val e = if (relTypes.nonEmpty) e0.where(col("label").isin(relTypes: _*))
-            else e0
-    val pairs = e.select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .where(col("a") =!= col("b")).distinct()
-    operators.Graph.triangleCounts(pairs)
-  }
+      graphScope: Option[String] = None): DataFrame =
+    operators.Graph.triangleCounts(undirectedPairs(relTypes, graphScope))
 
   /** Adamic-Adar link prediction over the same graph surface, treating
     * edges as undirected (optionally restricted to `relTypes`) —
@@ -180,17 +170,9 @@ class Graft(
     * [[operators.Graph.adamicAdar]]. */
   def linkPredict(minCommon: Int = 1, relTypes: Seq[String] = Nil,
       graphScope: Option[String] = None,
-      maxDeg: Long = Long.MaxValue): DataFrame = {
-    import org.apache.spark.sql.functions.{col, greatest, least}
-    val cat = graphScope.fold(catalog)(catalog.scopedToGraph)
-    val e0 = cat.graphEdges
-    val e = if (relTypes.nonEmpty) e0.where(col("label").isin(relTypes: _*))
-            else e0
-    val pairs = e.select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .where(col("a") =!= col("b")).distinct()
-    operators.Graph.adamicAdar(pairs, minCommon, maxDeg)
-  }
+      maxDeg: Long = Long.MaxValue): DataFrame =
+    operators.Graph.adamicAdar(undirectedPairs(relTypes, graphScope),
+      minCommon, maxDeg)
 
   /** Plan-intent summary (velesql/explain.rs shape). */
   def explain(query: String): String = Explain.render(parse(query))

@@ -291,10 +291,17 @@ object PipelineQueries {
             Map("q" -> q)).select("id", "score")
             .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
         val (hf, hb, full) = (run("hf16"), run("hbf16"), run("hfull"))
+        // f16 (10 mantissa bits) preserves this top-5 ORDER; bf16 (7
+        // bits, ~0.4% per-component error) genuinely flips the
+        // 1.8e-4-separated ranks 1-2 — so bf16 pins the id SET and
+        // per-id score proximity, not positions. That flip is the
+        // documented precision trade, not a defect.
+        val fullById = full.toMap
         val searchOk = hf.map(_._1) == full.map(_._1) &&
+          hb.map(_._1).toSet == full.map(_._1).toSet &&
           hf.map(_._2) != full.map(_._2) &&
           hf.zip(full).forall { case ((_, a), (_, b)) => math.abs(a - b) < 1e-3 } &&
-          hb.zip(full).forall { case ((_, a), (_, b)) => math.abs(a - b) < 1e-2 }
+          hb.forall { case (id, sc) => math.abs(sc - fullById(id)) < 1e-2 }
         roundedOk && searchOk
       } finally graft.Collections.deleteRec(tmp)
       s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("half_ok"))

@@ -353,13 +353,16 @@ class Compiler(
         // WITH (quantization='full') to force exact on an SQ8 collection
         // ("full" storage is the exact default — dropped here so a bare
         // WITH rerank=true keeps its sketch-prefilter meaning on it)
+        // f16/bf16 are WRITE-time storage modes (precision applied at
+        // publish, Collections.halfRoundIfConfigured) — dropped here
+        // exactly like "full" so a bare WITH rerank=true keeps its
+        // sketch-prefilter meaning on a half-precision collection; as a
+        // READ-time WITH quantization value they stay an error below.
         val quant0: Option[String] = sel.withOptions.get("quantization")
-          .orElse(meta.storageMode.filterNot(_ == "full")).map {
+          .orElse(meta.storageMode.filterNot(m =>
+            m == "full" || m == "f16" || m == "bf16")).map {
           case q @ ("binary" | "dual" | "hybrid" | "int8" | "sq8" | "quantized" | "pq") => q
           case "f32" | "full" | "exact" | "auto" | "default" => "f32"
-          // half-precision STORAGE modes: precision was applied at write
-          // (Collections.halfRoundIfConfigured), reads score exact f32
-          case "f16" | "bf16" => "f32"
           case other => fail(s"unknown WITH quantization '$other'")
         }
         // an IMPLICIT storage-mode 'pq' yields to an explicitly requested

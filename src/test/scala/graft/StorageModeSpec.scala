@@ -152,6 +152,20 @@ class StorageModeSpec extends SparkSpecBase {
     assert(b1 == (0 until 8).map(d =>
       graft.functions.VectorKernels.bf16RoundScalar(
         math.sin(1 * 0.37 + d * 1.3).toFloat)))
+    // bare WITH (rerank=true) on a half-precision collection keeps its
+    // sketch-prefilter two-phase meaning (f16 drops like 'full' in the
+    // quantization-default resolution) — identical to an explicit
+    // binary sketch request, NOT a silent exact scan
+    val viaRerank = run(g,
+      "SELECT id, score FROM halfcol WHERE vector NEAR $q LIMIT 5 WITH (rerank = true)")
+    val viaBinary = run(g,
+      "SELECT id, score FROM halfcol WHERE vector NEAR $q LIMIT 5 WITH (quantization = 'binary', oversampling = 2)")
+    assert(viaRerank == viaBinary)
+    // f16/bf16 are storage modes, not read-time quantization regimes:
+    // an explicit WITH quantization='f16' is a loud error anywhere
+    val e = intercept[graft.velesql.SemanticError](run(g,
+      "SELECT id FROM fullcol2 WHERE vector NEAR $q LIMIT 5 WITH (quantization = 'f16')"))
+    assert(e.getMessage.contains("quantization"))
   }
 
   test("create validates the mode; REST create persists and reports it") {
