@@ -474,6 +474,30 @@ object RelationalQueries {
         .cast("int").as("quantile_ok"))
     },
 
+    // ---- Heavy hitters: DataFrame.stat.freqItems accuracy pin (the
+    // q151/q159 sketch-contract class — at 100 TB an exact groupBy for
+    // "which event types dominate" is a full shuffle; the single-pass
+    // Karp/Misra-Gries sketch is the scale path and this row pins its
+    // CONTRACT): every event_type whose true frequency exceeds the 10%
+    // support threshold must appear in the sketch's result set (false
+    // positives are allowed by the algorithm, false negatives never —
+    // all five ~20% types qualify here, so the subset check has teeth).
+    // The exact side is one small groupBy at sf; the assertion — not
+    // the estimate — is the pinned value, so engine-specific sketch
+    // internals don't surface.
+    QueryDef("q190_freq_items", "SELECT CAST(1 AS INT) AS freq_ok") { (s, d) =>
+      val ev = t(s, d, "events")
+      val support = 0.1
+      val sketch = ev.stat.freqItems(Seq("event_type"), support)
+        .collect()(0).getSeq[String](0).toSet
+      val n = ev.count()
+      val truth = ev.groupBy("event_type").agg(count(lit(1)).as("c"))
+        .where(col("c") > lit(n * support))
+        .collect().map(_.getString(0)).toSet
+      val ok = truth.subsetOf(sketch) && truth.nonEmpty
+      s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("freq_ok"))
+    },
+
     // ---- CASE WHEN expression + aggregation over the derived column
     QueryDef(
       "q30_case_when",

@@ -1311,6 +1311,56 @@ object TextQueries {
       s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("train_ok"))
     },
 
+    // ---- Streaming quality gate (lifecycle pin): the batch-trained
+    // quality classifier scores a live STREAM micro-batch by
+    // micro-batch with labels identical to batch scoring — the q165
+    // train-once/score-forever contract for the LEARNED filter.
+    // Classifier.scoreText is one map-stage projection (weights ride
+    // as a dense array literal, margin = per-row aggregate over the
+    // gram array — no shuffle, no state), so append mode needs no
+    // watermark and composes with any Structured Streaming source;
+    // this is the shape a production ingest gate runs.
+    QueryDef.lifecyclePin("q191_streaming_classify",
+      "SELECT CAST(1 AS INT) AS stream_classify_ok") { (s, d) =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.operators.Classifier
+      val dim = 256
+      val docs = t(s, d, "documents").where(col("doc_id") < 200)
+      val feats = Classifier.hashedFeatures(docs, "text", "doc_id", dim)
+        .localCheckpoint(true)
+      val labels = docs.select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      val model = Classifier.train(feats, labels, "doc_id", dim,
+        iters = 2, lr = 0.5)
+      org.apache.spark.sql.graft.CheckpointBlocks.unpersist(feats)
+      val w = Classifier.weightsFrame(s, model)
+      val batch = Classifier.scoreText(docs, "text", "doc_id", w, model.bias, dim)
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+        .toMap
+      val rows = docs.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val mem = MemoryStream[(Long, String)]
+      val qn = s"q191_gate_${System.nanoTime()}"
+      val q = Classifier.scoreText(mem.toDF().toDF("doc_id", "text"),
+          "text", "doc_id", w, model.bias, dim)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      val ok = try {
+        val (b1, b2) = rows.splitAt(rows.length / 2)
+        mem.addData(b1.toSeq: _*)
+        q.processAllAvailable()
+        mem.addData(b2.toSeq: _*)
+        q.processAllAvailable()
+        val got = s.table(qn).collect()
+          .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+        got == batch && got.nonEmpty
+      } finally { q.stop(); s.catalog.dropTempView(qn) }
+      s.range(1).select(lit(if (ok) 1 else 0).cast("int")
+        .as("stream_classify_ok"))
+    },
+
     // ---- Bigram LM perplexity with backoff (between q143's unigram LM
     // and CCNet's 5-gram KenLM): the model — bigram/unigram counts —
     // builds from the EVEN doc_ids and scores the held-out ODD docs, so

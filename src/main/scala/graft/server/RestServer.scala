@@ -78,7 +78,7 @@ class RestServer(g: Graft, port: Int = 0) {
   private val KnownVerbs = Set("search", "points", "graph", "match", "empty", "flush",
     "batch", "multi", "text", "hybrid", "traverse", "nodes", "degree", "edges",
     "indexes", "shortest_paths", "pagerank", "triangles", "components",
-    "communities", "kcore", "link_predict", "snapshots", "restore")
+    "communities", "modularity", "kcore", "link_predict", "snapshots", "restore")
   private def countRequest(path: String, code: Int): Unit = {
     // low-cardinality route label: collapse collection names and ids
     val route = path.split("/").filter(_.nonEmpty).toList match {
@@ -588,6 +588,34 @@ class RestServer(g: Graft, port: Int = 0) {
               .limit(limit).toJSON.collect()
             s"""{"results":[${rows.mkString(",")}],"timing_ms":${ms()}}"""
           } finally org.apache.spark.sql.graft.CheckpointBlocks.unpersist(res)
+        }
+      case ("POST", "collections" :: name :: "graph" :: "modularity" :: Nil) =>
+        // beyond-reference: Newman modularity of the LPA partition —
+        // the community-quality report (Graph.modularityByCommunity
+        // over Graph.lpaCommunities), undirected
+        val b = json(ex)
+        val iters = posInt("iterations", intOr(b, "iterations", 3))
+        if (iters > 20) badRequest("iterations capped at 20")
+        val rels = Option(b.get("rel_types")).filter(_.isArray)
+          .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+        val limit = posInt("limit", intOr(b, "limit", 100))
+        timed { ms =>
+          val e0 = edgesFor(name)
+          val e = if (rels.nonEmpty) e0.where(col("label").isin(rels: _*))
+                  else e0
+          val pairs = e.select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+            .where(col("a") =!= col("b")).distinct()
+          val labels = graft.operators.Graph.lpaCommunities(pairs, iters)
+          try {
+            val rep = graft.operators.Graph
+              .modularityByCommunity(pairs, labels)
+            val rows = rep.orderBy(col("contribution").desc, col("community"))
+              .limit(limit).toJSON.collect()
+            val q = rep.agg(org.apache.spark.sql.functions.sum("contribution"))
+              .collect()(0).getDouble(0)
+            s"""{"modularity":$q,"results":[${rows.mkString(",")}],"timing_ms":${ms()}}"""
+          } finally org.apache.spark.sql.graft.CheckpointBlocks.unpersist(labels)
         }
       case ("POST", "collections" :: name :: "graph" :: "kcore" :: Nil) =>
         // beyond-reference: k-core peeling (Graph.kCore) — the

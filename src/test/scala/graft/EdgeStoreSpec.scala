@@ -521,6 +521,12 @@ class EdgeStoreSpec extends SparkSpecBase {
         !cm.body().contains("\"community\":3"), cm.body())
       assert(post("/collections/tg/graph/communities",
         """{"iterations": 99}""").statusCode() == 400)
+      // modularity of that one-community partition is exactly 0
+      // (e_c/m = 1 and (d_c/2m)² = 1 — all mass intra)
+      val mo = post("/collections/tg/graph/modularity", "{}")
+      assert(mo.statusCode() == 200 &&
+        mo.body().contains("\"modularity\":0.0") &&
+        mo.body().contains("\"community\":1"), mo.body())
       // 2-core: the triangle survives, the pendant 4 peels off
       val kc = post("/collections/tg/graph/kcore", """{"k": 2}""")
       assert(kc.statusCode() == 200 &&
