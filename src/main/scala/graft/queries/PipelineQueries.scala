@@ -157,7 +157,35 @@ object PipelineQueries {
           .topK(pc, "vector", Seq(0.6f, 0.8f), 1, "cosine", idCol = "id")
           .collect()
         qdOk && pcOk && top.length == 1 &&
-          top.head.getAs[Long]("id") != 7L // the (0.6,0.8) doc-a row wins
+          top.head.getAs[Long]("id") != 7L && // the (0.6,0.8) doc-a row wins
+          {
+            // r10: chroma + elasticsearch + csv connectors and the
+            // Migrate pipeline (field mapping, normalize, dry-run)
+            val ch = tmp.resolve("chroma.jsonl")
+            java.nio.file.Files.writeString(ch,
+              """{"id": 1, "embedding": [3.0, 4.0], "document": "d1", "metadata": {"cat": "a"}}
+                |""".stripMargin)
+            val es = tmp.resolve("es.jsonl")
+            java.nio.file.Files.writeString(es,
+              """{"_id": "11", "_source": {"vector": [1.0, 0.0], "title": "t"}}
+                |""".stripMargin)
+            val cv = tmp.resolve("pts.csv")
+            java.nio.file.Files.writeString(cv,
+              "id,vector,label\n21,\"[0.1, 0.2]\",x\n")
+            val chDf = graft.sources.Importers.fromChroma(s, ch.toString)
+            val esDf = graft.sources.Importers.fromElasticsearch(s, es.toString)
+            val cvDf = graft.sources.Importers.fromCsv(s, cv.toString)
+            val dry = graft.sources.Migrate.run(cols, "m10", chDf, dryRun = true)
+            val dryOk = dry == 1L && !cols.exists("m10")
+            val n = graft.sources.Migrate.run(cols, "m10", chDf,
+              fieldMappings = Map("cat" -> "category"), normalize = true)
+            val v = cols.table("m10").get.select("vector").first().getSeq[Float](0)
+            dryOk && n == 1L &&
+              v.toList == List(0.6f, 0.8f) && // (3,4) normalized
+              cols.table("m10").get.columns.contains("category") &&
+              esDf.select("id").first().getLong(0) == 11L &&
+              cvDf.select("vector").first().getSeq[Float](0).length == 2
+          }
       } finally graft.Collections.deleteRec(tmp)
       s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("import_ok"))
     },

@@ -51,6 +51,64 @@ object Importers {
       col("embedding").cast("array<float>").as("vector")) ++ others: _*)
   }
 
+  /** ChromaDB export: JSON lines of `{"id": …, "embedding": […],
+    * "document": "…", "metadata": {…}}` (connectors/chromadb.rs shape).
+    * The document text rides along as a payload column. */
+  def fromChroma(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.json(path)
+    val metaCols: Seq[org.apache.spark.sql.Column] =
+      if (raw.columns.contains("metadata"))
+        raw.select("metadata.*").columns.toIndexedSeq
+          .map(c => col(s"metadata.$c").as(c))
+      else Seq.empty
+    val docCol: Seq[org.apache.spark.sql.Column] =
+      if (raw.columns.contains("document"))
+        Seq(col("document").cast("string").as("document"))
+      else Seq.empty
+    val idCol = coalesce(col("id").try_cast("long"),
+      abs(xxhash64(col("id")))).as("id")
+    raw.select(Seq(idCol,
+      col("embedding").cast("array<float>").as("vector")) ++ docCol ++ metaCols: _*)
+  }
+
+  /** Elasticsearch scroll export: JSON lines of
+    * `{"_id": …, "_source": {…}}` (connectors/elasticsearch.rs shape) —
+    * the dense-vector field inside `_source` (default name "vector")
+    * becomes the point vector, every other `_source` field is payload. */
+  def fromElasticsearch(spark: SparkSession, path: String,
+      vectorField: String = "vector"): DataFrame = {
+    val raw = spark.read.json(path)
+    require(raw.columns.contains("_source"),
+      s"importer: no '_source' field in $path (columns: ${raw.columns.mkString(", ")})")
+    val srcCols = raw.select("_source.*").columns.toIndexedSeq
+    require(srcCols.contains(vectorField),
+      s"importer: no '_source.$vectorField' vector field in $path")
+    val payload = srcCols.filterNot(_ == vectorField)
+      .map(c => col(s"_source.$c").as(c))
+    val idCol = coalesce(col("_id").try_cast("long"),
+      abs(xxhash64(col("_id").cast("string")))).as("id")
+    raw.select(Seq(idCol,
+      col(s"_source.$vectorField").cast("array<float>").as("vector")) ++ payload: _*)
+  }
+
+  /** CSV with a JSON-array vector column (connectors/csv_file.rs shape:
+    * header row, vector serialized as "[0.1, 0.2, …]"). Header names
+    * pass through as payload columns. */
+  def fromCsv(spark: SparkSession, path: String,
+      vectorField: String = "vector"): DataFrame = {
+    val raw = spark.read.option("header", "true").csv(path)
+    require(raw.columns.contains("id") && raw.columns.contains(vectorField),
+      s"importer: CSV needs 'id' and '$vectorField' columns " +
+        s"(columns: ${raw.columns.mkString(", ")})")
+    val others = raw.columns.toIndexedSeq
+      .filterNot(c => c == "id" || c == vectorField)
+      .map(col)
+    raw.select(Seq(col("id").cast("long").as("id"),
+      from_json(col(vectorField),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)).as("vector")) ++ others: _*)
+  }
+
   /** Text-corpus JSONL (the HF-datasets/Dolma-style landing format for
     * training pipelines): one document per line with a text field and
     * arbitrary metadata. Normalizes to the `documents` shape the

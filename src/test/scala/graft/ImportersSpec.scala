@@ -71,4 +71,70 @@ class ImportersSpec extends SparkSpecBase {
     assert(cols.count("migrated") == 1)
     cols.drop("migrated")
   }
+
+  test("ChromaDB export maps embedding/document/metadata") {
+    val p = write(Seq(
+      """{"id": 5, "embedding": [0.1, 0.9], "document": "hello", "metadata": {"topic": "greet"}}""",
+      """{"id": "str", "embedding": [0.2, 0.8], "document": "bye", "metadata": {"topic": "farewell"}}"""))
+    val df = Importers.fromChroma(spark, p)
+    assert(df.columns.toSet == Set("id", "vector", "document", "topic"))
+    val r = df.where(df("id") === 5L).first()
+    assert(r.getAs[String]("document") == "hello" &&
+      r.getAs[String]("topic") == "greet")
+    assert(df.count() == 2) // string id hashed, both land
+  }
+
+  test("Elasticsearch scroll export unpacks _source around the vector field") {
+    val p = write(Seq(
+      """{"_id": "9", "_source": {"vector": [1.0, 0.0], "title": "a", "rank": 3}}""",
+      """{"_id": "doc-x", "_source": {"vector": [0.0, 1.0], "title": "b", "rank": 4}}"""))
+    val df = Importers.fromElasticsearch(spark, p)
+    assert(df.columns.toSet == Set("id", "vector", "title", "rank"))
+    assert(df.where(df("id") === 9L).count() == 1)
+    intercept[IllegalArgumentException](
+      Importers.fromElasticsearch(spark, p, vectorField = "nope"))
+  }
+
+  test("CSV import parses the JSON-array vector column") {
+    val f = Files.createTempFile("graft_import", ".csv")
+    Files.writeString(f,
+      "id,vector,label\n1,\"[0.5, 0.5]\",x\n2,\"[0.25, 0.75]\",y")
+    val df = Importers.fromCsv(spark, f.toString)
+    assert(df.columns.toSet == Set("id", "vector", "label"))
+    val r = df.where(df("id") === 2L).first()
+    assert(r.getSeq[Float](r.fieldIndex("vector")).toList == List(0.25f, 0.75f))
+  }
+
+  test("Migrate pipeline: field mapping, normalize, dry-run, storage mode") {
+    import graft.sources.Migrate
+    val p = write(Seq(
+      """{"id": 1, "vector": [3.0, 4.0], "payload": {"cat": "a"}}""",
+      """{"id": 2, "vector": [0.0, 0.0], "payload": {"cat": "b"}}"""))
+    val src = Importers.fromQdrant(spark, p)
+    val dir = Files.createTempDirectory("graft_migrate").toString
+    val cols = new Collections(spark, dir)
+    // dry run: counts without creating anything (pipeline.rs dry_run)
+    assert(Migrate.run(cols, "m1", src, dryRun = true) == 2L)
+    assert(!cols.exists("m1"))
+    // real run: field-mapped, normalized, collection auto-created
+    val n = Migrate.run(cols, "m1", src,
+      fieldMappings = Map("cat" -> "category"), normalize = true)
+    assert(n == 2L && cols.count("m1") == 2)
+    val stored = cols.table("m1").get
+    assert(stored.columns.contains("category"))
+    val v1 = stored.where(stored("id") === 1L).first()
+    assert(v1.getSeq[Float](v1.fieldIndex("vector")).toList == List(0.6f, 0.8f))
+    // zero vector passes through unnormalized
+    val v2 = stored.where(stored("id") === 2L).first()
+    assert(v2.getSeq[Float](v2.fieldIndex("vector")).toList == List(0.0f, 0.0f))
+    // storage mode lands on create: f16 migration rounds at publish
+    Migrate.run(cols, "m2", src, storageMode = Some("f16"))
+    assert(cols.storageModeOf("m2").contains("f16"))
+    // structural/unknown mappings are loud
+    intercept[IllegalArgumentException](
+      Migrate.run(cols, "m3", src, fieldMappings = Map("vector" -> "v2"), dryRun = true))
+    intercept[IllegalArgumentException](
+      Migrate.run(cols, "m3", src, fieldMappings = Map("nope" -> "x"), dryRun = true))
+    cols.drop("m1"); cols.drop("m2")
+  }
 }
