@@ -353,6 +353,51 @@ object Dedup {
         (!coalesce(col("__in_corpus"), lit(false)) && col("__rn") === 1).as("keep"))
   }
 
+  /** Bloom-gated incremental dedup — [[incrementalExact]]'s semantics
+    * with the 100 TB corpus-side shape (reference cache/bloom.rs is the
+    * same idea on its lookup path): at scale the corpus key table is
+    * too large to broadcast and every batch row pays the shuffled join;
+    * a Bloom filter of the corpus keys (one distributed pass, bits
+    * sized by `fpp`) IS broadcastable, and its one-sided error matches
+    * dedup exactly — "no" is a GUARANTEED miss (the sketch has no
+    * false negatives), so only "maybe" rows (true hits + ~fpp false
+    * alarms) reach the exact corpus join. Output rows are identical to
+    * [[incrementalExact]] plus a `bloom_maybe` diagnostic column; the
+    * sketch only prunes join traffic, never changes results.
+    *
+    * The membership probe wraps the broadcast sketch in a UDF — a
+    * documented functions-not-UDFs exception (like Bpe.encode): Spark's
+    * `util.sketch.BloomFilter` has no Column API, and the probe is a
+    * pure per-row long test with no shuffle around it. */
+  def incrementalBloom(batch: DataFrame, corpus: DataFrame, key: Column,
+      idCol: String = "doc_id", fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
+    val ck = corpus.select(key.cast("long").as("__h")).distinct()
+    // expectedNumItems: corpus row count upper-bounds distinct keys;
+    // oversizing only lowers the realized fpp
+    val bf = ck.stat.bloomFilter("__h", math.max(corpus.count(), 1L), fpp)
+    val spark = batch.sparkSession
+    val bfB = spark.sparkContext.broadcast(bf)
+    val maybe = udf((h: Long) => bfB.value.mightContainLong(h))
+    val b = batch.select(col(idCol).as("__id"), key.cast("long").as("__h"))
+    val w = Window.partitionBy("__h").orderBy("__id")
+    // within-batch first-occurrence is computed over the WHOLE batch
+    // before the gate — dup_batch semantics don't depend on the corpus
+    val withRn = b.withColumn("__rn", row_number().over(w))
+      .withColumn("__maybe", maybe(col("__h")))
+    val checked = withRn.where(col("__maybe"))
+      .join(ck.withColumn("__in_corpus", lit(true)), Seq("__h"), "left")
+    val misses = withRn.where(!col("__maybe"))
+      .withColumn("__in_corpus", lit(false))
+    checked.unionByName(misses)
+      .select(col("__id").as(idCol),
+        coalesce(col("__in_corpus"), lit(false)).as("dup_corpus"),
+        (col("__rn") > 1).as("dup_batch"),
+        (!coalesce(col("__in_corpus"), lit(false)) && col("__rn") === 1).as("keep"),
+        col("__maybe").as("bloom_maybe"))
+  }
+
   /** LSH-blocked embedding near-dup: `tables` independent
     * random-hyperplane signatures of `nPlanes` bits each; candidate
     * pairs form ONLY inside a (table, bucket) group, then exact cosine ≥

@@ -264,21 +264,38 @@ object Graph {
     * shuffled on dst — the Pregel superstep shape; lineage truncates
     * with the eager-checkpoint discipline. Fixed `iters` (not
     * convergence-tested) keeps it deterministic and oracle-checkable by
-    * unrolling the same iterations in SQL. */
+    * unrolling the same iterations in SQL.
+    *
+    * Personalized variant (`restart` = a seed-node frame with a `node`
+    * column): the teleport mass lands ONLY on the seeds —
+    * rank_{k+1}(v) = (1−d)·1[v ∈ seeds] + d·Σ contributions, ranks
+    * initialized to the restart vector — the random-walk-with-restart
+    * recommender ("important relative to THESE nodes"; scores decay
+    * with distance from the seed set). `restart = None` is the classic
+    * uniform form, bit-identical to before. */
   def pageRank(edges: DataFrame, iters: Int,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85,
+      restart: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(damping > 0.0 && damping < 1.0, "damping must be in (0, 1)")
     val e = edges.select("src", "dst")
-    // nodes and outDeg are loop INVARIANTS — materialize each once.
-    // Left lazy, the distinct and the groupBy (both full shuffles over
-    // the edge frame) re-execute inside every superstep.
-    val nodes = e.select(col("src").as("node"))
+    // nodes (+ per-node teleport base) and outDeg are loop
+    // INVARIANTS — materialize each once. Left lazy, the distinct and
+    // the groupBy (both full shuffles over the edge frame) re-execute
+    // inside every superstep.
+    val allNodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+    val nodes = (restart match {
+      case Some(seeds) => allNodes
+        .join(seeds.select(col("node")).distinct().withColumn("__s", lit(true)),
+          Seq("node"), "left")
+        .select(col("node"),
+          when(col("__s"), lit(1.0)).otherwise(lit(0.0)).as("base"))
+      case None => allNodes.withColumn("base", lit(1.0))
+    }).localCheckpoint(true)
     val outDeg = e.groupBy(col("src").as("dnode")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
-    var ranks = nodes.withColumn("rank", lit(1.0))
+    var ranks = nodes.select(col("node"), col("base").as("rank"))
     var prevCkpt: DataFrame = null
     // Fixed iteration count ⇒ supersteps chain LAZILY; only every
     // `ckptEvery`-th (and the last) eagerly truncates lineage — the
@@ -294,7 +311,8 @@ object Graph {
         .agg(sum(col("rank") / col("deg")).as("c"))
       val updated0 = nodes.join(contrib, nodes("node") === col("cnode"), "left")
         .select(nodes("node"),
-          (lit(1 - damping) + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
+          (lit(1 - damping) * nodes("base")
+            + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
       if (i == iters || i % ckptEvery == 0) {
         val updated = updated0.localCheckpoint(true)
         if (prevCkpt != null)

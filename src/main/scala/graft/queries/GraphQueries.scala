@@ -235,6 +235,56 @@ object GraphQueries {
         .orderBy("node")
     },
 
+    // ---- Beyond-reference G: PERSONALIZED PageRank — random walk with
+    // restart at customers 1-10: teleport mass lands only on the seeds
+    // ((1−d)·1[v∈seeds]), ranks init to the restart vector, so scores
+    // decay with distance from the seed set — the "recommend relative
+    // to THESE users" form. Same 3 unrolled iterations as q149's
+    // oracle with the indicator base; the q149 float traps apply (the
+    // base must be CAST AS DOUBLE — a bare 1.0 is DECIMAL in DuckDB —
+    // and ranks compare as floor(rank·10⁴+0.5) BIGINTs). Output keeps
+    // only touched nodes (rank_e4 > 0) — the reachable cone of the
+    // seeds, not 18k zero rows.
+    QueryDef(
+      "q193_personalized_pagerank",
+      s"""WITH edges AS (${Graph.edgesSql}),
+         |e AS (SELECT src, dst FROM edges),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |seeds AS (SELECT DISTINCT src AS node FROM e WHERE src <= 10),
+         |b AS (SELECT n.node,
+         |    CASE WHEN s.node IS NOT NULL THEN CAST(1 AS DOUBLE)
+         |         ELSE CAST(0 AS DOUBLE) END AS base
+         |  FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+         |r0 AS (SELECT node, base AS rank FROM b),
+         |c1 AS (SELECT e.dst AS node, sum(r.rank / g.deg) AS c
+         |       FROM r0 r JOIN deg g ON g.node = r.node
+         |       JOIN e ON e.src = r.node GROUP BY e.dst),
+         |r1 AS (SELECT b.node, (1 - CAST(0.85 AS DOUBLE)) * b.base + CAST(0.85 AS DOUBLE) * coalesce(c1.c, 0) AS rank
+         |       FROM b LEFT JOIN c1 ON c1.node = b.node),
+         |c2 AS (SELECT e.dst AS node, sum(r.rank / g.deg) AS c
+         |       FROM r1 r JOIN deg g ON g.node = r.node
+         |       JOIN e ON e.src = r.node GROUP BY e.dst),
+         |r2 AS (SELECT b.node, (1 - CAST(0.85 AS DOUBLE)) * b.base + CAST(0.85 AS DOUBLE) * coalesce(c2.c, 0) AS rank
+         |       FROM b LEFT JOIN c2 ON c2.node = b.node),
+         |c3 AS (SELECT e.dst AS node, sum(r.rank / g.deg) AS c
+         |       FROM r2 r JOIN deg g ON g.node = r.node
+         |       JOIN e ON e.src = r.node GROUP BY e.dst),
+         |r3 AS (SELECT b.node, (1 - CAST(0.85 AS DOUBLE)) * b.base + CAST(0.85 AS DOUBLE) * coalesce(c3.c, 0) AS rank
+         |       FROM b LEFT JOIN c3 ON c3.node = b.node)
+         |SELECT node, CAST(floor(rank * 10000 + 0.5) AS BIGINT) AS rank_e4
+         |FROM r3 WHERE floor(rank * 10000 + 0.5) > 0 ORDER BY node""".stripMargin) {
+      (s, d) =>
+      val e = Graph.edges(s, d)
+      val seeds = e.where(col("src") <= 10).select(col("src").as("node")).distinct()
+      Graph.pageRank(e, iters = 3, restart = Some(seeds))
+        .select(col("node"),
+          floor(col("rank") * 10000 + 0.5).cast(LongType).as("rank_e4"))
+        .where(col("rank_e4") > 0)
+        .orderBy("node")
+    },
+
     // ---- Beyond-reference G: per-node triangle counts over the
     // co-purchase projection (parts sharing an order ≥2 times —
     // the market-basket graph; 61 triangles / 165 nodes at sf0.01).

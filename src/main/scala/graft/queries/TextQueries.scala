@@ -1029,6 +1029,38 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- Bloom-gated incremental dedup (lifecycle pin — the 100 TB
+    // execution shape of q160: the corpus key table is too big to
+    // broadcast, its Bloom filter isn't; "no" is a guaranteed miss, so
+    // only "maybe" traffic reaches the exact join). The pin asserts
+    // the THREE contracts that make the gate sound: (1) results are
+    // row-identical to the ungated exact path; (2) the sketch has no
+    // false negatives — every true corpus duplicate was gated
+    // "maybe"; (3) the realized false-alarm rate on genuinely-new
+    // keys stays within 5× the configured fpp (sanity, not tightness).
+    QueryDef.lifecyclePin("q192_bloom_dedup",
+      "SELECT CAST(1 AS INT) AS bloom_ok") { (s, d) =>
+      import graft.operators.Dedup
+      val docs = t(s, d, "documents")
+      val key = xxhash64(substring(col("text"), 1, 40))
+      val batch = docs.where(col("doc_id") % 2 === 1)
+      val corpus = docs.where(col("doc_id") % 2 === 0)
+      val exact = Dedup.incrementalExact(batch, corpus, key)
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+          r.getBoolean(3))).toSet
+      val gatedRows = Dedup.incrementalBloom(batch, corpus, key, fpp = 0.01)
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+          r.getBoolean(3), r.getBoolean(4)))
+      val sameResults = gatedRows.map(t4 => (t4._1, t4._2, t4._3, t4._4)).toSet == exact
+      val noFalseNegatives = gatedRows.forall(r => !r._2 || r._5)
+      val newRows = gatedRows.filterNot(_._2)
+      val falseAlarms = newRows.count(_._5)
+      val fpOk = newRows.isEmpty ||
+        falseAlarms.toDouble / newRows.length <= 5 * 0.01
+      val ok = sameResults && noFalseNegatives && fpOk && gatedRows.nonEmpty
+      s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("bloom_ok"))
+    },
+
     // ---- Exact-substring duplicate SPANS (operator:
     // Dedup.duplicateSpans — the Lee et al. 2022 suffix-array dedup
     // shape at 4-token alignment): duplicated windows merge into

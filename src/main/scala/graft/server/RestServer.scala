@@ -536,9 +536,15 @@ class RestServer(g: Graft, port: Int = 0) {
           .map(_.asDouble).getOrElse(0.85)
         if (damping <= 0.0 || damping >= 1.0)
           badRequest(s"damping must be in (0, 1), got $damping")
+        // optional personalization: restart mass lands only on `seeds`
+        val seeds = Option(b.get("seeds")).filter(_.isArray)
+          .map(_.elements().asScala.map(_.asLong).toSeq).filter(_.nonEmpty)
         val limit = posInt("limit", intOr(b, "limit", 100))
         timed { ms =>
-          val res = graft.operators.Graph.pageRank(edgesFor(name), iters, damping)
+          import g.spark.implicits._
+          val restart = seeds.map(_.toDF("node"))
+          val res = graft.operators.Graph.pageRank(edgesFor(name), iters,
+            damping, restart)
           try {
             val rows = res.orderBy(col("rank").desc, col("node")).limit(limit)
               .toJSON.collect()

@@ -451,6 +451,16 @@ class EdgeStoreSpec extends SparkSpecBase {
       assert(prR.statusCode() == 200 && prR.body().contains("\"rank\""), prR.body())
       assert(post("/collections/wg/graph/pagerank",
         """{"damping": 1.5}""").statusCode() == 400)
+      // personalized: restart at node 3 — its descendant 4 carries rank,
+      // the 1→2 branch (unreachable from 3) gets none
+      val ppr = post("/collections/wg/graph/pagerank",
+        """{"iterations": 3, "seeds": [3]}""")
+      assert(ppr.statusCode() == 200, ppr.body())
+      val ranks = """"node":(\d+),"rank":([0-9.E-]+)""".r
+        .findAllMatchIn(ppr.body())
+        .map(m => m.group(1).toLong -> m.group(2).toDouble).toMap
+      assert(ranks(3L) > 0 && ranks(4L) > 0 && ranks(2L) == 0.0 &&
+        ranks(1L) == 0.0, ppr.body())
       assert(post("/collections/wg/graph/shortest_paths",
         """{"starts": []}""").statusCode() == 400)
       // partially-invalid starts must 400, not silently drop the bad id
