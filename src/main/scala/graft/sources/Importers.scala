@@ -109,6 +109,62 @@ object Importers {
           org.apache.spark.sql.types.FloatType)).as("vector")) ++ others: _*)
   }
 
+  /** Milvus query/export: JSON lines of `{"id": …, "vector": […],
+    * <dynamic fields…>}` (connectors/milvus.rs v2 vectordb shape) —
+    * any extra top-level fields are dynamic-schema payload. */
+  def fromMilvus(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.json(path)
+    val others = raw.columns.toIndexedSeq.filterNot(Set("id", "vector")).map(col)
+    val idCol = coalesce(col("id").try_cast("long"),
+      abs(xxhash64(col("id").cast("string")))).as("id")
+    raw.select(Seq(idCol,
+      col("vector").cast("array<float>").as("vector")) ++ others: _*)
+  }
+
+  /** Weaviate objects export: JSON lines of `{"id": "<uuid>", "class":
+    * "…", "properties": {…}, "vector": […]}` (connectors/weaviate.rs
+    * shape) — UUID ids hash to long, the class name rides along as a
+    * payload column. */
+  def fromWeaviate(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.json(path)
+    val propCols: Seq[org.apache.spark.sql.Column] =
+      if (raw.columns.contains("properties"))
+        raw.select("properties.*").columns.toIndexedSeq
+          .map(c => col(s"properties.$c").as(c))
+      else Seq.empty
+    val classCol: Seq[org.apache.spark.sql.Column] =
+      if (raw.columns.contains("class"))
+        Seq(col("class").cast("string").as("class"))
+      else Seq.empty
+    val idCol = coalesce(col("id").try_cast("long"),
+      abs(xxhash64(col("id").cast("string")))).as("id")
+    raw.select(Seq(idCol,
+      col("vector").cast("array<float>").as("vector")) ++ classCol ++ propCols: _*)
+  }
+
+  /** MongoDB export (mongoexport JSONL): `_id` either scalar or the
+    * extended-JSON `{"$oid": "…"}` envelope; the vector field name is
+    * configurable (connectors/mongodb.rs `vector_field`, default
+    * "vector"); every other field is payload. */
+  def fromMongo(spark: SparkSession, path: String,
+      vectorField: String = "vector"): DataFrame = {
+    val raw = spark.read.json(path)
+    require(raw.columns.contains("_id"),
+      s"importer: no '_id' field in $path (columns: ${raw.columns.mkString(", ")})")
+    require(raw.columns.contains(vectorField),
+      s"importer: no '$vectorField' vector field in $path")
+    val idBase = raw.schema("_id").dataType match {
+      case _: org.apache.spark.sql.types.StructType => col("_id.$oid")
+      case _ => col("_id")
+    }
+    val idCol = coalesce(idBase.try_cast("long"),
+      abs(xxhash64(idBase.cast("string")))).as("id")
+    val others = raw.columns.toIndexedSeq
+      .filterNot(c => c == "_id" || c == vectorField).map(col)
+    raw.select(Seq(idCol,
+      col(vectorField).cast("array<float>").as("vector")) ++ others: _*)
+  }
+
   /** Text-corpus JSONL (the HF-datasets/Dolma-style landing format for
     * training pipelines): one document per line with a text field and
     * arbitrary metadata. Normalizes to the `documents` shape the

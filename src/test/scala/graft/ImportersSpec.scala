@@ -105,6 +105,41 @@ class ImportersSpec extends SparkSpecBase {
     assert(r.getSeq[Float](r.fieldIndex("vector")).toList == List(0.25f, 0.75f))
   }
 
+  test("Milvus export passes dynamic fields through") {
+    val p = write(Seq(
+      """{"id": 3, "vector": [0.9, 0.1], "color": "red", "count": 12}"""))
+    val df = Importers.fromMilvus(spark, p)
+    assert(df.columns.toSet == Set("id", "vector", "color", "count"))
+    assert(df.first().getAs[String]("color") == "red")
+  }
+
+  test("Weaviate export hashes UUID ids and unpacks properties + class") {
+    val p = write(Seq(
+      """{"id": "e5f6a7b8-0000-0000-0000-000000000001", "class": "Doc",
+        | "properties": {"title": "hi"}, "vector": [0.3, 0.7]}""".stripMargin
+        .replace("\n", "")))
+    val df = Importers.fromWeaviate(spark, p)
+    assert(df.columns.toSet == Set("id", "vector", "class", "title"))
+    val r = df.first()
+    assert(r.getLong(r.fieldIndex("id")) >= 0 &&
+      r.getAs[String]("class") == "Doc" && r.getAs[String]("title") == "hi")
+  }
+
+  test("MongoDB export handles $oid envelopes and custom vector fields") {
+    val p = write(Seq(
+      """{"_id": {"$oid": "64a1f2e3d4c5b6a798000001"}, "embedding": [1.0, 0.0], "tag": "m"}""",
+      """{"_id": {"$oid": "64a1f2e3d4c5b6a798000002"}, "embedding": [0.0, 1.0], "tag": "n"}"""))
+    val df = Importers.fromMongo(spark, p, vectorField = "embedding")
+    assert(df.columns.toSet == Set("id", "vector", "tag"))
+    assert(df.count() == 2 &&
+      df.select("id").collect().map(_.getLong(0)).toSet.size == 2)
+    // scalar _id parses directly
+    val p2 = write(Seq("""{"_id": 5, "vector": [0.1], "k": 1}"""))
+    assert(Importers.fromMongo(spark, p2).select("id").first().getLong(0) == 5L)
+    intercept[IllegalArgumentException](
+      Importers.fromMongo(spark, p2, vectorField = "nope"))
+  }
+
   test("Migrate pipeline: field mapping, normalize, dry-run, storage mode") {
     import graft.sources.Migrate
     val p = write(Seq(
