@@ -148,6 +148,23 @@ class Graft(
       graphScope: Option[String] = None): DataFrame =
     operators.Graph.lpaCommunities(undirectedPairs(relTypes, graphScope), iters)
 
+  /** Per-community modularity report of the LPA partition over the
+    * same graph surface — derives the pairs ONCE, runs the vote rounds,
+    * joins the report, frees the intermediate label checkpoint, and
+    * returns the (community-count-sized) report as a bare checkpoint so
+    * a caller can read it twice (rows + Q sum) in one execution; free
+    * with `CheckpointBlocks.unpersist` after consuming. */
+  def modularityReport(iters: Int = 3, relTypes: Seq[String] = Nil,
+      graphScope: Option[String] = None): DataFrame = {
+    val pairs = undirectedPairs(relTypes, graphScope)
+    val labels = operators.Graph.lpaCommunities(pairs, iters)
+    val rep = operators.Graph
+      .modularityByCommunity(pairs, labels)
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.CheckpointBlocks.unpersist(labels)
+    rep
+  }
+
   /** k-core over the same graph surface, undirected (optionally
     * restricted to `relTypes`) — iterative peeling, see
     * [[operators.Graph.kCore]]. Returns a bare checkpoint; free it

@@ -47,6 +47,11 @@ object Materialize {
         clustered.write.mode("overwrite").parquet(tmp.toString)
         publish(tmp, path)
         pruneStaleSiblings(key, kind, token, path)
+        // iterative builders (LPA labels, dedup components) return
+        // projections over localCheckpoints — once written to parquet
+        // those blocks are dead; free them now instead of waiting for
+        // the async ContextCleaner
+        org.apache.spark.sql.graft.CheckpointBlocks.unpersistAll(b)
       }
     }
     spark.read.parquet(path.toString)

@@ -373,21 +373,30 @@ object Dedup {
       idCol: String = "doc_id", fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
-    val ck = corpus.select(key.cast("long").as("__h")).distinct()
-    // expectedNumItems: corpus row count upper-bounds distinct keys;
-    // oversizing only lowers the realized fpp
-    val bf = ck.stat.bloomFilter("__h", math.max(corpus.count(), 1L), fpp)
+    // the exact join and the batch window use the RAW key — exactly
+    // [[incrementalExact]], any key type. Only the bloom PROBE needs a
+    // long, derived as xxhash64 of the stringified key on BOTH sides —
+    // deterministic, so a true corpus key always probes "maybe" (no
+    // false negatives); hash collisions only add to the false-alarm
+    // rate the exact join already absorbs. The distinct corpus keys
+    // localCheckpoint once: the sketch aggregation, the sizing count
+    // and the exact join all read those blocks — ONE corpus scan total
+    // (blocks live until the consumer's plan is dropped).
+    val ck = corpus.select(key.as("__k")).distinct().localCheckpoint(true)
+    val probeOf = (k: Column) => xxhash64(k.cast("string"))
+    val bf = ck.select(probeOf(col("__k")).as("__h"))
+      .stat.bloomFilter("__h", math.max(ck.count(), 1L), fpp)
     val spark = batch.sparkSession
     val bfB = spark.sparkContext.broadcast(bf)
     val maybe = udf((h: Long) => bfB.value.mightContainLong(h))
-    val b = batch.select(col(idCol).as("__id"), key.cast("long").as("__h"))
-    val w = Window.partitionBy("__h").orderBy("__id")
+    val b = batch.select(col(idCol).as("__id"), key.as("__k"))
+    val w = Window.partitionBy("__k").orderBy("__id")
     // within-batch first-occurrence is computed over the WHOLE batch
     // before the gate — dup_batch semantics don't depend on the corpus
     val withRn = b.withColumn("__rn", row_number().over(w))
-      .withColumn("__maybe", maybe(col("__h")))
+      .withColumn("__maybe", maybe(probeOf(col("__k"))))
     val checked = withRn.where(col("__maybe"))
-      .join(ck.withColumn("__in_corpus", lit(true)), Seq("__h"), "left")
+      .join(ck.withColumn("__in_corpus", lit(true)), Seq("__k"), "left")
     val misses = withRn.where(!col("__maybe"))
       .withColumn("__in_corpus", lit(false))
     checked.unionByName(misses)

@@ -536,9 +536,20 @@ class RestServer(g: Graft, port: Int = 0) {
           .map(_.asDouble).getOrElse(0.85)
         if (damping <= 0.0 || damping >= 1.0)
           badRequest(s"damping must be in (0, 1), got $damping")
-        // optional personalization: restart mass lands only on `seeds`
-        val seeds = Option(b.get("seeds")).filter(_.isArray)
-          .map(_.elements().asScala.map(_.asLong).toSeq).filter(_.nonEmpty)
+        // optional personalization: restart mass lands only on `seeds`.
+        // Same discipline as shortest_paths' starts: reject (not
+        // silently coerce) non-numeric ids, and an explicitly-empty
+        // array is a 400 — falling back to classic uniform PageRank
+        // would silently answer a different question.
+        val seeds = Option(b.get("seeds")).map { n =>
+          if (!n.isArray) badRequest("seeds must be an array of node ids")
+          val es = n.elements().asScala.toSeq
+          if (es.isEmpty) badRequest("seeds must be non-empty when present")
+          es.map { e =>
+            if (!e.isNumber) badRequest(s"seeds must be numeric, got $e")
+            e.asLong
+          }
+        }
         val limit = posInt("limit", intOr(b, "limit", 100))
         timed { ms =>
           import g.spark.implicits._
@@ -606,22 +617,20 @@ class RestServer(g: Graft, port: Int = 0) {
           .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
         val limit = posInt("limit", intOr(b, "limit", 100))
         timed { ms =>
-          val e0 = edgesFor(name)
-          val e = if (rels.nonEmpty) e0.where(col("label").isin(rels: _*))
-                  else e0
-          val pairs = e.select(least(col("src"), col("dst")).as("a"),
-              greatest(col("src"), col("dst")).as("b"))
-            .where(col("a") =!= col("b")).distinct()
-          val labels = graft.operators.Graph.lpaCommunities(pairs, iters)
+          // facade derives pairs once and returns the report as a bare
+          // checkpoint — rows and the Q sum read ONE execution; an
+          // edgeless graph yields an empty report and Q = 0, not a 500
+          val rep = g.modularityReport(iters, rels, Some(name).filter(n =>
+            isSafeName(n) && g.collections.exists(n)))
           try {
-            val rep = graft.operators.Graph
-              .modularityByCommunity(pairs, labels)
             val rows = rep.orderBy(col("contribution").desc, col("community"))
               .limit(limit).toJSON.collect()
-            val q = rep.agg(org.apache.spark.sql.functions.sum("contribution"))
+            val q = rep.agg(org.apache.spark.sql.functions
+                .coalesce(org.apache.spark.sql.functions.sum("contribution"),
+                  org.apache.spark.sql.functions.lit(0.0)))
               .collect()(0).getDouble(0)
             s"""{"modularity":$q,"results":[${rows.mkString(",")}],"timing_ms":${ms()}}"""
-          } finally org.apache.spark.sql.graft.CheckpointBlocks.unpersist(labels)
+          } finally org.apache.spark.sql.graft.CheckpointBlocks.unpersist(rep)
         }
       case ("POST", "collections" :: name :: "graph" :: "kcore" :: Nil) =>
         // beyond-reference: k-core peeling (Graph.kCore) — the

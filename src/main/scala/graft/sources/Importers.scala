@@ -12,14 +12,25 @@ import org.apache.spark.sql.functions._
   */
 object Importers {
 
+  /** Payload columns with structural-name collisions prefixed
+    * `payload_`: a `_source.id` next to the derived point id (or a
+    * metadata `vector`/`document`/`class`) would otherwise produce a
+    * duplicate-name frame that breaks every downstream select. The
+    * reference keeps payload in a separate map (`point.rs` payload),
+    * so the collision can't arise there; flattening to columns is the
+    * Spark shape, and the prefix keeps the field addressable. */
+  private def payload(cols: Seq[(String, org.apache.spark.sql.Column)],
+      structural: Set[String]): Seq[org.apache.spark.sql.Column] =
+    cols.map { case (n, c) => c.as(if (structural(n)) s"payload_$n" else n) }
+
   /** Qdrant scroll/snapshot export: JSON lines of
     * `{"id": …, "vector": […], "payload": {…}}`. */
   def fromQdrant(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.json(path)
     val payloadCols: Seq[org.apache.spark.sql.Column] =
       if (raw.columns.contains("payload"))
-        raw.select("payload.*").columns.toIndexedSeq
-          .map(c => col(s"payload.$c").as(c))
+        payload(raw.select("payload.*").columns.toIndexedSeq
+          .map(c => c -> col(s"payload.$c")), Set("id", "vector"))
       else Seq.empty
     raw.select(Seq(col("id").cast("long").as("id"),
       col("vector").cast("array<float>").as("vector")) ++ payloadCols: _*)
@@ -32,8 +43,8 @@ object Importers {
     val raw = spark.read.json(path)
     val metaCols: Seq[org.apache.spark.sql.Column] =
       if (raw.columns.contains("metadata"))
-        raw.select("metadata.*").columns.toIndexedSeq
-          .map(c => col(s"metadata.$c").as(c))
+        payload(raw.select("metadata.*").columns.toIndexedSeq
+          .map(c => c -> col(s"metadata.$c")), Set("id", "vector"))
       else Seq.empty
     val idCol = coalesce(col("id").try_cast("long"),
       abs(xxhash64(col("id")))).as("id")
@@ -45,8 +56,9 @@ object Importers {
     * (any extra top-level columns pass through as payload). */
   def fromSupabase(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.json(path)
-    val others = raw.columns.toIndexedSeq.filterNot(Set("id", "embedding"))
-      .map(col)
+    val others = payload(raw.columns.toIndexedSeq
+      .filterNot(Set("id", "embedding")).map(c => c -> col(c)),
+      Set("id", "vector"))
     raw.select(Seq(col("id").cast("long").as("id"),
       col("embedding").cast("array<float>").as("vector")) ++ others: _*)
   }
@@ -56,10 +68,13 @@ object Importers {
     * The document text rides along as a payload column. */
   def fromChroma(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.json(path)
+    require(raw.columns.contains("embedding"),
+      s"importer: no 'embedding' field in $path (columns: ${raw.columns.mkString(", ")})")
     val metaCols: Seq[org.apache.spark.sql.Column] =
       if (raw.columns.contains("metadata"))
-        raw.select("metadata.*").columns.toIndexedSeq
-          .map(c => col(s"metadata.$c").as(c))
+        payload(raw.select("metadata.*").columns.toIndexedSeq
+          .map(c => c -> col(s"metadata.$c")),
+          Set("id", "vector", "document"))
       else Seq.empty
     val docCol: Seq[org.apache.spark.sql.Column] =
       if (raw.columns.contains("document"))
@@ -83,12 +98,12 @@ object Importers {
     val srcCols = raw.select("_source.*").columns.toIndexedSeq
     require(srcCols.contains(vectorField),
       s"importer: no '_source.$vectorField' vector field in $path")
-    val payload = srcCols.filterNot(_ == vectorField)
-      .map(c => col(s"_source.$c").as(c))
+    val payloadCols = payload(srcCols.filterNot(_ == vectorField)
+      .map(c => c -> col(s"_source.$c")), Set("id", "vector"))
     val idCol = coalesce(col("_id").try_cast("long"),
       abs(xxhash64(col("_id").cast("string")))).as("id")
     raw.select(Seq(idCol,
-      col(s"_source.$vectorField").cast("array<float>").as("vector")) ++ payload: _*)
+      col(s"_source.$vectorField").cast("array<float>").as("vector")) ++ payloadCols: _*)
   }
 
   /** CSV with a JSON-array vector column (connectors/csv_file.rs shape:
@@ -100,9 +115,9 @@ object Importers {
     require(raw.columns.contains("id") && raw.columns.contains(vectorField),
       s"importer: CSV needs 'id' and '$vectorField' columns " +
         s"(columns: ${raw.columns.mkString(", ")})")
-    val others = raw.columns.toIndexedSeq
-      .filterNot(c => c == "id" || c == vectorField)
-      .map(col)
+    val others = payload(raw.columns.toIndexedSeq
+      .filterNot(c => c == "id" || c == vectorField).map(c => c -> col(c)),
+      Set("id", "vector"))
     raw.select(Seq(col("id").cast("long").as("id"),
       from_json(col(vectorField),
         org.apache.spark.sql.types.ArrayType(
@@ -114,7 +129,10 @@ object Importers {
     * any extra top-level fields are dynamic-schema payload. */
   def fromMilvus(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.json(path)
-    val others = raw.columns.toIndexedSeq.filterNot(Set("id", "vector")).map(col)
+    require(raw.columns.contains("vector"),
+      s"importer: no 'vector' field in $path (columns: ${raw.columns.mkString(", ")})")
+    val others = payload(raw.columns.toIndexedSeq
+      .filterNot(Set("id", "vector")).map(c => c -> col(c)), Set("id", "vector"))
     val idCol = coalesce(col("id").try_cast("long"),
       abs(xxhash64(col("id").cast("string")))).as("id")
     raw.select(Seq(idCol,
@@ -127,10 +145,13 @@ object Importers {
     * payload column. */
   def fromWeaviate(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.json(path)
+    require(raw.columns.contains("vector"),
+      s"importer: no 'vector' field in $path (columns: ${raw.columns.mkString(", ")})")
     val propCols: Seq[org.apache.spark.sql.Column] =
       if (raw.columns.contains("properties"))
-        raw.select("properties.*").columns.toIndexedSeq
-          .map(c => col(s"properties.$c").as(c))
+        payload(raw.select("properties.*").columns.toIndexedSeq
+          .map(c => c -> col(s"properties.$c")),
+          Set("id", "vector", "class"))
       else Seq.empty
     val classCol: Seq[org.apache.spark.sql.Column] =
       if (raw.columns.contains("class"))
@@ -159,8 +180,9 @@ object Importers {
     }
     val idCol = coalesce(idBase.try_cast("long"),
       abs(xxhash64(idBase.cast("string")))).as("id")
-    val others = raw.columns.toIndexedSeq
-      .filterNot(c => c == "_id" || c == vectorField).map(col)
+    val others = payload(raw.columns.toIndexedSeq
+      .filterNot(c => c == "_id" || c == vectorField).map(c => c -> col(c)),
+      Set("id", "vector"))
     raw.select(Seq(idCol,
       col(vectorField).cast("array<float>").as("vector")) ++ others: _*)
   }
@@ -181,9 +203,9 @@ object Importers {
       case Some(f) => coalesce(col(f).try_cast("long"), abs(xxhash64(col(f))))
       case None => abs(xxhash64(col(textField)))
     }
-    val others = raw.columns.toIndexedSeq
-      .filterNot(c => c == textField || idField.contains(c))
-      .map(col)
+    val others = payload(raw.columns.toIndexedSeq
+      .filterNot(c => c == textField || idField.contains(c)).map(c => c -> col(c)),
+      Set("doc_id", "text"))
     raw.select(Seq(idCol.as("doc_id"),
       col(textField).cast("string").as("text")) ++ others: _*)
   }

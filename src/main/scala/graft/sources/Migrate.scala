@@ -23,6 +23,19 @@ object Migrate {
     require(bad.isEmpty, s"migrate: unknown source fields ${bad.mkString(", ")}")
     require(!mappings.keys.exists(Set("id", "vector")),
       "migrate: 'id'/'vector' are structural, not payload mappings")
+    // targets validate too — renaming ONTO a structural column, onto a
+    // surviving column, or two sources onto one target would produce a
+    // duplicate-name frame that fails far downstream (the same
+    // wrong-schema hazard the source check exists for)
+    val targets = mappings.values.toSeq
+    require(targets.distinct.size == targets.size,
+      "migrate: two fields map onto the same target name")
+    require(!targets.exists(Set("id", "vector")),
+      "migrate: cannot map a payload field onto structural 'id'/'vector'")
+    val surviving = df.columns.filterNot(mappings.keySet).toSet
+    val clash = targets.filter(surviving)
+    require(clash.isEmpty,
+      s"migrate: target names collide with existing columns: ${clash.mkString(", ")}")
     mappings.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
   }
 

@@ -26,4 +26,16 @@ object CheckpointBlocks {
       case lr: LogicalRDD => lr.rdd.unpersist(blocking)
       case _ => ()
     }
+
+  /** Unpersist EVERY checkpoint anywhere in `ds`'s plan (not just a
+    * top-level one — operators return projections OVER their final
+    * checkpoint, which [[unpersist]]'s top-node match misses). For use
+    * when the whole plan is provably dead — e.g. [[graft.Materialize]]
+    * after the builder frame has been written to parquet; the same
+    * UNSAFE caveat applies to every block freed. */
+  def unpersistAll(ds: Dataset[_], blocking: Boolean = false): Unit =
+    ds.queryExecution.analyzed.foreach {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking)
+      case _ => ()
+    }
 }

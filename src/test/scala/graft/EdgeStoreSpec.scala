@@ -461,6 +461,12 @@ class EdgeStoreSpec extends SparkSpecBase {
         .map(m => m.group(1).toLong -> m.group(2).toDouble).toMap
       assert(ranks(3L) > 0 && ranks(4L) > 0 && ranks(2L) == 0.0 &&
         ranks(1L) == 0.0, ppr.body())
+      // seeds validate like shortest_paths' starts: non-numeric and
+      // explicitly-empty arrays are 400s, not silent coercions
+      assert(post("/collections/wg/graph/pagerank",
+        """{"seeds": [1, "abc"]}""").statusCode() == 400)
+      assert(post("/collections/wg/graph/pagerank",
+        """{"seeds": []}""").statusCode() == 400)
       assert(post("/collections/wg/graph/shortest_paths",
         """{"starts": []}""").statusCode() == 400)
       // partially-invalid starts must 400, not silently drop the bad id
@@ -537,6 +543,13 @@ class EdgeStoreSpec extends SparkSpecBase {
       assert(mo.statusCode() == 200 &&
         mo.body().contains("\"modularity\":0.0") &&
         mo.body().contains("\"community\":1"), mo.body())
+      // an edge-typeless filter (no matching edges) is an empty report
+      // with Q = 0 — a clean 200, not a null-sum 500
+      val moEmpty = post("/collections/tg/graph/modularity",
+        """{"rel_types": ["nope"]}""")
+      assert(moEmpty.statusCode() == 200 &&
+        moEmpty.body().contains("\"modularity\":0.0") &&
+        moEmpty.body().contains("\"results\":[]"), moEmpty.body())
       // 2-core: the triangle survives, the pendant 4 peels off
       val kc = post("/collections/tg/graph/kcore", """{"k": 2}""")
       assert(kc.statusCode() == 200 &&

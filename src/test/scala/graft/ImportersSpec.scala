@@ -170,6 +170,33 @@ class ImportersSpec extends SparkSpecBase {
       Migrate.run(cols, "m3", src, fieldMappings = Map("vector" -> "v2"), dryRun = true))
     intercept[IllegalArgumentException](
       Migrate.run(cols, "m3", src, fieldMappings = Map("nope" -> "x"), dryRun = true))
+    // target collisions are loud too: onto structural, onto a
+    // surviving column, or two sources onto one target
+    intercept[IllegalArgumentException](
+      Migrate.run(cols, "m3", src, fieldMappings = Map("cat" -> "vector"), dryRun = true))
+    val src2 = src.withColumn("extra", src("cat"))
+    intercept[IllegalArgumentException](
+      Migrate.run(cols, "m3", src2, fieldMappings = Map("cat" -> "extra"), dryRun = true))
+    intercept[IllegalArgumentException](
+      Migrate.run(cols, "m3", src2,
+        fieldMappings = Map("cat" -> "z", "extra" -> "z"), dryRun = true))
     cols.drop("m1"); cols.drop("m2")
+  }
+
+  test("payload fields named like structural columns get the payload_ prefix") {
+    // an 'id' inside _source is common in Elasticsearch dumps — it must
+    // not produce a duplicate-name frame
+    val p = write(Seq(
+      """{"_id": "1", "_source": {"vector": [1.0], "id": 42, "t": "x"}}"""))
+    val df = Importers.fromElasticsearch(spark, p)
+    assert(df.columns.toSet == Set("id", "vector", "payload_id", "t"))
+    val r = df.first()
+    assert(r.getLong(r.fieldIndex("id")) == 1L &&
+      r.getLong(r.fieldIndex("payload_id")) == 42L)
+    // same guard on flat-payload importers (supabase keeps a stray
+    // 'vector' column addressable instead of colliding)
+    val p2 = write(Seq("""{"id": 3, "embedding": [0.5], "vector": "not-a-vec"}"""))
+    val df2 = Importers.fromSupabase(spark, p2)
+    assert(df2.columns.toSet == Set("id", "vector", "payload_vector"))
   }
 }

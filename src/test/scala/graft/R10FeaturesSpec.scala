@@ -73,4 +73,22 @@ class R10FeaturesSpec extends SparkSpecBase {
     // Gibbs: KL(P‖Q) >= 0 up to the nano snapping of each term
     got.values.foreach { case (_, kl) => assert(kl >= -1e-6) }
   }
+
+  test("incrementalBloom matches incrementalExact on a STRING key (md5)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    // the regression shape: a non-long key must not be silently cast
+    // to null — the bloom probe hashes it, the exact join uses it raw
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val key = md5(substring(col("text"), 1, 40))
+    val batch = docs.where(col("doc_id") % 2 === 1)
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "dup_corpus", "dup_batch", "keep").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+      .toSet
+    val exact = rows(Dedup.incrementalExact(batch, corpus, key))
+    val gated = rows(Dedup.incrementalBloom(batch, corpus, key))
+    assert(exact.nonEmpty && gated == exact)
+  }
 }
