@@ -113,7 +113,8 @@ class Collections(spark: SparkSession, dataDir: String) {
   }
 
   /** The collection's create-time storage mode, if one was declared
-    * ("full"/"sq8"/"binary"); None means exact full-precision. */
+    * ("full"/"sq8"/"binary"/"pq"/"f16"/"bf16"); None means exact
+    * full-precision. */
   def storageModeOf(name: String): Option[String] = {
     val meta = Files.readString(metaPath(name))
     """"storageMode":\s*"([^"]+)"""".r.findFirstMatchIn(meta).map(_.group(1))

@@ -28,7 +28,17 @@ object Materialize {
     * whose listing stamps the content. User-collection ANN indexes key
     * on the CURRENT points generation path — a publish changes the
     * listing, so the next query rebuilds (the reference's insert-time
-    * index update re-expressed as build-on-read). */
+    * index update re-expressed as build-on-read).
+    *
+    * BUILDER CONTRACT: after the frame is written, every localCheckpoint
+    * anywhere in the builder's plan is freed (`CheckpointBlocks
+    * .unpersistAll` — checkpoint lineage is truncated, so freed blocks
+    * FAIL on access rather than recompute). A builder must therefore own
+    * its checkpoints outright: do not pass a plan that embeds a
+    * checkpointed frame shared with live code outside the builder
+    * (e.g. a cached corpus-key table another query still reads). All
+    * current builders read parquet/local relations, which is the shape
+    * to keep. */
   def atPaths(spark: SparkSession, token: String, kind: String,
       sources: Seq[Path], partCol: Option[String])(build: => DataFrame): DataFrame = {
     val key = cacheKey(kind, token, sources)

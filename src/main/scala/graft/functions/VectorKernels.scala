@@ -167,4 +167,21 @@ object VectorKernels {
     while (i < v.length) { out(i) = bf16RoundScalar(v(i)); i += 1 }
     out
   }
+
+  /** Reject null ELEMENTS before a kernel's toFloatArray — called from
+    * generated code (HalfRound). Without this, ArrayData.toFloatArray
+    * throws an opaque NPE on `[1.0, null]`; a vector with null
+    * components has no half-precision value, so fail with a message
+    * that names the problem. */
+  def requireNoNullElements(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      op: String): Unit = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.isNullAt(i)) throw new IllegalArgumentException(
+        s"$op: vector contains a null element at position $i — " +
+          "half-precision rounding needs a fully-populated float vector")
+      i += 1
+    }
+  }
 }

@@ -368,9 +368,27 @@ object Dedup {
     * The membership probe wraps the broadcast sketch in a UDF — a
     * documented functions-not-UDFs exception (like Bpe.encode): Spark's
     * `util.sketch.BloomFilter` has no Column API, and the probe is a
-    * pure per-row long test with no shuffle around it. */
+    * pure per-row long test with no shuffle around it.
+    *
+    * RESOURCE LIFECYCLE (long-lived processes): the result plan embeds a
+    * corpus-key localCheckpoint (mid-plan — `CheckpointBlocks.unpersist`
+    * on the result misses it; use `unpersistAll`) and a broadcast Bloom
+    * sketch that the async ContextCleaner frees only eventually. A
+    * one-shot query path can ignore both; a server loop should call
+    * [[incrementalBloomWithCleanup]] and invoke the returned cleanup once
+    * the result has been fully consumed. */
   def incrementalBloom(batch: DataFrame, corpus: DataFrame, key: Column,
-      idCol: String = "doc_id", fpp: Double = 0.01): DataFrame = {
+      idCol: String = "doc_id", fpp: Double = 0.01): DataFrame =
+    incrementalBloomWithCleanup(batch, corpus, key, idCol, fpp)._1
+
+  /** [[incrementalBloom]] plus a cleanup thunk that deterministically
+    * frees the corpus-key checkpoint blocks and DESTROYS the broadcast
+    * Bloom sketch. Call it only after the returned frame has been fully
+    * consumed (written/collected): the checkpoint has truncated lineage,
+    * so a plan still referencing the blocks fails rather than recomputes. */
+  def incrementalBloomWithCleanup(batch: DataFrame, corpus: DataFrame,
+      key: Column, idCol: String = "doc_id", fpp: Double = 0.01)
+      : (DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
     require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
     // the exact join and the batch window use the RAW key — exactly
@@ -399,12 +417,17 @@ object Dedup {
       .join(ck.withColumn("__in_corpus", lit(true)), Seq("__k"), "left")
     val misses = withRn.where(!col("__maybe"))
       .withColumn("__in_corpus", lit(false))
-    checked.unionByName(misses)
+    val out = checked.unionByName(misses)
       .select(col("__id").as(idCol),
         coalesce(col("__in_corpus"), lit(false)).as("dup_corpus"),
         (col("__rn") > 1).as("dup_batch"),
         (!coalesce(col("__in_corpus"), lit(false)) && col("__rn") === 1).as("keep"),
         col("__maybe").as("bloom_maybe"))
+    val cleanup = () => {
+      org.apache.spark.sql.graft.CheckpointBlocks.unpersist(ck)
+      bfB.destroy()
+    }
+    (out, cleanup)
   }
 
   /** LSH-blocked embedding near-dup: `tables` independent

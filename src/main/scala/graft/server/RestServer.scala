@@ -546,7 +546,10 @@ class RestServer(g: Graft, port: Int = 0) {
           val es = n.elements().asScala.toSeq
           if (es.isEmpty) badRequest("seeds must be non-empty when present")
           es.map { e =>
-            if (!e.isNumber) badRequest(s"seeds must be numeric, got $e")
+            // integral ids only: asLong on 1.5 would silently truncate
+            // to 1, contradicting the reject-not-coerce discipline
+            if (!e.isNumber || !e.canConvertToLong || e.isFloatingPointNumber)
+              badRequest(s"seeds must be integral node ids, got $e")
             e.asLong
           }
         }

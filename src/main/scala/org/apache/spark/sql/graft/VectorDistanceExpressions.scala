@@ -123,19 +123,26 @@ case class HalfRound(child: Expression, fmt: String)
   private def kernel: String = if (fmt == "f16") "f16Round" else "bf16Round"
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
-  override def dataType: DataType = ArrayType(FloatType,
-    child.dataType.asInstanceOf[ArrayType].containsNull)
+  // output elements are never null: a null ELEMENT is rejected with a
+  // typed error below (toFloatArray would otherwise NPE opaquely on
+  // `[1.0, null]` during an f16/bf16 collection upsert)
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
   override def prettyName: String = s"${fmt}_round"
 
-  override def nullSafeEval(a: Any): Any =
+  override def nullSafeEval(a: Any): Any = {
+    val ad = a.asInstanceOf[ArrayData]
+    VectorKernels.requireNoNullElements(ad, prettyName)
     ArrayData.toArrayData(
-      if (fmt == "f16") VectorKernels.f16Round(a.asInstanceOf[ArrayData].toFloatArray())
-      else VectorKernels.bf16Round(a.asInstanceOf[ArrayData].toFloatArray()))
+      if (fmt == "f16") VectorKernels.f16Round(ad.toFloatArray())
+      else VectorKernels.bf16Round(ad.toFloatArray()))
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
-        s".fromPrimitiveArray(graft.functions.VectorKernels.$kernel($a.toFloatArray()));")
+      s"""graft.functions.VectorKernels.requireNoNullElements($a, "$prettyName");
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.VectorKernels.$kernel($a.toFloatArray()));
+         |""".stripMargin)
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
