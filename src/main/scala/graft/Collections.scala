@@ -36,10 +36,49 @@ object Collections {
     if (Files.isDirectory(p)) children(p).foreach(deleteRec)
     Files.deleteIfExists(p)
   }
+
+  /** Points-frame manifest (v2 storage): the Iceberg-shaped answer to
+    * "don't rewrite 100 TB per batch". A generation is an immutable set
+    * of parquet dirs NAMED by a manifest file, not a single directory:
+    *
+    *  - `buckets > 0` (hash-bucketed layout): `entries` maps bucket index
+    *    → relative leaf dir (`points-g<uuid>/__b=N`). Rows hash-bucket by
+    *    `xxhash64(id)`, so an upsert/delete batch touches only the
+    *    buckets its ids map to — the merge reads and REWRITES exactly
+    *    those leaf dirs and the new manifest re-points them, while every
+    *    untouched bucket keeps addressing its existing immutable dir.
+    *    Per-batch work is O(touched buckets), not O(collection).
+    *  - `buckets == 0` (flat layout): `dirs` lists whole data dirs —
+    *    used for range-clustered indexed collections (the property
+    *    clustering IS the layout, so merges are full rewrites by design)
+    *    and for compacted/empty frames.
+    *
+    * `schema` is the frame's authoritative merged schema (JSON
+    * StructType): readers pass it to the parquet scan explicitly, so a
+    * bucket written before a schema-widening batch null-fills without a
+    * distributed mergeSchema footer job, and writers detect column-type
+    * conflicts without IO. */
+  private[graft] final case class PointsManifest(
+      buckets: Int,
+      entries: Map[Int, String],
+      dirs: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType]) {
+    /** Top-level `points-g*` dir names this manifest references. */
+    def topDirs: Set[String] =
+      (entries.values.map(_.takeWhile(_ != '/')) ++
+        dirs.map(_.takeWhile(_ != '/'))).toSet
+  }
 }
 
-class Collections(spark: SparkSession, dataDir: String) {
-  import Collections.{children, deleteRec}
+/** @param retainGenerations how many manifest generations (current
+  *   included) survive each publish before [[vacuum]]-style GC removes
+  *   unreferenced data dirs — ≥2 keeps the just-superseded generation
+  *   alive for in-flight readers whose plans resolved file lists
+  *   already (the reference's compaction/autovacuum analog,
+  *   storage/compaction.rs / column_store/mod.rs:420-573). */
+class Collections(spark: SparkSession, dataDir: String,
+    retainGenerations: Int = 2) {
+  import Collections.{children, deleteRec, PointsManifest}
 
   private def root: Path = Paths.get(dataDir)
   private def colDir(name: String): Path = root.resolve(name)
@@ -63,11 +102,19 @@ class Collections(spark: SparkSession, dataDir: String) {
     * document parsed by [[GraphSchema.parse]]. When strict (schemaless
     * = false), every later point/edge upsert validates labels and
     * property value types against it and rejects with a SemanticError. */
+  /** `buckets` fixes the id-hash bucket count of the points layout at
+    * create time (like the reference's create-time storage regime): each
+    * bucket is one merge/rewrite unit, so size it to ~0.1–1 GB of data
+    * per bucket at the collection's target scale (16 covers request-
+    * sized stores; a 100 TB collection wants 10⁵-ish). More buckets =
+    * finer-grained incremental upserts, more files. */
   def create(name: String, idCol: String = "id",
       vectorCol: Option[String] = None, metric: String = "cosine",
       storageMode: Option[String] = None,
-      graphSchema: Option[String] = None): Unit = {
+      graphSchema: Option[String] = None,
+      buckets: Int = 16): Unit = {
     require(!exists(name), s"collection $name already exists")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     storageMode.foreach { m =>
       require(Set("full", "sq8", "binary", "pq", "f16", "bf16").contains(m),
         s"unknown storage mode '$m' (expected full/sq8/binary/pq/f16/bf16)")
@@ -79,7 +126,7 @@ class Collections(spark: SparkSession, dataDir: String) {
     val vc = vectorCol.map(v => s""""$v"""").getOrElse("null")
     val sm = storageMode.map(m => s""", "storageMode": "$m"""").getOrElse("")
     Files.writeString(metaPath(name),
-      s"""{"idCol": "$idCol", "vectorCol": $vc, "metric": "$metric"$sm}""")
+      s"""{"idCol": "$idCol", "vectorCol": $vc, "metric": "$metric"$sm, "buckets": $buckets}""")
     parsedSchema.foreach(s => Files.writeString(
       colDir(name).resolve("graph_schema.json"), GraphSchema.render(s)))
   }
@@ -120,12 +167,161 @@ class Collections(spark: SparkSession, dataDir: String) {
     """"storageMode":\s*"([^"]+)"""".r.findFirstMatchIn(meta).map(_.group(1))
   }
 
+  /** The collection's create-time bucket count (16 when predating the
+    * bucketed layout). */
+  def bucketsOf(name: String): Int = {
+    val meta = Files.readString(metaPath(name))
+    """"buckets":\s*(\d+)""".r.findFirstMatchIn(meta)
+      .map(_.group(1).toInt).getOrElse(16)
+  }
+
+  // ---- points-frame manifest IO (Collections.PointsManifest scaladoc
+  // has the layout story) ----
+
+  private def manifestLink(name: String): Path =
+    colDir(name).resolve("points.manifest.json")
+
+  /** The CURRENT manifest, resolved through its symlink (readers that
+    * parsed it keep addressing immutable dirs across a concurrent
+    * publish — the manifest analog of the old generation-symlink read). */
+  private[graft] def readManifest(name: String): Option[PointsManifest] = {
+    val link = manifestLink(name)
+    if (!Files.exists(link)) None
+    else Some(parseManifest(
+      if (Files.isSymbolicLink(link))
+        link.getParent.resolve(Files.readSymbolicLink(link))
+      else link))
+  }
+
+  private def parseManifest(p: Path): PointsManifest = {
+    val n = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(p))
+    val entries = Option(n.get("entries")).map { e =>
+      e.fields().asScala.map(kv => kv.getKey.toInt -> kv.getValue.asText()).toMap
+    }.getOrElse(Map.empty[Int, String])
+    val dirs = Option(n.get("dirs")).map(d =>
+      d.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+    val schema = Option(n.get("schema")).filterNot(_.isNull).map(s =>
+      org.apache.spark.sql.types.DataType.fromJson(s.asText())
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    PointsManifest(n.get("buckets").asInt(), entries, dirs, schema)
+  }
+
+  private def renderManifest(m: PointsManifest): String = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    root.put("buckets", m.buckets)
+    val e = root.putObject("entries")
+    m.entries.toSeq.sortBy(_._1).foreach { case (b, d) => e.put(b.toString, d) }
+    val ds = root.putArray("dirs")
+    m.dirs.foreach(ds.add)
+    m.schema.foreach(s => root.put("schema", s.json))
+    om.writeValueAsString(root)
+  }
+
+  /** Write a new manifest generation and atomically swap the symlink;
+    * then GC manifests/dirs beyond the retention window. */
+  private def publishManifest(name: String, m: PointsManifest): Unit = {
+    val dir = colDir(name)
+    val mf = dir.resolve(
+      s"points.manifest-${System.currentTimeMillis()}-${java.util.UUID.randomUUID()}.json")
+    Files.writeString(mf, renderManifest(m))
+    val link = manifestLink(name)
+    val tmp = dir.resolve(s"points.manifest.lnk-${mf.getFileName}")
+    Files.createSymbolicLink(tmp, mf.getFileName)
+    Files.move(tmp, link, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    gcPoints(name, retainGenerations)
+  }
+
+  /** Generation retention: keep the `retain` newest manifest files
+    * (always including the one the symlink targets), delete older
+    * manifests, then delete every `points-g*` data dir no retained
+    * manifest references. A legacy pre-manifest `points` symlink/dir is
+    * kept for one manifest cycle (its in-flight readers) and removed on
+    * the next. */
+  private def gcPoints(name: String, retain: Int): Unit = {
+    val dir = colDir(name)
+    val link = manifestLink(name)
+    val current: Option[Path] =
+      if (Files.isSymbolicLink(link))
+        Some(dir.resolve(Files.readSymbolicLink(link))) else None
+    val manifests = children(dir)
+      .filter(p => p.getFileName.toString.startsWith("points.manifest-"))
+      .sortBy(p => (Files.getLastModifiedTime(p).toMillis, p.getFileName.toString))
+      .reverse
+    val keep = (current.toSeq ++ manifests).distinct.take(math.max(retain, 1))
+    manifests.filterNot(keep.contains).foreach(Files.deleteIfExists(_))
+    // legacy single-generation layout: retire it one cycle after the
+    // first manifest publish
+    val legacy = dir.resolve("points")
+    val legacyTarget: Option[Path] =
+      if (Files.isSymbolicLink(legacy)) Some(dir.resolve(Files.readSymbolicLink(legacy)))
+      else if (Files.exists(legacy)) Some(legacy)
+      else None
+    if (manifests.size >= 2) legacyTarget.foreach { t =>
+      if (Files.isSymbolicLink(legacy)) Files.deleteIfExists(legacy)
+      else deleteRec(legacy)
+    }
+    val stillLegacy: Set[String] =
+      if (Files.exists(legacy)) legacyTarget.map(_.getFileName.toString).toSet
+      else Set.empty
+    val referenced = keep.filter(Files.exists(_)).map(parseManifest)
+      .flatMap(_.topDirs).toSet ++ stillLegacy
+    children(dir)
+      .filter(p => p.getFileName.toString.startsWith("points-g")
+        && !referenced.contains(p.getFileName.toString))
+      .foreach(deleteRec)
+  }
+
+  /** Drop every generation but the current one — the explicit vacuum
+    * (reference autovacuum, column_store/mod.rs:420-573). Unreferenced
+    * data dirs and superseded manifests are deleted; snapshots are
+    * physical copies and unaffected. */
+  def vacuum(name: String): Unit = this.synchronized {
+    if (Files.exists(manifestLink(name))) gcPoints(name, retain = 1)
+  }
+
+  /** The id → bucket routing expression. Stable across the collection's
+    * lifetime: xxhash64 (fixed seed) of the id's string form, so int/
+    * long/string id representations of the same value route identically;
+    * null ids pin to bucket 0. */
+  private def bucketExpr(idc: org.apache.spark.sql.Column, buckets: Int) =
+    coalesce(pmod(xxhash64(idc.cast("string")), lit(buckets.toLong)), lit(0L))
+      .cast("int")
+
+  /** Buckets a request-sized id list routes to (one narrow local job —
+    * must agree exactly with [[bucketExpr]], so it IS bucketExpr). */
+  private def bucketsForIds(ids: Seq[Long], buckets: Int): Set[Int] = {
+    import spark.implicits._
+    ids.toDF("__id").select(bucketExpr(col("__id"), buckets).as("b"))
+      .collect().map(_.getInt(0)).toSet
+  }
+
+  private def readPaths(paths: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    schema match {
+      case Some(s) if paths.isEmpty =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
+
+  private def manifestFrame(name: String, m: PointsManifest): DataFrame = {
+    val base = colDir(name)
+    val paths = (m.entries.toSeq.sortBy(_._1).map(_._2) ++ m.dirs)
+      .map(rel => base.resolve(rel).toString)
+    readPaths(paths, m.schema)
+  }
+
   /** S3: read all points (empty frame with no schema if never written).
-    * Reads the RESOLVED generation directory, not the `points` symlink:
-    * a plan that listed its files keeps addressing the immutable old
-    * generation across a concurrent publish (which [[publish]] retains
-    * for exactly one more publish) instead of racing the symlink flip. */
-  def table(name: String): Option[DataFrame] = frameTable(name, "points")
+    * Manifest layout: the scan gets the manifest's authoritative schema
+    * and the referenced immutable dirs — a concurrent publish writes a
+    * NEW manifest + new dirs, so a planned read never races a rewrite.
+    * Legacy layout: reads the RESOLVED generation directory, not the
+    * `points` symlink, for the same reason. */
+  def table(name: String): Option[DataFrame] =
+    readManifest(name).map(m => manifestFrame(name, m))
+      .orElse(frameTable(name, "points"))
 
   /** The collection's mutable edge frame (graph_api.rs:40-107) — a second
     * generation-published parquet frame next to `points`; None until the
@@ -135,13 +331,19 @@ class Collections(spark: SparkSession, dataDir: String) {
   private def frameTable(name: String, frame: String): Option[DataFrame] =
     framePath(name, frame).map(real => spark.read.parquet(real.toString))
 
-  /** The RESOLVED current points generation directory — the content
-    * stamp for materialized ANN structures over this collection
-    * ([[graft.Materialize.atPaths]]): a publish moves the symlink to a
-    * new generation dir, so path-stamped indexes rebuild on the next
-    * query. None until the first write. */
-  def pointsRealPath(name: String): Option[java.nio.file.Path] =
-    framePath(name, "points")
+  /** The content stamp for materialized ANN structures over this
+    * collection ([[graft.Materialize.atPaths]]): the RESOLVED current
+    * manifest file (every publish writes a new one), or the resolved
+    * generation directory on the legacy layout. None until the first
+    * write. */
+  def pointsRealPath(name: String): Option[java.nio.file.Path] = {
+    val link = manifestLink(name)
+    if (Files.exists(link))
+      Some(
+        if (Files.isSymbolicLink(link)) link.getParent.resolve(Files.readSymbolicLink(link))
+        else link)
+    else framePath(name, "points")
+  }
 
   private def framePath(name: String, frame: String): Option[java.nio.file.Path] = {
     val p = Paths.get(dataPath(name, frame))
@@ -164,10 +366,96 @@ class Collections(spark: SparkSession, dataDir: String) {
     * batch silently becomes a NEW column (old rows null there) instead
     * of an error — same as writing a misspelled key into the reference's
     * payload map. Pinned by MultiModalCrudSpec "upsert widens". */
-  def upsert(name: String, batch: DataFrame): Unit = this.synchronized {
-    validateNodeBatch(name, batch)
-    publish(name, halfRoundIfConfigured(name,
-      mergeById(table(name), batch, idColOf(name))))
+  /** MERGE execution is partition-pruned on the bucketed layout: the
+    * batch's ids hash to a set of touched buckets, and ONLY those leaf
+    * dirs are read, merged and rewritten — per-batch cost is
+    * O(batch + touched buckets), not O(collection), which is the one
+    * shape that survives continuous ingest at 100 TB (reference:
+    * in-place id-replace, crud.rs:19-127). Falls back to a full rewrite
+    * when the collection is range-clustered by an index (the clustering
+    * IS the layout), when a shared column's type changes (unionByName
+    * coercion must rewrite every file to keep one type per column), or
+    * on the legacy single-generation layout (migrates it). */
+  def upsert(name: String, batch0: DataFrame): Unit = this.synchronized {
+    validateNodeBatch(name, batch0)
+    val batch = halfRoundIfConfigured(name, batch0)
+    val idc = idColOf(name)
+    readManifest(name) match {
+      case Some(m) if m.buckets > 0 && listIndexes(name).isEmpty
+          && batch.columns.contains(idc)
+          && typesCompatible(m.schema, batch.schema) =>
+        // request-sized result: ≤ buckets distinct values
+        val touched = batch.select(bucketExpr(col(idc), m.buckets).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        rewriteBuckets(name, m, touched, ex => mergeById(ex, batch, idc))
+      case _ =>
+        publishPoints(name, mergeById(table(name), batch, idc))
+    }
+  }
+
+  /** Shared columns must keep their stored type for an incremental
+    * merge — a type change rewrites everything (full path) so no two
+    * files ever disagree on a column's type. */
+  private def typesCompatible(
+      stored: Option[org.apache.spark.sql.types.StructType],
+      batch: org.apache.spark.sql.types.StructType): Boolean =
+    stored.exists { s =>
+      val types = s.fields.map(f => f.name -> f.dataType).toMap
+      batch.fields.forall(f => types.get(f.name).forall(_ == f.dataType))
+    }
+
+  /** Rewrite ONLY `touched` buckets through `transform` (which sees the
+    * touched buckets' current rows, or None when none exist) and publish
+    * a manifest re-pointing them; every untouched bucket keeps its
+    * existing immutable dir. */
+  private def rewriteBuckets(name: String, m: Collections.PointsManifest,
+      touched: Set[Int],
+      transform: Option[DataFrame] => DataFrame): Unit = {
+    val base = colDir(name)
+    val idc = idColOf(name)
+    val existingPaths = touched.toSeq.sorted.flatMap(m.entries.get)
+      .map(rel => base.resolve(rel).toString)
+    val existing =
+      if (existingPaths.isEmpty) None
+      else Some(readPaths(existingPaths, m.schema))
+    val merged = transform(existing)
+    val gen = base.resolve(s"points-g${java.util.UUID.randomUUID()}")
+    writeBucketed(merged, idc, m.buckets, gen)
+    val written = bucketDirsOf(gen)
+    publishManifest(name, m.copy(
+      entries = (m.entries -- touched) ++ written,
+      schema = Some(unionSchema(m.schema, merged.schema))))
+  }
+
+  /** One file per bucket per write: repartition on the bucket key puts
+    * each bucket in exactly one task, sorted by id inside for tight
+    * row-group id stats (pruned point gets). */
+  private def writeBucketed(df: DataFrame, idc: String, buckets: Int,
+      gen: Path): Unit =
+    df.withColumn("__b", bucketExpr(col(idc), buckets))
+      .repartition(col("__b"))
+      .sortWithinPartitions(col("__b"), col(idc))
+      .write.partitionBy("__b").mode(SaveMode.Overwrite).parquet(gen.toString)
+
+  private def bucketDirsOf(gen: Path): Map[Int, String] =
+    children(gen).filter(_.getFileName.toString.startsWith("__b="))
+      .map { p =>
+        p.getFileName.toString.stripPrefix("__b=").toInt ->
+          s"${gen.getFileName}/${p.getFileName}"
+      }.toMap
+
+  /** Old columns keep their position and type; genuinely new columns
+    * append. Everything nullable: any bucket written before a widening
+    * batch null-fills the new columns. */
+  private def unionSchema(
+      old: Option[org.apache.spark.sql.types.StructType],
+      add: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val oldFields = old.map(_.fields.toSeq).getOrElse(Nil)
+    val names = oldFields.map(_.name).toSet
+    org.apache.spark.sql.types.StructType(
+      (oldFields ++ add.fields.filterNot(f => names(f.name)))
+        .map(_.copy(nullable = true)))
   }
 
   /** Half-precision storage modes (`f16`/`bf16` — half_precision.rs):
@@ -493,18 +781,40 @@ class Collections(spark: SparkSession, dataDir: String) {
       case None => df
     }
 
-  /** S3: get by ids (crud.rs:250). */
+  /** S3: get by ids (crud.rs:250). Bucket-pruned on the manifest
+    * layout: only the leaf dirs the ids hash to are scanned (plus
+    * row-group pruning inside them — files are id-sorted). */
   def get(name: String, ids: Seq[Long]): DataFrame = {
     val idCol = idColOf(name)
-    table(name).map(_.where(col(idCol).isin(ids: _*)))
-      .getOrElse(spark.emptyDataFrame)
+    readManifest(name) match {
+      case Some(m) if m.buckets > 0 && m.schema.isDefined =>
+        val bs = if (ids.isEmpty) Set.empty[Int]
+          else bucketsForIds(ids, m.buckets)
+        val paths = bs.toSeq.sorted.flatMap(m.entries.get)
+          .map(rel => colDir(name).resolve(rel).toString)
+        readPaths(paths, m.schema).where(col(idCol).isin(ids: _*))
+      case _ =>
+        table(name).map(_.where(col(idCol).isin(ids: _*)))
+          .getOrElse(spark.emptyDataFrame)
+    }
   }
 
-  /** S3: delete by ids → anti-join rewrite (crud.rs:291). */
+  /** S3: delete by ids (crud.rs:291) — bucket-pruned like [[upsert]]:
+    * only buckets the ids hash to are rewritten (anti-filtered);
+    * indexed/legacy layouts fall back to the full filter-and-rewrite. */
   def delete(name: String, ids: Seq[Long]): Unit = this.synchronized {
-    val idCol = idColOf(name)
-    table(name).foreach { df =>
-      upsertReplaceAll(name, df.where(!col(idCol).isin(ids: _*)))
+    val idc = idColOf(name)
+    readManifest(name) match {
+      case Some(m) if m.buckets > 0 && listIndexes(name).isEmpty
+          && ids.nonEmpty =>
+        val touched = bucketsForIds(ids, m.buckets).intersect(m.entries.keySet)
+        if (touched.nonEmpty)
+          rewriteBuckets(name, m, touched,
+            ex => ex.get.where(!col(idc).isin(ids: _*)))
+      case _ =>
+        table(name).foreach { df =>
+          publishPoints(name, df.where(!col(idc).isin(ids: _*)))
+        }
     }
   }
 
@@ -517,7 +827,7 @@ class Collections(spark: SparkSession, dataDir: String) {
   def deleteWhere(name: String, predicate: org.apache.spark.sql.Column): Unit =
     this.synchronized {
       table(name).foreach(df =>
-        upsertReplaceAll(name, df.where(!coalesce(predicate, lit(false)))))
+        publishPoints(name, df.where(!coalesce(predicate, lit(false)))))
     }
 
   /** S3: count (crud.rs:328 len). */
@@ -616,15 +926,46 @@ class Collections(spark: SparkSession, dataDir: String) {
     else None
   }
 
-  /** L2: compaction — rewrite the collection into `numFiles` parquet files
-    * (the reference's vacuum/compaction, column_store/mod.rs:420-573 /
-    * storage/compaction.rs; with parquet rewrite there are no tombstones
-    * to reclaim, only small-file consolidation). */
+  /** L2: compaction — rewrite the collection into `numFiles` parquet
+    * files and vacuum superseded generations (the reference's
+    * vacuum/compaction, column_store/mod.rs:420-573 /
+    * storage/compaction.rs). On the bucketed layout each bucket is
+    * already exactly one file, so compaction's remaining jobs are
+    * flattening (the result is a FLAT generation — the next upsert
+    * re-buckets with one full rewrite) and reclaiming retained old
+    * generations; ingest-heavy collections usually want [[vacuum]]
+    * instead, which reclaims without flattening. */
   def compact(name: String, numFiles: Int = 1): Unit = this.synchronized {
-    table(name).foreach(df => upsertReplaceAll(name, df.coalesce(numFiles)))
+    table(name).foreach { df =>
+      val flat = clusterForIndexes(name, df.coalesce(numFiles))
+      val gen = colDir(name).resolve(s"points-g${java.util.UUID.randomUUID()}")
+      flat.write.mode(SaveMode.Overwrite).parquet(gen.toString)
+      publishManifest(name, Collections.PointsManifest(0, Map.empty,
+        Seq(gen.getFileName.toString),
+        Some(unionSchema(None, df.schema))))
+    }
   }
 
-  private def upsertReplaceAll(name: String, df: DataFrame): Unit = publish(name, df)
+  /** Full points rewrite into a fresh generation. Unindexed collections
+    * with an id column write the hash-bucketed layout (enabling later
+    * incremental merges); indexed ones write flat range-clustered
+    * (parquet stats ARE the index — IndexStoreSpec invariants). */
+  private def publishPoints(name: String, df0: DataFrame): Unit = {
+    val base = colDir(name)
+    val idc = idColOf(name)
+    val gen = base.resolve(s"points-g${java.util.UUID.randomUUID()}")
+    if (listIndexes(name).nonEmpty || !df0.columns.contains(idc)) {
+      clusterForIndexes(name, df0)
+        .write.mode(SaveMode.Overwrite).parquet(gen.toString)
+      publishManifest(name, Collections.PointsManifest(0, Map.empty,
+        Seq(gen.getFileName.toString), Some(unionSchema(None, df0.schema))))
+    } else {
+      val buckets = bucketsOf(name)
+      writeBucketed(df0, idc, buckets, gen)
+      publishManifest(name, Collections.PointsManifest(buckets,
+        bucketDirsOf(gen), Nil, Some(unionSchema(None, df0.schema))))
+    }
+  }
 
   /** Atomically publish a new frame generation (points or edges). The
     * frame name is a SYMLINK to a `<frame>-g<uuid>` data dir; swapping it
@@ -649,9 +990,8 @@ class Collections(spark: SparkSession, dataDir: String) {
     } else df
 
   private def publish(name: String, df0: DataFrame, frame: String = "points"): Unit = {
-    val df =
-      if (frame == "points") clusterForIndexes(name, df0)
-      else clusterEdges(df0)
+    if (frame == "points") { publishPoints(name, df0); return }
+    val df = clusterEdges(df0)
     val dir = colDir(name)
     val target = Paths.get(dataPath(name, frame))
     val gen = dir.resolve(s"$frame-g${java.util.UUID.randomUUID()}")

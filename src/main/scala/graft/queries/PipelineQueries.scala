@@ -335,6 +335,46 @@ object PipelineQueries {
       s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("half_ok"))
     },
 
+    // ---- Incremental MERGE upsert + generation retention (reference:
+    // in-place id-replace crud.rs:19-127, compaction/autovacuum
+    // storage/compaction.rs), lifecycle-pinned: a batch rewrites ONLY
+    // the bucket files its ids hash to (file-level assert — the
+    // O(batch)-not-O(collection) ingest shape at 100 TB), deletes are
+    // bucket-pruned, retention bounds superseded generations, vacuum
+    // reclaims to the current one, and the upsert→delete→vacuum→compact
+    // sequence lands exactly the expected rows.
+    QueryDef.lifecyclePin("q194_merge_lifecycle",
+      "SELECT CAST(1 AS INT) AS merge_ok") { (s, _) =>
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q194")
+      val ok = try {
+        val g = Graft(s, tmp.toString)
+        val cols = g.collections
+        cols.create("mc", idCol = "id", buckets = 8)
+        cols.upsert("mc", (1L to 400L).map(i => (i, s"v$i")).toDF("id", "payload"))
+        def files = cols.table("mc").get.inputFiles.toSet
+        val before = files
+        cols.upsert("mc", Seq((1L, "v1b"), (2L, "v2b")).toDF("id", "payload"))
+        val afterUpsert = files
+        val incrementalOk = (before -- afterUpsert).size <= 2 &&
+          before.intersect(afterUpsert).nonEmpty
+        val beforeDel = files
+        cols.delete("mc", Seq(3L))
+        val prunedDeleteOk = (beforeDel -- files).size <= 1
+        cols.snapshot("mc", "pin")
+        cols.vacuum("mc")
+        val gens = graft.Collections.children(tmp.resolve("mc"))
+          .count(_.getFileName.toString.startsWith("points.manifest-"))
+        cols.compact("mc", 1)
+        val contentOk = cols.count("mc") == 399 &&
+          cols.get("mc", Seq(1L)).select("payload").first().getString(0) == "v1b" &&
+          cols.get("mc", Seq(3L)).count() == 0 &&
+          cols.snapshotTable("mc", "pin").count() == 399
+        incrementalOk && prunedDeleteOk && gens == 1 && contentOk
+      } finally graft.Collections.deleteRec(tmp)
+      s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("merge_ok"))
+    },
+
     // ---- Strict graph schema (collection/graph/schema.rs:1-300),
     // lifecycle-pinned: declared node/edge types + typed properties are
     // accepted; unknown labels, mistyped properties, and reversed
