@@ -30,7 +30,7 @@ object Bench {
     "q73_dedup_clusters", "q82_bfs_varlength", "q93_vql_flagship",
     "q104_vql_hybrid", "q105_vql_varlength", "q123_ann_recall",
     "q127_streaming_window", "q128_multimodal", "q131_streaming_sessions",
-    "q139_ivfpq_recall", "q140_decontamination",
+    "q139_ivfpq_recall", "q140_decontamination", "q195_ann_recall_hnsw",
     // r10 representatives: LPA communities (iterative superstep class)
     // and its modularity report (reads the materialized label table)
     "q186_lpa_communities", "q189_modularity")

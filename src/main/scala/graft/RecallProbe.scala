@@ -55,6 +55,36 @@ object RecallProbe {
       enc.unpersist()
     }
 
+    // HNSW calibration: recall@10 + scored-candidate count per
+    // (nprobe, ef), vs the IVF full-cell-scan candidate count
+    {
+      val cents = operators.Ivf.trainCentroids(emb, "embedding", 8, iters = 2)
+      val cells = operators.Ivf.buildIndex(emb, "embedding", cents)
+      val graph = operators.Hnsw.buildGraph(cells, "embedding", "vec_id",
+        "cosine", m = 8).cache()
+      graph.count()
+      for (nprobe <- Seq(2, 4, 7); ef <- Seq(24, 48, 96, 128)) {
+        var cand = 0L
+        var ivfCand = 0L
+        val hits = Seq(qa, qb, qc).map { q =>
+          val exact = Knn.topK(emb, "embedding", q, 10, "cosine", idCol = "vec_id").select("vec_id")
+          val probes = operators.Hnsw.probeCells(cents, q.toArray, nprobe)
+          val walked = operators.Hnsw.walkCandidates(
+            graph.where(org.apache.spark.sql.functions.col("cell").isin(probes: _*)),
+            "embedding", "vec_id", "cosine", q, ef)
+          cand += walked.count()
+          ivfCand += cells.where(
+            org.apache.spark.sql.functions.col("cell").isin(probes: _*)).count()
+          val approx = Knn.topK(
+            walked.drop("cell", "neighbors", "neighbors1", "level"),
+            "embedding", q, 10, "cosine", idCol = "vec_id").select("vec_id")
+          approx.join(exact, "vec_id").count()
+        }.sum
+        println(s"PROBE hnsw nprobe=$nprobe ef=$ef hits=$hits/30 cand=$cand ivfCand=$ivfCand")
+      }
+      graph.unpersist()
+    }
+
     // IVF-PQ calibration: coarse probe (nprobe of 8 cells) + ADC within
     // probed cells + exact rerank, per (nprobe, oversample)
     {

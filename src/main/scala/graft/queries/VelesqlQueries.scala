@@ -558,6 +558,31 @@ object VelesqlQueries {
       hits.agg((count(lit(1)) >= lit(29)).cast("int").as("recall_ok"))
     },
 
+    // ---- V8 via the PARTITIONED HNSW graph: same recall pin as
+    // q123/q125 but through `WITH (index = 'hnsw')` — IVF-cell routing +
+    // per-cell navigable-graph walk (reference's core structure,
+    // index/hnsw/native_index.rs:230, re-expressed as a batch-built
+    // adjacency table). Calibration (RecallProbe, near-uniform
+    // worst-case testdata): accurate tier (nprobe=7, ef=96) → 29/30 at
+    // sf0.01 and 30/30 at sf0.1, scoring ~2.6× FEWER candidates than
+    // the ivf tier's full-cell scans (HnswSpec pins the count). Same
+    // ≥0.95 Accurate bar.
+    QueryDef("q195_ann_recall_hnsw", "SELECT CAST(1 AS INT) AS recall_ok") { (s, d) =>
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val qb = (0 until 64).map(i => (math.cos(i * 0.31) * 0.4 - 0.05).toFloat)
+      val qc = (0 until 64).map(i => (math.sin(i * 1.3 + 0.5) * 0.3).toFloat)
+      val cat = new Catalog(s, d)
+      def leg(v: Seq[Float], withOpts: String): DataFrame =
+        new Compiler(s, cat, Map("q" -> v))
+          .run(s"SELECT vec_id FROM embeddings WHERE vector NEAR $$q LIMIT 10 WITH ($withOpts)")
+          .select(col("vec_id"))
+      val hits = Seq(qvec, qb, qc)
+        .map(v => leg(v, "mode = 'accurate', index = 'hnsw'")
+          .join(leg(v, "mode = 'perfect'"), "vec_id"))
+        .reduce(_ unionAll _)
+      hits.agg((count(lit(1)) >= lit(29)).cast("int").as("recall_ok"))
+    },
+
     // ---- V11+ beyond-reference: PQ ADC recall pin — same shape as
     // q123/q125 but through `WITH (quantization = 'pq')`: narrow-codes
     // ADC ordering + exact rerank. Calibration (RecallProbe, same

@@ -270,12 +270,50 @@ class Compiler(
         // would be a silent no-op, which the closed-set validation
         // explicitly forbids.
         val indexKind = sel.withOptions.get("index").map {
-          case k @ ("lsh" | "ivf") => k
-          case other => fail(s"unknown WITH index '$other' (supported: lsh, ivf)")
+          case k @ ("lsh" | "ivf" | "hnsw") => k
+          case other => fail(s"unknown WITH index '$other' (supported: lsh, ivf, hnsw)")
         }
         if (indexKind.isDefined && !tier.exists(Set("fast", "balanced", "accurate")))
           fail("WITH index requires a probing mode (fast/balanced/accurate)")
         val dfF = tier match {
+          case Some(t @ ("fast" | "balanced" | "accurate"))
+              if indexKind.contains("hnsw") =>
+            // Partitioned HNSW (reference index/hnsw/native_index.rs:230):
+            // the IVF centroid router picks the same nprobe cells as the
+            // 'ivf' tier, but inside each probed cell an ef-bounded
+            // navigable-graph walk collects ≤ ef candidates instead of
+            // scanning the whole cell — fewer scored candidates at equal
+            // recall (HnswSpec asserts the count; q195_ann_recall_hnsw
+            // pins recall@10 ≥ 0.95 at the accurate tier).
+            import graft.operators.Hnsw
+            val src = (if (sel.joins.isEmpty) catalog.indexSource(sel.from) else None)
+              .getOrElse(fail("WITH index='hnsw' needs a dataset table or a " +
+                "written user collection (the graph index is materialized " +
+                "per source; joins/derived frames can't use it)"))
+            val kCells = spark.conf.get("graft.ivf.cells", "8").toInt
+            val m = spark.conf.get("graft.hnsw.m", "8").toInt
+            // nprobe mirrors the ivf tiers; ef is the walk budget
+            // (calibrated via RecallProbe on the near-uniform worst-case
+            // testdata: accurate = nprobe 7, ef 96 → ≥29/30 recall@10)
+            val nprobe = t match { case "fast" => 2; case "balanced" => 4; case _ => kCells - 1 }
+            val ef = t match { case "fast" => 24; case "balanced" => 48; case _ => 96 }
+            val (cents, graph) = Hnsw.materializedIndexAt(spark, src.token,
+              src.paths, sel.from, src.frame(), vcolName, meta.idCol,
+              meta.metric, kCells, m)
+            val cellsToProbe = Hnsw.probeCells(cents, vec.toArray, nprobe)
+            val idx = graph.as(sel.fromAlias.getOrElse(sel.from))
+            // filter-then-search: the residual predicate gates ACCEPTANCE
+            // inside the walk (navigation still crosses non-matching
+            // nodes — filtered-HNSW), so survivors all satisfy it
+            val (probedIdx, keepCol) = residualCond match {
+              case Some(c) =>
+                (idx.withColumn("__keep", compileCond(c, idx, meta)), Some("__keep"))
+              case None => (idx, None)
+            }
+            Hnsw.walkCandidates(
+              probedIdx.where(col("cell").isin(cellsToProbe: _*)),
+              vcolName, meta.idCol, meta.metric, vec, ef, keepCol)
+              .drop("cell", "neighbors", "neighbors1", "level", "__keep")
           case Some(t @ ("fast" | "balanced" | "accurate"))
               if indexKind.contains("ivf") =>
             import graft.operators.Ivf

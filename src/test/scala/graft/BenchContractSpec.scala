@@ -40,7 +40,7 @@ class BenchContractSpec extends AnyFunSuite {
       "q136_streaming_ingest", "q137_storage_mode", "q138_graph_schema",
       "q142_collection_ann", "q165_streaming_predict", "q172_bpe_train",
       "q174_classifier_train", "q176_pca", "q187_storage_half",
-      "q191_streaming_classify", "q192_bloom_dedup"),
+      "q191_streaming_classify", "q192_bloom_dedup", "q194_merge_lifecycle"),
       s"unexpected unbenchmarked queries: $pins — every exclusion from " +
         "bench timing must be a deliberate lifecycle pin")
   }

@@ -1,0 +1,121 @@
+package graft
+
+import graft.operators.{Hnsw, Ivf, Knn}
+import org.apache.spark.sql.functions._
+
+/** Partitioned HNSW ANN tier (reference index/hnsw/native_index.rs:230 —
+  * the navigable-graph structure, re-expressed as IVF-cell routing plus
+  * a batch-built per-cell adjacency table walked ef-bounded).
+  *
+  * The VALUE claim vs the ivf tier is pinned here: at equal probed
+  * cells and ≥ IVF's measured recall, the walk SCORES strictly fewer
+  * candidates than the full-cell scan. */
+class HnswSpec extends SparkSpecBase {
+
+  // sf0.01: the recall calibration scale (q123/q125's bar is measured
+  // here; sf0.001's 150-row corpus gives the pins no resolution)
+  override val sfDir = "/root/testdata/sf0.01"
+
+  private lazy val emb = Tables.table(spark, sfDir, "embeddings")
+  private lazy val cents = Ivf.trainCentroids(emb, "embedding", 8, iters = 2)
+  private lazy val cells = Ivf.buildIndex(emb, "embedding", cents)
+  private lazy val graph =
+    Hnsw.buildGraph(cells, "embedding", "vec_id", "cosine", m = 8)
+
+  private val queries = Seq(
+    functions.VectorFunctions.syntheticQuery(64),
+    (0 until 64).map(i => (math.cos(i * 0.31) * 0.4 - 0.05).toFloat),
+    (0 until 64).map(i => (math.sin(i * 1.3 + 0.5) * 0.3).toFloat))
+
+  test("graph shape: m-bounded neighbor lists, sampled level-1 mesh") {
+    val g = graph.cache()
+    try {
+      val n = g.count()
+      assert(n == emb.count(), "every vector must carry adjacency")
+      val bad = g.where(size(col("neighbors")) > 16).count()
+      assert(bad == 0, "level-0 lists exceed 2m (kNN + reverse links)")
+      val lvl1 = g.where(col("level") === 1)
+      assert(lvl1.count() > 0 && lvl1.count() < n, "level-1 must be a strict sample")
+      // level-0 nodes carry no level-1 links
+      assert(g.where(col("level") === 0 && size(col("neighbors1")) > 0).count() == 0)
+      // neighbor ids resolve within the same cell
+      val ids = g.select(col("cell").as("c2"), col("vec_id").as("nb2"))
+      val dangling = g.select(col("cell"), explode(col("neighbors")).as("nb"))
+        .join(ids, col("cell") === col("c2") && col("nb") === col("nb2"), "left_anti")
+      assert(dangling.count() == 0, "adjacency must stay inside its cell")
+    } finally g.unpersist()
+  }
+
+  test("accurate-tier recall ≥ IVF's measured bar with strictly fewer scored candidates") {
+    val g = graph.cache()
+    try {
+      g.count()
+      var hnswHits = 0L; var ivfHits = 0L
+      var hnswCand = 0L; var ivfCand = 0L
+      queries.foreach { q =>
+        val exact = Knn.topK(emb, "embedding", q, 10, "cosine", idCol = "vec_id")
+          .select("vec_id")
+        val probes = Hnsw.probeCells(cents, q.toArray, 7)
+        // ef=24 is the partial-walk regime at this corpus size (cells
+        // ~60 rows): the claim under test is equal recall at strictly
+        // fewer scored candidates, not walk-covers-the-cell
+        val walked = Hnsw.walkCandidates(
+          g.where(col("cell").isin(probes: _*)),
+          "embedding", "vec_id", "cosine", q, ef = 24)
+        hnswCand += walked.count()
+        val ivfScan = cells.where(col("cell").isin(probes: _*))
+        ivfCand += ivfScan.count()
+        hnswHits += Knn.topK(
+          walked.drop("cell", "neighbors", "neighbors1", "level"),
+          "embedding", q, 10, "cosine", idCol = "vec_id")
+          .select("vec_id").join(exact, "vec_id").count()
+        ivfHits += Knn.topK(ivfScan.drop("cell"), "embedding", q, 10, "cosine",
+          idCol = "vec_id").select("vec_id").join(exact, "vec_id").count()
+      }
+      assert(hnswHits >= 29, s"recall@10 below the 0.95 bar: $hnswHits/30")
+      assert(hnswHits >= ivfHits, s"walk lost recall vs full scan: $hnswHits < $ivfHits")
+      assert(hnswCand < ivfCand,
+        s"walk must score fewer candidates than the cell scan: $hnswCand vs $ivfCand")
+    } finally g.unpersist()
+  }
+
+  test("walk is deterministic and search matches across runs") {
+    val q = queries.head
+    def run() = Hnsw.search(graph, cents, "embedding", q, 5, nprobe = 7,
+      ef = 48, metric = "cosine", idCol = "vec_id")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(run() == run())
+  }
+
+  test("filtered walk: acceptance gated, navigation intact") {
+    val q = queries.head
+    val g = graph.withColumn("__keep", col("label") === 1)
+    val probes = Hnsw.probeCells(cents, q.toArray, 7)
+    val out = Hnsw.walkCandidates(
+      g.where(col("cell").isin(probes: _*)),
+      "embedding", "vec_id", "cosine", q, ef = 48, keepCol = Some("__keep"))
+    val rows = out.select("label").collect()
+    assert(rows.nonEmpty, "filtered walk returned nothing")
+    assert(rows.forall(_.getInt(0) == 1), "a survivor violates the filter")
+  }
+
+  test("VelesQL WITH (index='hnsw') routes the tier and composes with filters") {
+    val cat = new velesql.Catalog(spark, sfDir)
+    val c = new velesql.Compiler(spark, cat,
+      Map("q" -> functions.VectorFunctions.syntheticQuery(64)))
+    val rows = c.run(
+      "SELECT vec_id, score FROM embeddings WHERE vector NEAR $q LIMIT 5 " +
+        "WITH (mode = 'accurate', index = 'hnsw')").collect()
+    assert(rows.length == 5)
+    val filtered = c.run(
+      "SELECT vec_id, label, score FROM embeddings WHERE label = 1 " +
+        "AND vector NEAR $q LIMIT 5 WITH (mode = 'accurate', index = 'hnsw')")
+      .collect()
+    assert(filtered.nonEmpty && filtered.forall(_.getInt(1) == 1))
+    // hnsw without a probing mode stays an explicit error (no silent no-op)
+    intercept[IllegalArgumentException] {
+      c.run("SELECT vec_id FROM embeddings WHERE vector NEAR $q LIMIT 5 " +
+        "WITH (index = 'hnsw')")
+    }
+  }
+}

@@ -86,7 +86,7 @@ class R2FeaturesSpec extends SparkSpecBase {
       "SELECT vec_id FROM embeddings WHERE vector NEAR $q LIMIT 5 WITH (index = 'ivf')"))
       .getMessage.contains("probing mode"))
     assert(intercept[IllegalArgumentException](c.run(
-      "SELECT vec_id FROM embeddings WHERE vector NEAR $q LIMIT 5 WITH (mode = 'fast', index = 'hnsw')"))
+      "SELECT vec_id FROM embeddings WHERE vector NEAR $q LIMIT 5 WITH (mode = 'fast', index = 'btree')"))
       .getMessage.contains("unknown WITH index"))
     assert(intercept[IllegalArgumentException](c.run(
       "SELECT vec_id FROM embeddings_wide WHERE vector NEAR $q LIMIT 5 WITH (mode = 'fast', index = 'ivf')"))
