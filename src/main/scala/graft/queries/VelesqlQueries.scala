@@ -20,6 +20,24 @@ object VelesqlQueries {
   private val qvec: Seq[Float] = graft.functions.VectorFunctions.syntheticQuery(64)
   private val qvecSql = qvec.map(_.toDouble.toString).mkString("[", ",", "]::DOUBLE[]")
 
+  /** Exact top-10 truth for a recall pin's (fixed) query vector,
+    * materialized ONCE per corpus stamp — the brute-force oracle is
+    * data, not work: re-scoring the whole corpus on every bench pass
+    * re-measured the exact scan five times per pin run (r10 VERDICT
+    * floor-tail nit). Keyed on the embeddings parquet listing, so
+    * regenerated testdata rebuilds the truth; the 10-row frame reads in
+    * milliseconds on every later pass and across JVMs. */
+  private def exactTruth(s: SparkSession, d: String, v: Seq[Float]): DataFrame = {
+    val qh = java.lang.Long.toHexString(
+      v.map(java.lang.Float.floatToIntBits(_).toLong)
+        .foldLeft(1125899906842597L)((a, b) => a * 31 + b).abs)
+    graft.Materialize.atPaths(s, d, s"recall_truth10_cos_emb_$qh",
+      Seq(java.nio.file.Paths.get(s"$d/embeddings.parquet")), None) {
+      graft.operators.Knn.topK(graft.Tables.table(s, d, "embeddings"),
+        "embedding", v, 10, "cosine", idCol = "vec_id").select("vec_id")
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- core SELECT: predicates (incl. reference Neq-on-NULL), ORDER, LIMIT
@@ -533,7 +551,7 @@ object VelesqlQueries {
           .run(s"SELECT vec_id FROM embeddings WHERE vector NEAR $$q LIMIT 10 WITH (mode = '$mode')")
           .select(col("vec_id"))
       val hits = Seq(qvec, qb, qc)
-        .map(v => leg(v, "accurate").join(leg(v, "perfect"), "vec_id"))
+        .map(v => leg(v, "accurate").join(exactTruth(s, d, v), "vec_id"))
         .reduce(_ unionAll _)
       hits.agg((count(lit(1)) >= lit(29)).cast("int").as("recall_ok"))
     },
@@ -553,7 +571,7 @@ object VelesqlQueries {
           .select(col("vec_id"))
       val hits = Seq(qvec, qb, qc)
         .map(v => leg(v, "mode = 'accurate', index = 'ivf'")
-          .join(leg(v, "mode = 'perfect'"), "vec_id"))
+          .join(exactTruth(s, d, v), "vec_id"))
         .reduce(_ unionAll _)
       hits.agg((count(lit(1)) >= lit(29)).cast("int").as("recall_ok"))
     },
@@ -578,7 +596,7 @@ object VelesqlQueries {
           .select(col("vec_id"))
       val hits = Seq(qvec, qb, qc)
         .map(v => leg(v, "mode = 'accurate', index = 'hnsw'")
-          .join(leg(v, "mode = 'perfect'"), "vec_id"))
+          .join(exactTruth(s, d, v), "vec_id"))
         .reduce(_ unionAll _)
       hits.agg((count(lit(1)) >= lit(29)).cast("int").as("recall_ok"))
     },
@@ -599,7 +617,7 @@ object VelesqlQueries {
           .select(col("vec_id"))
       val hits = Seq(qvec, qb, qc)
         .map(v => leg(v, "quantization = 'pq', oversampling = 16")
-          .join(leg(v, "mode = 'perfect'"), "vec_id"))
+          .join(exactTruth(s, d, v), "vec_id"))
         .reduce(_ unionAll _)
       hits.agg((count(lit(1)) >= lit(29)).cast("int").as("recall_ok"))
     },
@@ -623,7 +641,7 @@ object VelesqlQueries {
           .select(col("vec_id"))
       val hits = Seq(qvec, qb, qc)
         .map(v => leg(v, "mode = 'accurate', index = 'ivf', quantization = 'pq'")
-          .join(leg(v, "mode = 'perfect'"), "vec_id"))
+          .join(exactTruth(s, d, v), "vec_id"))
         .reduce(_ unionAll _)
       hits.agg((count(lit(1)) >= lit(29)).cast("int").as("recall_ok"))
     },
