@@ -30,33 +30,58 @@ import org.apache.spark.sql.types.LongType
   */
 object Dsir {
 
+  /** Per-doc `(idCol, fid, cnt)` gram-bucket occurrences — the
+    * intermediate both DSIR passes read. Derived-once data, not work:
+    * callers on a stable corpus should materialize it per content
+    * stamp (the shingle-table discipline) and feed
+    * [[importanceWeightsFromOcc]], so neither pass re-tokenizes. */
+  def occurrences(docs: DataFrame, dim: Int = 4096,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    Classifier.gramFids(docs, textCol, idCol, dim)
+      .groupBy(col(idCol), col("fid")).agg(count(lit(1)).as("cnt"))
+  }
+
   /** Per-doc importance weights: `(idCol, n_grams, w_micro)` for every
     * input doc (docs whose text yields no grams weigh 0). `isTarget`
     * is any boolean Column over `docs` rows selecting the target
     * sample (e.g. `col("lang") === "en"`); the raw distribution is the
     * whole input. */
   def importanceWeights(docs: DataFrame, isTarget: Column, dim: Int = 4096,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    importanceWeightsFromOcc(docs, occurrences(docs, dim, textCol, idCol),
+      isTarget, dim, idCol)
+
+  /** [[importanceWeights]] over a pre-computed (ideally materialized)
+    * occurrence table. The bucket distribution is ≤ dim rows no matter
+    * the corpus size, so it is COLLECTED and the per-bucket micro
+    * log-ratios computed driver-side (the documented k×dim model-state
+    * exception — this was always "the 2·dim bucket table broadcast");
+    * that turns the old three-shuffle, double-executed plan (the
+    * totals scalar collect re-ran the exploded-gram subtree) into ONE
+    * distribution agg plus ONE per-doc agg over a broadcast map. */
+  def importanceWeightsFromOcc(docs: DataFrame, occ: DataFrame,
+      isTarget: Column, dim: Int = 4096,
+      idCol: String = "doc_id"): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
-    val occ = Classifier.gramFids(docs, textCol, idCol, dim)
-      .groupBy(col(idCol), col("fid")).agg(count(lit(1)).as("cnt"))
+    val spark = docs.sparkSession
     val flags = docs.select(col(idCol), isTarget.as("__is_t"))
-    val withFlag = occ.join(flags, Seq(idCol))
-    val buckets = withFlag.groupBy("fid").agg(
+    val buckets = occ.join(flags, Seq(idCol)).groupBy("fid").agg(
       sum(when(col("__is_t"), col("cnt")).otherwise(0L)).as("ct"),
       sum(col("cnt")).as("cr"))
-    // the two normalizers are scalars (metric-scalar collect, the
-    // documented exception): total target / raw gram counts
-    val totals = buckets.agg(sum("ct"), sum("cr")).first()
-    val nT = totals.getLong(0)
-    val nR = totals.getLong(1)
-    // per-bucket micro log-ratio; same left-to-right float expression
-    // the oracle writes, snapped to the 1e-6 grid before any summing
-    val cMicro = floor(
-      (log(col("ct") + lit(1.0)) - log(lit((nT + dim).toDouble))
-        - log(col("cr") + lit(1.0)) + log(lit((nR + dim).toDouble)))
-        * lit(1000000L) + lit(0.5)).cast(LongType)
-    val bw = buckets.select(col("fid"), cMicro.as("c_micro"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nT = buckets.map(_._2).sum
+    val nR = buckets.map(_._3).sum
+    // same left-to-right float expression the oracle writes (Spark's
+    // LOG is java.lang.Math.log — identical here), snapped to the 1e-6
+    // grid before any summing
+    val bwRows = buckets.map { case (fid, ct, cr) =>
+      val x = math.log(ct + 1.0) - math.log((nT + dim).toDouble) -
+        math.log(cr + 1.0) + math.log((nR + dim).toDouble)
+      (fid, math.floor(x * 1000000L + 0.5).toLong)
+    }.toSeq
+    import spark.implicits._
+    val bw = broadcast(bwRows.toDF("fid", "c_micro"))
     val perDoc = occ.join(bw, Seq("fid"))
       .groupBy(col(idCol)).agg(
         sum(col("cnt")).as("n_grams"),

@@ -402,9 +402,16 @@ object Graph {
       col(bCol).cast("long").as("b"))
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
+    // degree-1 endpoints can't close a triangle: dropping their edges
+    // BEFORE orientation shrinks both the wedge join's input and the
+    // closing-edge build (on co-occurrence graphs the degree-1 fringe
+    // is typically a large share of edges). One peel round only — the
+    // full 2-core iteration belongs to kCore, and a single pass already
+    // removes the bulk at one cheap semi-join's cost.
     val withDeg = e
       .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
       .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+      .where(col("da") >= 2 && col("db") >= 2)
     // orient low-(deg, id) → high; carry the target's rank key so the
     // wedge join can order its two legs without re-joining degrees
     val oriented = withDeg.select(

@@ -94,6 +94,15 @@ object TextQueries {
         .withColumn("base60", hash60(col("shingle")))
     }
 
+  /** DSIR gram-bucket occurrences MATERIALIZED once per dataset dir
+    * (`(doc_id, fid, cnt)`, 4096 buckets — Dsir.occurrences): both DSIR
+    * passes (distribution agg, per-doc score) start from this parquet
+    * scan instead of re-exploding the corpus per execution. */
+  private def dsirOccTab(s: SparkSession, d: String): DataFrame =
+    graft.Materialize(s, d, "dsir_occ4096", Seq("documents"), Some("doc_id")) {
+      graft.operators.Dsir.occurrences(t(s, d, "documents"), dim = 4096)
+    }
+
   /** Dedup cluster assignment MATERIALIZED once per dataset dir: the
     * persisted artifact a production dedup pass ships (doc_id →
     * smallest-id cluster representative over the ≥0.8-Jaccard pair
@@ -902,17 +911,21 @@ object TextQueries {
          |FROM inter JOIN cnt ca ON ca.source = src_a JOIN cnt cb ON cb.source = src_b
          |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
       val docsrc = t(s, d, "documents").select(col("doc_id"), col("source"))
-      val sh = shinglesTab(s, d).select(col("doc_id"), col("shingle"))
-        .join(docsrc, "doc_id")
-        .select(col("source"), col("shingle")).distinct()
-      val cnt = sh.groupBy("source").agg(count(lit(1)).as("n"))
-      // pair generation WITHOUT a self-join: one groupBy(shingle) +
-      // in-row ordered-pair expansion (sorted set ⇒ a < b), then the
-      // pair count agg — two shuffles total vs the self-join's three,
-      // and the shingle table is derived once instead of twice. Same
+      // pair generation WITHOUT a self-join OR a separate distinct:
+      // collect_set dedups inside ONE groupBy(shingle) shuffle (the old
+      // shape paid a (source, shingle) distinct exchange first), then
+      // in-row ordered-pair expansion (sorted set ⇒ a < b) and the pair
+      // count agg. Per-source set sizes come from the already-deduped
+      // grouped frame (explode of ≤|sources| entries — tiny), not from
+      // a third pass over the raw shingle stream. Same
       // Σ_shingle |sources|² bound as the join form.
-      val inter = sh.groupBy("shingle")
+      val grouped = shinglesTab(s, d).select(col("doc_id"), col("shingle"))
+        .join(docsrc, "doc_id")
+        .groupBy("shingle")
         .agg(sort_array(collect_set(col("source"))).as("ss"))
+      val cnt = grouped.select(explode(col("ss")).as("source"))
+        .groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = grouped
         .where(size(col("ss")) >= 2)
         .select(explode(expr(
           """flatten(transform(ss, (a, i) ->
@@ -1136,8 +1149,9 @@ object TextQueries {
         |  CAST(coalesce(pd.w_micro, 0) AS BIGINT) AS w_micro
         |FROM documents d LEFT JOIN pd USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
-      graft.operators.Dsir.importanceWeights(
-          t(s, d, "documents"), col("lang") === "en", dim = 4096)
+      graft.operators.Dsir.importanceWeightsFromOcc(
+          t(s, d, "documents"), dsirOccTab(s, d), col("lang") === "en",
+          dim = 4096)
         .orderBy("doc_id")
     },
 
