@@ -57,7 +57,12 @@ import scala.jdk.CollectionConverters._
   *
   * Driver-sided by design: results are collected to JSON, so routes are
   * for top-k/aggregate-sized answers, not bulk export — identical to the
-  * reference's HTTP contract.
+  * reference's HTTP contract. Bulk reads go through KEYSET scroll
+  * pagination (`GET /collections/{n}/points?limit=&after_id=`, the
+  * snapshot points route, and the edge listing's
+  * `after_source`/`after_target`): cursor predicates push into the
+  * pruned parquet scan, so page k never re-reads pages 1..k-1 — the
+  * bound on every driver-side collect is explicit in the API.
   */
 class RestServer(g: Graft, port: Int = 0) {
 
@@ -277,6 +282,49 @@ class RestServer(g: Graft, port: Int = 0) {
         }
         g.collections.upsert(name, df)
         ok(s"""{"status":"ok","upserted":${docs.length}}""")
+      case ("GET", "collections" :: name :: "points" :: Nil) =>
+        // Scroll listing (the reference's pagination contract for bulk
+        // reads): KEYSET cursor, not offset — `?limit=N&after_id=X`
+        // returns points with id > X ordered by id, plus
+        // `next_after_id` (null when exhausted). Keyset keeps every
+        // page a PRUNED scan: the id predicate pushes into the
+        // parquet read and the bucketed layout's id-sorted row groups
+        // skip everything before the cursor, so page k never pays for
+        // pages 1..k-1 the way OFFSET does — the only shape that
+        // holds on a 100 TB collection. Cursor stability: each page
+        // resolves the then-current generation; a publish between
+        // pages lands its changes in later pages only (same
+        // read-committed scroll the reference documents).
+        val n = existingUserCollection(name)
+        val qs = queryParams(ex)
+        val limit = math.min(
+          qs.get("limit").flatMap(_.toIntOption).getOrElse(100), 10000)
+        if (limit <= 0) badRequest("limit must be positive")
+        val idCol = g.catalog.metaOf(n).idCol
+        g.collections.table(n) match {
+          case None => ok(s"""{"points":[],"count":0,"next_after_id":null}""")
+          case Some(t) =>
+            val after = qs.get("after_id")
+            val isNum = t.schema.find(_.name == idCol)
+              .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+            val cursor: Option[org.apache.spark.sql.Column] = after.map { a =>
+              if (isNum) col(idCol) > a.toLongOption.getOrElse(
+                badRequest(s"after_id must be numeric for this collection, got '$a'"))
+              else col(idCol) > a
+            }
+            // limit+1 probes has-more without a count pass
+            val page = cursor.fold(t)(t.where(_))
+              .orderBy(col(idCol)).limit(limit + 1).toJSON.collect()
+            val hasMore = page.length > limit
+            val out = if (hasMore) page.dropRight(1) else page
+            val nextId =
+              if (!hasMore || out.isEmpty) "null"
+              else {
+                val last = mapper.readTree(out.last).get(idCol)
+                if (last == null) "null" else last.toString
+              }
+            ok(s"""{"points":[${out.mkString(",")}],"count":${out.length},"next_after_id":$nextId}""")
+        }
       case ("GET", "collections" :: name :: "points" :: id :: Nil) =>
         val rows = g.collections.get(existingUserCollection(name), Seq(id.toLong)).toJSON.collect()
         if (rows.isEmpty) error(404, s"point $id not found in $name")
@@ -432,11 +480,32 @@ class RestServer(g: Graft, port: Int = 0) {
         val others = e.columns.filterNot(Set("id", "src", "dst", "label")).toSeq
         val idCol = if (e.columns.contains("id")) col("id") else lit(null).cast("long")
         val lim = qs.get("limit").map(_.toInt).getOrElse(1000)
-        val rows = e.select(idCol.as("id"), col("src").as("source"),
+        // keyset scroll over the (source, target) order:
+        // ?after_source=S&after_target=T resumes strictly past that
+        // pair — pushed predicates prune the (label, src)-clustered
+        // edge frame, so later pages skip earlier row groups
+        val cursored = (qs.get("after_source").map(_.toLong),
+            qs.get("after_target").map(_.toLong)) match {
+          case (Some(as), Some(at)) =>
+            e.where(col("src") > as || (col("src") === as && col("dst") > at))
+          case (Some(as), None) => e.where(col("src") > as)
+          case (None, Some(_)) =>
+            badRequest("after_target requires after_source")
+          case (None, None) => e
+        }
+        val page = cursored.select(idCol.as("id"), col("src").as("source"),
             col("dst").as("target"), col("label"),
             struct(others.map(col): _*).as("properties"))
-          .orderBy(col("source"), col("target")).limit(lim).toJSON.collect()
-        ok(s"""{"edges":[${rows.mkString(",")}],"count":${rows.length}}""")
+          .orderBy(col("source"), col("target")).limit(lim + 1).toJSON.collect()
+        val hasMore = page.length > lim
+        val rows = if (hasMore) page.dropRight(1) else page
+        val nextCursor =
+          if (!hasMore || rows.isEmpty) """"next_after_source":null"""
+          else {
+            val last = mapper.readTree(rows.last)
+            s""""next_after_source":${last.get("source")},"next_after_target":${last.get("target")}"""
+          }
+        ok(s"""{"edges":[${rows.mkString(",")}],"count":${rows.length},$nextCursor}""")
       case ("GET", "collections" :: name :: "graph" :: "edges" :: id :: Nil) =>
         // get_edge (graph_api.rs:270) — edge row by id
         val rows = g.collections.edges(existingUserCollection(name))
@@ -735,11 +804,29 @@ class RestServer(g: Graft, port: Int = 0) {
         // bounded page (limit, default 100, cap 10k) — a snapshot can be
         // arbitrarily large; full exports go through the library read
         val n = existing(name)
+        val qs = queryParams(ex)
         val limit = math.min(
-          queryParams(ex).get("limit").flatMap(_.toIntOption).getOrElse(100), 10000)
+          qs.get("limit").flatMap(_.toIntOption).getOrElse(100), 10000)
         if (limit <= 0) badRequest("limit must be positive")
-        val rows = g.collections.snapshotTable(n, tag).limit(limit).toJSON.collect()
-        ok(s"""{"tag":"$tag","count":${rows.length},"points":[${rows.mkString(",")}]}""")
+        // same keyset scroll as the live points listing (id-ordered,
+        // ?after_id=) — a snapshot is immutable, so the cursor is
+        // additionally stable across any number of later publishes
+        val idCol = g.catalog.metaOf(n).idCol
+        val snap = g.collections.snapshotTable(n, tag)
+        val cursored = qs.get("after_id").map(_.toLongOption.getOrElse(
+          badRequest("after_id must be numeric"))) match {
+          case Some(a) if snap.columns.contains(idCol) => snap.where(col(idCol) > a)
+          case _ => snap
+        }
+        val ordered = if (snap.columns.contains(idCol))
+          cursored.orderBy(col(idCol)) else cursored
+        val page = ordered.limit(limit + 1).toJSON.collect()
+        val hasMore = page.length > limit
+        val rows = if (hasMore) page.dropRight(1) else page
+        val nextId =
+          if (!hasMore || rows.isEmpty || !snap.columns.contains(idCol)) "null"
+          else Option(mapper.readTree(rows.last).get(idCol)).map(_.toString).getOrElse("null")
+        ok(s"""{"tag":"$tag","count":${rows.length},"next_after_id":$nextId,"points":[${rows.mkString(",")}]}""")
       case ("POST", "collections" :: name :: "snapshots" :: tag :: "restore" :: Nil) =>
         g.collections.restoreSnapshot(existingUserCollection(name), tag)
         ok(mapper.writeValueAsString(java.util.Map.of(

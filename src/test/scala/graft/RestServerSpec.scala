@@ -420,6 +420,70 @@ class RestServerSpec extends SparkSpecBase {
     } finally s2.stop()
   }
 
+  test("keyset scroll pagination: points, snapshot points and edge listing") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rest-scroll").toString
+    val g2 = Graft(spark, tmp)
+    val s2 = new RestServer(g2, port = 0).start()
+    try {
+      val b = s"http://127.0.0.1:${s2.boundPort}"
+      def send(r: HttpRequest) = client.send(r, HttpResponse.BodyHandlers.ofString())
+      def p(path: String, body: String) =
+        send(HttpRequest.newBuilder(URI.create(s"$b$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build())
+      def get2(path: String) =
+        send(HttpRequest.newBuilder(URI.create(s"$b$path")).GET().build())
+      p("/collections", """{"name": "sc"}""")
+      val pts = (1 to 25).map(i => s"""{"id": $i, "payload": {"v": $i}}""")
+        .mkString("[", ",", "]")
+      assert(p("/collections/sc/points", s"""{"points": $pts}""").statusCode() == 200)
+
+      // page through all 25 points at limit 10: 10 + 10 + 5, cursors chain,
+      // ids arrive in order with no overlap
+      def idsOf(body: String): Seq[Long] =
+        "\"id\":(\\d+)".r.findAllMatchIn(body).map(_.group(1).toLong).toSeq
+      def nextOf(body: String): Option[Long] =
+        "\"next_after_id\":(\\d+)".r.findFirstMatchIn(body).map(_.group(1).toLong)
+      val p1 = get2("/collections/sc/points?limit=10")
+      assert(p1.statusCode() == 200, p1.body())
+      assert(idsOf(p1.body()) == (1L to 10L) && nextOf(p1.body()).contains(10L), p1.body())
+      val p2 = get2(s"/collections/sc/points?limit=10&after_id=${nextOf(p1.body()).get}")
+      assert(idsOf(p2.body()) == (11L to 20L) && nextOf(p2.body()).contains(20L))
+      val p3 = get2(s"/collections/sc/points?limit=10&after_id=${nextOf(p2.body()).get}")
+      assert(idsOf(p3.body()) == (21L to 25L), p3.body())
+      assert(p3.body().contains("\"next_after_id\":null"), p3.body())
+      // bad cursor type → 400
+      assert(get2("/collections/sc/points?after_id=xyz").statusCode() == 400)
+
+      // snapshot points page with the same contract (immutable cursor)
+      p("/collections/sc/snapshots", """{"tag": "s1"}""")
+      val sp = get2("/collections/sc/snapshots/s1/points?limit=20")
+      assert(idsOf(sp.body()).size == 20 && nextOf(sp.body()).contains(20L), sp.body().take(300))
+      val sp2 = get2("/collections/sc/snapshots/s1/points?limit=20&after_id=20")
+      assert(idsOf(sp2.body()) == (21L to 25L) && sp2.body().contains("\"next_after_id\":null"))
+
+      // edges: label-scoped keyset on (source, target)
+      val edges = (1 to 12).map(i => s"""{"source": ${i % 4}, "target": $i, "label": "likes"}""")
+        .mkString("[", ",", "]")
+      assert(p("/collections/sc/graph/edges", s"""{"edges": $edges}""").statusCode() == 200)
+      val e1 = get2("/collections/sc/graph/edges?label=likes&limit=5")
+      assert(e1.statusCode() == 200, e1.body())
+      val c1 = ("\"next_after_source\":(\\d+),\"next_after_target\":(\\d+)".r
+        .findFirstMatchIn(e1.body()))
+      assert(c1.isDefined, e1.body().take(300))
+      val e2 = get2(s"/collections/sc/graph/edges?label=likes&limit=5" +
+        s"&after_source=${c1.get.group(1)}&after_target=${c1.get.group(2)}")
+      assert(e2.statusCode() == 200)
+      val pairs = (r: String) => ("\"source\":(\\d+),\"target\":(\\d+)".r
+        .findAllMatchIn(r).map(m => (m.group(1).toLong, m.group(2).toLong)).toSeq)
+      val all = pairs(e1.body()) ++ pairs(e2.body())
+      assert(all.distinct.size == all.size, s"overlapping pages: $all")
+      assert(all == all.sorted, s"pages out of order: $all")
+      // after_target without after_source → 400
+      assert(get2("/collections/sc/graph/edges?label=likes&after_target=3")
+        .statusCode() == 400)
+    } finally { s2.stop(); Collections.deleteRec(java.nio.file.Paths.get(tmp)) }
+  }
+
   test("error taxonomy maps to HTTP codes") {
     // unknown collection → 404 (NotFoundError)
     val nf = post("/query", """{"query": "SELECT x FROM nope LIMIT 1"}""")
