@@ -328,6 +328,12 @@ class Collections(spark: SparkSession, dataDir: String,
     * first [[upsertEdges]]. */
   def edges(name: String): Option[DataFrame] = frameTable(name, "edges")
 
+  /** The RESOLVED current edges generation dir — the edge-side content
+    * stamp (an edge upsert publishes a new generation). None until the
+    * first edge write. */
+  def edgesRealPath(name: String): Option[java.nio.file.Path] =
+    framePath(name, "edges")
+
   private def frameTable(name: String, frame: String): Option[DataFrame] =
     framePath(name, frame).map(real => spark.read.parquet(real.toString))
 

@@ -45,6 +45,49 @@ class Graft(
     }
   }
 
+  /** Compiled-plan memo (SURVEY §4.3 item 4 — the reference caches
+    * parsed queries only; compiled-plan reuse is the Spark-side win,
+    * since analysis/compile dominates sub-second queries). Keyed by
+    * (query text, param VALUES, graph scope, fixed epoch, source
+    * CONTENT STAMPS): params are baked into the plan as literals, so
+    * only value-identical calls may share it, and every referenced user
+    * collection contributes its resolved manifest/generation path — a
+    * publish changes the stamp and the next call recompiles against the
+    * new generation instead of serving retained-then-vacuumed files.
+    * Uncacheable (returns fresh compiles): NOW()-relative queries
+    * without a fixed epoch, and multi-SELECT texts (subqueries/EXISTS
+    * may reference tables the key can't see). */
+  private val planCacheSize = 128
+  private val planCache =
+    new java.util.LinkedHashMap[String, DataFrame](planCacheSize, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, DataFrame]): Boolean =
+        size() > planCacheSize
+    }
+  /** Compiles actually executed (cache misses) — spec observability. */
+  private[graft] val compileCount = new java.util.concurrent.atomic.AtomicLong()
+
+  private def planKey(query: String, ast: Ast.Query, params: Map[String, Any],
+      fixedNowEpoch: Option[Long], graphScope: Option[String]): Option[String] = {
+    if (fixedNowEpoch.isEmpty && "(?i)\\bNOW\\b".r.findFirstIn(query).isDefined)
+      return None // wall-clock-relative plan: never reusable
+    if ("(?i)\\bSELECT\\b".r.findAllIn(query).size > 1)
+      return None // nested SELECTs may scan tables the key can't stamp
+    def stampOf(t: String): String =
+      if (collections.exists(t))
+        collections.pointsRealPath(t).map(_.toString).getOrElse(s"empty:$t")
+      else s"tbl:$t"
+    val selects = ast.select.toSeq ++ ast.compound.map(_.right)
+    val tableStamps = selects.flatMap(s => s.from +: s.joins.map(_.table))
+      .map(stampOf)
+    val graphStamps =
+      if (ast.matchQuery.isDefined || graphScope.isDefined)
+        "graph" +: graphScope.toSeq.flatMap(n => Seq(stampOf(n),
+          collections.edgesRealPath(n).map(_.toString).getOrElse(s"noedges:$n")))
+      else Nil
+    Some((query, params.toSeq.sortBy(_._1).toString, fixedNowEpoch,
+      graphScope, tableStamps, graphStamps).toString)
+  }
+
   private lazy val guardrails: Guardrails = {
     val counts = catalog.meta.keys.flatMap { n =>
       try Some(n -> catalog.table(n).count()) catch { case _: Exception => None }
@@ -64,23 +107,31 @@ class Graft(
       fixedNowEpoch: Option[Long] = None,
       graphScope: Option[String] = None): DataFrame = {
     val ast = parse(query)
-    ast.select.foreach { sel =>
-      (sel.from +: sel.joins.map(_.table)).foreach { t =>
-        if (!catalog.exists(t))
-          throw new velesql.NotFoundError(s"collection not found: $t")
+    val key = planKey(query, ast, params, fixedNowEpoch, graphScope)
+    key.flatMap(k => planCache.synchronized(Option(planCache.get(k))))
+      .getOrElse {
+        ast.select.foreach { sel =>
+          (sel.from +: sel.joins.map(_.table)).foreach { t =>
+            if (!catalog.exists(t))
+              throw new velesql.NotFoundError(s"collection not found: $t")
+          }
+        }
+        if (maxCost != Long.MaxValue) {
+          try guardrails.admit(ast)
+          catch { case e: IllegalStateException =>
+            throw new velesql.CostLimitError(e.getMessage) }
+        }
+        val cat = graphScope.fold(catalog)(catalog.scopedToGraph)
+        compileCount.incrementAndGet()
+        val df =
+          try new Compiler(spark, cat, params, fixedNowEpoch).compile(ast)
+          catch {
+            case e: velesql.VelesError => throw e
+            case e: IllegalArgumentException => throw new velesql.SemanticError(e.getMessage)
+          }
+        key.foreach(k => planCache.synchronized(planCache.put(k, df)))
+        df
       }
-    }
-    if (maxCost != Long.MaxValue) {
-      try guardrails.admit(ast)
-      catch { case e: IllegalStateException =>
-        throw new velesql.CostLimitError(e.getMessage) }
-    }
-    val cat = graphScope.fold(catalog)(catalog.scopedToGraph)
-    try new Compiler(spark, cat, params, fixedNowEpoch).compile(ast)
-    catch {
-      case e: velesql.VelesError => throw e
-      case e: IllegalArgumentException => throw new velesql.SemanticError(e.getMessage)
-    }
   }
 
   /** Weighted shortest paths over the MATCH graph surface — the derived
