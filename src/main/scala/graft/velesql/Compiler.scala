@@ -686,7 +686,13 @@ class Compiler(
     // re-reference it (indexed paths like items[0].sku aren't re-resolvable
     // against the aggregated frame)
     var out =
-      if (hasGroup) df.groupBy(sel.groupBy.map(g => resolve(df, g).as(g)): _*)
+      if (aggCols.isEmpty)
+        // GROUP BY with no aggregate anywhere (select list, HAVING or
+        // ORDER BY): the grouped result is the distinct group keys —
+        // non-group select items then fail ANALYSIS with a typed error
+        // instead of aggCols.head crashing here (found by ParserFuzzSpec)
+        df.select(sel.groupBy.map(g => resolve(df, g).as(g)): _*).distinct()
+      else if (hasGroup) df.groupBy(sel.groupBy.map(g => resolve(df, g).as(g)): _*)
         .agg(aggCols.head, aggCols.tail: _*)
       else df.agg(aggCols.head, aggCols.tail: _*)
 
