@@ -135,6 +135,32 @@ object Graph {
     val e = (if (relTypes.nonEmpty) edges.where(col("label").isin(relTypes: _*))
              else edges).select("src", "dst")
     val startsFrontier = starts.select(col("start"), col("start").as("node")).distinct()
+    // Shallow traversals (maxDepth ≤ 3 — the common MATCH *1..2/*1..3
+    // shape) unroll into ONE declarative plan: level-k = distinct
+    // (start, node) of level-(k-1) ⋈ edges, min(depth) at the end gives
+    // exactly first-arrival depths without per-depth anti-joins,
+    // checkpoints or driver-side loop state — a single Spark job
+    // (3 joins + 1 agg) instead of ~10 stacked jobs, which was most of
+    // q82/q105's wall time (job-floor stacking, r10 VERDICT). The
+    // per-level distinct bounds every level at |reached set|, so the
+    // no-visited-set re-expansion is ≤ maxDepth × reached — fine at
+    // depth 3 at any scale; deeper walks keep the pruned loop below.
+    if (maxDepth <= 3) {
+      var level = startsFrontier
+      var acc: DataFrame = null
+      for (d <- 1 to maxDepth) {
+        val eD = e.select(col("src").as("__esrc"), col("dst").as("__edst"))
+        val next = level.join(eD, level("node") === col("__esrc"))
+          .select(level("start"), col("__edst").as("node")).distinct()
+        val step = next.withColumn("depth", lit(d))
+        acc = if (acc == null) step else acc.unionAll(step)
+        level = next
+      }
+      // (start, start) parity with the loop path: the start node is
+      // visited at depth 0, so a cycle back to it is never reported
+      return acc.groupBy("start", "node").agg(min("depth").as("depth"))
+        .where(col("node") =!= col("start"))
+    }
     var frontier = startsFrontier
     var visited = startsFrontier
     var acc: DataFrame = null
