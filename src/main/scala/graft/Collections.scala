@@ -281,6 +281,23 @@ class Collections(spark: SparkSession, dataDir: String,
     if (Files.exists(manifestLink(name))) gcPoints(name, retain = 1)
   }
 
+  /** The bucketed layout's pieces — bucket index → RESOLVED immutable
+    * leaf dir — when the current manifest is hash-bucketed; None on
+    * flat/legacy layouts. Derived-index maintenance keys on these: an
+    * index materialized per piece rebuilds only the pieces a publish
+    * actually re-pointed ([[graft.operators.Ann.materializedIndexPieces]]),
+    * the storage-side twin of the bucket-pruned merge. */
+  def bucketPieces(name: String): Option[Seq[(Int, java.nio.file.Path)]] =
+    readManifest(name)
+      .filter(m => m.buckets > 0 && m.schema.isDefined && m.entries.nonEmpty)
+      .map(m => m.entries.toSeq.sortBy(_._1)
+        .map { case (b, rel) => b -> colDir(name).resolve(rel) })
+
+  /** The bucketed layout's authoritative schema (manifest-carried), for
+    * piece readers that must null-fill widened columns. */
+  def manifestSchema(name: String): Option[org.apache.spark.sql.types.StructType] =
+    readManifest(name).flatMap(_.schema)
+
   /** The id → bucket routing expression. Stable across the collection's
     * lifetime: xxhash64 (fixed seed) of the id's string form, so int/
     * long/string id representations of the same value route identically;

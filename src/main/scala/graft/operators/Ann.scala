@@ -132,6 +132,35 @@ object Ann {
     graft.Materialize.atPaths(spark, token, s"lsh${nPlanes}_buckets_$name",
       sources, Some("bucket"))(buildIndex(base, vecCol, nPlanes, Some(dim)))
 
+  /** INCREMENTAL index maintenance over a bucketed collection layout
+    * (the storage-side twin of the partition-pruned merge): the LSH
+    * signature is a pure per-row function, so the index decomposes into
+    * one cached piece PER STORAGE BUCKET, each stamped by its immutable
+    * leaf dir. A publish that rewrote 2 of 16 buckets re-points 2 dirs,
+    * so the next indexed query rebuilds exactly 2 pieces — per-batch
+    * index upkeep is O(touched buckets), not O(collection), which is
+    * what the reference's in-place HNSW insert
+    * (native_index.rs:317) costs and what a 100 TB ingest needs.
+    * Every piece is bucket-clustered parquet, so the probe's pushed
+    * `bucket IN (…)` prunes row groups inside each piece of the union.
+    * (Training-based tiers — IVF/PQ/HNSW — stay whole-stamp: their
+    * model couples rows across buckets.) */
+  def materializedIndexPieces(spark: org.apache.spark.sql.SparkSession,
+      token: String, pieces: Seq[(Int, java.nio.file.Path)],
+      schema: org.apache.spark.sql.types.StructType, name: String,
+      vecCol: String, nPlanes: Int, dim: Int): DataFrame = {
+    require(pieces.nonEmpty, "no bucket pieces to index")
+    pieces.map { case (b, dir) =>
+      graft.Materialize.atPaths(spark, token,
+        s"lsh${nPlanes}_p${b}_$name", Seq(dir), Some("bucket")) {
+        // the manifest schema null-fills columns a pre-widening bucket
+        // file lacks (same contract as Collections.readPaths)
+        buildIndex(spark.read.schema(schema).parquet(dir.toString),
+          vecCol, nPlanes, Some(dim))
+      }
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

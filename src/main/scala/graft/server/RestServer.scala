@@ -928,7 +928,7 @@ class RestServer(g: Graft, port: Int = 0) {
     Set("fast", "balanced", "accurate", "perfect", "exact")
   private val QuantModes = Set("binary", "dual", "hybrid", "int8", "sq8",
     "quantized", "pq", "f32", "full", "exact", "auto", "default")
-  private val IndexKinds = Set("lsh", "ivf")
+  private val IndexKinds = Set("lsh", "ivf", "hnsw")
   private def searchWithOpts(b: JsonNode): String = {
     val opts =
       text(b, "mode").map { m =>

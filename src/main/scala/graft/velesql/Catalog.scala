@@ -25,8 +25,15 @@ final case class CollectionMeta(
 
 object Catalog {
   /** See [[Catalog.indexSource]]. */
+  /** `pieces`: the bucketed layout's (bucket, immutable leaf dir) list
+    * plus the authoritative read schema, when the source supports
+    * per-piece index maintenance (user collections on the manifest
+    * layout) — stateless index tiers materialize one cached piece per
+    * bucket, so a publish rebuilds only the buckets it re-pointed. */
   final case class IndexSource(token: String,
-      paths: Seq[java.nio.file.Path], frame: () => org.apache.spark.sql.DataFrame)
+      paths: Seq[java.nio.file.Path], frame: () => org.apache.spark.sql.DataFrame,
+      pieces: Option[(Seq[(Int, java.nio.file.Path)],
+        org.apache.spark.sql.types.StructType)] = None)
 }
 
 class Catalog(spark: SparkSession, val dir: String) {
@@ -114,8 +121,13 @@ class Catalog(spark: SparkSession, val dir: String) {
           () => table(name)))
       else None // derived frames: no stable file to stamp
     else if (userCollections.exists(name))
-      userCollections.pointsRealPath(name).map(p =>
-        Catalog.IndexSource(s"${dir}_col_$name", Seq(p), () => table(name)))
+      userCollections.pointsRealPath(name).map { p =>
+        val pieces = for {
+          ps <- userCollections.bucketPieces(name)
+          sch <- userCollections.manifestSchema(name)
+        } yield (ps, sch)
+        Catalog.IndexSource(s"${dir}_col_$name", Seq(p), () => table(name), pieces)
+      }
     else None
 
   def metaOf(name: String): CollectionMeta =

@@ -363,9 +363,18 @@ class Compiler(
               // Dataset tables AND written user collections both resolve
               // an indexSource; derived frames fall to on-the-fly.
               val src = srcOpt.get
-              val idx = Ann.materializedIndexAt(spark, src.token, src.paths,
-                  sel.from, src.frame(), vcolName, nPlanes, vec.length)
-                .as(sel.fromAlias.getOrElse(sel.from))
+              // bucketed user collections maintain the LSH index PER
+              // STORAGE PIECE — a publish rebuilds only the pieces it
+              // re-pointed (Ann.materializedIndexPieces scaladoc)
+              val idx0 = src.pieces match {
+                case Some((ps, schema)) => Ann.materializedIndexPieces(
+                  spark, src.token, ps, schema, sel.from, vcolName, nPlanes,
+                  vec.length)
+                case None => Ann.materializedIndexAt(spark, src.token,
+                  src.paths, sel.from, src.frame(), vcolName, nPlanes,
+                  vec.length)
+              }
+              val idx = idx0.as(sel.fromAlias.getOrElse(sel.from))
               val idxF = residualCond match {
                 case Some(c) => idx.where(compileCond(c, idx, meta))
                 case None => idx

@@ -103,15 +103,22 @@ class CollectionAnnSpec extends SparkSpecBase {
   test("superseded index generations are pruned (keep current + one)") {
     import spark.implicits._
     g.collections.create("gc", idCol = "id", vectorCol = Some("vec"))
-    def gens(): Int = {
+    // r11: the LSH index over a bucketed collection is maintained PER
+    // STORAGE PIECE (Ann.materializedIndexPieces) — retention applies
+    // per piece: each bucket keeps its current cache plus at most the
+    // one superseded sibling
+    def pieceGens(): Map[String, Int] = {
       val parent = java.nio.file.Paths.get(
         s"${sys.props("java.io.tmpdir")}/graft-derived")
-      val prefix = s"v3_lsh6_buckets_gc_${tmp.toString}_col_gc"
-        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val token = s"${tmp.toString}_col_gc".replaceAll("[^A-Za-z0-9._-]", "_")
+      val piece = s"^v3_(lsh6_p\\d+)_gc_${java.util.regex.Pattern.quote(token)}__.*$$".r
       val s = java.nio.file.Files.list(parent)
       try {
         import scala.jdk.CollectionConverters._
-        s.iterator().asScala.count(_.getFileName.toString.startsWith(prefix))
+        s.iterator().asScala.map(_.getFileName.toString).flatMap {
+          case piece(p) => Some(p)
+          case _ => None
+        }.toSeq.groupBy(identity).view.mapValues(_.size).toMap
       } finally s.close()
     }
     for (round <- 1 to 3) {
@@ -122,8 +129,11 @@ class CollectionAnnSpec extends SparkSpecBase {
       g.sql("SELECT id FROM gc WHERE vector NEAR $q LIMIT 5 " +
         "WITH (mode = 'accurate')", Map("q" -> q)).collect()
     }
-    assert(gens() <= 2, s"stale index generations not pruned: ${gens()}")
-    assert(gens() >= 1, "current generation must survive")
+    val gens = pieceGens()
+    assert(gens.nonEmpty, "current piece caches must survive")
+    gens.foreach { case (p, n) =>
+      assert(n <= 2, s"stale index generations not pruned for $p: $n")
+    }
   }
 
   test("REST search reaches the probed tiers on a user collection") {
@@ -142,9 +152,15 @@ class CollectionAnnSpec extends SparkSpecBase {
       assert(r.statusCode() == 200, r.body())
       val ids = """"id":(\d+)""".r.findAllMatchIn(r.body()).map(_.group(1).toLong).toSeq
       assert(ids.nonEmpty, r.body())
+      // hnsw is a valid kind since r11 — without a probing mode it is
+      // still a loud 400 (no silent no-op); truly unknown kinds reject
+      // at the route layer before any VelesQL is generated
       val bad = post("/collections/vecs/search",
         s"""{"vector": [${q.mkString(", ")}], "top_k": 3, "index": "hnsw"}""")
-      assert(bad.statusCode() == 400 && bad.body().contains("unknown index"))
+      assert(bad.statusCode() == 400 && bad.body().contains("probing mode"))
+      val unknown = post("/collections/vecs/search",
+        s"""{"vector": [${q.mkString(", ")}], "top_k": 3, "index": "btree"}""")
+      assert(unknown.statusCode() == 400 && unknown.body().contains("unknown index"))
     } finally srv.stop()
   }
 }

@@ -354,6 +354,18 @@ class RestServerSpec extends SparkSpecBase {
       s"""{"searches": [{"vector": [${vec.mkString(", ")}], "top_k": 3,
          |  "quantization": "int8"}]}""".stripMargin)
     assert(batch.statusCode() == 200, batch.body())
+    // the partitioned-HNSW tier is reachable over the wire and agrees
+    // with the language-level path (r11)
+    val h = post("/collections/embeddings/search",
+      s"""{"vector": [${vec.mkString(", ")}], "top_k": 5,
+         | "mode": "accurate", "index": "hnsw"}""".stripMargin)
+    assert(h.statusCode() == 200, h.body())
+    val hIds = """"id":(\d+)""".r.findAllMatchIn(h.body()).map(_.group(1).toLong).toSeq
+    val hLang = g.sql(
+      "SELECT vec_id, score FROM embeddings WHERE vector NEAR $q LIMIT 5" +
+        " WITH (mode = 'accurate', index = 'hnsw')",
+      Map("q" -> vec)).select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(hIds == hLang, s"REST $hIds vs language $hLang")
   }
 
   test("filter DSL edge shapes: empty IN matches nothing; errors are valid JSON") {
