@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
   * arXiv:2302.03169), the hashed-n-gram variant, deterministic form:

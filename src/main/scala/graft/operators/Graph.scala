@@ -299,28 +299,44 @@ object Graph {
     * recommender ("important relative to THESE nodes"; scores decay
     * with distance from the seed set). `restart = None` is the classic
     * uniform form, bit-identical to before. */
+  /** `invariants`: pre-computed `(allNodes(node), eDeg(src, dst, deg))`
+    * frames — corpus-stable per edge table, so callers on a
+    * materialized graph should persist them once (Materialize
+    * discipline) instead of paying the full-shuffle checkpoint jobs
+    * that derive them on every execution. `eDeg` is the GraphX-style
+    * degree-annotated edge table: folding the out-degree onto each
+    * edge removes one join from EVERY superstep. */
   def pageRank(edges: DataFrame, iters: Int,
       damping: Double = 0.85,
-      restart: Option[DataFrame] = None): DataFrame = {
+      restart: Option[DataFrame] = None,
+      invariants: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(damping > 0.0 && damping < 1.0, "damping must be in (0, 1)")
     val e = edges.select("src", "dst")
-    // nodes (+ per-node teleport base) and outDeg are loop
-    // INVARIANTS — materialize each once. Left lazy, the distinct and
-    // the groupBy (both full shuffles over the edge frame) re-execute
-    // inside every superstep.
-    val allNodes = e.select(col("src").as("node"))
-      .unionAll(e.select(col("dst").as("node"))).distinct()
-    val nodes = (restart match {
+    // nodes (+ per-node teleport base) and the degree-annotated edge
+    // table are loop INVARIANTS — materialize each once. Left lazy, the
+    // distinct and the degree agg (full shuffles over the edge frame)
+    // re-execute inside every superstep. Supplied invariants are
+    // parquet-backed already: no checkpoint jobs, cheap scans.
+    val derived = invariants.isEmpty
+    val allNodes = invariants.map(_._1).getOrElse(
+      e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node"))).distinct())
+    val nodes0 = restart match {
       case Some(seeds) => allNodes
         .join(seeds.select(col("node")).distinct().withColumn("__s", lit(true)),
           Seq("node"), "left")
         .select(col("node"),
           when(col("__s"), lit(1.0)).otherwise(lit(0.0)).as("base"))
       case None => allNodes.withColumn("base", lit(1.0))
-    }).localCheckpoint(true)
-    val outDeg = e.groupBy(col("src").as("dnode")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+    }
+    // the seed join over supplied invariants is a scan + broadcast-small
+    // join — cheap to re-run per superstep, not worth a checkpoint job
+    val nodes = if (derived) nodes0.localCheckpoint(true) else nodes0
+    val eDeg = invariants.map(_._2).getOrElse(
+      e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+        .select(col("src"), col("dst"), col("deg"))
+        .localCheckpoint(true))
     var ranks = nodes.select(col("node"), col("base").as("rank"))
     var prevCkpt: DataFrame = null
     // Fixed iteration count ⇒ supersteps chain LAZILY; only every
@@ -331,8 +347,7 @@ object Graph {
     val ckptEvery = 5
     for (i <- 1 to iters) {
       val contrib = ranks
-        .join(outDeg, ranks("node") === col("dnode"))
-        .join(e, ranks("node") === col("src"))
+        .join(eDeg, ranks("node") === eDeg("src"))
         .groupBy(col("dst").as("cnode"))
         .agg(sum(col("rank") / col("deg")).as("c"))
       val updated0 = nodes.join(contrib, nodes("node") === col("cnode"), "left")
@@ -347,10 +362,13 @@ object Graph {
         ranks = updated
       } else ranks = updated0
     }
-    // the invariants' blocks are dead once the loop ends; the returned
-    // ranks is a BARE checkpoint the caller can free the same way
-    org.apache.spark.sql.graft.CheckpointBlocks.unpersist(nodes)
-    org.apache.spark.sql.graft.CheckpointBlocks.unpersist(outDeg)
+    // derived invariants' blocks are dead once the loop ends (supplied
+    // ones are parquet frames — nothing to free); the returned ranks is
+    // a BARE checkpoint the caller can free the same way
+    if (derived) {
+      org.apache.spark.sql.graft.CheckpointBlocks.unpersist(nodes)
+      org.apache.spark.sql.graft.CheckpointBlocks.unpersist(eDeg)
+    }
     ranks
   }
 

@@ -18,6 +18,22 @@ object GraphQueries {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Tables.table(s, d, n)
 
+  /** PageRank loop invariants of the derived dataset graph — node set
+    * and out-degrees — MATERIALIZED once per dataset dir: they are
+    * edge-table-stable, so deriving them per execution paid two full
+    * edge-frame shuffles (checkpoint jobs) every run. */
+  private def prInvariants(s: SparkSession, d: String): (DataFrame, DataFrame) = (
+    graft.Materialize(s, d, "pr_nodes", Seq("orders", "lineitem"), Some("node")) {
+      val e = Graph.edges(s, d).select("src", "dst")
+      e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node"))).distinct()
+    },
+    graft.Materialize(s, d, "pr_edeg", Seq("orders", "lineitem"), Some("src")) {
+      val e = Graph.edges(s, d).select("src", "dst")
+      e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+        .select(col("src"), col("dst"), col("deg"))
+    })
+
   /** Co-purchase projection shared by q177/q182/q183/q186: parts
     * sharing an order ≥2 times, as canonical `(a < b)` distinct pairs.
     * MATERIALIZED once per dataset dir (a-clustered parquet) — the
@@ -229,7 +245,8 @@ object GraphQueries {
          |SELECT node, CAST(floor(rank * 10000 + 0.5) AS BIGINT) AS rank_e4
          |FROM r3 ORDER BY node""".stripMargin) {
       (s, d) =>
-      Graph.pageRank(Graph.edges(s, d), iters = 3)
+      Graph.pageRank(Graph.edges(s, d), iters = 3,
+          invariants = Some(prInvariants(s, d)))
         .select(col("node"),
           floor(col("rank") * 10000 + 0.5).cast(LongType).as("rank_e4"))
         .orderBy("node")
@@ -278,7 +295,8 @@ object GraphQueries {
       (s, d) =>
       val e = Graph.edges(s, d)
       val seeds = e.where(col("src") <= 10).select(col("src").as("node")).distinct()
-      Graph.pageRank(e, iters = 3, restart = Some(seeds))
+      Graph.pageRank(e, iters = 3, restart = Some(seeds),
+          invariants = Some(prInvariants(s, d)))
         .select(col("node"),
           floor(col("rank") * 10000 + 0.5).cast(LongType).as("rank_e4"))
         .where(col("rank_e4") > 0)
