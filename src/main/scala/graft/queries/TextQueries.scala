@@ -910,19 +910,25 @@ object TextQueries {
          |SELECT src_a, src_b, ${r6Sql("i * 1.0 / (ca.n + cb.n - i)")} AS jaccard
          |FROM inter JOIN cnt ca ON ca.source = src_a JOIN cnt cb ON cb.source = src_b
          |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
-      val docsrc = t(s, d, "documents").select(col("doc_id"), col("source"))
       // pair generation WITHOUT a self-join OR a separate distinct:
       // collect_set dedups inside ONE groupBy(shingle) shuffle (the old
       // shape paid a (source, shingle) distinct exchange first), then
       // in-row ordered-pair expansion (sorted set ⇒ a < b) and the pair
-      // count agg. Per-source set sizes come from the already-deduped
-      // grouped frame (explode of ≤|sources| entries — tiny), not from
-      // a third pass over the raw shingle stream. Same
-      // Σ_shingle |sources|² bound as the join form.
-      val grouped = shinglesTab(s, d).select(col("doc_id"), col("shingle"))
-        .join(docsrc, "doc_id")
-        .groupBy("shingle")
-        .agg(sort_array(collect_set(col("source"))).as("ss"))
+      // count agg. The grouped (shingle → source set) table is itself
+      // MATERIALIZED per corpus stamp — it is the cross-source overlap
+      // index a contamination report ships (the shinglesTab
+      // discipline), so re-runs start from a scan. Per-source set sizes
+      // come from the same deduped frame (explode of ≤|sources|
+      // entries — tiny). Same Σ_shingle |sources|² bound as the join
+      // form.
+      val grouped = graft.Materialize(s, d, "src_shingles",
+        Seq("documents"), Some("shingle")) {
+        val docsrc = t(s, d, "documents").select(col("doc_id"), col("source"))
+        shinglesTab(s, d).select(col("doc_id"), col("shingle"))
+          .join(docsrc, "doc_id")
+          .groupBy("shingle")
+          .agg(sort_array(collect_set(col("source"))).as("ss"))
+      }
       val cnt = grouped.select(explode(col("ss")).as("source"))
         .groupBy("source").agg(count(lit(1)).as("n"))
       val inter = grouped
