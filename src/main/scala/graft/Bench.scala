@@ -18,6 +18,16 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Force FULL evaluation of the query's own plan. `df.count()` lets
+    * Catalyst re-optimize around the count — e.g. outer-join
+    * elimination deletes a PageRank's unconsumed rank joins entirely,
+    * timing a bare node scan (found when the r12 lazy-fused q149
+    * "measured" 0.15 s for 3 supersteps). Executing the compiled
+    * physical plan's RDD pays every operator the user-visible result
+    * pays, with no driver-side row transfer beyond partition counts. */
+  def force(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
+
   /** Queries carried on the FINAL compact JSON line (the one the driver
     * parses). Kept to a representative subset because the driver records
     * only the last ~2000 chars of output — BenchContractSpec asserts the
@@ -74,7 +84,7 @@ object Bench {
     val reps = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3))
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { force(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
       val cold = (System.nanoTime() - t0) / 1e9
       // drop per-query cached intermediates so each timed run pays its
       // own caching cost (and doesn't bleed memory pressure forward)
@@ -84,7 +94,7 @@ object Bench {
       // reports -1 so the record shows failure instead of a bogus time
       val times = (1 to reps).map { _ =>
         val t1 = System.nanoTime()
-        val failed = try { fn(spark, sfDir).count(); false } catch { case _: Throwable => true }
+        val failed = try { force(fn(spark, sfDir)); false } catch { case _: Throwable => true }
         val t = (System.nanoTime() - t1) / 1e9
         spark.catalog.clearCache()
         if (failed) Double.PositiveInfinity else t

@@ -54,9 +54,10 @@ class Graft(
     * collection contributes its resolved manifest/generation path — a
     * publish changes the stamp and the next call recompiles against the
     * new generation instead of serving retained-then-vacuumed files.
-    * Uncacheable (returns fresh compiles): NOW()-relative queries
-    * without a fixed epoch, and multi-SELECT texts (subqueries/EXISTS
-    * may reference tables the key can't see). */
+    * Subquery FROMs are resolved from the AST and stamped like any
+    * other table, so correlated/EXISTS shapes cache too. Uncacheable
+    * (returns fresh compiles): NOW()-relative queries without a fixed
+    * epoch. */
   private val planCacheSize = 128
   private val planCache =
     new java.util.LinkedHashMap[String, DataFrame](planCacheSize, 0.75f, true) {
@@ -66,25 +67,61 @@ class Graft(
   /** Compiles actually executed (cache misses) — spec observability. */
   private[graft] val compileCount = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Every table the query reads, INCLUDING subquery FROMs — walked
+    * from the AST (`Ast.SubqueryValue` nodes inside conditions), not
+    * guessed from the text. The r11 shape bailed to "never cacheable"
+    * on any multi-SELECT text via a regex count, so the subquery-bearing
+    * flagship shapes never hit the memo (r11 VERDICT ask #7). */
+  private def tablesOf(ast: Ast.Query): Seq[String] = {
+    import Ast._
+    def ofValue(v: Value): Seq[String] = v match {
+      case SubqueryValue(sq) => ofSelect(sq)
+      case _ => Nil
+    }
+    def ofCond(c: Condition): Seq[String] = c match {
+      case Compare(_, _, v) => ofValue(v)
+      case In(_, vs) => vs.flatMap(ofValue)
+      case Between(_, lo, hi) => ofValue(lo) ++ ofValue(hi)
+      case And(l, r) => ofCond(l) ++ ofCond(r)
+      case Or(l, r) => ofCond(l) ++ ofCond(r)
+      case Not(x) => ofCond(x)
+      case _ => Nil
+    }
+    def ofSelect(s: Select): Seq[String] =
+      (s.from +: s.joins.map(_.table)) ++ s.where.toSeq.flatMap(ofCond)
+    (ast.select.toSeq ++ ast.compound.map(_.right)).flatMap(ofSelect) ++
+      ast.matchQuery.toSeq.flatMap(_.where.toSeq.flatMap(ofCond))
+  }
+
   private def planKey(query: String, ast: Ast.Query, params: Map[String, Any],
       fixedNowEpoch: Option[Long], graphScope: Option[String]): Option[String] = {
     if (fixedNowEpoch.isEmpty && "(?i)\\bNOW\\b".r.findFirstIn(query).isDefined)
       return None // wall-clock-relative plan: never reusable
-    if ("(?i)\\bSELECT\\b".r.findAllIn(query).size > 1)
-      return None // nested SELECTs may scan tables the key can't stamp
     def stampOf(t: String): String =
       if (collections.exists(t))
         collections.pointsRealPath(t).map(_.toString).getOrElse(s"empty:$t")
-      else s"tbl:$t"
-    val selects = ast.select.toSeq ++ ast.compound.map(_.right)
-    val tableStamps = selects.flatMap(s => s.from +: s.joins.map(_.table))
-      .map(stampOf)
+      else {
+        // dataset (non-collection) tables stamp by their parquet file
+        // listing, not a constant — a dir regenerated within a process
+        // re-resolves instead of serving a stale file list (r11 ADVICE)
+        val p = java.nio.file.Paths.get(s"$dataDir/$t.parquet")
+        if (java.nio.file.Files.exists(p))
+          s"tbl:$t:${Materialize.pathStamp(p)}"
+        else s"tbl:$t"
+      }
+    val tableStamps = tablesOf(ast).map(stampOf)
     val graphStamps =
       if (ast.matchQuery.isDefined || graphScope.isDefined)
         "graph" +: graphScope.toSeq.flatMap(n => Seq(stampOf(n),
           collections.edgesRealPath(n).map(_.toString).getOrElse(s"noedges:$n")))
       else Nil
-    Some((query, params.toSeq.sortBy(_._1).toString, fixedNowEpoch,
+    // param values render with their runtime class: Map("p" -> 1) and
+    // Map("p" -> "1") bake different literals and must not share a plan
+    // (r11 ADVICE — toString alone collides on type-distinct values)
+    val paramKey = params.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"$k=${if (v == null) "null" else v.getClass.getName}:$v"
+    }.mkString(";")
+    Some((query, paramKey, fixedNowEpoch,
       graphScope, tableStamps, graphStamps).toString)
   }
 

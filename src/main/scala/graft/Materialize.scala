@@ -64,8 +64,35 @@ object Materialize {
         org.apache.spark.sql.graft.CheckpointBlocks.unpersistAll(b)
       }
     }
-    spark.read.parquet(path.toString)
+    readMemo(spark, path.toString)
   }
+
+  /** Per-session memo of resolved parquet relations. `spark.read
+    * .parquet` runs 1-2 one-task driver jobs (file listing + footer
+    * schema read) per CALL — query defs that re-resolve the same derived
+    * table on every execution paid that floor 3× per recall-pin leg
+    * (r11 VERDICT "job stacking"). Derived paths embed their content
+    * stamp in the directory NAME, so a cached relation can never go
+    * stale: new content ⇒ new path ⇒ new cache row. Keyed weakly per
+    * session so stopped test sessions don't pin plans. */
+  private val readCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
+  def readMemo(spark: SparkSession, path: String): DataFrame = {
+    val perSession = readCache.synchronized {
+      var m = readCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        readCache.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(path, spark.read.parquet(path))
+  }
+
+  /** Content stamp of an arbitrary live path (used by callers whose
+    * path does NOT embed the stamp — e.g. raw dataset tables): the same
+    * (name, mtime, size) walk as [[atPaths]] keys, driver-side only. */
+  def pathStamp(p: Path): String = listingHash(p)
 
   /** Retention for superseded index generations: building a NEW stamp of
     * (kind, token) makes every OLDER same-prefix sibling stale — without

@@ -14,8 +14,32 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Per-session relation memo, content-stamped: `spark.read.parquet`
+    * pays 1-2 one-task listing/schema jobs per call, and the bench/
+    * verify loops resolve the same ten tables thousands of times. The
+    * key includes the file listing's (name, mtime, size) hash, so a
+    * regenerated dataset dir WITHIN a process re-resolves (same
+    * staleness contract as Materialize's stamped paths) while repeat
+    * reads are driver-side map hits. */
+  private val cache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val perSession = cache.synchronized {
+      var m = cache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+        cache.put(spark, m)
+      }
+      m
+    }
+    val stamp = Materialize.pathStamp(java.nio.file.Paths.get(path))
+    perSession.getOrElseUpdate((path, stamp), load(spark, path, name))
+  }
+
+  private def load(spark: SparkSession, path: String, name: String): DataFrame = {
+    val df = spark.read.parquet(path)
     // events.ts is parquet TIMESTAMP(NANOS): with
     // spark.sql.legacy.parquet.nanosAsLong=true it arrives as Long nanos —
     // re-derive the micros-precision timestamp (matches DuckDB's ns→µs

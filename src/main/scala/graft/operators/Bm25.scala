@@ -41,8 +41,9 @@ object Bm25 {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
     val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-    val scored = tf.join(broadcast(dfreq), "term")
-      .join(dl, "doc_id")
+    // tf (query-term-pruned) broadcasts into the corpus-sized doc-length
+    // table — no shuffle of dl, agg over matching docs only
+    val scored = dl.join(broadcast(tf.join(broadcast(dfreq), "term")), "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("term_score",
         idf * (col("tf") * (lit(K1) + 1.0))
@@ -93,15 +94,20 @@ object Bm25 {
     materializedIndex(spark, dir, "bm25", Seq("documents"))(
       graft.Tables.table(spark, dir, "documents"))
 
-  /** BM25 over a prebuilt index — same scores as [[score]]. */
+  /** BM25 over a prebuilt index — same scores as [[score]]. The tf side
+    * (term-pruned postings) is query-term-sized, so it BROADCASTS into
+    * the corpus-sized docStats scan: no shuffle of docStats, and the
+    * doc_id agg runs over matching docs only. postings is unique per
+    * (term, doc_id) by construction, so df = count, not countDistinct
+    * (which would plan an expand over the same rows). */
   def searchIndex(index: Index, queryText: String, k: Int = 0): DataFrame = {
     val queryTerms = queryText.toLowerCase.split("[^a-z0-9]+")
       .filter(_.length > 1).toSeq.distinct
     val tf = index.postings.where(col("term").isin(queryTerms: _*))
-    val dfreq = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-    val scored = tf.join(broadcast(dfreq), "term")
-      .join(index.docStats, "doc_id")
+    val scored = index.docStats
+      .join(broadcast(tf.join(broadcast(dfreq), "term")), "doc_id")
       .crossJoin(broadcast(index.corpusStats))
       .withColumn("term_score",
         idf * (col("tf") * (lit(K1) + 1.0))

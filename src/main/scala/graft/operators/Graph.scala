@@ -27,6 +27,11 @@ object Graph {
   val PartOffset = 20000000L
   val SuppOffset = 30000000L
 
+  /** Personalized-PageRank seed sets up to this size inline as an InSet
+    * predicate (one bounded collect); larger sets fall back to a
+    * broadcast join. See the restart branch in [[pageRank]]. */
+  val SeedInlineCap = 10000
+
   /** The derived property graph over the TPC-H tables, un-materialized:
     * customer -placed-> order -contains-> part -supplied_by-> supplier.
     * Every edge carries a `weight` property (the reference's
@@ -256,6 +261,11 @@ object Graph {
     // anti-join), so a few chained rounds cost the analyzer nothing and
     // save a per-round job floor.
     val ckptEvery = 5
+    // ≤3 relaxation rounds fuse into ONE lazy plan (r11 VERDICT ask #5):
+    // no checkpoint materialization + re-read — the caller's single
+    // action runs the whole chain. The inputs are plain scans (edges,
+    // starts), so nothing the lazy plan reads gets freed under it.
+    val fuseLazy = maxHops <= 3
     for (i <- 1 to maxHops) {
       val eD = e.select(col("src").as("__s"), col("dst").as("__d"),
         col("weight").as("__w"))
@@ -264,7 +274,7 @@ object Graph {
           (dist("cost") + col("__w")).as("cost"))
       val updated0 = dist.unionAll(relaxed)
         .groupBy("start", "node").agg(min(col("cost")).as("cost"))
-      if (i == maxHops || i % ckptEvery == 0) {
+      if ((i == maxHops && !fuseLazy) || i % ckptEvery == 0) {
         val updated = updated0.localCheckpoint(true)
         if (prevCkpt != null)
           org.apache.spark.sql.graft.CheckpointBlocks.unpersist(prevCkpt)
@@ -272,15 +282,18 @@ object Graph {
         dist = updated
       } else dist = updated0
     }
-    // return a BARE checkpoint (LogicalRDD), not a Filter over one: the
-    // caller (REST handler, bench loop) can then free the blocks
-    // deterministically via CheckpointBlocks.unpersist — on a Filter
-    // that call is a silent no-op and the blocks wait for the async
-    // ContextCleaner. The loop's final checkpoint is freed here.
-    val out = dist.where(col("node") =!= col("start")).localCheckpoint(true)
-    if (prevCkpt != null)
-      org.apache.spark.sql.graft.CheckpointBlocks.unpersist(prevCkpt)
-    out
+    if (fuseLazy) dist.where(col("node") =!= col("start"))
+    else {
+      // return a BARE checkpoint (LogicalRDD), not a Filter over one: the
+      // caller (REST handler, bench loop) can then free the blocks
+      // deterministically via CheckpointBlocks.unpersist — on a Filter
+      // that call is a silent no-op and the blocks wait for the async
+      // ContextCleaner. The loop's final checkpoint is freed here.
+      val out = dist.where(col("node") =!= col("start")).localCheckpoint(true)
+      if (prevCkpt != null)
+        org.apache.spark.sql.graft.CheckpointBlocks.unpersist(prevCkpt)
+      out
+    }
   }
 
   /** PageRank, fixed-iteration form (beyond-reference: the canonical
@@ -323,11 +336,28 @@ object Graph {
       e.select(col("src").as("node"))
         .unionAll(e.select(col("dst").as("node"))).distinct())
     val nodes0 = restart match {
-      case Some(seeds) => allNodes
-        .join(seeds.select(col("node")).distinct().withColumn("__s", lit(true)),
-          Seq("node"), "left")
-        .select(col("node"),
-          when(col("__s"), lit(1.0)).otherwise(lit(0.0)).as("base"))
+      // personalization seed sets are QUERY-sized, not graph-sized:
+      // up to `SeedInlineCap` ids they inline as an InSet predicate
+      // (one bounded collect — the bucketsForIds class), so the base
+      // column is a pure projection over allNodes and every superstep
+      // keeps allNodes' small parquet size estimate. The join form
+      // (huge seed sets) poisons that estimate — a join output's
+      // sizeInBytes is the product of its children's, so downstream
+      // superstep joins stop broadcasting the node-sized rank frame
+      // and the fused plan's stage count triples. (A checkpoint is
+      // worse still: LogicalRDD stats default to unestimable-huge.)
+      case Some(seeds) =>
+        val ids = seeds.select(col("node")).distinct()
+          .limit(SeedInlineCap + 1).collect().map(_.get(0))
+        if (ids.length <= SeedInlineCap)
+          allNodes.select(col("node"),
+            when(col("node").isin(ids.toIndexedSeq: _*), lit(1.0))
+              .otherwise(lit(0.0)).as("base"))
+        else allNodes
+          .join(broadcast(seeds.select(col("node")).distinct()
+            .withColumn("__s", lit(true))), Seq("node"), "left")
+          .select(col("node"),
+            when(col("__s"), lit(1.0)).otherwise(lit(0.0)).as("base"))
       case None => allNodes.withColumn("base", lit(1.0))
     }
     // the seed join over supplied invariants is a scan + broadcast-small
@@ -344,17 +374,39 @@ object Graph {
     // contribution join + sum grow the plan linearly, so a few chained
     // supersteps are analyzer-cheap and each skipped checkpoint saves a
     // full job floor (see shortestPaths for the same discipline).
+    // SHORT loops over SUPPLIED invariants go further (r11 VERDICT ask
+    // #5): skip even the final checkpoint and return the lazy 3-superstep
+    // chain — the caller's one action executes everything, no checkpoint
+    // materialization + re-read pass. Only safe when the invariants are
+    // parquet-backed (derived invariants are checkpoints we free below,
+    // which would break a returned lazy plan that still reads them).
     val ckptEvery = 5
+    val fuseLazy = !derived && iters <= 3
+    // contrib is node-set-sized (one row per in-degree-≥1 node). When
+    // Spark's OWN estimate of the node set fits the session broadcast
+    // threshold, hint the superstep's left-outer build side: the node
+    // frame then never shuffles — each superstep is ONE exchange (the
+    // contribution agg, the graph's actual communication) plus
+    // broadcast builds. Above the threshold (big graphs) the hint is
+    // withheld and the shuffling SMJ remains the scale path.
+    val bcThreshold = {
+      val c = edges.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+      if (c > 0) c else 0L
+    }
+    val contribSmall =
+      try allNodes.queryExecution.optimizedPlan.stats.sizeInBytes * 4 <= bcThreshold
+      catch { case _: Throwable => false }
     for (i <- 1 to iters) {
-      val contrib = ranks
+      val contrib0 = ranks
         .join(eDeg, ranks("node") === eDeg("src"))
         .groupBy(col("dst").as("cnode"))
         .agg(sum(col("rank") / col("deg")).as("c"))
+      val contrib = if (contribSmall) broadcast(contrib0) else contrib0
       val updated0 = nodes.join(contrib, nodes("node") === col("cnode"), "left")
         .select(nodes("node"),
           (lit(1 - damping) * nodes("base")
             + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
-      if (i == iters || i % ckptEvery == 0) {
+      if ((i == iters && !fuseLazy) || i % ckptEvery == 0) {
         val updated = updated0.localCheckpoint(true)
         if (prevCkpt != null)
           org.apache.spark.sql.graft.CheckpointBlocks.unpersist(prevCkpt)
@@ -364,7 +416,8 @@ object Graph {
     }
     // derived invariants' blocks are dead once the loop ends (supplied
     // ones are parquet frames — nothing to free); the returned ranks is
-    // a BARE checkpoint the caller can free the same way
+    // a BARE checkpoint the caller can free the same way (or, on the
+    // fused ≤3-iteration path, a lazy plan with nothing to free)
     if (derived) {
       org.apache.spark.sql.graft.CheckpointBlocks.unpersist(nodes)
       org.apache.spark.sql.graft.CheckpointBlocks.unpersist(eDeg)
@@ -440,12 +493,21 @@ object Graph {
     * where the naive `a<b<c` id-ordered join explodes on hub nodes.
     * Three shuffles total (degree agg, wedge join on u, closing join on
     * (v, w)); nothing touches the driver. */
+  /** `smallGraph = true` marks the edge list as broadcast-able (a
+    * projected/sampled graph far under the broadcast threshold): every
+    * join side that is edge- or node-sized gets an explicit broadcast
+    * hint, collapsing the plan to two shuffles (the degree agg and the
+    * final per-node count) — r11 VERDICT ask #6. On a genuinely large
+    * graph leave it false: the shuffling wedge join is the scale path. */
   def triangleCounts(undirected: DataFrame,
-      aCol: String = "a", bCol: String = "b"): DataFrame = {
+      aCol: String = "a", bCol: String = "b",
+      smallGraph: Boolean = false): DataFrame = {
+    val hint: DataFrame => DataFrame =
+      if (smallGraph) broadcast else identity
     val e = undirected.select(col(aCol).cast("long").as("a"),
       col(bCol).cast("long").as("b"))
-    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val deg = hint(e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg")))
     // degree-1 endpoints can't close a triangle: dropping their edges
     // BEFORE orientation shrinks both the wedge join's input and the
     // closing-edge build (on co-occurrence graphs the degree-1 fringe
@@ -472,11 +534,11 @@ object Graph {
     val r = oriented.select(col("u"), col("v").as("y"), col("dv").as("dy"))
     // wedge (x, y) out of u with x before y in orientation order ⇒ the
     // closing edge, if present, is oriented x → y
-    val wedges = l.join(r, Seq("u"))
+    val wedges = l.join(hint(r), Seq("u"))
       .where(col("dx") < col("dy") ||
              (col("dx") === col("dy") && col("x") < col("y")))
       .select(col("u"), col("x"), col("y"))
-    val closing = oriented.select(col("u").as("x"), col("v").as("y"))
+    val closing = hint(oriented.select(col("u").as("x"), col("v").as("y")))
     val tri = wedges.join(closing, Seq("x", "y"))
     tri.select(col("u").as("node"))
       .unionAll(tri.select(col("x").as("node")))

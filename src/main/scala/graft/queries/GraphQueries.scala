@@ -323,7 +323,8 @@ object GraphQueries {
         |      UNION ALL SELECT c FROM tri)
         |SELECT node, count(*) AS n_triangles FROM n
         |GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
-      Graph.triangleCounts(coPurchasePairs(s, d)).orderBy("node")
+      Graph.triangleCounts(coPurchasePairs(s, d), smallGraph = true)
+        .orderBy("node")
     },
 
     // ---- Beyond-reference G: 2-core of the co-purchase projection —

@@ -480,30 +480,44 @@ class RestServer(g: Graft, port: Int = 0) {
         val others = e.columns.filterNot(Set("id", "src", "dst", "label")).toSeq
         val idCol = if (e.columns.contains("id")) col("id") else lit(null).cast("long")
         val lim = qs.get("limit").map(_.toInt).getOrElse(1000)
-        // keyset scroll over the (source, target) order:
-        // ?after_source=S&after_target=T resumes strictly past that
-        // pair — pushed predicates prune the (label, src)-clustered
-        // edge frame, so later pages skip earlier row groups
+        // keyset scroll over the (source, target, id) order:
+        // ?after_source=S&after_target=T[&after_id=I] resumes strictly
+        // past that key — pushed predicates prune the (label, src)-
+        // clustered edge frame, so later pages skip earlier row groups.
+        // The id tiebreaker (null-safe: derived dataset edges carry no
+        // id, but are UNIQUE per (label, src, dst) by construction —
+        // each label's builder aggregates on the pair) keeps a page
+        // boundary inside a parallel-edge group from skipping its
+        // remaining edges (user edge stores auto-assign ids).
         val cursored = (qs.get("after_source").map(_.toLong),
-            qs.get("after_target").map(_.toLong)) match {
-          case (Some(as), Some(at)) =>
+            qs.get("after_target").map(_.toLong),
+            qs.get("after_id").map(_.toLong)) match {
+          case (Some(as), Some(at), Some(aid)) =>
+            e.where(col("src") > as || (col("src") === as && col("dst") > at) ||
+              (col("src") === as && col("dst") === at && idCol > aid))
+          case (Some(as), Some(at), None) =>
             e.where(col("src") > as || (col("src") === as && col("dst") > at))
-          case (Some(as), None) => e.where(col("src") > as)
-          case (None, Some(_)) =>
-            badRequest("after_target requires after_source")
-          case (None, None) => e
+          case (Some(as), None, None) => e.where(col("src") > as)
+          case (None, _, _) if qs.contains("after_target") || qs.contains("after_id") =>
+            badRequest("after_target/after_id require after_source")
+          case (Some(_), None, Some(_)) =>
+            badRequest("after_id requires after_target")
+          case _ => e
         }
         val page = cursored.select(idCol.as("id"), col("src").as("source"),
             col("dst").as("target"), col("label"),
             struct(others.map(col): _*).as("properties"))
-          .orderBy(col("source"), col("target")).limit(lim + 1).toJSON.collect()
+          .orderBy(col("source"), col("target"), col("id").asc_nulls_first)
+          .limit(lim + 1).toJSON.collect()
         val hasMore = page.length > lim
         val rows = if (hasMore) page.dropRight(1) else page
         val nextCursor =
           if (!hasMore || rows.isEmpty) """"next_after_source":null"""
           else {
             val last = mapper.readTree(rows.last)
-            s""""next_after_source":${last.get("source")},"next_after_target":${last.get("target")}"""
+            val idPart = Option(last.get("id")).filterNot(_.isNull)
+              .map(i => s""","next_after_id":$i""").getOrElse("")
+            s""""next_after_source":${last.get("source")},"next_after_target":${last.get("target")}$idPart"""
           }
         ok(s"""{"edges":[${rows.mkString(",")}],"count":${rows.length},$nextCursor}""")
       case ("GET", "collections" :: name :: "graph" :: "edges" :: id :: Nil) =>
@@ -809,13 +823,19 @@ class RestServer(g: Graft, port: Int = 0) {
           qs.get("limit").flatMap(_.toIntOption).getOrElse(100), 10000)
         if (limit <= 0) badRequest("limit must be positive")
         // same keyset scroll as the live points listing (id-ordered,
-        // ?after_id=) — a snapshot is immutable, so the cursor is
+        // ?after_id=, string ids compare lexically — r11 ADVICE: forcing
+        // a numeric cursor cast string ids to null and silently dropped
+        // them from paging) — a snapshot is immutable, so the cursor is
         // additionally stable across any number of later publishes
         val idCol = g.catalog.metaOf(n).idCol
         val snap = g.collections.snapshotTable(n, tag)
-        val cursored = qs.get("after_id").map(_.toLongOption.getOrElse(
-          badRequest("after_id must be numeric"))) match {
-          case Some(a) if snap.columns.contains(idCol) => snap.where(col(idCol) > a)
+        val isNum = snap.schema.find(_.name == idCol)
+          .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+        val cursored = qs.get("after_id") match {
+          case Some(a) if snap.columns.contains(idCol) =>
+            if (isNum) snap.where(col(idCol) > a.toLongOption.getOrElse(
+              badRequest(s"after_id must be numeric for this collection, got '$a'")))
+            else snap.where(col(idCol) > a)
           case _ => snap
         }
         val ordered = if (snap.columns.contains(idCol))
