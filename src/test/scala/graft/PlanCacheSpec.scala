@@ -51,6 +51,44 @@ class PlanCacheSpec extends SparkSpecBase {
     graft.Collections.deleteRec(java.nio.file.Paths.get(tmp))
   }
 
+  test("subquery-bearing texts cache (tables stamped from the AST)") {
+    val g = Graft(spark, sfDir)
+    val q = """SELECT c_custkey, c_acctbal FROM customer
+              |WHERE c_acctbal > (SELECT min(o_totalprice) FROM orders
+              |                   WHERE o_custkey = customer.c_custkey)
+              |ORDER BY c_custkey LIMIT 5""".stripMargin
+    val c0 = g.compileCount.get()
+    val a = g.sql(q).collect().toSeq
+    assert(g.compileCount.get() == c0 + 1)
+    val b = g.sql(q).collect().toSeq
+    assert(g.compileCount.get() == c0 + 1,
+      "correlated-subquery text must hit the memo on the second call")
+    assert(a == b)
+  }
+
+  test("a publish to a table referenced ONLY inside a subquery invalidates") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-plancache-sq").toString
+    val g = Graft(spark, tmp)
+    g.collections.create("outer_c")
+    g.collections.create("inner_c")
+    g.collections.upsert("outer_c", Seq((1L, 5.0), (2L, 50.0)).toDF("id", "v"))
+    g.collections.upsert("inner_c", Seq((1L, 10.0)).toDF("id", "v"))
+    val q = "SELECT id, v FROM outer_c WHERE v > (SELECT max(v) FROM inner_c) ORDER BY id"
+    assert(g.sql(q).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    val c0 = g.compileCount.get()
+    g.sql(q).collect()
+    assert(g.compileCount.get() == c0, "pre-publish re-run must hit the cache")
+    // the publish touches ONLY the subquery's table — the regex-keyed
+    // r11 memo could not see it (it bailed on multi-SELECT texts); the
+    // AST-walked key stamps it and recompiles
+    g.collections.upsert("inner_c", Seq((2L, 60.0)).toDF("id", "v"))
+    val rows = g.sql(q).collect()
+    assert(g.compileCount.get() == c0 + 1,
+      "publish to the subquery table must invalidate the plan")
+    assert(rows.isEmpty, "post-publish plan must see the new inner max (60 > all outer v)")
+    graft.Collections.deleteRec(java.nio.file.Paths.get(tmp))
+  }
+
   test("NOW-relative queries are never cached") {
     val g = Graft(spark, sfDir)
     val q = "SELECT event_id FROM events WHERE ts > NOW() - INTERVAL '36500 days' LIMIT 1"

@@ -70,6 +70,18 @@ class RestServerSpec extends SparkSpecBase {
       s"""{"vector": [${vec.mkString(", ")}],
          | "filter": {"condition": {"type": "regex", "field": "x"}}}""".stripMargin)
       .statusCode() == 400)
+    // repeated identical requests serve through the compiled-plan memo:
+    // the route compiles via Graft.sql, so the second round-trip must
+    // not re-run the compiler (r11 VERDICT ask #8)
+    val r2a = post("/collections/embeddings/search", body)
+    val cAfterWarm = g.compileCount.get()
+    val r2b = post("/collections/embeddings/search", body)
+    assert(r2b.statusCode() == 200, r2b.body())
+    assert(g.compileCount.get() == cAfterWarm,
+      "identical search request must hit the plan memo, not recompile")
+    def idsOf(b: String) =
+      """"id":(\d+)""".r.findAllMatchIn(b).map(_.group(1).toLong).toSeq
+    assert(idsOf(r2a.body()) == idsOf(r2b.body()))
     // batch items carry per-item filters (q57 semantics over HTTP)
     val batch = post("/collections/embeddings/search/batch",
       s"""{"searches": [
