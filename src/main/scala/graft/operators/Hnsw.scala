@@ -34,12 +34,22 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
   *
   * Scale note: a cell's adjacency must fit one task (the same bound the
   * per-cell k-means/PQ training already assumes); size `graft.ivf.cells`
-  * so cells stay ~10⁵-10⁶ rows at the target scale. Graph build is
-  * O(|cell|²/2) kernel evals per cell — the price of HNSW-quality
-  * neighborhoods, paid once per content stamp at build time (the
-  * reference pays 52 s for 100K×768 single-node, benchmarks/README.md).
+  * so cells stay ~10⁵-10⁶ rows at the target scale. Graph build is the
+  * reference's INSERTION algorithm (search-then-link,
+  * native_index.rs:317): each node searches the graph built so far with
+  * an `efConstruction`-bounded expansion and links to its `m` best —
+  * O(n·ef·m) kernel evals per cell, ~linear in |cell|
+  * (HnswBuildCostSpec pins the growth on a counter). The r11 half-matrix
+  * build was O(|cell|²/2): at 10⁶-row cells that is ~5×10¹¹ kernel evals
+  * per rebuild — the build, not the walk, was the scale-killer
+  * (r11 VERDICT ask #3).
   */
 object Hnsw {
+
+  /** Kernel evaluations spent in [[buildGraph]] since JVM start —
+    * diagnostic counter for the build-cost spec (exact in local mode
+    * where tasks share the JVM; per-executor on a cluster). */
+  val buildKernelEvals = new java.util.concurrent.atomic.LongAdder
 
   /** Metric name → (kernel, higherIsBetter) — the driver-side twin of
     * [[graft.functions.VectorFunctions.metrics]] (distance.rs:76-81). */
@@ -69,13 +79,22 @@ object Hnsw {
   }
 
   /** Build the adjacency frame over an IVF-cell-assigned frame: input
-    * columns + `neighbors` (m nearest ids at level 0, made bidirectional
-    * by unioning reverse links — ≤ 2m total), `neighbors1` (m nearest
-    * among level-1 nodes; empty for level-0 nodes) and `level` (0/1).
-    * Each cell's graph is built inside its task — O(|cell|²/2) kernel
-    * evals, per-node bounded-size heaps. */
+    * columns + `neighbors` (≤2m bidirectional level-0 links, best
+    * first), `neighbors1` (≤m links within the level-1 mesh; empty for
+    * level-0 nodes) and `level` (0/1).
+    *
+    * Each cell's graph is built inside its task by INCREMENTAL
+    * search-then-link insertion (the reference's insert algorithm,
+    * native_index.rs:317): nodes enter in ascending-id order (fully
+    * deterministic — rebuilds are bit-identical across JVMs, which the
+    * Materialize cache identity requires); each inserted node runs an
+    * `efConstruction`-bounded best-first search over the graph built so
+    * far, links bidirectionally to its `m` best candidates, and
+    * overfull endpoints prune to their 2m best — O(n·ef·m) kernel
+    * evals, not the half-matrix O(n²/2). */
   def buildGraph(cells: DataFrame, vecCol: String, idCol: String,
-      metric: String, m: Int = 8, levelStride: Int = 16): DataFrame = {
+      metric: String, m: Int = 8, levelStride: Int = 16,
+      efConstruction: Int = 64): DataFrame = {
     val inSchema = cells.schema
     val outSchema = inSchema
       .add("neighbors", ArrayType(LongType, containsNull = false))
@@ -87,91 +106,107 @@ object Hnsw {
     val (kern, hib) = kernelOf(metric)
     val mm = m
     val stride = levelStride
+    val efC = math.max(efConstruction, m + 1)
     cells.repartition(col("cell")).mapPartitions { it =>
       val all = it.toArray
-      all.groupBy(_.getInt(cellIdx)).iterator.flatMap { case (_, rows) =>
+      all.groupBy(_.getInt(cellIdx)).iterator.flatMap { case (_, rows0) =>
+        // ascending-id insertion order (determinism)
+        val rows = rows0.sortBy(r => asLong(r.get(idIdx)))
         val n = rows.length
         val ids = Array.tabulate(n)(i => asLong(rows(i).get(idIdx)))
         val vecs = Array.tabulate(n)(i => rows(i).getSeq[Float](vecIdx).toArray)
-        // per-node best-m heaps filled from a half-matrix pass: each
-        // pair evaluated once, both endpoints updated
-        final class TopM {
-          // parallel arrays, linear insert (m is small)
-          val nid = new Array[Long](mm)
-          val nsc = new Array[Double](mm)
-          var size = 0
-          def worst: Double = nsc(size - 1)
-          def add(id: Long, s: Double): Unit = {
-            if (size < mm) { nid(size) = id; nsc(size) = s; size += 1; siftUp(size - 1) }
-            else if (better(s, worst) || (s == worst && id < nid(size - 1))) {
-              nid(size - 1) = id; nsc(size - 1) = s; siftUp(size - 1)
-            }
-          }
-          private def better(a: Double, b: Double): Boolean = if (hib) a > b else a < b
-          private def siftUp(from: Int): Unit = {
-            var i = from
-            while (i > 0 && (better(nsc(i), nsc(i - 1)) ||
-                (nsc(i) == nsc(i - 1) && nid(i) < nid(i - 1)))) {
-              val ti = nid(i); val ts = nsc(i)
-              nid(i) = nid(i - 1); nsc(i) = nsc(i - 1)
-              nid(i - 1) = ti; nsc(i - 1) = ts
-              i -= 1
-            }
-          }
-          def result: Seq[Long] = nid.take(size).toSeq
+        def better(a: Double, b: Double): Boolean = if (hib) a > b else a < b
+        def sim(a: Int, b: Int): Double = {
+          buildKernelEvals.increment()
+          kern(vecs(a), vecs(b))
         }
-        val l0 = Array.fill(n)(new TopM)
+        // One incremental graph structure per level. Links are stored
+        // with the score BETWEEN THE ENDPOINTS so pruning an overfull
+        // node needs no re-evaluation.
+        final class InsertGraph(cap: Int, members: Array[Int]) {
+          // members: node indices in insertion order
+          val nbr = new Array[scala.collection.mutable.ArrayBuffer[(Int, Double)]](n)
+          members.foreach(i => nbr(i) = scala.collection.mutable.ArrayBuffer.empty)
+          private var inserted = 0
+          private def link(a: Int, b: Int, s: Double): Unit = {
+            val l = nbr(a)
+            l += ((b, s))
+            if (l.length > cap) {
+              // drop the worst link, ties to the larger id (keep best)
+              var worst = 0
+              var wi = 1
+              while (wi < l.length) {
+                val w = l(worst); val c = l(wi)
+                if (better(w._2, c._2) || (w._2 == c._2 && ids(c._1) > ids(w._1)))
+                  worst = wi
+                wi += 1
+              }
+              l.remove(worst)
+            }
+          }
+          /** efSearch-bounded best-first over the inserted prefix;
+            * returns accepted (score, idx) best-first. */
+          def searchCandidates(q: Int, ef: Int, entry: Int): Seq[(Double, Int)] = {
+            val ordCand = Ordering.by[(Double, Int), (Double, Long)] {
+              case (s, i) => (if (hib) s else -s, -ids(i))
+            }
+            val cand = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ordCand)
+            val res = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ordCand.reverse)
+            val visited = scala.collection.mutable.HashSet.empty[Int]
+            // hard visit bound (the walk's maxVisited discipline): on
+            // tie-degenerate data the ef-beam termination alone can
+            // touch the whole prefix, which would quietly reintroduce
+            // the quadratic build this algorithm replaces
+            val maxVisited = ef * 8
+            val es = sim(q, entry)
+            visited.add(entry)
+            cand.enqueue((es, entry))
+            res.enqueue((es, entry))
+            while (cand.nonEmpty && visited.size < maxVisited) {
+              val (cs, ci) = cand.dequeue()
+              if (res.size >= ef && better(res.head._1, cs)) cand.clear()
+              else nbr(ci).foreach { case (nb, _) =>
+                if (!visited.contains(nb) && visited.size < maxVisited) {
+                  visited.add(nb)
+                  val s = sim(q, nb)
+                  if (res.size < ef || better(s, res.head._1) || s == res.head._1) {
+                    cand.enqueue((s, nb))
+                    res.enqueue((s, nb))
+                    if (res.size > ef) res.dequeue()
+                  }
+                }
+              }
+            }
+            res.dequeueAll.reverse.toSeq // best first
+          }
+          /** Insert the next member: search the prefix, link to the m
+            * best bidirectionally. */
+          def insert(q: Int, entry: Int): Unit = {
+            if (inserted > 0)
+              searchCandidates(q, efC, entry).take(mm).foreach { case (s, j) =>
+                link(q, j, s); link(j, q, s)
+              }
+            inserted += 1
+          }
+          def linksOf(i: Int): Seq[Long] =
+            nbr(i).sortBy { case (j, s) => (if (hib) -s else s, ids(j)) }
+              .map { case (j, _) => ids(j) }.toSeq
+        }
+        val allIdx = Array.range(0, n)
+        val l0 = new InsertGraph(2 * mm, allIdx)
         var i = 0
-        while (i < n) {
-          var j = i + 1
-          while (j < n) {
-            val s = kern(vecs(i), vecs(j))
-            l0(i).add(ids(j), s)
-            l0(j).add(ids(i), s)
-            j += 1
-          }
-          i += 1
-        }
-        // bidirectional links (HNSW's add-then-reverse step): a pure
-        // kNN DIgraph need not be navigable — a node nobody points to
-        // is unreachable from any entry. Union each node's kNN list
-        // with its reverse links, kNN first, capped at 2m.
-        val reverse = Array.fill(n)(List.empty[Long])
-        val idxOf = scala.collection.mutable.LongMap.empty[Int]
-        var ri = 0
-        while (ri < n) { idxOf(ids(ri)) = ri; ri += 1 }
-        var fi = 0
-        while (fi < n) {
-          l0(fi).result.foreach { nb =>
-            val j = idxOf(nb)
-            reverse(j) = ids(fi) :: reverse(j)
-          }
-          fi += 1
-        }
-        def undirected(i: Int): Seq[Long] = {
-          val fwd = l0(i).result
-          val fwdSet = fwd.toSet
-          fwd ++ reverse(i).filterNot(fwdSet).distinct.sorted.take(mm)
-        }
-        val lvl1Idx = (0 until n).filter(i => isLevel1(ids(i), stride))
-        val l1 = scala.collection.mutable.LongMap.empty[TopM]
-        lvl1Idx.foreach(i => l1(ids(i)) = new TopM)
+        while (i < n) { l0.insert(i, 0); i += 1 }
+        // level-1 mesh: the deterministic ~1/stride sample, built by the
+        // same insertion algorithm among its members (cap m)
+        val lvl1Idx = allIdx.filter(i => isLevel1(ids(i), stride))
+        val isL1 = lvl1Idx.toSet
+        val l1 = new InsertGraph(mm, lvl1Idx)
         var a = 0
-        while (a < lvl1Idx.length) {
-          var b = a + 1
-          while (b < lvl1Idx.length) {
-            val (ia, ib) = (lvl1Idx(a), lvl1Idx(b))
-            val s = kern(vecs(ia), vecs(ib))
-            l1(ids(ia)).add(ids(ib), s)
-            l1(ids(ib)).add(ids(ia), s)
-            b += 1
-          }
-          a += 1
-        }
+        while (a < lvl1Idx.length) { l1.insert(lvl1Idx(a), lvl1Idx(0)); a += 1 }
         (0 until n).iterator.map { i =>
-          val lvl = if (l1.contains(ids(i))) 1 else 0
-          val nb1 = if (lvl == 1) l1(ids(i)).result else Seq.empty[Long]
-          Row.fromSeq(rows(i).toSeq :+ undirected(i) :+ nb1 :+ lvl)
+          val lvl = if (isL1(i)) 1 else 0
+          val nb1 = if (lvl == 1) l1.linksOf(i) else Seq.empty[Long]
+          Row.fromSeq(rows(i).toSeq :+ l0.linksOf(i) :+ nb1 :+ lvl)
         }
       }
     }(Encoders.row(outSchema))
@@ -287,8 +322,11 @@ object Hnsw {
       : (Array[(Int, Array[Float])], DataFrame) = {
     val (cents, cells) = Ivf.materializedIndexAt(spark, token, sources,
       name, base, vecCol, kCells)
+    // v2 in the kind: the r12 insertion build produces different (still
+    // contract-conforming) adjacency than the r11 half-matrix build — a
+    // stale same-key cache from the old algorithm must not be served
     val graph = graft.Materialize.atPaths(spark, token,
-      s"hnsw${m}s${levelStride}_${metric}_$name", sources, Some("cell")) {
+      s"hnswv2m${m}s${levelStride}_${metric}_$name", sources, Some("cell")) {
       buildGraph(cells, vecCol, idCol, metric, m, levelStride)
     }
     (cents, graph)
