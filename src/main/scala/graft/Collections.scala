@@ -281,6 +281,54 @@ class Collections(spark: SparkSession, dataDir: String,
     if (Files.exists(manifestLink(name))) gcPoints(name, retain = 1)
   }
 
+  // ---- trained-index epochs -------------------------------------------
+  //
+  // Trained ANN models (IVF centroids, PQ codebooks, the HNSW router)
+  // are corpus STATISTICS, stable under small batches — so they freeze
+  // per EPOCH, not per content stamp: a publish re-encodes only its
+  // touched buckets against the frozen model instead of re-training and
+  // re-encoding the whole collection (the r11 ingest scale-killer; the
+  // reference's in-place index insert, native_index.rs:317, has the
+  // same cost shape). The epoch lives in a sidecar file whose
+  // (mtime, size) IS the Materialize stamp for every model artifact;
+  // [[retrainIndexes]] bumps it — the explicit drift trigger.
+
+  private def indexEpochPath(name: String): Path =
+    colDir(name).resolve("index_epoch")
+
+  /** The sidecar path, created at first use (epoch 0) so Materialize's
+    * missing-source fail-fast never trips on a pre-epoch collection. */
+  def ensureIndexEpochFile(name: String): Path = this.synchronized {
+    val p = indexEpochPath(name)
+    if (!Files.exists(p)) Files.writeString(p, "0")
+    p
+  }
+
+  /** Current trained-index epoch (0 until the first retrain). */
+  def indexEpoch(name: String): Long = {
+    val p = indexEpochPath(name)
+    if (Files.exists(p)) Files.readString(p).trim.split("\\s+")(0).toLong
+    else 0L
+  }
+
+  /** Bump the epoch: the next indexed query re-trains every model on
+    * the then-current content and re-encodes all buckets against it.
+    * Returns the new epoch. The file PADS to an epoch-dependent length:
+    * the Materialize listing stamp reads (mtime, size) only, and two
+    * bumps inside one mtime granule must still change the stamp — the
+    * mod-97 pad guarantees a size change for any two epochs closer than
+    * 97 apart, and 97 bumps cannot fit in one granule. */
+  def retrainIndexes(name: String): Long = this.synchronized {
+    require(exists(name), s"collection $name does not exist")
+    val next = indexEpoch(name) + 1
+    val p = indexEpochPath(name)
+    val tmp = p.resolveSibling(s"index_epoch.tmp-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, s"$next " + "x" * (next % 97).toInt)
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
   /** The bucketed layout's pieces — bucket index → RESOLVED immutable
     * leaf dir — when the current manifest is hash-bucketed; None on
     * flat/legacy layouts. Derived-index maintenance keys on these: an

@@ -99,7 +99,12 @@ class Graft(
       return None // wall-clock-relative plan: never reusable
     def stampOf(t: String): String =
       if (collections.exists(t))
-        collections.pointsRealPath(t).map(_.toString).getOrElse(s"empty:$t")
+        // generation path + trained-index epoch: a retrain changes the
+        // resolved ANN model without publishing, and a cached plan baked
+        // the old materialization paths
+        collections.pointsRealPath(t)
+          .map(p => s"$p:e${collections.indexEpoch(t)}")
+          .getOrElse(s"empty:$t")
       else {
         // dataset (non-collection) tables stamp by their parquet file
         // listing, not a constant — a dir regenerated within a process

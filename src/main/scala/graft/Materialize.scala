@@ -40,8 +40,9 @@ object Materialize {
     * current builders read parquet/local relations, which is the shape
     * to keep. */
   def atPaths(spark: SparkSession, token: String, kind: String,
-      sources: Seq[Path], partCol: Option[String])(build: => DataFrame): DataFrame = {
-    val key = cacheKey(kind, token, sources)
+      sources: Seq[Path], partCol: Option[String],
+      extraStamp: Option[String] = None)(build: => DataFrame): DataFrame = {
+    val key = cacheKey(kind, token, sources, extraStamp)
     val path = Paths.get(s"${sys.props("java.io.tmpdir")}/graft-derived/$key")
     this.synchronized {
       if (!Files.exists(path.resolve("_SUCCESS"))) {
@@ -130,14 +131,19 @@ object Materialize {
     * the same key and would serve the stale cache. Parquet writers
     * (task-UUID part files, varying encoded sizes) don't do that in
     * practice — sources here are only ever regenerated wholesale. */
+  /** `extraStamp`: an additional VALUE-derived stamp component (e.g. a
+    * per-cell content hash) appended to the file-listing stamp. It sits
+    * AFTER the `__` prefix boundary, so [[pruneStaleSiblings]] treats a
+    * same-(kind, token) entry with a different extraStamp as a stale
+    * generation and retires it like any other superseded stamp. */
   private def cacheKey(kind: String, token: String,
-      sources: Seq[Path]): String = {
-    val stamp = sources.map { f =>
+      sources: Seq[Path], extraStamp: Option[String] = None): String = {
+    val stamp = (sources.map { f =>
       // fail fast: a silently-missing source would stamp a constant and
       // pin a stale cache forever (r3 ADVICE)
       require(Files.exists(f), s"Materialize($kind): missing source $f")
       listingHash(f)
-    }.mkString("_")
+    } ++ extraStamp.map(_.replaceAll("[^A-Za-z0-9._-]", "_"))).mkString("_")
     s"v3_${kind}_${token.replaceAll("[^A-Za-z0-9._-]", "_")}__$stamp"
   }
 

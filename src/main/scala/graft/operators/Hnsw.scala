@@ -318,16 +318,73 @@ object Hnsw {
   def materializedIndexAt(spark: SparkSession, token: String,
       sources: Seq[java.nio.file.Path], name: String, base: => DataFrame,
       vecCol: String, idCol: String, metric: String, kCells: Int,
-      m: Int = 8, levelStride: Int = 16)
+      m: Int = 8, levelStride: Int = 16,
+      modelSources: Option[Seq[java.nio.file.Path]] = None,
+      pieces: Option[(Seq[(Int, java.nio.file.Path)],
+        org.apache.spark.sql.types.StructType)] = None)
       : (Array[(Int, Array[Float])], DataFrame) = {
     val (cents, cells) = Ivf.materializedIndexAt(spark, token, sources,
-      name, base, vecCol, kCells)
+      name, base, vecCol, kCells, modelSources = modelSources,
+      pieces = pieces)
     // v2 in the kind: the r12 insertion build produces different (still
     // contract-conforming) adjacency than the r11 half-matrix build — a
     // stale same-key cache from the old algorithm must not be served
-    val graph = graft.Materialize.atPaths(spark, token,
-      s"hnswv2m${m}s${levelStride}_${metric}_$name", sources, Some("cell")) {
-      buildGraph(cells, vecCol, idCol, metric, m, levelStride)
+    val graphKind = s"hnswv2m${m}s${levelStride}_${metric}_$name"
+    val graph = pieces match {
+      case Some((ps, schema)) =>
+        // PER-CELL incremental maintenance over the epoch-frozen router
+        // (the adjacency couples rows WITHIN a cell, across storage
+        // buckets — so the rebuild unit is the cell, not the bucket):
+        //  1. per-(bucket, cell) content signatures cache per
+        //     (bucket dir, model stamp) — a publish recomputes only its
+        //     touched buckets' signature tables;
+        //  2. per-cell hash = order-independent sum over the bucket
+        //     signatures (k-cells-sized, driver-side, memoized);
+        //  3. each cell's graph materializes with that hash as its
+        //     extraStamp — ONLY cells whose content changed rebuild,
+        //     each at the insertion build's O(|cell|·ef·m).
+        // A 2-id upsert therefore rebuilds ≤2 bucket signature tables
+        // and ≤2 cell graphs (IncrementalTrainedIndexSpec pins this at
+        // the file level); the reference's in-place insert
+        // (native_index.rs:317) has the same touched-cells cost shape.
+        require(ps.nonEmpty, "no bucket pieces to index")
+        val modelSrc = modelSources.getOrElse(sources)
+        val sigs = ps.map { case (b, pdir) =>
+          graft.Materialize.atPaths(spark, token,
+            s"hnswsig${kCells}_${metric}_p${b}_$name", pdir +: modelSrc, None) {
+            spark.read.schema(schema).parquet(pdir.toString)
+              .select(Ivf.udfAssign(cents)(col(vecCol)).as("cell"),
+                xxhash64(col(idCol).cast("string"),
+                  col(vecCol).cast("string")).as("h"))
+              .groupBy("cell")
+              // bit_xor: order-independent and overflow-free (an ANSI
+              // sum of 64-bit hashes overflows); (id, vector) pairs are
+              // unique per piece, so XOR cancellation needs a true hash
+              // collision
+              .agg(expr("bit_xor(h)").as("h"), count(lit(1)).as("n"))
+          }
+        }.reduce(_ unionAll _)
+        val cellHashes: Seq[(Int, String)] = graft.Materialize.memo(
+            s"hnswhashes${kCells}_${metric}_$name", token,
+            ps.map(_._2) ++ modelSrc) {
+          sigs.groupBy("cell").agg(expr("bit_xor(h)").as("h"), sum(col("n")).as("n"))
+            .collect()
+            .map(r => (r.getInt(0),
+              java.lang.Long.toHexString(r.getLong(1)) + "n" + r.getLong(2)))
+            .sortBy(_._1).toSeq
+        }
+        cellHashes.map { case (c, h) =>
+          graft.Materialize.atPaths(spark, token, s"${graphKind}_c$c",
+            modelSrc, Some("cell"), extraStamp = Some(h)) {
+            buildGraph(cells.where(col("cell") === c), vecCol, idCol,
+              metric, m, levelStride)
+          }
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
+      case None =>
+        graft.Materialize.atPaths(spark, token, graphKind, sources,
+          Some("cell")) {
+          buildGraph(cells, vecCol, idCol, metric, m, levelStride)
+        }
     }
     (cents, graph)
   }

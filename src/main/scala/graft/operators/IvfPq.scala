@@ -47,18 +47,44 @@ object IvfPq {
 
   /** Path-stamped variant (user collections: stamp = the current points
     * generation, so a publish rebuilds on next query). `name` is part of
-    * the cache kind — see [[Ivf.materializedIndexAt]]'s pruning note. */
+    * the cache kind — see [[Ivf.materializedIndexAt]]'s pruning note.
+    * `modelSources`/`pieces` follow the epoch-freeze contract
+    * ([[Ivf.materializedIndexAt]]): with pieces, the combined
+    * (id, cell, codes) table materializes PER BUCKET in one pass over
+    * the bucket file (both frozen models applied together — no
+    * collection-wide join per publish), so upkeep is O(touched
+    * buckets). */
   def materializedIndexAt(spark: SparkSession, token: String,
       sources: Seq[java.nio.file.Path], name: String, base: => DataFrame,
-      vecCol: String, idCol: String, dim: Int, cells: Int, m: Int, k: Int)
+      vecCol: String, idCol: String, dim: Int, cells: Int, m: Int, k: Int,
+      modelSources: Option[Seq[java.nio.file.Path]] = None,
+      pieces: Option[(Seq[(Int, java.nio.file.Path)],
+        org.apache.spark.sql.types.StructType)] = None)
       : (Array[(Int, Array[Float])], Array[Array[Array[Float]]], DataFrame) = {
     val (cents, cellsDf) = Ivf.materializedIndexAt(spark, token, sources,
-      name, base, vecCol, cells)
+      name, base, vecCol, cells, modelSources = modelSources, pieces = pieces)
     val (cb, codes) = Pq.materializedIndexAt(spark, token, sources, name,
-      base, vecCol, idCol, dim, m, k)
-    val combined = graft.Materialize.atPaths(spark, token,
-      s"ivfpq${cells}_${m}x${k}_codes_$name", sources, Some("cell")) {
-      cellsDf.select(col(idCol), col("cell")).join(codes, Seq(idCol))
+      base, vecCol, idCol, dim, m, k, modelSources = modelSources,
+      pieces = pieces)
+    val modelSrc = modelSources.getOrElse(sources)
+    val combined = pieces match {
+      case Some((ps, schema)) =>
+        require(ps.nonEmpty, "no bucket pieces to index")
+        ps.map { case (b, pdir) =>
+          graft.Materialize.atPaths(spark, token,
+            s"ivfpq${cells}_${m}x${k}_codes_p${b}_$name",
+            pdir +: modelSrc, Some("cell")) {
+            spark.read.schema(schema).parquet(pdir.toString)
+              .select(col(idCol),
+                Ivf.udfAssign(cents)(col(vecCol)).as("cell"),
+                Pq.udfEncode(cb)(col(vecCol)).as("codes"))
+          }
+        }.reduce(_ unionAll _)
+      case None =>
+        graft.Materialize.atPaths(spark, token,
+          s"ivfpq${cells}_${m}x${k}_codes_$name", sources, Some("cell")) {
+          cellsDf.select(col(idCol), col("cell")).join(codes, Seq(idCol))
+        }
     }
     (cents, cb, combined)
   }

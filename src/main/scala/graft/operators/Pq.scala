@@ -41,7 +41,7 @@ object Pq {
 
   /** Nearest-centroid code per subspace (build-time UDF over the
     * broadcast codebooks — same cost shape as [[Ivf]] assignment). */
-  private def udfEncode(cb: Array[Array[Array[Float]]]) =
+  private[operators] def udfEncode(cb: Array[Array[Array[Float]]]) =
     udf { (v: Seq[Float]) =>
       val a = v.toArray
       val m = cb.length
@@ -76,18 +76,25 @@ object Pq {
 
   /** Path-stamped variant (user collections: stamp = the current points
     * generation, so a publish rebuilds on next query). `name` is part of
-    * the cache kind — see [[Ivf.materializedIndexAt]]'s pruning note. */
+    * the cache kind — see [[Ivf.materializedIndexAt]]'s pruning note.
+    * `modelSources`/`pieces` follow the same epoch-freeze contract as
+    * [[Ivf.materializedIndexAt]]: codebooks frozen per epoch, per-bucket
+    * incremental code encoding against the frozen model. */
   def materializedIndexAt(spark: SparkSession, token: String,
       sources: Seq[java.nio.file.Path], name: String, base: => DataFrame,
-      vecCol: String, idCol: String, dim: Int, m: Int, k: Int)
+      vecCol: String, idCol: String, dim: Int, m: Int, k: Int,
+      modelSources: Option[Seq[java.nio.file.Path]] = None,
+      pieces: Option[(Seq[(Int, java.nio.file.Path)],
+        org.apache.spark.sql.types.StructType)] = None)
       : (Array[Array[Array[Float]]], DataFrame) = {
     import spark.implicits._
-    // Collected codebooks are m×k-small; memoized per content stamp so
+    val modelSrc = modelSources.getOrElse(sources)
+    // Collected codebooks are m×k-small; memoized per model stamp so
     // repeat queries skip the read+collect job (see [[Ivf]] centroids).
     val codebooks = graft.Materialize.memo(
-        s"pq${m}x${k}_codebooks_$name", token, sources) {
+        s"pq${m}x${k}_codebooks_$name", token, modelSrc) {
       val rows = graft.Materialize.atPaths(spark, token,
-        s"pq${m}x${k}_codebooks_$name", sources, None) {
+        s"pq${m}x${k}_codebooks_$name", modelSrc, None) {
         train(base, vecCol, dim, m, k)
           .zipWithIndex.flatMap { case (book, i) =>
             book.zipWithIndex.map { case (cen, j) => (i, j, cen.toSeq) }
@@ -96,9 +103,21 @@ object Pq {
         r.getSeq[Float](2).toArray))
       Array.tabulate(m)(i => rows.filter(_._1 == i).sortBy(_._2).map(_._3))
     }
-    val codes = graft.Materialize.atPaths(spark, token,
-      s"pq${m}x${k}_codes_$name", sources, None) {
-      base.select(col(idCol), udfEncode(codebooks)(col(vecCol)).as("codes"))
+    val codes = pieces match {
+      case Some((ps, schema)) =>
+        require(ps.nonEmpty, "no bucket pieces to index")
+        ps.map { case (b, pdir) =>
+          graft.Materialize.atPaths(spark, token,
+            s"pq${m}x${k}_codes_p${b}_$name", pdir +: modelSrc, None) {
+            spark.read.schema(schema).parquet(pdir.toString)
+              .select(col(idCol), udfEncode(codebooks)(col(vecCol)).as("codes"))
+          }
+        }.reduce(_ unionAll _)
+      case None =>
+        graft.Materialize.atPaths(spark, token,
+          s"pq${m}x${k}_codes_$name", sources, None) {
+          base.select(col(idCol), udfEncode(codebooks)(col(vecCol)).as("codes"))
+        }
     }
     (codebooks, codes)
   }

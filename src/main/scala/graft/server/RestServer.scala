@@ -790,6 +790,15 @@ class RestServer(g: Graft, port: Int = 0) {
         // which exchange() maps to a 400 with jackson-escaped message
         val card = g.collections.createIndex(n, label, property, itype)
         (201, indexJson(label, property, itype, card))
+      case ("POST", "collections" :: name :: "indexes" :: "retrain" :: Nil) =>
+        // bump the trained-index epoch (Collections.retrainIndexes):
+        // the next indexed query re-trains IVF centroids / PQ codebooks
+        // / the HNSW router on current content and re-encodes all
+        // buckets — the explicit drift trigger behind the epoch-frozen
+        // incremental maintenance
+        val n = existingUserCollection(name)
+        val epoch = g.collections.retrainIndexes(n)
+        ok(s"""{"status":"ok","name":"$n","index_epoch":$epoch}""")
       case ("GET", "collections" :: name :: "indexes" :: Nil) =>
         val idx = g.collections.listIndexes(existingUserCollection(name))
         ok(idx.map(i => indexJson(i("label").toString, i("property").toString,

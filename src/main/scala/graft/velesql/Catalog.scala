@@ -30,10 +30,18 @@ object Catalog {
     * per-piece index maintenance (user collections on the manifest
     * layout) — stateless index tiers materialize one cached piece per
     * bucket, so a publish rebuilds only the buckets it re-pointed. */
+  /** `modelPaths`: the stamp sources for TRAINED model artifacts
+    * (IVF centroids, PQ codebooks, the HNSW router) when they freeze
+    * independently of content — user collections stamp models on their
+    * index-epoch sidecar ([[graft.Collections.indexEpoch]]), so a
+    * publish re-encodes touched buckets against the frozen model
+    * instead of re-training. None = models stamp on `paths` (dataset
+    * tables: content never changes without a full regeneration). */
   final case class IndexSource(token: String,
       paths: Seq[java.nio.file.Path], frame: () => org.apache.spark.sql.DataFrame,
       pieces: Option[(Seq[(Int, java.nio.file.Path)],
-        org.apache.spark.sql.types.StructType)] = None)
+        org.apache.spark.sql.types.StructType)] = None,
+      modelPaths: Option[Seq[java.nio.file.Path]] = None)
 }
 
 class Catalog(spark: SparkSession, val dir: String) {
@@ -126,7 +134,9 @@ class Catalog(spark: SparkSession, val dir: String) {
           ps <- userCollections.bucketPieces(name)
           sch <- userCollections.manifestSchema(name)
         } yield (ps, sch)
-        Catalog.IndexSource(s"${dir}_col_$name", Seq(p), () => table(name), pieces)
+        Catalog.IndexSource(s"${dir}_col_$name", Seq(p), () => table(name),
+          pieces,
+          modelPaths = Some(Seq(userCollections.ensureIndexEpochFile(name))))
       }
     else None
 

@@ -299,7 +299,8 @@ class Compiler(
             val ef = t match { case "fast" => 24; case "balanced" => 48; case _ => 96 }
             val (cents, graph) = Hnsw.materializedIndexAt(spark, src.token,
               src.paths, sel.from, src.frame(), vcolName, meta.idCol,
-              meta.metric, kCells, m)
+              meta.metric, kCells, m,
+              modelSources = src.modelPaths, pieces = src.pieces)
             val cellsToProbe = Hnsw.probeCells(cents, vec.toArray, nprobe)
             val idx = graph.as(sel.fromAlias.getOrElse(sel.from))
             // filter-then-search: the residual predicate gates ACCEPTANCE
@@ -328,7 +329,8 @@ class Compiler(
             // Accurate bar, oracle-pinned by q125_ann_recall_ivf
             val nprobe = t match { case "fast" => 2; case "balanced" => 4; case _ => k - 1 }
             val (cents, cells) = Ivf.materializedIndexAt(spark, src.token,
-              src.paths, sel.from, src.frame(), vcolName, k)
+              src.paths, sel.from, src.frame(), vcolName, k,
+              modelSources = src.modelPaths, pieces = src.pieces)
             val probeCells = cents
               .map { case (c, cen) =>
                 (c, graft.functions.VectorKernels.l2Squared(vec.toArray, cen)) }
@@ -495,12 +497,14 @@ class Compiler(
               }
               val (cents, books, combined) = IvfPq.materializedIndexAt(spark,
                 pqSrc.token, pqSrc.paths, sel.from, pqSrc.frame(), vcolName,
-                meta.idCol, vec.length, cellsN, m, kc)
+                meta.idCol, vec.length, cellsN, m, kc,
+                modelSources = pqSrc.modelPaths, pieces = pqSrc.pieces)
               val probes = IvfPq.probeCells(cents, vec.toArray, nprobe)
               (books,
                 combined.where(col("cell").isin(probes: _*)).drop("cell"))
             } else Pq.materializedIndexAt(spark, pqSrc.token, pqSrc.paths,
-              sel.from, pqSrc.frame(), vcolName, meta.idCol, vec.length, m, kc)
+              sel.from, pqSrc.frame(), vcolName, meta.idCol, vec.length, m, kc,
+              modelSources = pqSrc.modelPaths, pieces = pqSrc.pieces)
           val (ord, asc) = Pq.adcOrdering(col("codes"), vec.toArray, cb, meta.metric)
           // filter-then-search: with a residual WHERE, candidates come
           // from the filtered frame's ids only

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Epoch-frozen trained-index maintenance (r11 VERDICT ask #2): IVF
+  * centroids / PQ codebooks / the HNSW router are corpus statistics and
+  * FREEZE per collection epoch — a publish re-encodes only its touched
+  * buckets against the frozen model (file-level asserts below), and
+  * only [[Collections.retrainIndexes]] re-trains. Reference analog: the
+  * in-place index update on insert (index/hnsw/native_index.rs:317) —
+  * per-batch index upkeep bounded by the batch, not the collection.
+  */
+class IncrementalTrainedIndexSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val derivedRoot =
+    java.nio.file.Paths.get(s"${sys.props("java.io.tmpdir")}/graft-derived")
+
+  private def entries(sub: String, colName: String): Set[String] =
+    if (!java.nio.file.Files.exists(derivedRoot)) Set.empty
+    else Collections.children(derivedRoot).map(_.getFileName.toString)
+      .filter(n => n.contains(sub) && n.contains(colName) &&
+        !n.contains(".tmp-")).toSet
+
+  private def vec(i: Long): Seq[Float] =
+    (0 until 16).map { d =>
+      var z = i * 0x9E3779B97F4A7C15L + d * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      (((z >>> 11).toDouble / (1L << 53).toDouble) - 0.5).toFloat
+    }
+
+  test("a publish re-encodes only touched buckets; models stay frozen; retrain re-trains") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-trainidx").toString
+    val g = Graft(spark, tmp)
+    val colName = s"tvec${System.nanoTime() % 100000}"
+    g.collections.create(colName, idCol = "id", vectorCol = Some("vec"),
+      buckets = 8)
+    g.collections.upsert(colName,
+      (1L to 200L).map(i => (i, vec(i))).toDF("id", "vec"))
+    val q = vec(9999L)
+    def run(opts: String): Seq[Long] =
+      g.sql(s"SELECT id, score FROM $colName WHERE vector NEAR $$q LIMIT 5 " +
+        s"WITH ($opts)", Map("q" -> q))
+        .select("id").collect().map(_.getLong(0)).toSeq
+
+    // build all three trained tiers once
+    assert(run("mode = 'accurate', index = 'ivf'").nonEmpty)
+    assert(run("quantization = 'pq', oversampling = 4").nonEmpty)
+    assert(run("mode = 'accurate', index = 'hnsw'").nonEmpty)
+
+    val centsBefore = entries(s"ivf8_centroids_$colName", colName)
+    val booksBefore = entries(s"pq8x32_codebooks_$colName", colName)
+    val cellsBefore = entries("ivf8_cells_p", colName)
+    val codesBefore = entries("pq8x32_codes_p", colName)
+    val sigsBefore = entries("hnswsig8_cosine_p", colName)
+    val graphsBefore = entries(s"hnswv2m8s16_cosine_${colName}_c", colName)
+    assert(centsBefore.size == 1, s"one frozen centroid table: $centsBefore")
+    assert(booksBefore.size == 1, s"one frozen codebook table: $booksBefore")
+    assert(cellsBefore.size == 8, s"8 cell-assignment pieces: $cellsBefore")
+    assert(codesBefore.size == 8, s"8 code pieces: $codesBefore")
+    assert(sigsBefore.size == 8, s"8 signature pieces: $sigsBefore")
+    assert(graphsBefore.nonEmpty)
+
+    // a 1-row upsert re-points exactly one storage bucket
+    g.collections.upsert(colName, Seq((7L, vec(7777L))).toDF("id", "vec"))
+    assert(run("mode = 'accurate', index = 'ivf'").nonEmpty)
+    assert(run("quantization = 'pq', oversampling = 4").nonEmpty)
+    assert(run("mode = 'accurate', index = 'hnsw'").nonEmpty)
+
+    // models FROZEN: no new centroid/codebook materialization
+    assert(entries(s"ivf8_centroids_$colName", colName) == centsBefore,
+      "publish must not re-train centroids")
+    assert(entries(s"pq8x32_codebooks_$colName", colName) == booksBefore,
+      "publish must not re-train codebooks")
+    // encodings: exactly 1 new piece each (old piece survives one
+    // Materialize retention cycle)
+    assert(cellsBefore.subsetOf(entries("ivf8_cells_p", colName)))
+    assert((entries("ivf8_cells_p", colName) -- cellsBefore).size == 1,
+      s"expected 1 rebuilt cell piece, got ${entries("ivf8_cells_p", colName) -- cellsBefore}")
+    assert((entries("pq8x32_codes_p", colName) -- codesBefore).size == 1,
+      s"expected 1 rebuilt code piece, got ${entries("pq8x32_codes_p", colName) -- codesBefore}")
+    assert((entries("hnswsig8_cosine_p", colName) -- sigsBefore).size == 1,
+      s"expected 1 rebuilt signature piece")
+    // graph: only the cells containing the replaced row rebuild — old
+    // vector's cell + new vector's cell at most
+    val graphsNew = entries(s"hnswv2m8s16_cosine_${colName}_c", colName) -- graphsBefore
+    assert(graphsNew.nonEmpty && graphsNew.size <= 2,
+      s"expected <=2 rebuilt cell graphs, got ${graphsNew.size}: $graphsNew")
+
+    // retrain: the epoch bump re-trains the model on current content
+    assert(g.collections.retrainIndexes(colName) == 1L)
+    assert(run("mode = 'accurate', index = 'ivf'").nonEmpty)
+    assert((entries(s"ivf8_centroids_$colName", colName) -- centsBefore).size == 1,
+      "retrain must produce a new centroid generation")
+
+    // correctness: the probed ivf results are a subset of the exact
+    // top-k universe over current content
+    val exact = graft.operators.Knn.topK(g.collections.table(colName).get,
+      "vec", q, 200, "cosine", idCol = "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(run("mode = 'accurate', index = 'ivf'").toSet.subsetOf(exact))
+    Collections.deleteRec(java.nio.file.Paths.get(tmp))
+  }
+}

@@ -27,6 +27,18 @@ class RestServerSpec extends SparkSpecBase {
     client.send(HttpRequest.newBuilder(URI.create(s"$base$path")).DELETE().build(),
       HttpResponse.BodyHandlers.ofString())
 
+  test("POST /collections/:name/indexes/retrain bumps the trained-index epoch") {
+    val cn = s"rt${System.nanoTime % 100000}"
+    g.collections.create(cn)
+    val r = post(s"/collections/$cn/indexes/retrain", "{}")
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body().contains("\"index_epoch\":1"), r.body())
+    val r2 = post(s"/collections/$cn/indexes/retrain", "{}")
+    assert(r2.body().contains("\"index_epoch\":2"), r2.body())
+    assert(g.collections.indexEpoch(cn) == 2L)
+    assert(post("/collections/rt_no_such/indexes/retrain", "{}").statusCode() == 404)
+  }
+
   test("GET /health") {
     val r = get("/health")
     assert(r.statusCode() == 200 && r.body().contains("\"ok\""))
