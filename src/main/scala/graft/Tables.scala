@@ -35,10 +35,34 @@ object Tables {
       m
     }
     val stamp = Materialize.pathStamp(java.nio.file.Paths.get(path))
-    perSession.getOrElseUpdate((path, stamp), load(spark, path, name))
+    perSession.getOrElseUpdate((path, stamp), load(spark, dir, path, name))
   }
 
-  private def load(spark: SparkSession, path: String, name: String): DataFrame = {
+  /** Tables at or above this size get a SCAN COPY: the driver-generated
+    * parquet carries ONE row group per table, and row groups are
+    * Spark's split unit — so every scan of the 10.8 MB lineitem ran as
+    * ONE task on a 32-core box (DuckDB parallelizes inside a row
+    * group; Spark cannot). The copy is the ingest-side layout
+    * normalization any lakehouse does on landing: the same rows,
+    * Spark-written as [[ScanCopyFiles]] files, materialized once per
+    * content stamp. Production parquet writers emit a row group per
+    * ~128 MB and never hit this. */
+  private val ScanCopyMinBytes = 512L * 1024
+  private val ScanCopyFiles = 16
+
+  private def load(spark: SparkSession, dir: String, path: String,
+      name: String): DataFrame = {
+    val raw = loadRaw(spark, path, name)
+    if (java.nio.file.Files.size(java.nio.file.Paths.get(path)) < ScanCopyMinBytes)
+      raw
+    else Materialize(spark, dir, s"scancopy_$name", Seq(name), None) {
+      // sortBeforeRepartition (default on) makes the round-robin split
+      // deterministic, so rebuilds are content-identical
+      raw.repartition(ScanCopyFiles)
+    }
+  }
+
+  private def loadRaw(spark: SparkSession, path: String, name: String): DataFrame = {
     val df = spark.read.parquet(path)
     // events.ts is parquet TIMESTAMP(NANOS): with
     // spark.sql.legacy.parquet.nanosAsLong=true it arrives as Long nanos —

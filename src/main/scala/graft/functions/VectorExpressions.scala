@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.graft.{Bridge, CosineSimilarity, DotProduct, EuclideanDistance, HammingDistance, JaccardSimilarity}
+import org.apache.spark.sql.graft.{Bridge, CosineSimilarity, DotProduct, EuclideanDistance, EuclideanDistanceDouble, HammingDistance, JaccardSimilarity}
 
 /** Column-API + SQL-registration facade over the codegen'd distance
   * expressions, mirroring the reference's metric dispatch
@@ -28,8 +28,16 @@ object VectorFunctions {
   def half_round(v: Column, fmt: String): Column =
     Bridge.column(org.apache.spark.sql.graft.HalfRound(Bridge.expression(v), fmt))
 
+  /** Double-typed L2 — the k-means/silhouette kernel (same IEEE fold as
+    * the HOF chain it replaces; see EuclideanDistanceDouble). */
+  def l2_dist_d(a: Column, b: Column): Column =
+    wrap(EuclideanDistanceDouble.apply)(a, b)
+
   /** Literal query vector as ArrayType(FloatType) column. */
   def vecLit(v: Seq[Float]): Column = typedlit(v)
+
+  /** Literal centroid as ArrayType(DoubleType) column. */
+  def vecLitD(v: Seq[Double]): Column = typedlit(v)
 
   /** Deterministic synthetic query vector (for tests/benches/oracles). */
   def syntheticQuery(dim: Int): Seq[Float] =

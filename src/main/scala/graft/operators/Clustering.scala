@@ -52,9 +52,12 @@ object Clustering {
   private def nearestStruct(vecCol: String, centroids: Centroids): Column = {
     val v = col(vecCol).cast(ArrayType(DoubleType))
     val cands = centroids.map { case (cid, c) =>
-      val diff = zip_with(v, typedlit(c), (x, y) => x - y)
-      val d2 = aggregate(diff, lit(0.0), (acc, dd) => acc + dd * dd)
-      struct(floor(sqrt(d2) * lit(1000000L) + lit(0.5)).as("rd"),
+      // codegen'd double-L2 kernel — same left-to-right IEEE fold as the
+      // zip_with/aggregate HOF chain it replaces (k×dim interpreted
+      // lambdas per row), so assignments are bit-identical
+      val d = graft.functions.VectorFunctions.l2_dist_d(
+        v, graft.functions.VectorFunctions.vecLitD(c))
+      struct(floor(d * lit(1000000L) + lit(0.5)).as("rd"),
         lit(cid).as("cid"))
     }
     array_min(array(cands: _*))
@@ -152,8 +155,10 @@ object Clustering {
     val centroids = model.getOrElse(fit(df, vecCol, idCol, k, iters))
     val v = col(vecCol).cast(ArrayType(DoubleType))
     val cands = centroids.map { case (cid, c) =>
-      val diff = zip_with(v, typedlit(c), (x, y) => x - y)
-      val d = sqrt(aggregate(diff, lit(0.0), (acc, dd) => acc + dd * dd))
+      // codegen'd double-L2 kernel (see nearestStruct) — bit-identical
+      // to the HOF fold, k×dim fewer lambda dispatches per row
+      val d = graft.functions.VectorFunctions.l2_dist_d(
+        v, graft.functions.VectorFunctions.vecLitD(c))
       struct(floor(d * lit(1000000.0) + lit(0.5)).cast("long").as("rd"),
         lit(cid).as("cid"), d.as("d"))
     }

@@ -148,6 +148,52 @@ case class HalfRound(child: Expression, fmt: String)
     copy(child = c)
 }
 
+/** DOUBLE-typed Euclidean distance — the k-means assignment / silhouette
+  * kernel. The clustering operators computed this as a
+  * `zip_with`+`aggregate` higher-order-function fold, which evaluates an
+  * interpreted lambda per ELEMENT (k×dim per row); this expression is
+  * the same left-to-right IEEE accumulation as one codegen'd kernel
+  * call. A foldable right side (the centroid literal) materializes once
+  * as a `double[]` reference object. */
+case class EuclideanDistanceDouble(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_dist_d"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.l2Double(a.asInstanceOf[ArrayData].toDoubleArray(),
+      b.asInstanceOf[ArrayData].toDoubleArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val constRight: Option[Array[Double]] =
+      if (right.foldable) {
+        Option(right.eval(null)).map(_.asInstanceOf[ArrayData].toDoubleArray())
+      } else None
+    constRight match {
+      case Some(q) =>
+        val qRef = ctx.addReferenceObj("centroidVec", q, "double[]")
+        val leftGen = left.genCode(ctx)
+        ev.copy(code = code"""
+          ${leftGen.code}
+          boolean ${ev.isNull} = ${leftGen.isNull};
+          double ${ev.value} = 0.0;
+          if (!${ev.isNull}) {
+            ${ev.value} = graft.functions.VectorKernels.l2Double(
+              ${leftGen.value}.toDoubleArray(), $qRef);
+          }""")
+      case None =>
+        nullSafeCodeGen(ctx, ev, (a, b) =>
+          s"${ev.value} = graft.functions.VectorKernels.l2Double(" +
+            s"$a.toDoubleArray(), $b.toDoubleArray());")
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column ↔ Expression bridge for code outside org.apache.spark.sql. */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
