@@ -297,18 +297,33 @@ class Collections(spark: SparkSession, dataDir: String,
     colDir(name).resolve("index_epoch")
 
   /** The sidecar path, created at first use (epoch 0) so Materialize's
-    * missing-source fail-fast never trips on a pre-epoch collection. */
+    * missing-source fail-fast never trips on a pre-epoch collection.
+    * Written via tmp + atomic rename (like [[retrainIndexes]]): a bare
+    * create+write would let a concurrent [[indexEpoch]] reader — or a
+    * second Collections instance on the same dir — observe the empty
+    * just-created file. */
   def ensureIndexEpochFile(name: String): Path = this.synchronized {
     val p = indexEpochPath(name)
-    if (!Files.exists(p)) Files.writeString(p, "0")
+    if (!Files.exists(p)) {
+      val tmp = p.resolveSibling(s"index_epoch.tmp-${java.util.UUID.randomUUID()}")
+      Files.writeString(tmp, "0")
+      try Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { // another process won the race; theirs is complete
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+      }
+    }
     p
   }
 
-  /** Current trained-index epoch (0 until the first retrain). */
+  /** Current trained-index epoch (0 until the first retrain). A
+    * malformed/empty sidecar reads as 0 rather than failing the query
+    * (it only ever means "pre-first-retrain"). */
   def indexEpoch(name: String): Long = {
     val p = indexEpochPath(name)
-    if (Files.exists(p)) Files.readString(p).trim.split("\\s+")(0).toLong
-    else 0L
+    if (!Files.exists(p)) 0L
+    else Files.readString(p).trim.split("\\s+").headOption
+      .flatMap(_.toLongOption).getOrElse(0L)
   }
 
   /** Bump the epoch: the next indexed query re-trains every model on

@@ -87,8 +87,15 @@ class Graft(
       case Not(x) => ofCond(x)
       case _ => Nil
     }
+    def ofHaving(h: Having): Seq[String] =
+      (h.first +: h.rest.map(_._2)).flatMap(t => ofValue(t.value))
     def ofSelect(s: Select): Seq[String] =
-      (s.from +: s.joins.map(_.table)) ++ s.where.toSeq.flatMap(ofCond)
+      (s.from +: s.joins.map(_.table)) ++
+        s.where.toSeq.flatMap(ofCond) ++
+        // HAVING terms carry values too (HAVING count(*) > (SELECT …))
+        // — an unstamped subquery table here would let a publish serve
+        // a stale cached plan
+        s.having.toSeq.flatMap(ofHaving)
     (ast.select.toSeq ++ ast.compound.map(_.right)).flatMap(ofSelect) ++
       ast.matchQuery.toSeq.flatMap(_.where.toSeq.flatMap(ofCond))
   }

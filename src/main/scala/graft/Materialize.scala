@@ -74,26 +74,60 @@ object Materialize {
     * table on every execution paid that floor 3× per recall-pin leg
     * (r11 VERDICT "job stacking"). Derived paths embed their content
     * stamp in the directory NAME, so a cached relation can never go
-    * stale: new content ⇒ new path ⇒ new cache row. Keyed weakly per
-    * session so stopped test sessions don't pin plans. */
+    * stale: new content ⇒ new path ⇒ new cache row.
+    *
+    * Keyed weakly per session, and the DataFrames are held through
+    * SoftReferences: a Dataset strongly references its SparkSession, so
+    * a plain value map would make every weak KEY reachable from its own
+    * value and pin stopped sessions (plus all their plans) forever —
+    * the WeakHashMap self-reference trap. Soft values cost at worst a
+    * re-resolve after a GC pressure spike. */
   private val readCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, java.lang.ref.SoftReference[DataFrame]]]()
   def readMemo(spark: SparkSession, path: String): DataFrame = {
     val perSession = readCache.synchronized {
       var m = readCache.get(spark)
       if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        m = scala.collection.concurrent.TrieMap
+          .empty[String, java.lang.ref.SoftReference[DataFrame]]
         readCache.put(spark, m)
       }
       m
     }
-    perSession.getOrElseUpdate(path, spark.read.parquet(path))
+    perSession.get(path).flatMap(r => Option(r.get())) match {
+      case Some(df) => df
+      case None =>
+        val df = spark.read.parquet(path)
+        perSession.put(path, new java.lang.ref.SoftReference(df))
+        df
+    }
   }
 
   /** Content stamp of an arbitrary live path (used by callers whose
     * path does NOT embed the stamp — e.g. raw dataset tables): the same
     * (name, mtime, size) walk as [[atPaths]] keys, driver-side only. */
   def pathStamp(p: Path): String = listingHash(p)
+
+  /** Per-bucket incremental materialization — the shared maintenance
+    * loop of every piece-wise index (LSH buckets, IVF cells, PQ codes,
+    * IVF-PQ combined, HNSW signatures): one cached artifact per
+    * (bucket dir, extraSources), so a publish that re-points K buckets
+    * rebuilds exactly K pieces on next use. `build` receives the
+    * piece's frame read under the manifest's authoritative schema
+    * (null-filling columns a pre-widening bucket file lacks). */
+  def pieces(spark: SparkSession, token: String, kindFor: Int => String,
+      ps: Seq[(Int, Path)],
+      schema: org.apache.spark.sql.types.StructType,
+      extraSources: Seq[Path], partCol: Option[String])(
+      build: DataFrame => DataFrame): DataFrame = {
+    require(ps.nonEmpty, "no bucket pieces to materialize")
+    ps.map { case (b, pdir) =>
+      atPaths(spark, token, kindFor(b), pdir +: extraSources, partCol) {
+        build(spark.read.schema(schema).parquet(pdir.toString))
+      }
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** Retention for superseded index generations: building a NEW stamp of
     * (kind, token) makes every OLDER same-prefix sibling stale — without

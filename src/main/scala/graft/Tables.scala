@@ -20,22 +20,32 @@ object Tables {
     * key includes the file listing's (name, mtime, size) hash, so a
     * regenerated dataset dir WITHIN a process re-resolves (same
     * staleness contract as Materialize's stamped paths) while repeat
-    * reads are driver-side map hits. */
+    * reads are driver-side map hits. DataFrames are held through
+    * SoftReferences — see [[Materialize.readMemo]]'s self-reference
+    * note (a plain value would pin its own weak session key). */
   private val cache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), java.lang.ref.SoftReference[DataFrame]]]()
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     val perSession = cache.synchronized {
       var m = cache.get(spark)
       if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+        m = scala.collection.concurrent.TrieMap
+          .empty[(String, String), java.lang.ref.SoftReference[DataFrame]]
         cache.put(spark, m)
       }
       m
     }
     val stamp = Materialize.pathStamp(java.nio.file.Paths.get(path))
-    perSession.getOrElseUpdate((path, stamp), load(spark, dir, path, name))
+    perSession.get((path, stamp)).flatMap(r => Option(r.get())) match {
+      case Some(df) => df
+      case None =>
+        val df = load(spark, dir, path, name)
+        perSession.put((path, stamp), new java.lang.ref.SoftReference(df))
+        df
+    }
   }
 
   /** Tables at or above this size get a SCAN COPY: the driver-generated

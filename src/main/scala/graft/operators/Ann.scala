@@ -143,22 +143,16 @@ object Ann {
     * (native_index.rs:317) costs and what a 100 TB ingest needs.
     * Every piece is bucket-clustered parquet, so the probe's pushed
     * `bucket IN (…)` prunes row groups inside each piece of the union.
-    * (Training-based tiers — IVF/PQ/HNSW — stay whole-stamp: their
-    * model couples rows across buckets.) */
+    * (Training-based tiers — IVF/PQ/HNSW — get the same per-bucket
+    * encoding maintenance against EPOCH-FROZEN models; see
+    * [[Ivf.materializedIndexAt]] and [[graft.Collections.indexEpoch]].) */
   def materializedIndexPieces(spark: org.apache.spark.sql.SparkSession,
       token: String, pieces: Seq[(Int, java.nio.file.Path)],
       schema: org.apache.spark.sql.types.StructType, name: String,
       vecCol: String, nPlanes: Int, dim: Int): DataFrame = {
-    require(pieces.nonEmpty, "no bucket pieces to index")
-    pieces.map { case (b, dir) =>
-      graft.Materialize.atPaths(spark, token,
-        s"lsh${nPlanes}_p${b}_$name", Seq(dir), Some("bucket")) {
-        // the manifest schema null-fills columns a pre-widening bucket
-        // file lacks (same contract as Collections.readPaths)
-        buildIndex(spark.read.schema(schema).parquet(dir.toString),
-          vecCol, nPlanes, Some(dim))
-      }
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    graft.Materialize.pieces(spark, token, b => s"lsh${nPlanes}_p${b}_$name",
+      pieces, schema, Nil, Some("bucket"))(
+      buildIndex(_, vecCol, nPlanes, Some(dim)))
   }
 
   def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =

@@ -21,6 +21,22 @@ object Bm25 {
   val K1 = 1.2
   val B = 0.75
 
+  /** Join the query-term-pruned tf side against the corpus-sized
+    * doc-length side, broadcasting tf only when Spark's OWN size
+    * estimate clears the session broadcast threshold: a common term's
+    * postings are corpus-proportional, and an unconditional hint would
+    * bypass the 8 GB broadcast limit at scale. Without column stats the
+    * pruned scan keeps the postings table's full-size estimate — the
+    * conservative direction (falls back to the shuffling join). */
+  private def joinDocSide(docSide: DataFrame, tfSide: DataFrame): DataFrame = {
+    val thr = tfSide.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val fits = thr > 0 &&
+      (try tfSide.queryExecution.optimizedPlan.stats.sizeInBytes <= thr
+       catch { case _: Throwable => false })
+    if (fits) docSide.join(broadcast(tfSide), "doc_id")
+    else tfSide.join(docSide, "doc_id")
+  }
+
   /** (doc_id, term) token stream under the reference tokenizer. */
   def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
@@ -42,8 +58,9 @@ object Bm25 {
     val dfreq = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
     val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
     // tf (query-term-pruned) broadcasts into the corpus-sized doc-length
-    // table — no shuffle of dl, agg over matching docs only
-    val scored = dl.join(broadcast(tf.join(broadcast(dfreq), "term")), "doc_id")
+    // table when its estimate is small — no shuffle of dl, agg over
+    // matching docs only; big tf sides keep the shuffling join
+    val scored = joinDocSide(dl, tf.join(broadcast(dfreq), "term"))
       .crossJoin(broadcast(stats))
       .withColumn("term_score",
         idf * (col("tf") * (lit(K1) + 1.0))
@@ -95,19 +112,19 @@ object Bm25 {
       graft.Tables.table(spark, dir, "documents"))
 
   /** BM25 over a prebuilt index — same scores as [[score]]. The tf side
-    * (term-pruned postings) is query-term-sized, so it BROADCASTS into
-    * the corpus-sized docStats scan: no shuffle of docStats, and the
-    * doc_id agg runs over matching docs only. postings is unique per
-    * (term, doc_id) by construction, so df = count, not countDistinct
-    * (which would plan an expand over the same rows). */
+    * (term-pruned postings) broadcasts into the corpus-sized docStats
+    * scan when its size estimate allows ([[joinDocSide]]): no shuffle
+    * of docStats, and the doc_id agg runs over matching docs only.
+    * postings is unique per (term, doc_id) by construction, so df =
+    * count, not countDistinct (which would plan an expand over the
+    * same rows). */
   def searchIndex(index: Index, queryText: String, k: Int = 0): DataFrame = {
     val queryTerms = queryText.toLowerCase.split("[^a-z0-9]+")
       .filter(_.length > 1).toSeq.distinct
     val tf = index.postings.where(col("term").isin(queryTerms: _*))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-    val scored = index.docStats
-      .join(broadcast(tf.join(broadcast(dfreq), "term")), "doc_id")
+    val scored = joinDocSide(index.docStats, tf.join(broadcast(dfreq), "term"))
       .crossJoin(broadcast(index.corpusStats))
       .withColumn("term_score",
         idf * (col("tf") * (lit(K1) + 1.0))

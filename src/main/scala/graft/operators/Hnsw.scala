@@ -347,23 +347,19 @@ object Hnsw {
         // and ≤2 cell graphs (IncrementalTrainedIndexSpec pins this at
         // the file level); the reference's in-place insert
         // (native_index.rs:317) has the same touched-cells cost shape.
-        require(ps.nonEmpty, "no bucket pieces to index")
         val modelSrc = modelSources.getOrElse(sources)
-        val sigs = ps.map { case (b, pdir) =>
-          graft.Materialize.atPaths(spark, token,
-            s"hnswsig${kCells}_${metric}_p${b}_$name", pdir +: modelSrc, None) {
-            spark.read.schema(schema).parquet(pdir.toString)
-              .select(Ivf.udfAssign(cents)(col(vecCol)).as("cell"),
-                xxhash64(col(idCol).cast("string"),
-                  col(vecCol).cast("string")).as("h"))
-              .groupBy("cell")
-              // bit_xor: order-independent and overflow-free (an ANSI
-              // sum of 64-bit hashes overflows); (id, vector) pairs are
-              // unique per piece, so XOR cancellation needs a true hash
-              // collision
-              .agg(expr("bit_xor(h)").as("h"), count(lit(1)).as("n"))
-          }
-        }.reduce(_ unionAll _)
+        val sigs = graft.Materialize.pieces(spark, token,
+          b => s"hnswsig${kCells}_${metric}_p${b}_$name", ps, schema,
+          modelSrc, None)(
+          _.select(Ivf.udfAssign(cents)(col(vecCol)).as("cell"),
+              xxhash64(col(idCol).cast("string"),
+                col(vecCol).cast("string")).as("h"))
+            .groupBy("cell")
+            // bit_xor: order-independent and overflow-free (an ANSI
+            // sum of 64-bit hashes overflows); (id, vector) pairs are
+            // unique per piece, so XOR cancellation needs a true hash
+            // collision
+            .agg(expr("bit_xor(h)").as("h"), count(lit(1)).as("n")))
         val cellHashes: Seq[(Int, String)] = graft.Materialize.memo(
             s"hnswhashes${kCells}_${metric}_$name", token,
             ps.map(_._2) ++ modelSrc) {
@@ -373,7 +369,11 @@ object Hnsw {
               java.lang.Long.toHexString(r.getLong(1)) + "n" + r.getLong(2)))
             .sortBy(_._1).toSeq
         }
-        cellHashes.map { case (c, h) =>
+        // a collection whose every point was deleted has buckets but no
+        // cells — the index is legitimately EMPTY, not an error
+        if (cellHashes.isEmpty)
+          buildGraph(cells.limit(0), vecCol, idCol, metric, m, levelStride)
+        else cellHashes.map { case (c, h) =>
           graft.Materialize.atPaths(spark, token, s"${graphKind}_c$c",
             modelSrc, Some("cell"), extraStamp = Some(h)) {
             buildGraph(cells.where(col("cell") === c), vecCol, idCol,

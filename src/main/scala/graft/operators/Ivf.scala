@@ -159,14 +159,9 @@ object Ivf {
     }
     val cells = pieces match {
       case Some((ps, schema)) =>
-        require(ps.nonEmpty, "no bucket pieces to index")
-        ps.map { case (b, pdir) =>
-          graft.Materialize.atPaths(spark, token, s"ivf${k}_cells_p${b}_$name",
-            pdir +: modelSrc, Some("cell")) {
-            buildIndex(spark.read.schema(schema).parquet(pdir.toString),
-              vecCol, centroids)
-          }
-        }.reduce(_.unionByName(_, allowMissingColumns = true))
+        graft.Materialize.pieces(spark, token,
+          b => s"ivf${k}_cells_p${b}_$name", ps, schema, modelSrc,
+          Some("cell"))(buildIndex(_, vecCol, centroids))
       case None =>
         graft.Materialize.atPaths(spark, token, s"ivf${k}_cells_$name",
           sources, Some("cell")) {

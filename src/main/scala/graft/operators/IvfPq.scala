@@ -69,17 +69,12 @@ object IvfPq {
     val modelSrc = modelSources.getOrElse(sources)
     val combined = pieces match {
       case Some((ps, schema)) =>
-        require(ps.nonEmpty, "no bucket pieces to index")
-        ps.map { case (b, pdir) =>
-          graft.Materialize.atPaths(spark, token,
-            s"ivfpq${cells}_${m}x${k}_codes_p${b}_$name",
-            pdir +: modelSrc, Some("cell")) {
-            spark.read.schema(schema).parquet(pdir.toString)
-              .select(col(idCol),
-                Ivf.udfAssign(cents)(col(vecCol)).as("cell"),
-                Pq.udfEncode(cb)(col(vecCol)).as("codes"))
-          }
-        }.reduce(_ unionAll _)
+        graft.Materialize.pieces(spark, token,
+          b => s"ivfpq${cells}_${m}x${k}_codes_p${b}_$name", ps, schema,
+          modelSrc, Some("cell"))(
+          _.select(col(idCol),
+            Ivf.udfAssign(cents)(col(vecCol)).as("cell"),
+            Pq.udfEncode(cb)(col(vecCol)).as("codes")))
       case None =>
         graft.Materialize.atPaths(spark, token,
           s"ivfpq${cells}_${m}x${k}_codes_$name", sources, Some("cell")) {

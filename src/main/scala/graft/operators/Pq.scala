@@ -105,14 +105,9 @@ object Pq {
     }
     val codes = pieces match {
       case Some((ps, schema)) =>
-        require(ps.nonEmpty, "no bucket pieces to index")
-        ps.map { case (b, pdir) =>
-          graft.Materialize.atPaths(spark, token,
-            s"pq${m}x${k}_codes_p${b}_$name", pdir +: modelSrc, None) {
-            spark.read.schema(schema).parquet(pdir.toString)
-              .select(col(idCol), udfEncode(codebooks)(col(vecCol)).as("codes"))
-          }
-        }.reduce(_ unionAll _)
+        graft.Materialize.pieces(spark, token,
+          b => s"pq${m}x${k}_codes_p${b}_$name", ps, schema, modelSrc, None)(
+          _.select(col(idCol), udfEncode(codebooks)(col(vecCol)).as("codes")))
       case None =>
         graft.Materialize.atPaths(spark, token,
           s"pq${m}x${k}_codes_$name", sources, None) {

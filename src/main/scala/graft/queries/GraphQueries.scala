@@ -323,7 +323,7 @@ object GraphQueries {
         |      UNION ALL SELECT c FROM tri)
         |SELECT node, count(*) AS n_triangles FROM n
         |GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
-      Graph.triangleCounts(coPurchasePairs(s, d), smallGraph = true)
+      Graph.triangleCounts(coPurchasePairs(s, d))
         .orderBy("node")
     },
 

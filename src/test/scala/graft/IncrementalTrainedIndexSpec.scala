@@ -99,6 +99,13 @@ class IncrementalTrainedIndexSpec extends SparkSpecBase {
       "vec", q, 200, "cosine", idCol = "id")
       .select("id").collect().map(_.getLong(0)).toSet
     assert(run("mode = 'accurate', index = 'ivf'").toSet.subsetOf(exact))
+
+    // delete EVERY point: buckets remain in the manifest but carry no
+    // rows — the hnsw index is legitimately empty, not a crash (r12
+    // self-review: the per-cell union reduced over an empty cell list)
+    g.collections.delete(colName, (1L to 200L))
+    assert(run("mode = 'accurate', index = 'hnsw'").isEmpty,
+      "an emptied collection must return zero hits, not error")
     Collections.deleteRec(java.nio.file.Paths.get(tmp))
   }
 }

@@ -89,6 +89,30 @@ class PlanCacheSpec extends SparkSpecBase {
     graft.Collections.deleteRec(java.nio.file.Paths.get(tmp))
   }
 
+  test("a publish to a table referenced only in a HAVING subquery invalidates") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-plancache-hv").toString
+    val g = Graft(spark, tmp)
+    g.collections.create("docs_h")
+    g.collections.create("bar_h")
+    g.collections.upsert("docs_h",
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "grp"))
+    g.collections.upsert("bar_h", Seq((1L, 1.0)).toDF("id", "v"))
+    val q = "SELECT grp, count(*) AS count FROM docs_h GROUP BY grp " +
+      "HAVING count(*) > (SELECT max(v) FROM bar_h) ORDER BY grp"
+    assert(g.sql(q).collect().map(_.getString(0)).toSeq == Seq("a"))
+    val c0 = g.compileCount.get()
+    g.sql(q).collect()
+    assert(g.compileCount.get() == c0, "re-run must hit the cache")
+    // raise the HAVING bar via the subquery-only table: the stamp walk
+    // must see it (r12 self-review: ofSelect skipped HAVING values)
+    g.collections.upsert("bar_h", Seq((2L, 5.0)).toDF("id", "v"))
+    val rows = g.sql(q).collect()
+    assert(g.compileCount.get() == c0 + 1,
+      "publish to the HAVING-subquery table must invalidate")
+    assert(rows.isEmpty, "no group exceeds the new max(v)=5 bar")
+    graft.Collections.deleteRec(java.nio.file.Paths.get(tmp))
+  }
+
   test("NOW-relative queries are never cached") {
     val g = Graft(spark, sfDir)
     val q = "SELECT event_id FROM events WHERE ts > NOW() - INTERVAL '36500 days' LIMIT 1"
