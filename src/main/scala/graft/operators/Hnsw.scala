@@ -218,9 +218,19 @@ object Hnsw {
     * (rows whose optional `keepCol` is false are NAVIGATED but never
     * EMITTED — filtered-HNSW acceptance, the filter-then-search
     * contract). Output schema = input schema. */
+  /** `cellClusteredFiles = true` asserts the input's PARQUET FILES each
+    * hold only complete cells (our Materialize graph layout — written
+    * repartitioned by cell). The walk then skips its per-query
+    * co-locating shuffle when no file can SPLIT across read partitions
+    * (every file ≤ the session's minimum split size — files at or under
+    * it always map to one partition; a partition holding several whole
+    * files still sees complete cells). Larger files fall back to the
+    * shuffle: a split mid-row-group-boundary could tear a cell into two
+    * partial graphs and silently degrade the walk. */
   def walkCandidates(probed: DataFrame, vecCol: String, idCol: String,
       metric: String, query: Seq[Float], ef: Int,
-      keepCol: Option[String] = None): DataFrame = {
+      keepCol: Option[String] = None,
+      cellClusteredFiles: Boolean = false): DataFrame = {
     val inSchema = probed.schema
     val idIdx = inSchema.fieldIndex(idCol)
     val vecIdx = inSchema.fieldIndex(vecCol)
@@ -233,7 +243,17 @@ object Hnsw {
     val q = query.toArray
     val efN = ef
     val maxVisited = ef * 16 // hard bound on pathological meshes
-    probed.repartition(col("cell")).mapPartitions { it =>
+    val skipShuffle = cellClusteredFiles && (try {
+      val conf = probed.sparkSession.sessionState.conf
+      val cap = math.min(conf.filesOpenCostInBytes, conf.filesMaxPartitionBytes)
+      val files = probed.inputFiles
+      files.nonEmpty && files.forall { f =>
+        val p = java.nio.file.Paths.get(new java.net.URI(f))
+        java.nio.file.Files.size(p) <= cap
+      }
+    } catch { case _: Throwable => false })
+    val colocated = if (skipShuffle) probed else probed.repartition(col("cell"))
+    colocated.mapPartitions { it =>
       val all = it.toArray
       all.groupBy(_.getInt(cellIdx)).iterator.flatMap { case (_, rows) =>
         val byId = scala.collection.mutable.LongMap.empty[Row]

@@ -313,7 +313,13 @@ class Compiler(
             }
             Hnsw.walkCandidates(
               probedIdx.where(col("cell").isin(cellsToProbe: _*)),
-              vcolName, meta.idCol, meta.metric, vec, ef, keepCol)
+              vcolName, meta.idCol, meta.metric, vec, ef, keepCol,
+              // the materialized graph is written clustered by cell, so
+              // the walk may skip its co-locating shuffle when no
+              // parquet file can split (walkCandidates gates on file
+              // sizes; the residual __keep projection doesn't change
+              // the underlying scan's files)
+              cellClusteredFiles = true)
               .drop("cell", "neighbors", "neighbors1", "level", "__keep")
           case Some(t @ ("fast" | "balanced" | "accurate"))
               if indexKind.contains("ivf") =>
