@@ -28,14 +28,21 @@ object Bm25 {
     * bypass the 8 GB broadcast limit at scale. Without column stats the
     * pruned scan keeps the postings table's full-size estimate — the
     * conservative direction (falls back to the shuffling join). */
-  private def joinDocSide(docSide: DataFrame, tfSide: DataFrame): DataFrame = {
-    val thr = tfSide.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-    val fits = thr > 0 &&
-      (try tfSide.queryExecution.optimizedPlan.stats.sizeInBytes <= thr
-       catch { case _: Throwable => false })
+  private def joinDocSide(docSide: DataFrame, tfSide: DataFrame,
+      fitsOverride: Option[Boolean] = None): DataFrame = {
+    val fits = fitsOverride.getOrElse {
+      val thr = tfSide.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+      thr > 0 && estimate(tfSide) <= thr
+    }
     if (fits) docSide.join(broadcast(tfSide), "doc_id")
     else tfSide.join(docSide, "doc_id")
   }
+
+  /** Spark's own size estimate; unestimable plans read as "huge" so
+    * every gate falls to the conservative shuffle side. */
+  private def estimate(df: DataFrame): BigInt =
+    try df.queryExecution.optimizedPlan.stats.sizeInBytes
+    catch { case _: Throwable => BigInt(Long.MaxValue) }
 
   /** (doc_id, term) token stream under the reference tokenizer. */
   def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -110,6 +117,44 @@ object Bm25 {
   def indexFor(spark: org.apache.spark.sql.SparkSession, dir: String): Index =
     materializedIndex(spark, dir, "bm25", Seq("documents"))(
       graft.Tables.table(spark, dir, "documents"))
+
+  /** Filtered BM25 over a prebuilt index — scores IDENTICAL to running
+    * [[score]] on the pre-filtered doc frame (T3's filter-then-score
+    * contract), without re-tokenizing anything: per-doc lengths and tf
+    * are doc-local (a row filter can't change them), so the filtered
+    * corpus stats (n, avgdl) are one agg over docStats ∩ keepIds and
+    * the filtered df is a count over the term-pruned postings ∩
+    * keepIds. `keepIds` is a (doc_id) frame — query-dependent, so it
+    * stays a join input rather than a materialization. */
+  def searchIndexFiltered(index: Index, keepIds: DataFrame,
+      queryText: String, k: Int = 0): DataFrame = {
+    val queryTerms = queryText.toLowerCase.split("[^a-z0-9]+")
+      .filter(_.length > 1).toSeq.distinct
+    val ids = keepIds.select(col("doc_id"))
+    val dl = index.docStats.join(ids, "doc_id")
+    val stats = dl.agg(count(lit(1)).as("n"),
+      avg(col("dlen").cast("double")).as("avgdl"))
+    val tf = index.postings.where(col("term").isin(queryTerms: _*))
+      .join(ids, "doc_id")
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    // gate the broadcast on the COMPONENT estimates: a join output's
+    // sizeInBytes is the product of its children's, so the joined tf
+    // frame always reads as huge even when both inputs are tiny (the
+    // same estimate poisoning the PPR seed join hit)
+    val thr = index.postings.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val fits = thr > 0 &&
+      estimate(index.postings.where(col("term").isin(queryTerms: _*))) +
+        estimate(ids) <= thr
+    val scored = joinDocSide(dl, tf.join(broadcast(dfreq), "term"), Some(fits))
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score",
+        idf * (col("tf") * (lit(K1) + 1.0))
+          / (col("tf") + lit(K1) * (lit(1.0) - B + lit(B) * col("dlen") / col("avgdl"))))
+      .groupBy("doc_id").agg(sum(col("term_score")).as("score"))
+    if (k > 0) scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+    else scored
+  }
 
   /** BM25 over a prebuilt index — same scores as [[score]]. The tf side
     * (term-pruned postings) broadcasts into the corpus-sized docStats

@@ -165,8 +165,15 @@ object TextQueries {
     QueryDef(
       "q61_bm25_filtered",
       bm25Sql(Seq("vector", "query"), 10, "WHERE lang = 'en'")) { (s, d) =>
-      bm25(t(s, d, "documents").where(col("lang") === "en"),
-        Seq("vector", "query"), 10)
+      // filter-then-score over the MATERIALIZED index: per-doc lengths
+      // and tf are doc-local, so the filtered stats come from joins
+      // against the cached postings/docStats instead of a per-query
+      // re-tokenize of the corpus — identical scores (Bm25
+      // .searchIndexFiltered scaladoc)
+      graft.operators.Bm25.searchIndexFiltered(
+        graft.operators.Bm25.indexFor(s, d),
+        t(s, d, "documents").where(col("lang") === "en").select("doc_id"),
+        Seq("vector", "query").mkString(" "), 10)
     },
 
     // ---- F4: hybrid text+vector RRF — BM25 leg + cosine leg over the
