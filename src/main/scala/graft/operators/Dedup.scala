@@ -221,12 +221,16 @@ object Dedup {
     * (headers, footers, license blocks) disappears from every copy but
     * the first, which doc-level dedup (q66-q70) cannot do.
     *
-    * Scale shape: one shuffle keyed by the chunk for the
-    * first-occurrence window, one partial+final agg per doc for the
-    * reassembly — no pairwise term at all. The window partitions here
-    * by the chunk STRING so the decision is exact and oracle-checkable;
-    * at 100 TB key it by `xxhash64(chunk)` instead (CCNet itself dedups
-    * on hashes) to shuffle 8-byte keys rather than text.
+    * Scale shape: one explode of the corpus, one shuffle keyed by
+    * `xxhash64(chunk)` for the first-occurrence window (CCNet itself
+    * dedups on hashes; ranking inside a hash group sorts 8-byte keys,
+    * not chunk text — a 64-bit collision merging two distinct chunks is
+    * ~(chunks²)/2⁶⁵, far below the noise of the dedup decision), one
+    * partial+final agg per doc for the reassembly — no pairwise term at
+    * all. (Measured alternative, rejected: routing only dup-hash groups
+    * through the window via a broadcast dup set re-executes the explode
+    * three times and the narrow dup agg alone costs as much as the
+    * whole window — explode-once wins.)
     *
     * Reference frames doc-level dedup only (`collection/mod.rs` upsert
     * merge-by-id); span-level dedup is beyond-reference, per the
@@ -246,7 +250,8 @@ object Dedup {
              |               i -> concat_ws(' ', slice(w, i * $chunkWords + 1, $chunkWords)))
              |END""".stripMargin)))
       .toDF("doc_id", "cidx", "chunk")
-    val firstWin = Window.partitionBy("chunk").orderBy(col("doc_id"), col("cidx"))
+    val firstWin = Window.partitionBy(xxhash64(col("chunk")))
+      .orderBy(col("doc_id"), col("cidx"))
     // one pass over the exploded chunks: count + survivor reassembly in
     // the same doc_id agg (array_sort on (cidx, …) structs orders by
     // cidx, unique per doc); no second chunk derivation, no self-join
@@ -281,18 +286,21 @@ object Dedup {
     * `dup_tokens` (tokens covered by ≥1 duplicated window) — the
     * per-doc removal plan a span-level dedup pass executes.
     *
-    * Scale shape: the gram table is the same inverted-join asset the
-    * dedup family shares (shuffle keyed by the gram — at 100 TB key by
-    * `xxhash64(gram)` so 8-byte keys move, and df-cap the HAVING group
-    * like [[ngramJaccardPairs]]); the island merge is one window
-    * partitioned by doc, bounded by doc length. Integer arithmetic
-    * end-to-end — nothing float-sensitive. */
+    * Scale shape: the gram table moves as `xxhash64` over the n token
+    * slots — 8-byte shuffle keys, never the gram text (a 64-bit
+    * collision merging two distinct grams is ~(grams²)/2⁶⁵ — at
+    * corpus scale that noise is far below the sampling noise of the
+    * dedup decision itself). Duplicate detection is a count window
+    * partitioned by that hash: ONE shuffle of the gram stream, and the
+    * explode subtree executes once (the groupBy-then-join-back shape
+    * re-executes it on both sides of the self-join). The island merge
+    * is one window partitioned by doc, bounded by doc length. Integer
+    * arithmetic end-to-end — nothing float-sensitive. */
   def duplicateSpans(docs: DataFrame, n: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(n >= 2, "n must be >= 2")
-    val gram = (0 until n).map(j => s"tks[i + $j]")
-      .mkString("concat_ws(' ', ", ", ", ")")
+    val gram = (0 until n).map(j => s"tks[i + $j]").mkString("xxhash64(", ", ", ")")
     val tok = docs.select(col(idCol).as("doc_id"),
       expr(s"filter(split(lower($textCol), '[^a-z0-9]+'), t -> length(t) > 0)")
         .as("tks"))
@@ -300,9 +308,8 @@ object Dedup {
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(tks) - $n), i -> $gram)")))
       .toDF("doc_id", "pos", "gram")
-    val dup = g.groupBy("gram").agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") > 1).select("gram")
-    val m = g.join(dup, Seq("gram"))
+    val m = g.withColumn("cnt", count(lit(1)).over(Window.partitionBy("gram")))
+      .where(col("cnt") > 1)
       .select(col("doc_id"), col("pos").cast("long").as("s"),
         (col("pos") + (n - 1)).cast("long").as("e"))
     val prevMax = Window.partitionBy("doc_id").orderBy("s")

@@ -101,4 +101,41 @@ object Metrics {
 
   def mapAtK(preds: DataFrame, truth: DataFrame, k: Int): Double =
     mapAtKDf(preds, truth, k).first().getDouble(0)
+
+  /** All five retrieval metrics in ONE plan: a single marked
+    * preds⋈truth frame feeds one per-query agg, then one global avg —
+    * the per-metric `…Df` forms each rebuild their own join+agg
+    * subtree, so composing five of them (the q124 shape) pays ~10
+    * stage-floors for 30 rows of data. Same formulas, same output
+    * column names as the individual forms.
+    *
+    * Contract: `preds` and `truth` cover the same query set (the
+    * standard eval-harness shape — every query has both a ranking and
+    * a truth list). The per-metric forms remain the edge-precise
+    * choice when the sets can diverge. */
+  def retrievalReport(preds: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy("rank")
+    val marked = preds.where(col("rank") <= k)
+      .join(truth.withColumn("rel", lit(1)), Seq("query_id", "doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0)))
+      .withColumn("cum_hits", sum(col("rel")).over(w))
+    val perq = marked.groupBy("query_id").agg(
+      sum(col("rel")).cast("long").as("n_hit"),
+      min(when(col("rel") === 1, col("rank"))).as("first_rank"),
+      sum(when(col("rel") === 1, lit(1.0) / log2(col("rank") + 1))
+        .otherwise(lit(0.0))).as("dcg"),
+      sum(when(col("rel") === 1, col("cum_hits") / col("rank"))).as("sum_prec"))
+    val nRel = truth.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    perq.join(nRel, Seq("query_id"), "left")
+      .withColumn("idcg", expr(
+        s"aggregate(sequence(1, int(least(n_rel, $k))), 0.0D, (acc, i) -> acc + 1.0 / log2(i + 1))"))
+      .agg(
+        avg(col("n_hit") / col("n_rel")).as(s"recall_$k"),
+        avg(col("n_hit") / lit(k.toDouble)).as(s"precision_$k"),
+        avg(coalesce(lit(1.0) / col("first_rank"), lit(0.0))).as("mrr"),
+        avg(coalesce(col("dcg"), lit(0.0)) / col("idcg")).as(s"ndcg_$k"),
+        avg(coalesce(col("sum_prec"), lit(0.0)) /
+          least(col("n_rel"), lit(k.toLong)).cast("double")).as(s"map_$k"))
+  }
 }

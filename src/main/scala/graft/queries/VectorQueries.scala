@@ -416,20 +416,17 @@ object VectorQueries {
         Knn.topK(emb, "embedding", q, 15, "cosine", idCol = "vec_id",
             filter = Some(col("label") <= 4))
           .select(lit(qid).as("query_id"), col("vec_id").as("doc_id"))
-      // Eager localCheckpoint, not cache(): each of the five metric
-      // frames embeds the preds/truth plans — without materialization the
-      // one-row result recomputes the four top-k scans five times over.
-      // cache() would leak two entries into the shared session's cache
-      // registry for the rest of a CORRECTNESS run; checkpoint blocks
-      // (30 + 20 rows) are freed by the ContextCleaner once the returned
-      // frame is unreferenced.
-      val preds = pred(q64, 0).unionAll(pred(q64b, 1)).localCheckpoint(true)
+      // Eager localCheckpoint on TRUTH only: it is read twice inside
+      // the report plan (the marked join + the n_rel agg). preds is
+      // consumed once, so its two top-k scans stay in-plan. cache()
+      // would leak entries into the shared session's cache registry for
+      // the rest of a CORRECTNESS run; checkpoint blocks (20 rows) are
+      // freed by the ContextCleaner once the returned frame is
+      // unreferenced. All five metrics then come from ONE plan
+      // (retrievalReport) instead of five cross-joined agg subtrees.
+      val preds = pred(q64, 0).unionAll(pred(q64b, 1))
       val truth = rel(q64, 0).unionAll(rel(q64b, 1)).localCheckpoint(true)
-      Metrics.recallAtKDf(preds, truth, 10)
-        .crossJoin(Metrics.precisionAtKDf(preds, truth, 10))
-        .crossJoin(Metrics.mrrDf(preds, truth))
-        .crossJoin(Metrics.ndcgAtKDf(preds, truth, 10))
-        .crossJoin(Metrics.mapAtKDf(preds, truth, 10))
+      Metrics.retrievalReport(preds, truth, 10)
     },
 
     // ---- F5: multi-score breakdown fusion — weighted strategy with a

@@ -47,6 +47,17 @@ class MetricsExplainSpec extends SparkSpecBase {
     assert(math.abs(Metrics.mapAtK(preds, truth, 3) - expect) < 1e-12)
   }
 
+  test("retrievalReport: one-plan report equals the five individual metric frames") {
+    val r = Metrics.retrievalReport(preds, truth, 3).first()
+    assert(r.schema.fieldNames.toSeq ==
+      Seq("recall_3", "precision_3", "mrr", "ndcg_3", "map_3"))
+    assert(math.abs(r.getDouble(0) - Metrics.recallAtK(preds, truth, 3)) < 1e-12)
+    assert(math.abs(r.getDouble(1) - Metrics.precisionAtK(preds, truth, 3)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - Metrics.mrr(preds, truth)) < 1e-12)
+    assert(math.abs(r.getDouble(3) - Metrics.ndcgAtK(preds, truth, 3)) < 1e-12)
+    assert(math.abs(r.getDouble(4) - Metrics.mapAtK(preds, truth, 3)) < 1e-12)
+  }
+
   test("EXPLAIN renders the plan-intent tree (explain.rs node names)") {
     val out = Explain.explain(
       "SELECT id FROM docs WHERE similarity(vector, $v) > 0.8 AND category = 'tech' ORDER BY id LIMIT 10")
