@@ -59,6 +59,7 @@ object Bench {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config(graft.SessionTuning.localConfigMap)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

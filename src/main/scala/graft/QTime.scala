@@ -12,6 +12,7 @@ object QTime {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config(graft.SessionTuning.localConfigMap)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.All.foreach(n => Tables.table(spark, sfDir, n).count())

@@ -13,6 +13,7 @@ object RecallProbe {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config(graft.SessionTuning.localConfigMap)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val qa = functions.VectorFunctions.syntheticQuery(64)

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared local-mode session tuning for the harness mains (Bench /
+  * Verify / QTime / probes) and the test base.
+  *
+  * Why (measured on this box, tools/Scratch2): a 32-partition
+  * `groupBy` over 369k in-memory longs took 0.47 s — per-EXCHANGE
+  * floor, not data. Root cause: with ≤200 shuffle partitions Spark
+  * picks the bypass-merge shuffle writer, which opens one file PER
+  * REDUCE PARTITION per map task (32×32 = 1024 file creates per
+  * exchange), and file creation on this VM's disk is milliseconds.
+  * `bypassMergeThreshold=1` forces the single-file sort writer (the
+  * same writer Spark always uses above 200 partitions): 0.47 → 0.18 s.
+  * Shuffle dirs on tmpfs cut the remaining file cost: → 0.155 s.
+  * `parallelismFirst=false` is the Spark-docs-recommended setting so
+  * AQE coalesces tiny reduce sides by the advisory byte size instead
+  * of refusing to go below defaultParallelism.
+  *
+  * Cluster mapping: pointing `spark.local.dir` at fast local storage
+  * is standard ops practice; the sort writer is the default beyond
+  * 200 partitions, so production shapes are unaffected.
+  */
+object SessionTuning {
+  /** Config map for `SparkSession.Builder.config(java.util.Map)` —
+    * chain `.config(SessionTuning.localConfigMap)` into a builder. */
+  def localConfigMap: java.util.Map[String, Any] = {
+    val m = new java.util.HashMap[String, Any]()
+    m.put("spark.shuffle.sort.bypassMergeThreshold", "1")
+    m.put("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite)
+      m.put("spark.local.dir", "/dev/shm/spark-local")
+    m
+  }
+
+  def local(b: SparkSession.Builder): SparkSession.Builder =
+    b.config(localConfigMap)
+}

@@ -18,6 +18,7 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS) which vanilla Spark 4
       // rejects; read as long and re-derive the timestamp in Tables.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config(graft.SessionTuning.localConfigMap)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -23,6 +23,7 @@ object Scratch {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config(graft.SessionTuning.localConfigMap)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = graft.Tables.table(spark, sfDir, "documents")
@@ -80,6 +81,87 @@ object Scratch {
       .queryExecution.toRdd.count())
     time("full q178")(graft.SparkEntry.queries("q178_dup_spans")(spark, sfDir)
       .queryExecution.toRdd.count())
+
+    // ---- q179 DSIR: where do the two passes spend?
+    {
+      val docs2 = graft.Tables.table(spark, sfDir, "documents")
+      val occ = graft.SparkEntry.queries("q179_dsir_weights") // just to warm
+      val occTab = graft.Materialize(spark, sfDir, "dsir_occ4096", Seq("documents"), Some("doc_id")) {
+        graft.operators.Dsir.occurrences(docs2, 4096)
+      }
+      time("occ scan only")(occTab.select(count(lit(1))).queryExecution.toRdd.count())
+      time("distribution agg (flags join)")( {
+        val flags = docs2.select(col("doc_id"), (col("lang") === "en").as("__is_t"))
+        occTab.join(flags, Seq("doc_id")).groupBy("fid").agg(
+          sum(when(col("__is_t"), col("cnt")).otherwise(0L)).as("ct"),
+          sum(col("cnt")).as("cr")).queryExecution.toRdd.count()
+      })
+      time("distribution agg (broadcast flags)")( {
+        val flags = broadcast(docs2.select(col("doc_id"), (col("lang") === "en").as("__is_t")))
+        occTab.join(flags, Seq("doc_id")).groupBy("fid").agg(
+          sum(when(col("__is_t"), col("cnt")).otherwise(0L)).as("ct"),
+          sum(col("cnt")).as("cr")).queryExecution.toRdd.count()
+      })
+
+      time("occ count rows")(occTab.queryExecution.toRdd.count())
+      time("agg no-join")(occTab.groupBy("fid").agg(sum(col("cnt")).as("cr"))
+        .queryExecution.toRdd.count())
+
+      println("=== agg no-join plan ===")
+      occTab.groupBy("fid").agg(sum(col("cnt")).as("cr")).explain()
+      val sc = spark.sparkContext
+      @volatile var jobs = 0; @volatile var stages = 0; @volatile var tasks = 0
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = { jobs += 1; stages += j.stageInfos.size }
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = tasks += 1
+      })
+      occTab.groupBy("fid").agg(sum(col("cnt")).as("cr")).queryExecution.toRdd.count()
+      Thread.sleep(300)
+      println(s"JOBMETA agg-no-join jobs=$jobs stages=$stages tasks=$tasks")
+
+      val nation = graft.Tables.table(spark, sfDir, "nation")
+      time("calibrate: nation distinct (AQE exchange)")(
+        nation.select("n_regionkey").distinct().queryExecution.toRdd.count())
+      time("calibrate: occ distinct fid")(
+        occTab.select("fid").distinct().queryExecution.toRdd.count())
+
+      occTab.write.mode("overwrite").parquet("/tmp/occ_copy")
+      val occCopy = spark.read.parquet("/tmp/occ_copy")
+      time("occ COPY distinct fid")(
+        occCopy.select("fid").distinct().queryExecution.toRdd.count())
+      println("occ files: " + new java.io.File(occTab.queryExecution.analyzed.collectLeaves().head.toString.split("\\[").lift(0).getOrElse("?")))
+      val p = occTab.queryExecution.optimizedPlan.collectLeaves().head
+      println("occ leaf: " + p.getClass.getSimpleName)
+
+      {
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(sc2: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc2.stageInfo
+            println(f"STAGEMETA id=${si.stageId} name=${si.name.take(40)} tasks=${si.numTasks} " +
+              f"run=${si.taskMetrics.executorRunTime}ms cpu=${si.taskMetrics.executorCpuTime/1000000}ms " +
+              f"deser=${si.taskMetrics.executorDeserializeTime}ms wall=${si.completionTime.getOrElse(0L)-si.submissionTime.getOrElse(0L)}ms")
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        val t0=System.nanoTime
+        occCopy.select("fid").distinct().queryExecution.toRdd.count()
+        println(f"TOTALWALL ${(System.nanoTime-t0)/1e9}%.3f")
+        Thread.sleep(500)
+        spark.sparkContext.removeSparkListener(listener)
+      }
+
+      time("occ copy global sum (no groupBy)")(
+        occCopy.select(sum(col("cnt"))).queryExecution.toRdd.count())
+      time("synthetic range groupBy (369k rows)")(
+        spark.range(369242).select((col("id") % 865).as("fid"), lit(1L).as("cnt"))
+          .groupBy("fid").agg(sum(col("cnt"))).queryExecution.toRdd.count())
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      time("occ copy distinct fid AQE OFF")(
+        occCopy.select("fid").distinct().queryExecution.toRdd.count())
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      time("full q179")(graft.SparkEntry.queries("q179_dsir_weights")(spark, sfDir)
+        .queryExecution.toRdd.count())
+    }
     spark.stop()
   }
 }
