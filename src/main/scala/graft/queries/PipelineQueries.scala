@@ -36,6 +36,24 @@ object PipelineQueries {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Throwaway micro-batch checkpoint dir on the fastest local storage
+    * (every batch writes offset/commit logs + one state file per store
+    * partition; tmpfs when present — same rationale as
+    * [[SessionTuning]]'s shuffle dirs). Deleted after the stream
+    * terminates — these pins re-execute from scratch per run. */
+  private def withCkpt[T](prefix: String)(body: String => T): T = {
+    val shm = new java.io.File("/dev/shm")
+    val dir = if (shm.isDirectory && shm.canWrite)
+      java.nio.file.Files.createTempDirectory(shm.toPath, prefix)
+    else java.nio.file.Files.createTempDirectory(prefix)
+    try body(dir.toString)
+    finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => p.toFile.delete())
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- S5 user side, end-to-end (graph_api.rs:40-107): create a
@@ -516,8 +534,9 @@ object PipelineQueries {
       val agg = StreamingOps.windowedAgg(
         StreamingOps.eventsStream(s, d), "6 hours", "6 hours", "1 hour")
       val qn = s"q127_sink_${System.nanoTime()}"
-      withStreamParts(s, 4) {
+      withStreamParts(s, 4) { withCkpt("graft-q127-") { ck =>
         val q = agg.writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", ck)
           .outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
         // awaitTermination returns FALSE on timeout (no exception) — a
@@ -525,7 +544,7 @@ object PipelineQueries {
         // sessionization/windowing bug instead of the timeout
         try require(q.awaitTermination(300000), s"$qn timed out after 300 s")
         finally q.stop()
-      }
+      } }
       // materialize off the sink, then DROP its temp view — a run per
       // bench rep would otherwise accumulate memory-sink tables in the
       // long-lived shared session
@@ -560,14 +579,15 @@ object PipelineQueries {
       val agg = StreamingOps.sessionAgg(
         StreamingOps.eventsStream(s, d), "30 minutes", "1 hour")
       val qn = s"q131_sink_${System.nanoTime()}"
-      withStreamParts(s, 4) {
+      withStreamParts(s, 4) { withCkpt("graft-q131-") { ck =>
         val q = agg.writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", ck)
           .outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
         // see q127: FALSE from awaitTermination means timeout, fail loudly
         try require(q.awaitTermination(300000), s"$qn timed out after 300 s")
         finally q.stop()
-      }
+      } }
       val out = s.table(qn)
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("n_events"), round(col("session_value"), 4).as("session_value"))
@@ -593,14 +613,15 @@ object PipelineQueries {
         |ORDER BY click_id, purchase_id""".stripMargin) { (s, d) =>
       val joined = StreamingOps.intervalJoin(StreamingOps.eventsStream(s, d))
       val qn = s"q147_sink_${System.nanoTime()}"
-      withStreamParts(s, 4) {
+      withStreamParts(s, 4) { withCkpt("graft-q147-") { ck =>
         val q = joined.writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", ck)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
         // see q127: FALSE from awaitTermination means timeout, fail loudly
         try require(q.awaitTermination(300000), s"$qn timed out after 300 s")
         finally q.stop()
-      }
+      } }
       val out = s.table(qn)
         .select(col("click_id"), col("purchase_id"), col("user_id"),
           round(col("purchase_value"), 4).as("purchase_value"))
