@@ -14,9 +14,12 @@ import org.apache.spark.sql.SparkSession
   * `bypassMergeThreshold=1` forces the single-file sort writer (the
   * same writer Spark always uses above 200 partitions): 0.47 → 0.18 s.
   * Shuffle dirs on tmpfs cut the remaining file cost: → 0.155 s.
-  * `parallelismFirst=false` is the Spark-docs-recommended setting so
-  * AQE coalesces tiny reduce sides by the advisory byte size instead
-  * of refusing to go below defaultParallelism.
+  * (Measured and REJECTED: `coalescePartitions.parallelismFirst=
+  * false` — it coalesces by BYTES, which serializes CPU-heavy-per-byte
+  * sketch merges onto one reduce task: q159 percentile_approx 0.65 →
+  * 1.21 s, q151 HLL 0.36 → 0.82 s. Spark's parallelism-first default
+  * exists for exactly this shape; with the writer+tmpfs fixes the
+  * 32-task floor it protects against is ~2 ms/task anyway.)
   *
   * Cluster mapping: pointing `spark.local.dir` at fast local storage
   * is standard ops practice; the sort writer is the default beyond
@@ -28,7 +31,6 @@ object SessionTuning {
   def localConfigMap: java.util.Map[String, Any] = {
     val m = new java.util.HashMap[String, Any]()
     m.put("spark.shuffle.sort.bypassMergeThreshold", "1")
-    m.put("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
     val shm = new java.io.File("/dev/shm")
     if (shm.isDirectory && shm.canWrite)
       m.put("spark.local.dir", "/dev/shm/spark-local")
