@@ -127,8 +127,9 @@ object Bench {
     // line (for the committed PERF record), then the ONE parseable JSON
     // line LAST — compact (headline subset, 4-decimal times, ~800 chars)
     // so it always survives the tail whole.
+    val colds = results.map { case (k, c, _, _) => (k, c) }
     println("BENCH_DETAIL " +
-      s"""{"queries_all":${jsonMap(warm)},"reps_all":$repsAll,"cold_total_sec":${fmt(coldTotal)}}""")
+      s"""{"queries_all":${jsonMap(warm)},"reps_all":$repsAll,"colds_all":${jsonMap(colds)},"cold_total_sec":${fmt(coldTotal)}}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(warm.filter(q => Headline.contains(q._1)))},"n_queries":${warm.size},"cold_total_sec":${fmt(coldTotal)},"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -230,7 +230,12 @@ object Dedup {
     * all. (Measured alternative, rejected: routing only dup-hash groups
     * through the window via a broadcast dup set re-executes the explode
     * three times and the narrow dup agg alone costs as much as the
-    * whole window — explode-once wins.)
+    * whole window — explode-once wins.) Skew caveat: a boilerplate
+    * chunk repeated across a large corpus share concentrates its rows
+    * in one ranking group; the first-occurrence winner only needs the
+    * MIN (doc, cidx) of the group, so a 100 TB deployment replaces
+    * `row_number` with a min-struct pre-agg per hash before the window
+    * if one chunk dominates.
     *
     * Reference frames doc-level dedup only (`collection/mod.rs` upsert
     * merge-by-id); span-level dedup is beyond-reference, per the
@@ -295,7 +300,14 @@ object Dedup {
     * explode subtree executes once (the groupBy-then-join-back shape
     * re-executes it on both sides of the self-join). The island merge
     * is one window partitioned by doc, bounded by doc length. Integer
-    * arithmetic end-to-end — nothing float-sensitive. */
+    * arithmetic end-to-end — nothing float-sensitive.
+    *
+    * Skew caveat: a pathological mega-dup gram (one boilerplate
+    * passage repeated across a large corpus share) concentrates its
+    * rows in ONE window group; since only `cnt > 1` matters, a 100 TB
+    * deployment caps such groups with the [[ngramJaccardPairs]]
+    * df-cap discipline (sample the group — the keep/drop decision is
+    * unchanged once cnt exceeds 1). */
   def duplicateSpans(docs: DataFrame, n: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -49,8 +49,9 @@ object PipelineQueries {
     try body(dir.toString)
     finally {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(p => p.toFile.delete())
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().asScala.toSeq.reverse.foreach(p => p.toFile.delete())
+      finally walk.close()
     }
   }
 
