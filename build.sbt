@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Forward stdin to forked `run` JVMs so graft.cli.Repl reads its
+// input (interactive or piped); no effect on the other mains.
+run / connectInput := true

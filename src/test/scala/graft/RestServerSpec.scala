@@ -28,15 +28,20 @@ class RestServerSpec extends SparkSpecBase {
       HttpResponse.BodyHandlers.ofString())
 
   test("POST /collections/:name/indexes/retrain bumps the trained-index epoch") {
+    // this spec's Graft roots at the READ-ONLY test dataset dir, so the
+    // throwaway collection must not outlive the test (r12: leaked rt*
+    // dirs were contaminating /root/testdata)
     val cn = s"rt${System.nanoTime % 100000}"
     g.collections.create(cn)
-    val r = post(s"/collections/$cn/indexes/retrain", "{}")
-    assert(r.statusCode() == 200, r.body())
-    assert(r.body().contains("\"index_epoch\":1"), r.body())
-    val r2 = post(s"/collections/$cn/indexes/retrain", "{}")
-    assert(r2.body().contains("\"index_epoch\":2"), r2.body())
-    assert(g.collections.indexEpoch(cn) == 2L)
-    assert(post("/collections/rt_no_such/indexes/retrain", "{}").statusCode() == 404)
+    try {
+      val r = post(s"/collections/$cn/indexes/retrain", "{}")
+      assert(r.statusCode() == 200, r.body())
+      assert(r.body().contains("\"index_epoch\":1"), r.body())
+      val r2 = post(s"/collections/$cn/indexes/retrain", "{}")
+      assert(r2.body().contains("\"index_epoch\":2"), r2.body())
+      assert(g.collections.indexEpoch(cn) == 2L)
+      assert(post("/collections/rt_no_such/indexes/retrain", "{}").statusCode() == 404)
+    } finally g.collections.drop(cn)
   }
 
   test("GET /health") {
