@@ -1135,7 +1135,12 @@ class RestServer(g: Graft, port: Int = 0) {
   private def intOr(b: JsonNode, field: String, dflt: Int): Int =
     Option(b.get(field)).filter(_.isNumber).map(_.asInt).getOrElse(dflt)
   private def floatSeq(n: JsonNode): Option[Seq[Float]] =
-    Option(n).filter(_.isArray)
+    // every element must BE numeric — jackson's asDouble coerces text
+    // to 0.0, so a string sent where a vector belongs would otherwise
+    // silently search with a zero vector (found by the Python SDK's
+    // error-surface smoke)
+    Option(n).filter(x => x.isArray &&
+        x.elements().asScala.forall(_.isNumber))
       .map(_.elements().asScala.map(_.asDouble.toFloat).toSeq)
 
   /** JSON params → the engine's `Map[String, Any]` (numbers → Double,

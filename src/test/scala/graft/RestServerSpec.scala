@@ -44,6 +44,13 @@ class RestServerSpec extends SparkSpecBase {
     } finally g.collections.drop(cn)
   }
 
+  test("search rejects non-numeric vector elements (jackson coerces text to 0.0)") {
+    val r = post("/collections/documents/search",
+      """{"vector": ["n", "o", "t"], "top_k": 2}""")
+    assert(r.statusCode() == 400, r.body())
+    assert(r.body().contains("vector"), r.body())
+  }
+
   test("GET /health") {
     val r = get("/health")
     assert(r.statusCode() == 200 && r.body().contains("\"ok\""))
