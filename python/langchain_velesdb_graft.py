@@ -48,6 +48,16 @@ def _stable_hash_id(value):
     return int.from_bytes(digest[:8], byteorder="big") & 0x7FFFFFFFFFFFFFFF
 
 
+def _int_id(value):
+    """Caller id → stored integer id, ONE convention for add/get/delete:
+    all-digit ids (ints or digit strings) pass through as the integer,
+    anything else hashes. add_texts/delete/get_by_ids must all route
+    through here or add_texts(ids=["123"]) lands under hash("123") while
+    delete(["123"]) targets 123 and silently misses."""
+    s = str(value)
+    return int(s) if s.isdigit() else _stable_hash_id(s)
+
+
 class GraftVectorStore(VectorStore):
     """LangChain-compatible vector store over a graft REST server.
 
@@ -90,7 +100,7 @@ class GraftVectorStore(VectorStore):
         for i, (text, vec) in enumerate(zip(texts_list, embeddings)):
             if ids and i < len(ids):
                 doc_id = ids[i]
-                int_id = _stable_hash_id(doc_id)
+                int_id = _int_id(doc_id)
             else:
                 int_id = _stable_hash_id(uuid.uuid4().hex)
                 doc_id = str(int_id)
@@ -105,8 +115,7 @@ class GraftVectorStore(VectorStore):
     def delete(self, ids=None, **kwargs):
         if not ids:
             return False
-        self._get_collection().delete([_stable_hash_id(i) if not str(i).isdigit()
-                                       else int(i) for i in ids])
+        self._get_collection().delete([_int_id(i) for i in ids])
         return True
 
     @classmethod
@@ -158,8 +167,7 @@ class GraftVectorStore(VectorStore):
         return [[self._to_document(h) for h in part["results"]] for part in out]
 
     def get_by_ids(self, ids, **kwargs):
-        int_ids = [_stable_hash_id(i) if not str(i).isdigit() else int(i)
-                   for i in ids]
+        int_ids = [_int_id(i) for i in ids]
         docs = []
         for p in self._get_collection().get(int_ids):
             if p is not None:

@@ -80,6 +80,16 @@ def main():
         check("count after delete",
               store.get_collection_info()["points_count"] == 2)
 
+        # digit-string ids must round-trip add -> get -> delete under ONE
+        # convention (r12 ADVICE: add hashed "123" while delete targeted 123)
+        store.add_texts(["digit id doc"], metadatas=[{"lang": "en"}],
+                        ids=["123"])
+        dg = store.get_by_ids(["123"])
+        check("digit-id get", len(dg) == 1 and
+              dg[0].page_content == "digit id doc", repr(dg)[:120])
+        check("digit-id delete", store.delete(["123"]))
+        check("digit-id gone", not store.get_by_ids(["123"]))
+
         st2 = GraftVectorStore.from_texts(
             ["one text"], emb, base_url=base, collection_name=cn + "_ft")
         try:

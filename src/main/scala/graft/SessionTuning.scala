@@ -26,17 +26,32 @@ import org.apache.spark.sql.SparkSession
   * 200 partitions, so production shapes are unaffected.
   */
 object SessionTuning {
-  /** Config map for `SparkSession.Builder.config(java.util.Map)` —
-    * chain `.config(SessionTuning.localConfigMap)` into a builder. */
-  def localConfigMap: java.util.Map[String, Any] = {
+  /** Config map for the short-lived HARNESS mains (Bench / Verify /
+    * QTime / probes / tests): sort shuffle writer + tmpfs shuffle dirs.
+    * Chain `.config(SessionTuning.localConfigMap)` into a builder. */
+  def localConfigMap: java.util.Map[String, Any] =
+    configMap(tmpfsLocalDir = true)
+
+  /** Config map for LONG-RUNNING services (Serve / Repl): same shuffle
+    * writer, but `spark.local.dir` stays on disk — a RAM-backed tmpfs
+    * local dir means a large query's shuffle/spill competes with heap
+    * for physical memory (ENOSPC or the OOM-killer instead of a disk
+    * spill), which a bounded bench run tolerates and a server must not. */
+  def serviceConfigMap: java.util.Map[String, Any] =
+    configMap(tmpfsLocalDir = false)
+
+  private def configMap(tmpfsLocalDir: Boolean): java.util.Map[String, Any] = {
     val m = new java.util.HashMap[String, Any]()
     m.put("spark.shuffle.sort.bypassMergeThreshold", "1")
     val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite)
+    if (tmpfsLocalDir && shm.isDirectory && shm.canWrite)
       m.put("spark.local.dir", "/dev/shm/spark-local")
     m
   }
 
   def local(b: SparkSession.Builder): SparkSession.Builder =
     b.config(localConfigMap)
+
+  def service(b: SparkSession.Builder): SparkSession.Builder =
+    b.config(serviceConfigMap)
 }

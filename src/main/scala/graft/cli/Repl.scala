@@ -61,6 +61,13 @@ class ReplSession(val g: Graft, out: java.io.PrintStream) {
         out.println(s"Error: ${e.getMessage}"); true
       case e: org.apache.spark.sql.AnalysisException =>
         out.println(s"Error: ${e.getSimpleMessage}"); true
+      // execution-time failures (SparkException from collect — a deleted
+      // underlying file, ANSI overflow, UDF error) must not kill the
+      // session: print and keep reading, like the reference REPL
+      // (repl.rs error loop)
+      case scala.util.control.NonFatal(e) =>
+        out.println(s"Error: ${Option(e.getMessage).getOrElse(e.toString)}")
+        true
     }
   }
 
@@ -296,7 +303,7 @@ object Repl {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config(graft.SessionTuning.localConfigMap)
+      .config(graft.SessionTuning.serviceConfigMap)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val session = new ReplSession(Graft(spark, dataDir), System.out)

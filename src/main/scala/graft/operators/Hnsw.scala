@@ -368,20 +368,24 @@ object Hnsw {
         // the file level); the reference's in-place insert
         // (native_index.rs:317) has the same touched-cells cost shape.
         val modelSrc = modelSources.getOrElse(sources)
+        // sig2: the signature hashes the WHOLE row (to_json of every
+        // manifest column), not just (id, vector) — the cached cell
+        // graph carries all columns (residual __keep predicates and
+        // SELECTed payload evaluate against it), so a payload-only
+        // upsert must dirty its cell or the walk serves stale payload
         val sigs = graft.Materialize.pieces(spark, token,
-          b => s"hnswsig${kCells}_${metric}_p${b}_$name", ps, schema,
+          b => s"hnswsig2v${kCells}_${metric}_p${b}_$name", ps, schema,
           modelSrc, None)(
           _.select(Ivf.udfAssign(cents)(col(vecCol)).as("cell"),
-              xxhash64(col(idCol).cast("string"),
-                col(vecCol).cast("string")).as("h"))
+              xxhash64(to_json(struct(col("*")))).as("h"))
             .groupBy("cell")
             // bit_xor: order-independent and overflow-free (an ANSI
-            // sum of 64-bit hashes overflows); (id, vector) pairs are
-            // unique per piece, so XOR cancellation needs a true hash
-            // collision
+            // sum of 64-bit hashes overflows); rows are unique per
+            // piece (unique ids), so XOR cancellation needs a true
+            // hash collision
             .agg(expr("bit_xor(h)").as("h"), count(lit(1)).as("n")))
         val cellHashes: Seq[(Int, String)] = graft.Materialize.memo(
-            s"hnswhashes${kCells}_${metric}_$name", token,
+            s"hnswhashes2v${kCells}_${metric}_$name", token,
             ps.map(_._2) ++ modelSrc) {
           sigs.groupBy("cell").agg(expr("bit_xor(h)").as("h"), sum(col("n")).as("n"))
             .collect()

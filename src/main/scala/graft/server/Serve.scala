@@ -17,7 +17,7 @@ object Serve {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config(graft.SessionTuning.localConfigMap)
+      .config(graft.SessionTuning.serviceConfigMap)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val srv = new RestServer(Graft(spark, dataDir), port = port).start()

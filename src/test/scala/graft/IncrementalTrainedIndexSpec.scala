@@ -52,7 +52,7 @@ class IncrementalTrainedIndexSpec extends SparkSpecBase {
     val booksBefore = entries(s"pq8x32_codebooks_$colName", colName)
     val cellsBefore = entries("ivf8_cells_p", colName)
     val codesBefore = entries("pq8x32_codes_p", colName)
-    val sigsBefore = entries("hnswsig8_cosine_p", colName)
+    val sigsBefore = entries("hnswsig2v8_cosine_p", colName)
     val graphsBefore = entries(s"hnswv2m8s16_cosine_${colName}_c", colName)
     assert(centsBefore.size == 1, s"one frozen centroid table: $centsBefore")
     assert(booksBefore.size == 1, s"one frozen codebook table: $booksBefore")
@@ -79,7 +79,7 @@ class IncrementalTrainedIndexSpec extends SparkSpecBase {
       s"expected 1 rebuilt cell piece, got ${entries("ivf8_cells_p", colName) -- cellsBefore}")
     assert((entries("pq8x32_codes_p", colName) -- codesBefore).size == 1,
       s"expected 1 rebuilt code piece, got ${entries("pq8x32_codes_p", colName) -- codesBefore}")
-    assert((entries("hnswsig8_cosine_p", colName) -- sigsBefore).size == 1,
+    assert((entries("hnswsig2v8_cosine_p", colName) -- sigsBefore).size == 1,
       s"expected 1 rebuilt signature piece")
     // graph: only the cells containing the replaced row rebuild — old
     // vector's cell + new vector's cell at most
@@ -106,6 +106,39 @@ class IncrementalTrainedIndexSpec extends SparkSpecBase {
     g.collections.delete(colName, (1L to 200L))
     assert(run("mode = 'accurate', index = 'hnsw'").isEmpty,
       "an emptied collection must return zero hits, not error")
+    Collections.deleteRec(java.nio.file.Paths.get(tmp))
+  }
+
+  test("payload-only upsert dirties its hnsw cell (no stale graph)") {
+    // r12 ADVICE (high): the per-cell signature hashed only (id, vector),
+    // so a same-vector payload change left the cell hash unchanged and
+    // the cached graph kept serving the OLD payload to residual WHERE
+    // predicates and SELECTed columns. sig2 hashes every column.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hnswpay").toString
+    val g = Graft(spark, tmp)
+    val colName = s"pvec${System.nanoTime() % 100000}"
+    g.collections.create(colName, idCol = "id", vectorCol = Some("vec"),
+      buckets = 4)
+    g.collections.upsert(colName,
+      (1L to 60L).map(i => (i, vec(i), s"old$i")).toDF("id", "vec", "tag"))
+    val q = vec(5L) // near id=5 so it lands in top-k
+    def hits(): Map[Long, String] =
+      g.sql(s"SELECT id, tag FROM $colName WHERE vector NEAR $$q LIMIT 5 " +
+        "WITH (mode = 'accurate', index = 'hnsw')", Map("q" -> q))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = hits()
+    assert(first.get(5L).contains("old5"), s"expected id=5 in top-5: $first")
+    // same id, SAME vector, new payload — only the payload column moves
+    g.collections.upsert(colName, Seq((5L, vec(5L), "new5")).toDF("id", "vec", "tag"))
+    val second = hits()
+    assert(second.get(5L).contains("new5"),
+      s"payload-only upsert must be visible through the hnsw tier: $second")
+    // residual predicate over the updated payload must see the new value
+    val filtered = g.sql(
+      s"SELECT id FROM $colName WHERE vector NEAR $$q AND tag = 'new5' LIMIT 5 " +
+        "WITH (mode = 'accurate', index = 'hnsw')", Map("q" -> q))
+      .collect().map(_.getLong(0)).toSet
+    assert(filtered == Set(5L), s"residual WHERE must see new payload: $filtered")
     Collections.deleteRec(java.nio.file.Paths.get(tmp))
   }
 }

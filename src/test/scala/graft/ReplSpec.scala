@@ -112,6 +112,30 @@ class ReplSpec extends SparkSpecBase {
     assert(capped.contains("(2 rows)") && capped.contains("capped"))
   }
 
+  test("execution-time failures survive the session (r12 ADVICE)") {
+    // a failure thrown at collect time, not analysis time (the advice's
+    // example: an underlying file deleted/corrupted after the plan
+    // resolved) — the session must print the error and keep going
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-replboom")
+    val g = Graft(spark, tmp.toString)
+    g.collections.create("docs", idCol = "id", vectorCol = None)
+    g.collections.upsert("docs", Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    val buf = new java.io.ByteArrayOutputStream()
+    val r = new ReplSession(g, new java.io.PrintStream(buf, true, "UTF-8"))
+    // overwrite every stored parquet with garbage: the manifest still
+    // resolves (analysis passes), the scan fails inside the Spark job
+    java.nio.file.Files.walk(tmp).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .foreach(p => java.nio.file.Files.write(p,
+        "not a parquet file".getBytes("UTF-8")))
+    assert(r.handle("SELECT id FROM docs"),
+      "a runtime SparkException must not end the session")
+    assert(out(buf).toLowerCase.contains("error"))
+    assert(r.handle(".help"))
+    assert(out(buf).contains(".collections"), "session still works after")
+  }
+
   test("EXPLAIN renders the plan-intent tree through the REPL") {
     val (r, buf, _) = freshSession()
     r.handle("EXPLAIN SELECT id FROM docs WHERE name = 'alpha' LIMIT 5")
