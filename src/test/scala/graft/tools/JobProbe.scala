@@ -12,7 +12,7 @@ import java.util.concurrent.atomic.AtomicInteger
   * scheduler floor twice under co-tenancy) — this probe is the
   * before/after evidence for collapsing them.
   *
-  * Usage: sbt "runMain graft.tools.JobProbe q123 q60 q62"
+  * Usage: sbt "Test/runMain graft.tools.JobProbe q123 q60 q62"
   */
 object JobProbe {
   def main(args: Array[String]): Unit = {
