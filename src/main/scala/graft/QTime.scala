@@ -24,12 +24,14 @@ object QTime {
       spark.catalog.clearCache()
       val reps = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        Bench.force(SparkEntry.queries(q)(spark, sfDir))
+        val df = SparkEntry.queries(q)(spark, sfDir)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        Bench.force(df)
         val t = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        t
+        (t, tBuild)
       }
-      println(f"TIMED $q ${reps.min}%.3f s  reps=${reps.map(r => f"$r%.3f").mkString(",")}")
+      println(f"TIMED $q ${reps.map(_._1).min}%.3f s  reps=${reps.map(r => f"${r._1}%.3f(b${r._2}%.2f)").mkString(",")}")
     }
     spark.stop()
   }

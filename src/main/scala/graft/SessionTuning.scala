@@ -54,4 +54,29 @@ object SessionTuning {
 
   def service(b: SparkSession.Builder): SparkSession.Builder =
     b.config(serviceConfigMap)
+
+  /** Pin a STATIC physical plan for `df`: plan it now with adaptive
+    * execution off, so later actions reuse the cached QueryExecution
+    * instead of AQE's stage-at-a-time loop.
+    *
+    * Why: AQE materializes every exchange as its own query-stage JOB and
+    * re-optimizes between them. For short fixed-point iterative plans
+    * whose intermediates are KNOWN small (a fused PageRank superstep
+    * chain: node-sized contribution tables, broadcast-hinted joins),
+    * that re-planning cannot change anything — the broadcast decisions
+    * are already hinted — but doubles the sequential job count (measured
+    * on q149: 9 jobs → 5, 0.79 → 0.60 s warm at sf0.1, PrLab). Callers
+    * gate on their own smallness evidence (e.g. pageRank's contribSmall)
+    * — large-graph plans keep AQE for skew/coalesce handling.
+    *
+    * Scope: affects exactly this DataFrame's cached `queryExecution`
+    * (the one `collect`/`toRdd` reuse). A `df.write` builds a fresh
+    * QueryExecution and sees the session's normal AQE setting. */
+  def pinStaticPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val conf = df.sparkSession.conf
+    val prev = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try { df.queryExecution.executedPlan; df }
+    finally conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }

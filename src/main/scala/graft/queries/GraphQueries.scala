@@ -245,11 +245,13 @@ object GraphQueries {
          |SELECT node, CAST(floor(rank * 10000 + 0.5) AS BIGINT) AS rank_e4
          |FROM r3 ORDER BY node""".stripMargin) {
       (s, d) =>
-      Graph.pageRank(Graph.edges(s, d), iters = 3,
-          invariants = Some(prInvariants(s, d)))
-        .select(col("node"),
-          floor(col("rank") * 10000 + 0.5).cast(LongType).as("rank_e4"))
-        .orderBy("node")
+      Graph.pinIfSmall(
+        Graph.pageRank(Graph.edges(s, d), iters = 3,
+            invariants = Some(prInvariants(s, d)))
+          .select(col("node"),
+            floor(col("rank") * 10000 + 0.5).cast(LongType).as("rank_e4"))
+          .orderBy("node"),
+        probe = prInvariants(s, d)._1)
     },
 
     // ---- Beyond-reference G: PERSONALIZED PageRank — random walk with
@@ -294,13 +296,21 @@ object GraphQueries {
          |FROM r3 WHERE floor(rank * 10000 + 0.5) > 0 ORDER BY node""".stripMargin) {
       (s, d) =>
       val e = Graph.edges(s, d)
-      val seeds = e.where(col("src") <= 10).select(col("src").as("node")).distinct()
-      Graph.pageRank(e, iters = 3, restart = Some(seeds),
-          invariants = Some(prInvariants(s, d)))
-        .select(col("node"),
-          floor(col("rank") * 10000 + 0.5).cast(LongType).as("rank_e4"))
-        .where(col("rank_e4") > 0)
-        .orderBy("node")
+      // seed resolution memoized per corpus stamp (one collect per
+      // stamp per JVM, not one job per execution)
+      val seedIds = graft.Materialize.memo("ppr_seed_ids_le10", d,
+        Seq("orders", "lineitem").map(t => java.nio.file.Paths.get(s"$d/$t.parquet"))) {
+        e.where(col("src") <= 10).select(col("src")).distinct()
+          .collect().map(_.get(0)).toSeq
+      }
+      Graph.pinIfSmall(
+        Graph.pageRank(e, iters = 3, restartIdsInline = Some(seedIds),
+            invariants = Some(prInvariants(s, d)))
+          .select(col("node"),
+            floor(col("rank") * 10000 + 0.5).cast(LongType).as("rank_e4"))
+          .where(col("rank_e4") > 0)
+          .orderBy("node"),
+        probe = prInvariants(s, d)._1)
     },
 
     // ---- Beyond-reference G: per-node triangle counts over the
