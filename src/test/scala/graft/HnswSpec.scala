@@ -99,6 +99,40 @@ class HnswSpec extends SparkSpecBase {
     assert(rows.forall(_.getInt(0) == 1), "a survivor violates the filter")
   }
 
+  test("shuffle-skip widens to one-row-group files above the open-cost cap (r12 ask #3)") {
+    // production-sized cell files exceed min(openCostInBytes,
+    // maxPartitionBytes); a ONE-ROW-GROUP file is still atomic to the
+    // scan, so the walk may skip its co-locating repartition
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hnswskip")
+    graph.repartition(col("cell")).write.mode("overwrite").parquet(tmp.toString)
+    val g2 = spark.read.parquet(tmp.toString)
+    val q = queries.head
+    val probes = Hnsw.probeCells(cents, q.toArray, 7)
+    val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.openCostInBytes", "16")
+    try {
+      import scala.jdk.CollectionConverters._
+      val files = java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+      assert(files.nonEmpty &&
+        files.forall(f => java.nio.file.Files.size(f) > 16),
+        "fixture must exceed the size cap to exercise the footer path")
+      def walk(skip: Boolean) = Hnsw.walkCandidates(
+        g2.where(col("cell").isin(probes: _*)),
+        "embedding", "vec_id", "cosine", q, ef = 48,
+        cellClusteredFiles = skip)
+      val skipped = walk(skip = true)
+      assert(!skipped.queryExecution.executedPlan.toString.contains("Exchange"),
+        "one-row-group files above the cap must still skip the shuffle")
+      val shuffled = walk(skip = false)
+      assert(shuffled.queryExecution.executedPlan.toString.contains("Exchange"),
+        "control: the unskipped walk repartitions by cell")
+      val a = skipped.select("vec_id").collect().map(_.getLong(0)).toSet
+      val b = shuffled.select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(a == b && a.nonEmpty, s"walk result changed under the skip: $a vs $b")
+    } finally spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+  }
+
   test("VelesQL WITH (index='hnsw') routes the tier and composes with filters") {
     val cat = new velesql.Catalog(spark, sfDir)
     val c = new velesql.Compiler(spark, cat,
