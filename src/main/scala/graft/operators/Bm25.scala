@@ -131,13 +131,6 @@ object Bm25 {
     val queryTerms = queryText.toLowerCase.split("[^a-z0-9]+")
       .filter(_.length > 1).toSeq.distinct
     val ids = keepIds.select(col("doc_id"))
-    val dl = index.docStats.join(ids, "doc_id")
-    val stats = dl.agg(count(lit(1)).as("n"),
-      avg(col("dlen").cast("double")).as("avgdl"))
-    val tf = index.postings.where(col("term").isin(queryTerms: _*))
-      .join(ids, "doc_id")
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
     // gate the broadcast on the COMPONENT estimates: a join output's
     // sizeInBytes is the product of its children's, so the joined tf
     // frame always reads as huge even when both inputs are tiny (the
@@ -146,8 +139,26 @@ object Bm25 {
     val fits = thr > 0 &&
       estimate(index.postings.where(col("term").isin(queryTerms: _*))) +
         estimate(ids) <= thr
-    val scored = joinDocSide(dl, tf.join(broadcast(dfreq), "term"), Some(fits))
-      .crossJoin(broadcast(stats))
+    // ONE explicit ids broadcast, REUSED by the dlen join and the
+    // postings semi-join (identical subplans → ReusedExchange, one
+    // build job); above the gate the joins shuffle — the scale path
+    val idsJ = if (fits) broadcast(ids) else ids
+    val dl = index.docStats.join(idsJ, "doc_id")
+    val tf = index.postings.where(col("term").isin(queryTerms: _*))
+      .join(idsJ, "doc_id")
+    // ONE per-term stats broadcast: df per term and the filtered-corpus
+    // scalar (n, avgdl) fold into a single ≤|queryTerms|-row table —
+    // one broadcast build instead of two sequential ones. (A tag-union
+    // single-agg variant was measured and REJECTED: it reached 3 jobs
+    // but its merge-joined window plan cost more wall time than the
+    // broadcast chain it replaced — 0.58 vs 0.44 s at sf0.1.)
+    val stats = dl.agg(count(lit(1)).as("n"),
+      avg(col("dlen").cast("double")).as("avgdl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val termStats = dfreq.crossJoin(stats)
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val scored = joinDocSide(dl, tf.join(broadcast(termStats), "term"),
+        Some(fits))
       .withColumn("term_score",
         idf * (col("tf") * (lit(K1) + 1.0))
           / (col("tf") + lit(K1) * (lit(1.0) - B + lit(B) * col("dlen") / col("avgdl"))))
@@ -169,8 +180,9 @@ object Bm25 {
     val tf = index.postings.where(col("term").isin(queryTerms: _*))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-    val scored = joinDocSide(index.docStats, tf.join(broadcast(dfreq), "term"))
-      .crossJoin(broadcast(index.corpusStats))
+    // single per-term stats broadcast (see searchIndexFiltered)
+    val termStats = dfreq.crossJoin(index.corpusStats)
+    val scored = joinDocSide(index.docStats, tf.join(broadcast(termStats), "term"))
       .withColumn("term_score",
         idf * (col("tf") * (lit(K1) + 1.0))
           / (col("tf") + lit(K1) * (lit(1.0) - B + lit(B) * col("dlen") / col("avgdl"))))

@@ -169,11 +169,15 @@ object TextQueries {
       // and tf are doc-local, so the filtered stats come from joins
       // against the cached postings/docStats instead of a per-query
       // re-tokenize of the corpus — identical scores (Bm25
-      // .searchIndexFiltered scaladoc)
-      graft.operators.Bm25.searchIndexFiltered(
-        graft.operators.Bm25.indexFor(s, d),
-        t(s, d, "documents").where(col("lang") === "en").select("doc_id"),
-        Seq("vector", "query").mkString(" "), 10)
+      // .searchIndexFiltered scaladoc). Every join in the chain is
+      // explicitly broadcast-hinted, so the small-corpus plan pins
+      // static (r12 ask #4: AQE's stage jobs were 2/3 of the latency)
+      graft.operators.Graph.pinIfSmall(
+        graft.operators.Bm25.searchIndexFiltered(
+          graft.operators.Bm25.indexFor(s, d),
+          t(s, d, "documents").where(col("lang") === "en").select("doc_id"),
+          Seq("vector", "query").mkString(" "), 10),
+        probe = graft.operators.Bm25.indexFor(s, d).postings)
     },
 
     // ---- F4: hybrid text+vector RRF — BM25 leg + cosine leg over the
@@ -207,10 +211,12 @@ object TextQueries {
         .select(col("vec_id").as("doc_id"),
           row_number().over(Window.partitionBy(graft.operators.Ranks.one(col("vec_id")))
             .orderBy(col("score").desc, col("vec_id"))).as("rnk"))
-      bmLeg.select(col("doc_id"), col("rnk"), lit(0.5).as("w"))
-        .unionAll(vecLeg.select(col("doc_id"), col("rnk"), lit(0.5).as("w")))
-        .groupBy("doc_id").agg(sum(col("w") / (lit(60) + col("rnk"))).as("score"))
-        .orderBy(col("score").desc, col("doc_id")).limit(10)
+      graft.operators.Graph.pinIfSmall(
+        bmLeg.select(col("doc_id"), col("rnk"), lit(0.5).as("w"))
+          .unionAll(vecLeg.select(col("doc_id"), col("rnk"), lit(0.5).as("w")))
+          .groupBy("doc_id").agg(sum(col("w") / (lit(60) + col("rnk"))).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(10),
+        probe = graft.operators.Bm25.indexFor(s, d).postings)
     },
 
     // ---- Text analysis: language-ID heuristic (stopword ratio over
