@@ -53,9 +53,11 @@ def _int_id(value):
     all-digit ids (ints or digit strings) pass through as the integer,
     anything else hashes. add_texts/delete/get_by_ids must all route
     through here or add_texts(ids=["123"]) lands under hash("123") while
-    delete(["123"]) targets 123 and silently misses."""
+    delete(["123"]) targets 123 and silently misses. The passthrough is
+    range-gated: a 19+-digit id (or an all-digit uuid hex) would exceed
+    the server's int64 id column, so those hash like any other string."""
     s = str(value)
-    return int(s) if s.isdigit() else _stable_hash_id(s)
+    return int(s) if s.isdigit() and int(s) < 2 ** 63 else _stable_hash_id(s)
 
 
 class GraftVectorStore(VectorStore):

@@ -71,12 +71,16 @@ object SessionTuning {
     *
     * Scope: affects exactly this DataFrame's cached `queryExecution`
     * (the one `collect`/`toRdd` reuse). A `df.write` builds a fresh
-    * QueryExecution and sees the session's normal AQE setting. */
-  def pinStaticPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val conf = df.sparkSession.conf
-    val prev = conf.get("spark.sql.adaptive.enabled", "true")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    try { df.queryExecution.executedPlan; df }
-    finally conf.set("spark.sql.adaptive.enabled", prev)
-  }
+    * QueryExecution and sees the session's normal AQE setting.
+    *
+    * Thread safety: the frame is re-rooted on a cached no-AQE session
+    * TWIN ([[org.apache.spark.sql.graft.StaticPlanner]]) — the session-
+    * wide conf is never mutated, so concurrent planning on the same
+    * session (the REST handler pool, Serve/Repl sharing a session) keeps
+    * AQE. Before r14 this toggled the shared conf and an interleaved
+    * query could silently plan AQE-off. A thread-local SQLConf override
+    * does NOT work here: `InsertAdaptiveSparkPlan` reads
+    * `session.sessionState.conf` directly, bypassing `SQLConf.get`. */
+  def pinStaticPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.graft.StaticPlanner.pin(df)
 }

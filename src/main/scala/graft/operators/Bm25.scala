@@ -146,19 +146,24 @@ object Bm25 {
     val dl = index.docStats.join(idsJ, "doc_id")
     val tf = index.postings.where(col("term").isin(queryTerms: _*))
       .join(idsJ, "doc_id")
-    // ONE per-term stats broadcast: df per term and the filtered-corpus
-    // scalar (n, avgdl) fold into a single ≤|queryTerms|-row table —
-    // one broadcast build instead of two sequential ones. (A tag-union
-    // single-agg variant was measured and REJECTED: it reached 3 jobs
-    // but its merge-joined window plan cost more wall time than the
-    // broadcast chain it replaced — 0.58 vs 0.44 s at sf0.1.)
+    // TWO independent broadcasts, NOT one folded termStats: the filtered
+    // corpus scalar (n, avgdl) is an agg over the corpus-sized dl scan,
+    // and folding it into the per-term table (r13) put that agg on the
+    // tf-side broadcast build's CRITICAL PATH — stats → termStats build
+    // → probe, strictly sequential. Applied as its own crossJoin AFTER
+    // the probe join, the stats agg builds CONCURRENTLY with the tf
+    // side (broadcast futures overlap): measured 0.272 vs 0.370 s warm
+    // pinned at sf0.1, min of 5 (tools/BmLab; the r13 fold was the q61
+    // regression r13 VERDICT flagged). (A tag-union single-agg variant
+    // was also measured and REJECTED earlier: 3 jobs but a costlier
+    // merge-joined window plan — 0.58 vs 0.44 s.)
     val stats = dl.agg(count(lit(1)).as("n"),
       avg(col("dlen").cast("double")).as("avgdl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val termStats = dfreq.crossJoin(stats)
     val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-    val scored = joinDocSide(dl, tf.join(broadcast(termStats), "term"),
+    val scored = joinDocSide(dl, tf.join(broadcast(dfreq), "term"),
         Some(fits))
+      .crossJoin(broadcast(stats))
       .withColumn("term_score",
         idf * (col("tf") * (lit(K1) + 1.0))
           / (col("tf") + lit(K1) * (lit(1.0) - B + lit(B) * col("dlen") / col("avgdl"))))

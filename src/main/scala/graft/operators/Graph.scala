@@ -43,12 +43,34 @@ object Graph {
     * partition coalescing. */
   def pinIfSmall(out: DataFrame, probe: DataFrame, factor: Long = 8): DataFrame = {
     if (sys.env.get("GRAFT_PIN_STATIC").contains("0")) return out // A/B probe
-    val conf = out.sparkSession.sessionState.conf
-    val threshold = conf.autoBroadcastJoinThreshold
-    val small = threshold > 0 &&
+    if (smallEnough(probe, factor)) graft.SessionTuning.pinStaticPlan(out) else out
+  }
+
+  private def smallEnough(probe: DataFrame, factor: Long): Boolean = {
+    val threshold = probe.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    threshold > 0 &&
       (try probe.queryExecution.optimizedPlan.stats.sizeInBytes <= factor * threshold
        catch { case _: Throwable => false })
-    if (small) graft.SessionTuning.pinStaticPlan(out) else out
+  }
+
+  /** Global ORDER BY delivery for a result Spark's OWN estimate says is
+    * small (same gate as [[pinIfSmall]]): one-partition in-partition
+    * sort instead of a range sort. A range sort schedules a
+    * RangePartitioner SAMPLING pass over its child — under a pinned
+    * static plan that pass RE-EXECUTES the entire upstream chain
+    * (broadcast builds are cached futures, but every scan/join/agg runs
+    * again — one full extra job measured on q149's superstep chain),
+    * and then shuffles to sort what a single task orders in
+    * milliseconds. Above the gate the distributed range sort stays —
+    * the 1000-executor path, where a graph-sized result can't collapse
+    * to one task. Output ordering is identical (a total sort either
+    * way). */
+  def orderedIfSmall(out: DataFrame, probe: DataFrame, factor: Long = 8)(
+      sortCols: Column*): DataFrame = {
+    if (!sys.env.get("GRAFT_SMALL_SORT").contains("0") && // A/B escape
+        smallEnough(probe, factor))
+      out.coalesce(1).sortWithinPartitions(sortCols: _*)
+    else out.orderBy(sortCols: _*)
   }
 
   /** The derived property graph over the TPC-H tables, un-materialized:
@@ -341,7 +363,10 @@ object Graph {
   /** `restartIdsInline`: pre-resolved seed ids (callers that memoize the
     * seed collect per corpus stamp — [[graft.Materialize.memo]] — skip
     * the per-execution resolve job this way); `restart` is ignored when
-    * set. */
+    * set. Capped at [[SeedInlineCap]] — an oversized inline set is
+    * rejected at entry (it would otherwise fall through to the uniform
+    * base, a silent wrong answer); pass the seed FRAME via `restart`
+    * instead, which routes through the broadcast-join path. */
   def pageRank(edges: DataFrame, iters: Int,
       damping: Double = 0.85,
       restart: Option[DataFrame] = None,
@@ -349,6 +374,9 @@ object Graph {
       restartIdsInline: Option[Seq[Any]] = None): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(damping > 0.0 && damping < 1.0, "damping must be in (0, 1)")
+    require(restartIdsInline.forall(_.size <= SeedInlineCap),
+      s"restartIdsInline exceeds SeedInlineCap=$SeedInlineCap; " +
+        "pass the seed frame via restart= (broadcast-join path) instead")
     val e = edges.select("src", "dst")
     // nodes (+ per-node teleport base) and the degree-annotated edge
     // table are loop INVARIANTS — materialize each once. Left lazy, the
@@ -392,7 +420,12 @@ object Graph {
             .withColumn("__s", lit(true))), Seq("node"), "left")
           .select(col("node"),
             when(col("__s"), lit(1.0)).otherwise(lit(0.0)).as("base"))
-      case (None, None) => allNodes.withColumn("base", lit(1.0)) // unreachable
+      case (None, None) =>
+        // unreachable by construction: inline ids are capped at entry and
+        // a restart-frame collect over the cap keeps restart defined —
+        // fail loudly rather than silently computing uniform PageRank
+        throw new IllegalStateException(
+          "pageRank: no teleport base (oversized seed set without a restart frame)")
     }
     // the seed join over supplied invariants is a scan + broadcast-small
     // join — cheap to re-run per superstep, not worth a checkpoint job

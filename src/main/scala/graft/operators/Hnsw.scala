@@ -72,14 +72,22 @@ object Hnsw {
 
   /** Footer-verified "this file is one row group" — the unit parquet
     * hands a scan task whole, so the file can't be split regardless of
-    * size. Cached per (path, size): index files are write-once dirs. */
+    * size. Cached per (path, size, mtime): index files are write-once
+    * dirs, and stamping the mtime means even an in-place same-size
+    * rewrite can't serve a stale verdict. Bounded — a long-lived server
+    * sees one entry per live index file, but superseded generations
+    * would otherwise accumulate forever, so the map is cleared (cheap:
+    * one footer read per file to refill) past a few thousand entries. */
+  private val rowGroupCacheCap = 4096
   private val rowGroupCache =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
   private def isSingleRowGroup(file: String,
       hconf: org.apache.hadoop.conf.Configuration): Boolean = {
-    val size = java.nio.file.Files.size(
-      java.nio.file.Paths.get(new java.net.URI(file)))
-    rowGroupCache.getOrElseUpdate(s"$file#$size", {
+    val p = java.nio.file.Paths.get(new java.net.URI(file))
+    val size = java.nio.file.Files.size(p)
+    val mtime = java.nio.file.Files.getLastModifiedTime(p).toMillis
+    if (rowGroupCache.size > rowGroupCacheCap) rowGroupCache.clear()
+    rowGroupCache.getOrElseUpdate(s"$file#$size#$mtime", {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(file), hconf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)

@@ -203,9 +203,10 @@ object GraphQueries {
          |FROM walk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
       val starts = t(s, d, "customer").where(col("c_custkey").isin(1, 2, 3))
         .select(col("c_custkey").as("start"))
-      Graph.shortestPaths(Graph.edges(s, d), starts, maxHops = 3)
-        .select(col("start"), col("node"), round(col("cost"), 4).as("cost"))
-        .orderBy("start", "node")
+      Graph.orderedIfSmall(
+        Graph.shortestPaths(Graph.edges(s, d), starts, maxHops = 3)
+          .select(col("start"), col("node"), round(col("cost"), 4).as("cost")),
+        probe = Graph.edges(s, d))(col("start"), col("node"))
     },
 
     // ---- Beyond-reference G: PageRank, 3 fixed iterations, d = 0.85
@@ -246,11 +247,12 @@ object GraphQueries {
          |FROM r3 ORDER BY node""".stripMargin) {
       (s, d) =>
       Graph.pinIfSmall(
-        Graph.pageRank(Graph.edges(s, d), iters = 3,
-            invariants = Some(prInvariants(s, d)))
-          .select(col("node"),
-            floor(col("rank") * 10000 + 0.5).cast(LongType).as("rank_e4"))
-          .orderBy("node"),
+        Graph.orderedIfSmall(
+          Graph.pageRank(Graph.edges(s, d), iters = 3,
+              invariants = Some(prInvariants(s, d)))
+            .select(col("node"),
+              floor(col("rank") * 10000 + 0.5).cast(LongType).as("rank_e4")),
+          probe = prInvariants(s, d)._1)(col("node")),
         probe = prInvariants(s, d)._1)
     },
 
@@ -304,12 +306,13 @@ object GraphQueries {
           .collect().map(_.get(0)).toSeq
       }
       Graph.pinIfSmall(
-        Graph.pageRank(e, iters = 3, restartIdsInline = Some(seedIds),
-            invariants = Some(prInvariants(s, d)))
-          .select(col("node"),
-            floor(col("rank") * 10000 + 0.5).cast(LongType).as("rank_e4"))
-          .where(col("rank_e4") > 0)
-          .orderBy("node"),
+        Graph.orderedIfSmall(
+          Graph.pageRank(e, iters = 3, restartIdsInline = Some(seedIds),
+              invariants = Some(prInvariants(s, d)))
+            .select(col("node"),
+              floor(col("rank") * 10000 + 0.5).cast(LongType).as("rank_e4"))
+            .where(col("rank_e4") > 0),
+          probe = prInvariants(s, d)._1)(col("node")),
         probe = prInvariants(s, d)._1)
     },
 
@@ -333,8 +336,8 @@ object GraphQueries {
         |      UNION ALL SELECT c FROM tri)
         |SELECT node, count(*) AS n_triangles FROM n
         |GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
-      Graph.triangleCounts(coPurchasePairs(s, d))
-        .orderBy("node")
+      Graph.orderedIfSmall(Graph.triangleCounts(coPurchasePairs(s, d)),
+        probe = coPurchasePairs(s, d))(col("node"))
     },
 
     // ---- Beyond-reference G: 2-core of the co-purchase projection —
@@ -348,7 +351,8 @@ object GraphQueries {
       s"""WITH ${kcoreChain(4)}
          |SELECT u AS node, count(*) AS core_deg FROM s4
          |GROUP BY u ORDER BY node""".stripMargin) { (s, d) =>
-      Graph.kCore(coPurchasePairs(s, d), k = 2).orderBy("node")
+      Graph.orderedIfSmall(Graph.kCore(coPurchasePairs(s, d), k = 2),
+        probe = coPurchasePairs(s, d))(col("node"))
     },
 
     // ---- Beyond-reference G: Adamic-Adar link prediction over the
@@ -377,7 +381,8 @@ object GraphQueries {
         |SELECT sc.a, sc.b, sc.n_common, sc.score_micros
         |FROM sc LEFT JOIN e ON e.a = sc.a AND e.b = sc.b
         |WHERE e.a IS NULL ORDER BY sc.a, sc.b""".stripMargin) { (s, d) =>
-      Graph.adamicAdar(coPurchasePairs(s, d), minCommon = 2).orderBy("a", "b")
+      Graph.orderedIfSmall(Graph.adamicAdar(coPurchasePairs(s, d), minCommon = 2),
+        probe = coPurchasePairs(s, d))(col("a"), col("b"))
     },
 
     // ---- Beyond-reference G: label-propagation communities over the
@@ -394,7 +399,8 @@ object GraphQueries {
       s"""WITH ${lpaChain(3)}
          |SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS community
          |FROM l3 ORDER BY node""".stripMargin) { (s, d) =>
-      communitiesTab(s, d).orderBy("node")
+      Graph.orderedIfSmall(communitiesTab(s, d),
+        probe = communitiesTab(s, d))(col("node"))
     },
 
     // ---- Beyond-reference G: Newman modularity of the q186 LPA
@@ -424,9 +430,10 @@ object GraphQueries {
          |    AS contribution
          |FROM cdeg c LEFT JOIN intra i ON i.community = c.community CROSS JOIN m
          |ORDER BY community""".stripMargin) { (s, d) =>
-      Graph.modularityByCommunity(coPurchasePairs(s, d), communitiesTab(s, d),
-          nodeCol = "node", labelCol = "community")
-        .orderBy("community")
+      Graph.orderedIfSmall(
+        Graph.modularityByCommunity(coPurchasePairs(s, d), communitiesTab(s, d),
+          nodeCol = "node", labelCol = "community"),
+        probe = coPurchasePairs(s, d))(col("community"))
     }
   )
 
