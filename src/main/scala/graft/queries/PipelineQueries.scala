@@ -36,6 +36,33 @@ object PipelineQueries {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Data-sized stream partition count: `base` per ~4 MB of the events
+    * source, capped at the session's shuffle partitions. The flat 2.4 MB
+    * testdata file keeps the original 4 (state-file overhead dominates
+    * at pin volume); a 10× corpus gets the parallelism its shuffle needs
+    * (StreamLab at 10×/21 MB: q131 ran 4.08 s with 4 partitions, 3.22 s
+    * with 32 — the fixed count was the bottleneck, r14 scale probe).
+    * Used by the AGGREGATION streams (q127/q131), which shuffle the full
+    * event volume; the stream-stream join (q147) keeps its fixed count —
+    * it shuffles only the filtered legs but pays TWO state stores per
+    * partition, and sizing it up measured slower (2.7 → 3.8 s at 10×). */
+  private def streamParts(s: SparkSession, d: String, base: Int): Int = {
+    val p = java.nio.file.Paths.get(s"$d/events.parquet")
+    val bytes =
+      try {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val walk = java.nio.file.Files.walk(p)
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+              .map(java.nio.file.Files.size).sum
+          } finally walk.close()
+        } else java.nio.file.Files.size(p)
+      } catch { case _: Throwable => 0L }
+    val cap = s.conf.get("spark.sql.shuffle.partitions").toInt
+    math.min(math.max(base, (bytes / (4L << 20)).toInt * base), math.max(base, cap))
+  }
+
   /** Throwaway micro-batch checkpoint dir on the fastest local storage
     * (every batch writes offset/commit logs + one state file per store
     * partition; tmpfs when present — same rationale as
@@ -535,7 +562,7 @@ object PipelineQueries {
       val agg = StreamingOps.windowedAgg(
         StreamingOps.eventsStream(s, d), "6 hours", "6 hours", "1 hour")
       val qn = s"q127_sink_${System.nanoTime()}"
-      withStreamParts(s, 4) { withCkpt("graft-q127-") { ck =>
+      withStreamParts(s, streamParts(s, d, 4)) { withCkpt("graft-q127-") { ck =>
         val q = agg.writeStream.format("memory").queryName(qn)
           .option("checkpointLocation", ck)
           .outputMode("complete")
@@ -580,7 +607,7 @@ object PipelineQueries {
       val agg = StreamingOps.sessionAgg(
         StreamingOps.eventsStream(s, d), "30 minutes", "1 hour")
       val qn = s"q131_sink_${System.nanoTime()}"
-      withStreamParts(s, 4) { withCkpt("graft-q131-") { ck =>
+      withStreamParts(s, streamParts(s, d, 4)) { withCkpt("graft-q131-") { ck =>
         val q = agg.writeStream.format("memory").queryName(qn)
           .option("checkpointLocation", ck)
           .outputMode("complete")

@@ -127,10 +127,18 @@ object StreamingOps {
     * scale this is the landing-zone pattern: new files appear, Spark
     * incrementally processes them). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // the file source needs a directory; glob-filter to the events file
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // driver testdata ships events as a FLAT FILE inside the dataset dir
+    // (the file source needs a directory → glob-filter to that one file);
+    // Spark-written datasets (ScaleGen, user ingests) ship a parquet
+    // DIRECTORY, which streams directly — the glob filter would match
+    // ZERO of its part-files and silently stream nothing
+    val raw =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)))
+        spark.readStream.schema(schema).parquet(path)
+      else spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
     // events.ts is parquet TIMESTAMP(NANOS) read as long nanos under
     // spark.sql.legacy.parquet.nanosAsLong — re-derive (see Tables.table)
     if (schema.fields.exists(f => f.name == "ts" &&

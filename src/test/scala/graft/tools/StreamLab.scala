@@ -89,6 +89,36 @@ object StreamLab {
     val jb = measure("q147_batch_twin", () => joinBatch())
     val js = measure("q147_streaming", () => shipped("q147_streaming_join"))
     println(f"STREAMLAB q131 streaming/batch = ${ss / sb}%.2f  q147 = ${js / jb}%.2f")
+
+    // how much of the streaming cost is the partition count the shipped
+    // def pins (4 — sized for sf0.1's state-file overhead)?
+    def sessionsStreamAt(parts: Int): DataFrame = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try {
+        val agg = graft.streaming.StreamingOps.sessionAgg(
+          graft.streaming.StreamingOps.eventsStream(spark, sfDir),
+          "30 minutes", "1 hour")
+        val qn = s"sl131_${System.nanoTime()}"
+        val shm = new java.io.File("/dev/shm")
+        val ckBase = if (shm.isDirectory && shm.canWrite) "/dev/shm" else
+          sys.props("java.io.tmpdir")
+        val ck = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(ckBase), "sl131-").toString
+        try {
+          val q = agg.writeStream.format("memory").queryName(qn)
+            .option("checkpointLocation", ck)
+            .outputMode("complete")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          try require(q.awaitTermination(300000)) finally q.stop()
+          val out = spark.table(qn).localCheckpoint(true)
+          spark.catalog.dropTempView(qn)
+          out
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ck))
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    for (p <- Seq(4, 16, 32))
+      measure(s"q131_streaming_sp$p", () => sessionsStreamAt(p))
     spark.stop()
   }
 }
