@@ -46,6 +46,7 @@ def main():
              "payload": {"text": "gamma spark engines overview", "lang": "en"}},
         ])
         check("count", col.count() == 3, f"got {col.count()}")
+        check("is_empty false", col.is_empty() is False)
 
         hits = col.search([1.0, 0.1], top_k=2)
         check("search order", [h["id"] for h in hits] == [1, 3], str(hits)[:120])

@@ -128,7 +128,7 @@ class Collection:
         return self.info()["points_count"]
 
     def is_empty(self):
-        return self._h.get(self._p("/empty"))["empty"]
+        return self._h.get(self._p("/empty"))["is_empty"]
 
     def upsert(self, points):
         """points: [{"id": int, "vector": [float...], "payload": {...}}]

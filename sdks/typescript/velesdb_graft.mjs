@@ -123,7 +123,7 @@ export class Collection {
 
   info() { return this._h.get(this._p()); }
   async count() { return (await this.info()).points_count; }
-  async isEmpty() { return (await this._h.get(this._p("/empty"))).empty; }
+  async isEmpty() { return (await this._h.get(this._p("/empty"))).is_empty; }
 
   /** @param {Array<{id: number, vector?: number[], payload?: object}>} points */
   upsert(points) { return this._h.post(this._p("/points"), { points }); }
