@@ -545,6 +545,18 @@ object Graph {
   def kCore(undirected: DataFrame, k: Int, maxIters: Int = 30,
       aCol: String = "a", bCol: String = "b"): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    // the per-round keep set is node-sized (bounded by the input's
+    // distinct endpoints): under the small-graph gate, hint it broadcast
+    // so each peel round's two semi-joins build against one broadcast
+    // instead of shuffling the edge frame twice (same gate as
+    // triangleCounts; big graphs keep the shuffling joins — scale path)
+    val smallKeep = {
+      val thr = undirected.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+      thr > 0 &&
+        (try undirected.queryExecution.optimizedPlan.stats.sizeInBytes * 4 <= thr
+         catch { case _: Throwable => false })
+    }
+    val keepHint: DataFrame => DataFrame = if (smallKeep) broadcast else identity
     val e0 = undirected.select(col(aCol).cast("long").as("u"),
       col(bCol).cast("long").as("v"))
     var edges = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
@@ -552,9 +564,13 @@ object Graph {
     var nEdges = edges.count()
     var it = 0
     var converged = nEdges == 0L
+    // (measured and NOT adopted: fusing two peel rounds per
+    // checkpoint+count halves the sync points but doubles each plan's
+    // join depth — a QTime A/B read as a wash inside host noise, so the
+    // simpler one-round loop stays)
     while (!converged && it < maxIters) {
-      val keep = edges.groupBy("u").agg(count(lit(1)).as("deg"))
-        .where(col("deg") >= k).select(col("u").as("__n"))
+      val keep = keepHint(edges.groupBy("u").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("u").as("__n")))
       val pruned = edges
         .join(keep, edges("u") === col("__n")).drop("__n")
         .join(keep, edges("v") === col("__n")).drop("__n")
