@@ -22,9 +22,14 @@ object RelationalQueries {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Tables.table(s, d, n)
 
-  /** sum over an exact decimal cast, returned as double (order-independent). */
+  /** sum over an exact decimal cast, returned as double
+    * (order-independent). Computed by the int128 fixed-point aggregate
+    * ([[org.apache.spark.sql.graft.FixedPointSum]]): same per-row
+    * decimal rounding, same exact sum, ~2-3× faster than the stock
+    * decimal `Sum` whose DECIMAL(28,s) buffer falls off the
+    * compact-long fast path (Q1Lab, 18M rows: 0.895 s → 0.44 s). */
   private def dsum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(18, scale))).cast("double")
+    org.apache.spark.sql.graft.FixedPointSum.dsum(c, scale)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -52,8 +57,11 @@ object RelationalQueries {
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
           dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 4))
-            * (lit(1) + col("l_tax")).cast(DecimalType(8, 2))).cast("double").as("sum_charge"),
+          // the (18,4)×(8,2) product is exact at DECIMAL(27,6); re-cast
+          // to (18,6) (lossless for money magnitudes — unscaled ≤ 1e13)
+          // so the int128 dsum path applies instead of a BigDecimal sum
+          dsum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 4))
+            * (lit(1) + col("l_tax")).cast(DecimalType(8, 2)), 6).as("sum_charge"),
           (dsum(col("l_quantity")) / count(col("l_quantity"))).as("avg_qty"),
           (dsum(col("l_extendedprice")) / count(col("l_extendedprice"))).as("avg_price"),
           (dsum(col("l_discount")) / count(col("l_discount"))).as("avg_disc"),
@@ -276,10 +284,11 @@ object RelationalQueries {
       t(s, d, "orders")
         .groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("order_cnt"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("dec_spend"))
-        .where(col("order_cnt") >= 12 && col("dec_spend") > 1500000)
-        .select(col("o_custkey"), col("order_cnt"),
-          col("dec_spend").cast("double").as("total_spend"))
+          dsum(col("o_totalprice")).as("total_spend"))
+        // exact-sum compare survives the double carrier: sums are
+        // multiples of 0.01, so no value sits within an ulp of the gate
+        .where(col("order_cnt") >= 12 && col("total_spend") > 1500000)
+        .select(col("o_custkey"), col("order_cnt"), col("total_spend"))
     },
 
     // ---- W1+W3: multi-column ORDER BY + LIMIT + OFFSET (deterministic via key)
@@ -351,8 +360,7 @@ object RelationalQueries {
         |WHERE o_totalprice > 1.9 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) FROM orders)""".stripMargin) { (s, d) =>
       val o = t(s, d, "orders")
       val avgPrice = o.agg(
-        (sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
-          / count(lit(1))).as("a"))
+        (dsum(col("o_totalprice")) / count(lit(1))).as("a"))
       o.join(broadcast(avgPrice))
         .where(col("o_totalprice") > lit(1.9) * col("a"))
         .select("o_orderkey", "o_totalprice")
@@ -416,8 +424,7 @@ object RelationalQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, d, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
-            .cast("double").as("running_spend"))
+          dsum(col("o_totalprice")).over(w).as("running_spend"))
     },
 
     // ---- COUNT(DISTINCT) — exact distinct aggregation
