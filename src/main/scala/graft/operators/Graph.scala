@@ -153,6 +153,20 @@ object Graph {
       |  SELECT l_partkey + 20000000, l_suppkey + 30000000, 'supplied_by',
       |         CAST(sum(l_quantity) AS DOUBLE) FROM lineitem GROUP BY 1, 2""".stripMargin
 
+  /** The latency-class broadcast gate for frontier/relaxation joins:
+    * true when the edge frame's own Catalyst size estimate is
+    * broadcast-class small (≤8× the session threshold — the pinIfSmall
+    * family). Under the gate the per-depth frontier (deduped, so
+    * bounded by |starts|×|nodes| of an ≤80MB graph) is safely hintable;
+    * past it the shuffling joins + AQE remain (the 1000-executor
+    * path). GRAFT_BFS_BC=0 disables for A/B. */
+  private def smallGraphGate(edges: DataFrame): Boolean = {
+    val thr = edges.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    thr > 0 && sys.env.getOrElse("GRAFT_BFS_BC", "1") != "0" &&
+      (try edges.queryExecution.optimizedPlan.stats.sizeInBytes <= thr * 8L
+       catch { case _: Throwable => false })
+  }
+
   /** Var-length BFS `-[*1..maxDepth]->` from `starts(start)` over
     * `edges(src,dst,label)`: returns (start, node, depth) with the MINIMUM
     * depth per (start, node) — first arrival wins, visited nodes are
@@ -192,12 +206,29 @@ object Graph {
     // no-visited-set re-expansion is ≤ maxDepth × reached — fine at
     // depth 3 at any scale; deeper walks keep the pruned loop below.
     if (maxDepth <= 3) {
+      // Small-graph broadcast hint (r14, BfsLab-measured): when the
+      // edge frame's own size estimate is broadcast-class (≤8× the
+      // session threshold — the pinIfSmall gate family), hint each
+      // level's frontier broadcast so the per-depth join STREAMS the
+      // edge scan instead of shuffling it; with the per-level distinct
+      // kept, the frontier is bounded by |starts|×|nodes| of an ≤80MB
+      // graph, so crossing Spark's 512M-row broadcast hard cap needs
+      // >256 start nodes each reaching essentially the whole graph —
+      // far beyond the reference's own 100k visited-state cap
+      // (graph/streaming.rs:33). Past the gate (big graphs — the
+      // 1000-executor path) the shuffling joins + AQE stay exactly as
+      // before. A/B: q82-shape 0.54→0.39 s, q83-shape 0.30→0.25 s
+      // (BfsLab, sf0.1, min of 5, value parity asserted).
+      // GRAFT_BFS_BC=0 escapes the hint.
+      val frontierHint: DataFrame => DataFrame =
+        if (smallGraphGate(edges)) broadcast else identity
       var level = startsFrontier
       var acc: DataFrame = null
       for (d <- 1 to maxDepth) {
         val eD = e.select(col("src").as("__esrc"), col("dst").as("__edst"))
-        val next = level.join(eD, level("node") === col("__esrc"))
-          .select(level("start"), col("__edst").as("node")).distinct()
+        val lvl = frontierHint(level)
+        val next = lvl.join(eD, lvl("node") === col("__esrc"))
+          .select(lvl("start"), col("__edst").as("node")).distinct()
         val step = next.withColumn("depth", lit(d))
         acc = if (acc == null) step else acc.unionAll(step)
         level = next
@@ -307,12 +338,17 @@ object Graph {
     // action runs the whole chain. The inputs are plain scans (edges,
     // starts), so nothing the lazy plan reads gets freed under it.
     val fuseLazy = maxHops <= 3
+    // same frontier-broadcast hint as the BFS unroll (the dist frame is
+    // deduped per (start,node) by each round's min-agg, same bound)
+    val distHint: DataFrame => DataFrame =
+      if (smallGraphGate(edges)) broadcast else identity
     for (i <- 1 to maxHops) {
       val eD = e.select(col("src").as("__s"), col("dst").as("__d"),
         col("weight").as("__w"))
-      val relaxed = dist.join(eD, dist("node") === col("__s"))
-        .select(dist("start"), col("__d").as("node"),
-          (dist("cost") + col("__w")).as("cost"))
+      val dH = distHint(dist)
+      val relaxed = dH.join(eD, dH("node") === col("__s"))
+        .select(dH("start"), col("__d").as("node"),
+          (dH("cost") + col("__w")).as("cost"))
       val updated0 = dist.unionAll(relaxed)
         .groupBy("start", "node").agg(min(col("cost")).as("cost"))
       if ((i == maxHops && !fuseLazy) || i % ckptEvery == 0) {

@@ -102,6 +102,13 @@ object BfsLab {
         .foreach { case (vn, d, bc) =>
           measure(s"$nm/$vn", () => unroll(e, starts(lim), depth, types, d, bc))
         }
+      // the robust-gated variant: pay an eager bounded distinct-starts
+      // count (the safety gate for the broadcast hint) on every build
+      measure(s"$nm/dist+bc+gate", () => {
+        val s0 = starts(lim)
+        val ok = s0.select(col("start")).distinct().limit(513).count() <= 512
+        unroll(e, s0, depth, types, perLevelDistinct = true, hintBroadcast = ok)
+      })
     }
     spark.stop()
   }
