@@ -61,5 +61,19 @@ object VectorFunctions {
     create("l2_dist", es => EuclideanDistance(es(0), es(1)))
     create("hamming_dist", es => HammingDistance(es(0), es(1)))
     create("jaccard_sim", es => JaccardSimilarity(es(0), es(1)))
+    // exact money/quantity sum as SQL: dsum(x, scale) — the int128
+    // fixed-point aggregate behind the relational defs
+    create("dsum", es => {
+      val scale = es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"dsum scale must be an integer literal, got $other")
+      }
+      org.apache.spark.sql.graft.FixedPointSum(
+        org.apache.spark.sql.catalyst.expressions.UnscaledValue(
+          org.apache.spark.sql.catalyst.expressions.Cast(es(0),
+            org.apache.spark.sql.types.DecimalType(18, scale))),
+        scale).toAggregateExpression()
+    })
   }
 }

@@ -283,11 +283,12 @@ object PipelineQueries {
       Skew.saltedJoin(li, ord, "k", salt = 8)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          // Decimal sum for exactness, but the FINAL output type is DOUBLE:
-          // the correctness driver normalizes Spark decimal(18,4) and
-          // DuckDB DECIMAL(38,4) differently (q01 dsum convention).
-          round(sum(col("l_quantity").cast("decimal(18,4)")), 4)
-            .cast("double").as("qty"))
+          // Exact sum with DOUBLE output (the correctness driver
+          // normalizes Spark decimal(18,4) and DuckDB DECIMAL(38,4)
+          // differently — q01 dsum convention); int128 fixed-point
+          // aggregate, same value as the decimal sum it replaced
+          round(org.apache.spark.sql.graft.FixedPointSum
+            .dsum(col("l_quantity"), 4), 4).as("qty"))
         .orderBy(col("o_orderpriority"))
     },
 

@@ -79,6 +79,19 @@ class FixedPointSumSpec extends SparkSpecBase {
     assert(a.sameElements(b))
   }
 
+  test("SQL-registered dsum(x, scale) matches the stock decimal sum") {
+    graft.functions.VectorFunctions.register(spark)
+    val df = (1 to 1000).map(i => (i % 7, i * 1.37)).toDF("g", "v")
+    df.createOrReplaceTempView("fx_sql_t")
+    val a = spark.sql(
+      "SELECT g, CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS s " +
+      "FROM fx_sql_t GROUP BY g ORDER BY g").collect().map(_.toString)
+    val b = spark.sql(
+      "SELECT g, dsum(v, 2) AS s FROM fx_sql_t GROUP BY g ORDER BY g")
+      .collect().map(_.toString)
+    assert(a.sameElements(b))
+  }
+
   test("wide path: unscaled sums beyond int64 stay within 1 ulp of exact") {
     // feed pre-scaled longs straight into the aggregate (scale 0):
     // 40 × 9e17 = 3.6e19 overflows int64 into the hi limb
