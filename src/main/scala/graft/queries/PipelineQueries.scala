@@ -288,7 +288,7 @@ object PipelineQueries {
           // differently — q01 dsum convention); int128 fixed-point
           // aggregate, same value as the decimal sum it replaced
           round(org.apache.spark.sql.graft.FixedPointSum
-            .dsum(col("l_quantity"), 4), 4).as("qty"))
+            .dsumD(col("l_quantity"), 4), 4).as("qty"))
         .orderBy(col("o_orderpriority"))
     },
 

@@ -25,11 +25,13 @@ object RelationalQueries {
   /** sum over an exact decimal cast, returned as double
     * (order-independent). Computed by the int128 fixed-point aggregate
     * ([[org.apache.spark.sql.graft.FixedPointSum]]): same per-row
-    * decimal rounding, same exact sum, ~2-3× faster than the stock
-    * decimal `Sum` whose DECIMAL(28,s) buffer falls off the
-    * compact-long fast path (Q1Lab, 18M rows: 0.895 s → 0.44 s). */
+    * decimal rounding as the oracle (rint in double space — DuckDB's
+    * own double→decimal cast), same exact sum, with NO decimal values
+    * anywhere in the plan (Q1Lab, 18M rows, one session: stock decimal
+    * Sum 1.02 s → int128-over-decimal-cast 0.57 s → int128-over-rint
+    * 0.26 s, the plain-double-sum floor while staying exact). */
   private def dsum(c: Column, scale: Int = 2): Column =
-    org.apache.spark.sql.graft.FixedPointSum.dsum(c, scale)
+    org.apache.spark.sql.graft.FixedPointSum.dsumD(c, scale)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -57,11 +59,14 @@ object RelationalQueries {
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
           dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
-          // the (18,4)×(8,2) product is exact at DECIMAL(27,6); re-cast
-          // to (18,6) (lossless for money magnitudes — unscaled ≤ 1e13)
-          // so the int128 dsum path applies instead of a BigDecimal sum
-          dsum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 4))
-            * (lit(1) + col("l_tax")).cast(DecimalType(8, 2)), 6).as("sum_charge"),
+          // the oracle's (18,4)×(8,2) decimal product IS an exact int64
+          // multiply of the two unscaled longs (≤1e9 × ≤2e2), summed at
+          // scale 6 — the whole sum_charge chain in primitive longs
+          org.apache.spark.sql.graft.FixedPointSum.sumScaled(
+            org.apache.spark.sql.graft.FixedPointSum.scaledLong(
+              col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            * org.apache.spark.sql.graft.FixedPointSum.scaledLong(
+              lit(1) + col("l_tax"), 2), 6).as("sum_charge"),
           (dsum(col("l_quantity")) / count(col("l_quantity"))).as("avg_qty"),
           (dsum(col("l_extendedprice")) / count(col("l_extendedprice"))).as("avg_price"),
           (dsum(col("l_discount")) / count(col("l_discount"))).as("avg_disc"),

@@ -119,15 +119,94 @@ case class FixedPointSum(child: Expression, scale: Int)
     copy(child = newChild)
 }
 
+/** `rint(x * 10^scale)` as a long — the unscaled value of
+  * `CAST(x AS DECIMAL(_, scale))` computed the way DuckDB computes it:
+  * one double multiply and a round-half-even, no BigDecimal
+  * (`cast_operators` in DuckDB does exactly `nearbyint(input *
+  * powers_of_ten[scale])`). This is the oracle's OWN cast semantics,
+  * replicated bit-for-bit: both engines evaluate the same IEEE double
+  * product and the same half-even rounding, so per-row unscaled values
+  * agree on EVERY input, not just benign ones.
+  *
+  * Divergence note (documented, deliberate): Spark's stock
+  * `Cast(double, decimal)` goes through the shortest-decimal string
+  * repr + HALF_UP — a different tie-break that agrees with the rint
+  * path on any value that is exactly representable at ≤`scale`
+  * decimals (all money/quantity data; the correctness gate pins it)
+  * but can differ one ulp on adversarial mid-ulp ties. Since the
+  * oracle is DuckDB, rint IS the contract; the BigDecimal path was
+  * the approximation. Overflow (|x·10^s| ≥ 2^63) and NaN throw, as
+  * DuckDB's cast does.
+  */
+case class DoubleToScaledLong(child: Expression, scale: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "double_to_scaled_long"
+
+  private val pow = math.pow(10, scale) // exact power of ten ≤ 10^22
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = Math.rint(input.asInstanceOf[Double] * pow)
+    if (!(Math.abs(r) < 9.223372036854776e18))
+      throw new ArithmeticException(
+        s"double_to_scaled_long overflow: value $input at scale $scale")
+    r.toLong
+  }
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val r = ctx.freshName("scaled")
+      s"""
+         |double $r = java.lang.Math.rint($x * ${pow}D);
+         |if (!(java.lang.Math.abs($r) < 9.223372036854776E18)) {
+         |  throw new ArithmeticException(
+         |    "double_to_scaled_long overflow: value " + $x + " at scale $scale");
+         |}
+         |${ev.value} = (long) $r;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object FixedPointSum {
   import org.apache.spark.sql.Column
 
   /** `SUM(CAST(c AS DECIMAL(18,scale)))` as a double, computed exactly
     * via the int128 aggregate: the per-row decimal cast (identical
     * rounding to the stock plan and the DuckDB oracle) feeds its
-    * unscaled long straight into [[FixedPointSum]] — no decimal adds. */
+    * unscaled long straight into [[FixedPointSum]] — no decimal adds.
+    * General-input path (any numeric/decimal child); for DOUBLE
+    * children prefer [[dsumD]], which also skips the per-row cast. */
   def dsum(c: Column, scale: Int): Column = Bridge.column(
     FixedPointSum(
       UnscaledValue(Cast(Bridge.expression(c), DecimalType(18, scale))),
       scale).toAggregateExpression())
+
+  /** [[dsum]] for a DOUBLE column with the per-row cast done the
+    * oracle's way ([[DoubleToScaledLong]]): rint in double space, no
+    * decimal values anywhere in the plan. Q1Lab, 18M rows, one
+    * session: stock decimal Sum 1.02 s → int128 over decimal cast
+    * 0.57 s → int128 over rint 0.26 s — at the plain-double-sum floor
+    * (0.27 s) while staying exact; bit-identical output to all. */
+  def dsumD(c: Column, scale: Int): Column = Bridge.column(
+    FixedPointSum(DoubleToScaledLong(Bridge.expression(c), scale), scale)
+      .toAggregateExpression())
+
+  /** The unscaled long of `CAST(c AS DECIMAL(_, scale))`, rint
+    * semantics — for composing exact fixed-point products whose result
+    * feeds [[sumScaled]] (e.g. q01's sum_charge: scale-4 × scale-2
+    * longs multiply EXACTLY in int64 to a scale-6 long, precisely the
+    * decimal multiply DuckDB performs, without any decimal values). */
+  def scaledLong(c: Column, scale: Int): Column =
+    Bridge.column(DoubleToScaledLong(Bridge.expression(c), scale))
+
+  /** Sum a column that already carries unscaled longs at `scale`. */
+  def sumScaled(c: Column, scale: Int): Column = Bridge.column(
+    FixedPointSum(Bridge.expression(c), scale).toAggregateExpression())
 }

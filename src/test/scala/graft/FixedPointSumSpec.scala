@@ -92,6 +92,66 @@ class FixedPointSumSpec extends SparkSpecBase {
     assert(a.sameElements(b))
   }
 
+  test("dsumD (rint feed) matches the decimal-cast feed on decimal-representable data") {
+    // every value exactly representable at the target scale — the class
+    // where rint (DuckDB cast) and shortest-repr HALF_UP (Spark cast)
+    // provably agree; this is all money/quantity data
+    val vs = (1 to 5000).map(i => (i % 11, math.rint(math.sin(i) * 1e8) / 100.0))
+    val df = vs.toDF("g", "v").repartition(7, col("g"))
+    for (s <- Seq(2, 4, 6)) {
+      val a = df.groupBy("g").agg(FixedPointSum.dsum(col("v"), s).as("s"))
+        .orderBy("g").collect().map(_.toString)
+      val b = df.groupBy("g").agg(FixedPointSum.dsumD(col("v"), s).as("s"))
+        .orderBy("g").collect().map(_.toString)
+      assert(a.sameElements(b), s"scale=$s")
+    }
+  }
+
+  test("scaledLong is the oracle's cast: rint half-even on mid-ulp ties") {
+    // 0.125 at scale 2 is an exact double mid-tie: DuckDB's cast
+    // (nearbyint(x*100)) rounds half-even to 0.12; Spark's stock cast
+    // (shortest-repr + HALF_UP) gives 0.13. scaledLong must take the
+    // ORACLE's side of the documented divergence.
+    val df = Seq(0.125, -0.125, 0.135, 2.5).toDF("v")
+    val got = df.select(FixedPointSum.scaledLong(col("v"), 2).as("u"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(12L, -12L, 14L, 250L), got)
+    val stock = df.select(col("v").cast(DecimalType(18, 2)).as("d"))
+      .collect().map(_.getDecimal(0).unscaledValue().longValue()).toSeq
+    assert(stock == Seq(13L, -13L, 14L, 250L), stock) // the divergence is real
+  }
+
+  test("scaledLong: nulls pass through; overflow and NaN throw") {
+    val rows = Seq(Some(1.25), None, Some(-3.0)).toDF("v")
+      .select(FixedPointSum.scaledLong(col("v"), 2).as("u")).collect()
+    assert(rows(0).getLong(0) == 125L && rows(1).isNullAt(0) && rows(2).getLong(0) == -300L)
+    for (bad <- Seq(1e18, Double.NaN, Double.PositiveInfinity)) {
+      val e = intercept[Exception] {
+        Seq(bad).toDF("v").select(FixedPointSum.scaledLong(col("v"), 2)).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+      assert(msgs(e).exists(m => m != null && m.contains("double_to_scaled_long overflow")), e)
+    }
+  }
+
+  test("sum_charge chain: scaled-long product == decimal product, bitwise") {
+    // the q01 shape: (scale-4 long) × (scale-2 long) summed at scale 6
+    // vs the decimal (18,4)×(8,2) product summed by the cast-feed dsum
+    val df = (1 to 3000)
+      .map(i => (i % 5, 1000.0 + (i % 997) * 1.01, (i % 9) * 0.01, (i % 7) * 0.01))
+      .toDF("g", "price", "disc", "tax")
+    val viaLongs = df.groupBy("g").agg(FixedPointSum.sumScaled(
+        FixedPointSum.scaledLong(col("price") * (lit(1) - col("disc")), 4)
+          * FixedPointSum.scaledLong(lit(1) + col("tax"), 2), 6).as("s"))
+      .orderBy("g").collect().map(_.toString)
+    val viaDecimal = df.groupBy("g").agg(FixedPointSum.dsum(
+        (col("price") * (lit(1) - col("disc"))).cast(DecimalType(18, 4))
+          * (lit(1) + col("tax")).cast(DecimalType(8, 2)), 6).as("s"))
+      .orderBy("g").collect().map(_.toString)
+    assert(viaLongs.sameElements(viaDecimal))
+  }
+
   test("wide path: unscaled sums beyond int64 stay within 1 ulp of exact") {
     // feed pre-scaled longs straight into the aggregate (scale 0):
     // 40 × 9e17 = 3.6e19 overflows int64 into the hi limb

@@ -74,6 +74,19 @@ object Q1Lab {
           (fx(col("l_extendedprice")) / count(col("l_extendedprice"))).as("avg_price"),
           (fx(col("l_discount")) / count(col("l_discount"))).as("avg_disc"),
           count(lit(1)).as("count_order"))
+      }),
+      ("fxsum-rint", () => {
+        import org.apache.spark.sql.graft.FixedPointSum.{dsumD, scaledLong, sumScaled}
+        li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+          dsumD(col("l_quantity"), 2).as("sum_qty"),
+          dsumD(col("l_extendedprice"), 2).as("sum_base_price"),
+          dsumD(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+          sumScaled(scaledLong(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            * scaledLong(lit(1) + col("l_tax"), 2), 6).as("sum_charge"),
+          (dsumD(col("l_quantity"), 2) / count(col("l_quantity"))).as("avg_qty"),
+          (dsumD(col("l_extendedprice"), 2) / count(col("l_extendedprice"))).as("avg_price"),
+          (dsumD(col("l_discount"), 2) / count(col("l_discount"))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
       }))
 
     // value parity: int128 fxsum == shipped decimal plan, bit-for-bit
