@@ -129,20 +129,29 @@ object Classifier {
     var b = 0.0
     var it = 0
     while (it < iters) {
-      val wLit = w.toArray
-      val look = udf((fid: Long) => wLit(fid.toInt))
+      // weights ride the plan as a dense array literal (dim-bounded,
+      // the scoreText pattern) — a codegen'd element_at, not a Scala
+      // UDF that would interpret per feature row
+      val wArr = typedlit(w.toSeq)
+      val look = (fid: Column) => element_at(wArr, (fid + 1).cast("int"))
       // per-doc residual r = r6(sigmoid(r6(Σ tf·w) + b) − y)
       val resid = fl.groupBy(col(idCol), col("y"))
         .agg(r6(sum(col("tf") * look(col("fid")))).as("m"))
         .select(col(idCol),
           r6(lit(1.0) / (lit(1.0) + exp(-(col("m") + lit(b)))) - col("y"))
             .as("r"))
-      // per-feature gradient g_f = r6(Σ tf·r / n); bias grad = r6(Σ r / n)
-      val grad = fl.join(resid, idCol)
-        .groupBy("fid").agg(r6(sum(col("tf") * col("r")) / lit(n)).as("g"))
+      // per-feature gradient g_f = r6(Σ tf·r / n) and the bias gradient
+      // r6(Σ r / n) in ONE action: the bias is the fid = −1 row of the
+      // same agg (resid's exchange is identical in both legs, so Spark
+      // reuses it). One job per iteration, not two — and the residual
+      // subtree no longer re-executes for a one-number agg.
+      val gradRows = fl.join(resid, idCol)
+        .select(col("fid"), (col("tf") * col("r")).as("c"))
+        .unionAll(resid.select(lit(-1L).as("fid"), col("r").as("c")))
+        .groupBy("fid").agg(r6(sum(col("c")) / lit(n)).as("g"))
         .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
-      val bg = resid.agg(r6(sum(col("r")) / lit(n))).head.getDouble(0)
-      w = w.indices.map(f => r6d(w(f) - lr * grad.getOrElse(f, 0.0)))
+      val bg = gradRows.getOrElse(-1, 0.0)
+      w = w.indices.map(f => r6d(w(f) - lr * gradRows.getOrElse(f, 0.0)))
       b = r6d(b - lr * bg)
       it += 1
     }
