@@ -463,26 +463,35 @@ object RelationalQueries {
     // percentile_approx is a KLL/GK-style mergeable sketch — at 100 TB
     // the exact percentile's per-group full sort is the bottleneck, the
     // sketch is one partial+final agg with bounded memory. Accuracy pin
-    // uses the sketch's own contract (rank error ≤ 1/accuracy): each
-    // approx p-quantile must land between the EXACT (p−ε) and (p+ε)
-    // quantiles with ε = 2/accuracy slack, per l_returnflag group, for
-    // p ∈ {0.5, 0.9, 0.99}. Constant-1 row (both engines' approx
-    // sketches differ, so the assertion — not the estimate — is pinned).
+    // checks the sketch's OWN contract directly — the returned value's
+    // RANK must sit within ε·n of p·n (ε = 2/accuracy slack) — via two
+    // linear conditional counts per quantile (rank(v) bracketed by
+    // count(x < v) and count(x ≤ v)), per l_returnflag group, for
+    // p ∈ {0.5, 0.9, 0.99}. No exact per-group sort anywhere: both the
+    // product AND its check are linear scans, the shape that survives
+    // 100 TB. Constant-1 row (both engines' approx sketches differ, so
+    // the assertion — not the estimate — is pinned).
     QueryDef("q159_approx_quantiles", "SELECT CAST(1 AS INT) AS quantile_ok") { (s, d) =>
       val eps = 2.0 / 1000 // accuracy = 1000
       val ps = Seq(0.5, 0.9, 0.99)
-      val exPs = ps.flatMap(p => Seq(p - eps, p, p + eps))
-      val both = t(s, d, "lineitem")
+      val base = t(s, d, "lineitem").select(col("l_returnflag"), col("l_extendedprice"))
+      val ap = base.groupBy(col("l_returnflag"))
+        .agg(expr(s"percentile_approx(l_extendedprice, array(${ps.mkString(",")}), 1000)")
+          .as("ap"))
+      val aggCols = count(lit(1)).as("n") +:
+        ps.indices.flatMap(i => Seq(
+          count(when(col("l_extendedprice") <= element_at(col("ap"), i + 1), 1))
+            .as(s"le$i"),
+          count(when(col("l_extendedprice") < element_at(col("ap"), i + 1), 1))
+            .as(s"lt$i")))
+      val ranks = base.join(broadcast(ap), "l_returnflag")
         .groupBy(col("l_returnflag"))
-        .agg(
-          expr(s"percentile(l_extendedprice, array(${exPs.mkString(",")}))").as("ex"),
-          expr(s"percentile_approx(l_extendedprice, array(${ps.mkString(",")}), 1000)")
-            .as("ap"))
-        .withColumn("ok", expr(
-          """forall(sequence(0, 2), i ->
-            |  element_at(ap, i + 1) >= element_at(ex, 3 * i + 1) AND
-            |  element_at(ap, i + 1) <= element_at(ex, 3 * i + 3))""".stripMargin))
-      both.agg((count(lit(1)) === count(when(col("ok"), 1)))
+        .agg(aggCols.head, aggCols.tail: _*)
+      val ok = ps.indices.map(i =>
+          col(s"le$i") >= (lit(ps(i)) - eps) * col("n") &&
+          col(s"lt$i") <= (lit(ps(i)) + eps) * col("n"))
+        .reduce(_ && _)
+      ranks.agg((count(lit(1)) === count(when(ok, 1)))
         .cast("int").as("quantile_ok"))
     },
 
