@@ -4,7 +4,6 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.DecimalType
 
 /** The relational operator surface (SURVEY.md §2.2, §2.4-2.7): projections,
   * predicates, joins, aggregates, windows, set ops, subqueries, temporal.
