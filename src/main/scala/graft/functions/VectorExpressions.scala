@@ -62,7 +62,10 @@ object VectorFunctions {
     create("hamming_dist", es => HammingDistance(es(0), es(1)))
     create("jaccard_sim", es => JaccardSimilarity(es(0), es(1)))
     // exact money/quantity sum as SQL: dsum(x, scale) — the int128
-    // fixed-point aggregate behind the relational defs
+    // fixed-point aggregate behind the relational defs. Input is taken
+    // as DOUBLE and scaled by the oracle-exact rint cast
+    // (DoubleToScaledLong), the same semantics as the DataFrame-side
+    // FixedPointSum.dsumD — one function, one rounding contract.
     create("dsum", es => {
       val scale = es(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
@@ -70,10 +73,10 @@ object VectorFunctions {
           s"dsum scale must be an integer literal, got $other")
       }
       org.apache.spark.sql.graft.FixedPointSum(
-        org.apache.spark.sql.catalyst.expressions.UnscaledValue(
+        org.apache.spark.sql.graft.DoubleToScaledLong(
           org.apache.spark.sql.catalyst.expressions.Cast(es(0),
-            org.apache.spark.sql.types.DecimalType(18, scale))),
-        scale).toAggregateExpression()
+            org.apache.spark.sql.types.DoubleType),
+        scale), scale).toAggregateExpression()
     })
   }
 }
