@@ -152,6 +152,26 @@ class FixedPointSumSpec extends SparkSpecBase {
     assert(viaLongs.sameElements(viaDecimal))
   }
 
+  test("dsumD executes inside whole-stage codegen (no interpreted fallback)") {
+    val df = (1 to 100).map(i => (i % 3, i * 1.01)).toDF("g", "v")
+      .groupBy("g").agg(FixedPointSum.dsumD(col("v"), 2).as("s"))
+    df.collect() // materialize so AQE finalizes the physical plan
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // the final AND partial HashAggregates (with the rint feed and the
+    // int128 limb updates) must both carry the whole-stage-codegen
+    // marker `*(n)` (AQE query stages hide their subtrees from
+    // SparkPlan.collect, so assert on the rendered tree)
+    val rendered = plan.toString
+    val aggLines = rendered.linesIterator
+      .filter(_.contains("HashAggregate")).toSeq
+    assert(aggLines.size == 2 && aggLines.forall(_.contains("*(")), rendered)
+    assert(rendered.contains("double_to_scaled_long"), rendered)
+  }
+
   test("wide path: unscaled sums beyond int64 stay within 1 ulp of exact") {
     // feed pre-scaled longs straight into the aggregate (scale 0):
     // 40 × 9e17 = 3.6e19 overflows int64 into the hi limb
