@@ -39,6 +39,13 @@ object StaticPlanner {
     * physical plan. The returned frame executes identically (same
     * SparkContext, same cache manager); only its planner conf differs. */
   def pin(df: DataFrame): DataFrame = {
+    // already on a no-AQE session (e.g. an iterative loop pinning every
+    // round, each chained off the last pinned frame): force the plan in
+    // place instead of cloning a twin-of-a-twin
+    if (!df.sparkSession.sessionState.conf.adaptiveExecutionEnabled) {
+      df.queryExecution.executedPlan
+      return df
+    }
     val out = Dataset.ofRows(noAqeTwin(df.sparkSession), df.queryExecution.analyzed)
     out.queryExecution.executedPlan
     out
