@@ -33,6 +33,15 @@ import org.apache.spark.sql.types._
   * decimal→double conversion (`unscaled.ToDouble() / 10^s`) carries.
   *
   * Null semantics match SQL SUM: nulls skipped, all-null/empty → null.
+  *
+  * Cross-engine note (found by a 30× probe, see PERF_r14.md): once the
+  * unscaled sum exceeds 2^53, DuckDB's own decimal→double cast
+  * DOUBLE-rounds (int64→double, then ÷10^s — measured: exact sum
+  * …023960 → DuckDB …02397) while this aggregate, like Spark's stock
+  * decimal Sum, single-rounds correctly (→ …02396). The divergence is
+  * ≤1 ulp of the total, appears only past 9e15 absolute, and this
+  * engine sits on the CORRECT side of it; outputs stay bit-identical
+  * to the stock Spark plan at every magnitude.
   */
 case class FixedPointSum(child: Expression, scale: Int)
     extends DeclarativeAggregate with ExpectsInputTypes with UnaryLike[Expression] {
