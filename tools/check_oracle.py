@@ -46,7 +46,11 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        # driver testdata ships flat files; ScaleGen/user ingests ship
+        # parquet DIRECTORIES — glob their part-files
+        if os.path.isdir(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     names = sorted(os.path.basename(d) for d in glob.glob(os.path.join(out_dir, "*"))
