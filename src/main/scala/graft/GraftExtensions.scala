@@ -37,5 +37,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         session.conf.get("graft.ann.planes", "6").toInt,
         session.conf.get("graft.ann.radius", "2").toInt))
     }
+    // exact rewrite, on by default: CAST(sum(CAST(x AS DECIMAL(≤18,s)))
+    // AS DOUBLE) → the int128 FixedPointSum (bit-identical, ~2× at 18M
+    // rows); graft.dsum.rewrite=false to escape
+    e.injectPreCBORule { session =>
+      org.apache.spark.sql.graft.FixedPointSumRule(() =>
+        session.conf.get("graft.dsum.rewrite", "true").toBoolean)
+    }
   }
 }
