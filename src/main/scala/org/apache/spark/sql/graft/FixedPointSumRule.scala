@@ -57,7 +57,9 @@ case class FixedPointSumRule(enabled: () => Boolean) extends Rule[LogicalPlan] {
                     if att.exprId == a.exprId => att })
               if (refs.nonEmpty && refs.size == casted.size)
                 Some(a.exprId -> Alias(we.copy(windowFunction = r), a.name)(
-                  exprId = a.exprId))
+                  exprId = a.exprId, qualifier = a.qualifier,
+                  explicitMetadata = a.explicitMetadata,
+                  nonInheritableMetadataKeys = a.nonInheritableMetadataKeys))
               else None
             }.toSeq
           case _ => Nil
