@@ -30,6 +30,28 @@ class StreamingSpec extends SparkSpecBase {
       Tables.table(spark, sfDir, "events").count())
   }
 
+  test("transforms are mode-agnostic: the batch twin IS the same function") {
+    // applied to a BATCH frame, sessionAgg/intervalJoin yield the
+    // one-shot batch plan (watermarks no-op outside streaming) — the
+    // 10-15x-cheaper twin PERF_r14 §4 recommends for one-shot work
+    val ev = Tables.table(spark, sfDir, "events")
+    val sessions = StreamingOps.sessionAgg(ev, "30 minutes", "1 hour")
+    assert(!sessions.isStreaming)
+    val viaSql = ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    assert(sessions.count() == viaSql.count())
+    val joined = StreamingOps.intervalJoin(ev)
+    assert(!joined.isStreaming)
+    val c = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id").as("cu"), col("ts").as("cts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val expect = c.join(p, col("cu") === col("pu") &&
+      col("pts") >= col("cts") &&
+      col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES")).count()
+    assert(joined.count() == expect)
+  }
+
   test("session windows merge events within the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
