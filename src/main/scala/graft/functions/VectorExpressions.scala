@@ -78,5 +78,15 @@ object VectorFunctions {
             org.apache.spark.sql.types.DoubleType),
         scale), scale).toAggregateExpression()
     })
+    // the imperative twin of GraftExtensions' optimizer injection: an
+    // ALREADY-BUILT session (REST Serve, REPL, notebook) gets the exact
+    // decimal-sum rewrite too — extraOptimizations appends to the
+    // optimizer's user-rule batch; idempotent across repeat calls
+    val exp = spark.experimental
+    if (!exp.extraOptimizations.exists(
+        _.isInstanceOf[org.apache.spark.sql.graft.FixedPointSumRule]))
+      exp.extraOptimizations = exp.extraOptimizations :+
+        org.apache.spark.sql.graft.FixedPointSumRule(() =>
+          spark.conf.get("graft.dsum.rewrite", "true").toBoolean)
   }
 }

@@ -81,6 +81,23 @@ class FixedPointSumRuleSpec extends SparkSpecBase {
     }
   }
 
+  test("imperative register() attaches the rule to an already-built session") {
+    graft.functions.VectorFunctions.register(spark) // idempotent
+    graft.functions.VectorFunctions.register(spark)
+    assert(spark.experimental.extraOptimizations.count(
+      _.isInstanceOf[org.apache.spark.sql.graft.FixedPointSumRule]) == 1)
+    val rows = (1 to 1000).map(i => (i % 5, i * 2.13))
+    spark.createDataFrame(rows).toDF("g", "v").createOrReplaceTempView("fxr_imp")
+    val q = "SELECT g, CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS s " +
+      "FROM fxr_imp GROUP BY g ORDER BY g"
+    val plan = spark.sql(q).queryExecution.optimizedPlan.toString
+    assert(plan.contains("fixed_point_sum"), plan)
+    spark.conf.set("graft.dsum.rewrite", "false")
+    val stock = try spark.sql(q).collect().map(_.toString)
+      finally spark.conf.unset("graft.dsum.rewrite")
+    assert(spark.sql(q).collect().map(_.toString).sameElements(stock))
+  }
+
   test("fires on a decimal COLUMN child too (no inner cast)") {
     val rows = (1 to 500).map(i => (i % 5, BigDecimal(i) * 0.25))
     ext.createDataFrame(rows).toDF("g", "d").createOrReplaceTempView("fxr_d")
