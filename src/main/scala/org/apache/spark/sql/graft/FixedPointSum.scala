@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, DeclarativeAggregate}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types._
 
@@ -26,11 +26,17 @@ import org.apache.spark.sql.types._
   * the decimal plan and to the DuckDB oracle. The int128 running sum
   * is exact for ~2^64 input rows (overflow-free for any realistic
   * scan; stock decimal sum would overflow its 28-digit precision
-  * around the same magnitude). Output is DOUBLE `sum / 10^scale`:
-  * while the unscaled sum fits int64 the long→double conversion is
-  * single-rounded (exactly the stock path); past int64 the hi/lo
-  * recombination adds ≤1 ulp, the same tolerance DuckDB's own
-  * decimal→double conversion (`unscaled.ToDouble() / 10^s`) carries.
+  * around the same magnitude). Output is DOUBLE `sum / 10^scale`,
+  * single-rounded from the exact sum at EVERY magnitude: while the
+  * unscaled sum fits int64 this is `MakeDecimal(...).toDouble`
+  * (exactly the stock path); past int64 [[Int128ToDouble]] reassembles
+  * the exact int128 as a BigDecimal before the one double rounding.
+  * Values are therefore bit-identical to the stock decimal-Sum plan
+  * wherever that plan produces a value; the only divergence is
+  * BEHAVIORAL, past the stock 28-digit buffer (unscaled ≥ 1e28): stock
+  * Sum nulls there in legacy mode and throws in ANSI mode, while this
+  * aggregate returns the true single-rounded sum in both modes (i.e.
+  * under ANSI an overflow error is traded for the correct value).
   *
   * Null semantics match SQL SUM: nulls skipped, all-null/empty → null.
   *
@@ -104,25 +110,15 @@ case class FixedPointSum(child: Expression, scale: Int)
     // double-round and drift 1 ulp — observed on q01's sum_charge)
     val fitsInt64 = EqualTo(hi, ShiftRight(lo, Literal(63)))
     val exact = Cast(MakeDecimal(lo, DecimalType.MAX_PRECISION, scale), DoubleType)
-    // wide path (unscaled sum beyond ±9.2e18): hi·2^64 + unsigned(lo)
-    // in doubles — hi·2^64 is an exact power-of-two scaling, the
-    // unsigned lo reassembles from (lo >>> 1)·2 + (lo & 1); carries
-    // ≤1 ulp, the tolerance any engine's decimal→double has up here
-    val loUnsigned = addD(
-      Multiply(Cast(ShiftRightUnsigned(lo, Literal(1)), DoubleType),
-        Literal(2.0), EvalMode.LEGACY),
-      Cast(BitwiseAnd(lo, Literal(1L)), DoubleType))
-    val wide = Divide(
-      addD(
-        Multiply(Cast(hi, DoubleType),
-          Literal(1.8446744073709552e19), EvalMode.LEGACY),
-        loUnsigned),
-      Literal(math.pow(10, scale)), EvalMode.LEGACY)
+    // wide path (unscaled sum beyond ±9.2e18): reassemble the EXACT
+    // int128 as a BigDecimal and single-round — still bit-correct up
+    // here, unlike a double-space hi·2^64+lo recombination (≤1 ulp
+    // drift) and unlike stock Sum, which nulls (legacy) / throws
+    // (ansi) once its 28-digit buffer overflows at ~1e28. Runs once
+    // per group, so the per-group BigInteger is free.
+    val wide = Int128ToDouble(hi, lo, scale)
     If(nonEmpty, If(fitsInt64, exact, wide), Literal(null, DoubleType))
   }
-
-  private def addD(a: Expression, b: Expression): Expression =
-    Add(a, b, EvalMode.LEGACY)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -178,6 +174,197 @@ case class DoubleToScaledLong(child: Expression, scale: Int)
          |${ev.value} = (long) $r;
        """.stripMargin
     })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Exact finalization helpers for the (hi, lo) int128 limb pair.
+  * Standalone object so the Scala compiler emits static forwarders —
+  * generated janino code calls these as plain Java statics. Each runs
+  * once per GROUP (never per row), so the BigInteger is free. */
+object Int128 {
+  /** The signed int128 (hi·2^64 + unsigned lo) as an exact
+    * java.math.BigInteger — 16-byte big-endian reassembly. */
+  def toBigInteger(hi: Long, lo: Long): java.math.BigInteger = {
+    val b = new Array[Byte](16)
+    var i = 0
+    while (i < 8) {
+      b(i) = (hi >>> (56 - 8 * i)).toByte
+      b(i + 8) = (lo >>> (56 - 8 * i)).toByte
+      i += 1
+    }
+    new java.math.BigInteger(b)
+  }
+
+  /** Exact `int128 · 10^-scale` single-rounded to double — JDK
+    * BigDecimal.doubleValue is correctly rounded at any magnitude. */
+  def toDouble(hi: Long, lo: Long, scale: Int): Double =
+    new java.math.BigDecimal(toBigInteger(hi, lo), scale).doubleValue()
+
+  /** Exact `int128 · 10^-scale` as a Decimal, or null when the
+    * unscaled value exceeds 38 digits (unrepresentable — reachable
+    * only in the int128's top sliver 1e38..1.7e38). Precision is NOT
+    * clamped here; the caller's own overflow check (e.g. the stock
+    * CheckOverflowInSum harvested by [[FixedPointAvg]]) polices the
+    * declared precision with its session's null/throw policy. */
+  def toDecimal(hi: Long, lo: Long, scale: Int): Decimal = {
+    val bi = toBigInteger(hi, lo)
+    if (bi.abs.compareTo(MAX_UNSCALED) > 0) null
+    else Decimal(BigDecimal(new java.math.BigDecimal(bi, scale)))
+  }
+
+  private val MAX_UNSCALED =
+    java.math.BigInteger.TEN.pow(DecimalType.MAX_PRECISION).subtract(java.math.BigInteger.ONE)
+}
+
+/** `(hi, lo) int128 · 10^-scale` exactly single-rounded to DOUBLE —
+  * the wide-path finalizer of [[FixedPointSum]]. */
+case class Int128ToDouble(left: Expression, right: Expression, scale: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def prettyName: String = "int128_to_double"
+
+  override protected def nullSafeEval(hi: Any, lo: Any): Any =
+    Int128.toDouble(hi.asInstanceOf[Long], lo.asInstanceOf[Long], scale)
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (hi, lo) =>
+      s"${ev.value} = org.apache.spark.sql.graft.Int128.toDouble($hi, $lo, $scale);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `(hi, lo) int128 · 10^-scale` as an exact DECIMAL(precision, scale)
+  * value (null past 38 digits) — slots in where a stock aggregate's
+  * decimal `sum` buffer attribute sat, so the harvested stock evaluate
+  * tree (and its own overflow policy) operates on the exact sum. */
+case class Int128Decimal(left: Expression, right: Expression,
+    precision: Int, scale: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+  override def dataType: DataType = DecimalType(precision, scale)
+  override def nullable: Boolean = true
+  override def prettyName: String = "int128_decimal"
+
+  override protected def nullSafeEval(hi: Any, lo: Any): Any =
+    Int128.toDecimal(hi.asInstanceOf[Long], lo.asInstanceOf[Long], scale)
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (hi, lo) => {
+      val d = ctx.freshName("dec")
+      s"""
+         |org.apache.spark.sql.types.Decimal $d =
+         |  org.apache.spark.sql.graft.Int128.toDecimal($hi, $lo, $scale);
+         |if ($d == null) { ${ev.isNull} = true; } else { ${ev.value} = $d; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Exact fixed-point AVG over pre-scaled longs — the [[FixedPointSum]]
+  * int128 limbs plus a row count, finalized through Spark's OWN
+  * `Average` evaluate tree for bit-parity by construction.
+  *
+  * Why: `avg(CAST(x AS DECIMAL(p≤18,s)))` runs the same wide-decimal
+  * BigDecimal-per-row buffer as the stock Sum (Average's buffer is
+  * `DECIMAL(p+10, s)`), so the money-AVG idiom pays the identical 3.3×
+  * premium the SUM rewrite removed (the reference computes AVG as
+  * sum/count over its fixed-point column — velesdb-core
+  * `velesql/aggregator.rs:220`).
+  *
+  * Exactness: update/merge are the [[FixedPointSum]] primitive-long
+  * limb ops plus a count increment, all inside whole-stage codegen.
+  * Finalization does NOT hand-build a divide: it instantiates a stock
+  * `Average` of the same child type and eval mode, takes its
+  * `evaluateExpression` (CheckOverflowInSum → Divide → cast to
+  * DECIMAL(p+4, s+4), whatever the running Spark version does), and
+  * substitutes the exact int128 sum for the `sum` buffer attribute and
+  * our count for `count` — identical rounding, identical overflow
+  * policy, identical null semantics to the un-rewritten plan, version
+  * drift included. Output is the stock result cast to DOUBLE (the
+  * consumer cast the rule absorbed).
+  */
+case class FixedPointAvg(child: Expression, precision: Int, scale: Int,
+    evalMode: EvalMode.Value)
+    extends DeclarativeAggregate with ExpectsInputTypes with UnaryLike[Expression] {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "fixed_point_avg"
+
+  private lazy val hi = AttributeReference("hi", LongType, nullable = false)()
+  private lazy val lo = AttributeReference("lo", LongType, nullable = false)()
+  private lazy val cnt = AttributeReference("cnt", LongType, nullable = false)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(hi, lo, cnt)
+
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(0L), Literal(0L), Literal(0L))
+
+  private def addW(a: Expression, b: Expression): Expression =
+    Add(a, b, EvalMode.LEGACY)
+
+  private def add128(h1: Expression, l1: Expression,
+      h2: Expression, l2: Expression): (Expression, Expression) = {
+    val newLo = addW(l1, l2)
+    val carry = ShiftRightUnsigned(
+      BitwiseOr(BitwiseAnd(l1, l2),
+        BitwiseAnd(BitwiseOr(l1, l2), BitwiseNot(newLo))),
+      Literal(63))
+    val newHi = addW(addW(h1, h2), carry)
+    (newHi, newLo)
+  }
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val (nh, nl) = add128(hi, lo, ShiftRight(child, Literal(63)), child)
+    Seq(
+      If(IsNull(child), hi, nh),
+      If(IsNull(child), lo, nl),
+      addW(cnt, Cast(IsNotNull(child), LongType)))
+  }
+
+  override lazy val mergeExpressions: Seq[Expression] = {
+    val (nh, nl) = add128(hi.left, lo.left, hi.right, lo.right)
+    Seq(nh, nl, addW(cnt.left, cnt.right))
+  }
+
+  override lazy val evaluateExpression: Expression = {
+    // the stock tree, harvested from a throwaway Average of the same
+    // input type/eval mode (we only read its evaluate expression and
+    // buffer attribute ids — the literal child never evaluates)
+    val stock = Average(Literal.create(null, DecimalType(precision, scale)), evalMode)
+    val sumDec = {
+      // cheap reassembly while the unscaled sum fits int64 (always, in
+      // practice); exact BigDecimal reassembly past it — both carry
+      // the stock buffer type DECIMAL(p+10, s), and the harvested
+      // tree's own CheckOverflowInSum polices that precision with the
+      // session overflow policy, exactly as the stock plan would
+      val bufType = DecimalType.bounded(precision + 10, scale)
+      val fitsInt64 = EqualTo(hi, ShiftRight(lo, Literal(63)))
+      If(fitsInt64,
+        MakeDecimal(lo, bufType.precision, bufType.scale),
+        Int128Decimal(hi, lo, bufType.precision, bufType.scale))
+    }
+    val substituted = stock.evaluateExpression.transform {
+      case a: AttributeReference if a.exprId == stock.sum.exprId => sumDec
+      case a: AttributeReference if a.exprId == stock.count.exprId => cnt
+    }
+    Cast(substituted, DoubleType)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -1,16 +1,17 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, UnscaledValue, WindowExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
-/** Optimizer rewrite: the ubiquitous exact-money-sum idiom
+/** Optimizer rewrite: the ubiquitous exact-money-agg idioms
   *
   *   CAST(sum(CAST(x AS DECIMAL(p≤18, s))) AS DOUBLE)
+  *   CAST(avg(CAST(x AS DECIMAL(p≤18, s))) AS DOUBLE)
   *
-  * becomes [[FixedPointSum]] over the SAME decimal cast's unscaled
+  * become [[FixedPointSum]] / [[FixedPointAvg]] over the SAME decimal cast's unscaled
   * long — Spark's stock `Sum` widens its buffer to `DECIMAL(p+10, s)`,
   * which at p > 8 exceeds the compact-long decimal range and churns a
   * JavaBigDecimal per row, while the int128 aggregate's update/merge
@@ -86,19 +87,27 @@ case class FixedPointSumRule(enabled: () => Boolean) extends Rule[LogicalPlan] {
     }
   }
 
-  /** The int128 twin of `ae` when it is a non-distinct Sum over a
-    * long-backed decimal (p ≤ 18: unscaled value fits one long). */
+  /** The int128 twin of `ae` when it is a non-distinct Sum or Average
+    * over a long-backed decimal (p ≤ 18: unscaled value fits one
+    * long). AVG finalizes through the harvested stock Average tree
+    * (see [[FixedPointAvg]]), so its rounding/overflow semantics are
+    * the stock plan's by construction. */
   private def rewriteAgg(ae: AggregateExpression): Option[AggregateExpression] =
     ae match {
       case AggregateExpression(Sum(inner, _), _, false, _, _) =>
-        decimalScale(inner).map { s =>
-          ae.copy(aggregateFunction = FixedPointSum(UnscaledValue(inner), s))
+        decimalType(inner).map { dt =>
+          ae.copy(aggregateFunction = FixedPointSum(UnscaledValue(inner), dt.scale))
+        }
+      case AggregateExpression(avg @ Average(inner, _), _, false, _, _) =>
+        decimalType(inner).map { dt =>
+          ae.copy(aggregateFunction =
+            FixedPointAvg(UnscaledValue(inner), dt.precision, dt.scale, avg.evalMode))
         }
       case _ => None
     }
 
-  private def decimalScale(e: Expression): Option[Int] = e.dataType match {
-    case dt: DecimalType if dt.precision <= 18 => Some(dt.scale)
+  private def decimalType(e: Expression): Option[DecimalType] = e.dataType match {
+    case dt: DecimalType if dt.precision <= 18 => Some(dt)
     case _ => None
   }
 }

@@ -98,6 +98,37 @@ class FixedPointSumRuleSpec extends SparkSpecBase {
     assert(spark.sql(q).collect().map(_.toString).sameElements(stock))
   }
 
+  test("rewrites the money-AVG idiom (grouped, window, FILTER), bit-identically") {
+    table()
+    val qs = Seq(
+      "SELECT g, CAST(avg(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS a " +
+        "FROM fxr_t GROUP BY g ORDER BY g",
+      "SELECT g, CAST(avg(CAST(v AS DECIMAL(18,4))) FILTER (WHERE flag) " +
+        "AS DOUBLE) AS a FROM fxr_t GROUP BY g ORDER BY g",
+      "SELECT g, CAST(avg(CAST(v AS DECIMAL(18,2))) OVER " +
+        "(PARTITION BY g ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS DOUBLE) AS r FROM fxr_t ORDER BY g, r")
+    for (q <- qs) {
+      assert(optimized(q).contains("fixed_point_avg"), q + "\n" + optimized(q))
+      val got = ext.sql(q).collect().map(_.toString)
+      ext.conf.set("graft.dsum.rewrite", "false")
+      val stock = try ext.sql(q).collect().map(_.toString)
+        finally ext.conf.unset("graft.dsum.rewrite")
+      assert(got.sameElements(stock), q)
+    }
+  }
+
+  test("AVG rewrite skips DISTINCT, wide precision, and decimal consumers") {
+    table()
+    val skip = Seq(
+      "SELECT g, CAST(avg(DISTINCT CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS a FROM fxr_t GROUP BY g",
+      "SELECT g, CAST(avg(CAST(v AS DECIMAL(20,2))) AS DOUBLE) AS a FROM fxr_t GROUP BY g",
+      "SELECT g, avg(CAST(v AS DECIMAL(18,2))) AS a FROM fxr_t GROUP BY g")
+    skip.foreach { q =>
+      assert(!optimized(q).contains("fixed_point_avg"), q + "\n" + optimized(q))
+    }
+  }
+
   test("fires on a decimal COLUMN child too (no inner cast)") {
     val rows = (1 to 500).map(i => (i % 5, BigDecimal(i) * 0.25))
     ext.createDataFrame(rows).toDF("g", "d").createOrReplaceTempView("fxr_d")

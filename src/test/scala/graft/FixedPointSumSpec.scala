@@ -172,17 +172,46 @@ class FixedPointSumSpec extends SparkSpecBase {
     assert(rendered.contains("double_to_scaled_long"), rendered)
   }
 
-  test("wide path: unscaled sums beyond int64 stay within 1 ulp of exact") {
-    // feed pre-scaled longs straight into the aggregate (scale 0):
-    // 40 × 9e17 = 3.6e19 overflows int64 into the hi limb
-    val longs = Seq.fill(40)(900000000000000000L) ++ Seq.fill(10)(-7L)
-    val df = longs.toDF("v").repartition(5)
-    val agg = Bridge.column(
-      FixedPointSum(Bridge.expression(col("v")), 0).toAggregateExpression())
-    val got = df.agg(agg.as("s")).collect()(0).getDouble(0)
-    val exact = longs.map(BigDecimal(_)).sum.toDouble
-    val ulp = math.ulp(exact)
-    assert(math.abs(got - exact) <= ulp,
-      s"got=$got exact=$exact diff=${got - exact} ulp=$ulp")
+  test("wide path: unscaled sums beyond int64 are EXACTLY single-rounded") {
+    // feed pre-scaled longs straight into the aggregate: sums overflow
+    // int64 into the hi limb; Int128ToDouble must reproduce the
+    // BigDecimal-exact single rounding BITWISE (the old double-space
+    // hi/lo recombination drifted 1 ulp on shapes like the +1 tail)
+    for ((longs, s) <- Seq(
+        (Seq.fill(40)(900000000000000000L) ++ Seq.fill(10)(-7L), 0),
+        (Seq.fill(40)(900000000000000000L) ++ Seq(1L), 2),
+        (Seq.fill(97)(-837203685477580712L) ++ Seq(13L, -1L), 4))) {
+      val df = longs.toDF("v").repartition(5)
+      val agg = Bridge.column(
+        FixedPointSum(Bridge.expression(col("v")), s).toAggregateExpression())
+      val got = df.agg(agg.as("s")).collect()(0).getDouble(0)
+      val exact = (longs.map(BigDecimal(_)).sum / BigDecimal(10).pow(s)).toDouble
+      assert(got == exact, s"scale=$s got=$got exact=$exact diff=${got - exact}")
+    }
+  }
+
+  test("fixed-point AVG: harvested stock finalization is bit-identical") {
+    import org.apache.spark.sql.graft.{FixedPointAvg, Bridge => B}
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, UnscaledValue}
+    def fxAvg(c: Column, p: Int, s: Int): Column = B.column(
+      FixedPointAvg(
+        UnscaledValue(Cast(B.expression(c), DecimalType(p, s))), p, s,
+        EvalMode.LEGACY).toAggregateExpression())
+    val genV = Gen.chooseNum(-1e9, 1e9)
+    forAll(Gen.listOfN(200, genV), Gen.oneOf(0, 2, 4)) { (xs, s) =>
+      val df = xs.zipWithIndex.map(p => (p._2 % 5, p._1)).toDF("g", "v")
+        .repartition(7, col("g"))
+      val a = df.groupBy("g")
+        .agg(avg(col("v").cast(DecimalType(18, s))).cast("double").as("a"))
+        .orderBy("g").collect().map(_.toString)
+      val b = df.groupBy("g").agg(fxAvg(col("v"), 18, s).as("a"))
+        .orderBy("g").collect().map(_.toString)
+      assert(a.sameElements(b), s"scale=$s\n stock=${a.mkString(",")}\n fx=${b.mkString(",")}")
+    }
+    // nulls skipped, all-null group → null (stock avg semantics)
+    val rows = Seq((1, Some(2.5)), (1, None), (1, Some(0.5)), (2, None))
+      .toDF("g", "v").groupBy("g").agg(fxAvg(col("v"), 18, 2).as("a"))
+      .orderBy("g").collect()
+    assert(rows(0).getDouble(1) == 1.5 && rows(1).isNullAt(1))
   }
 }

@@ -75,6 +75,26 @@ object Q1Lab {
           (fx(col("l_discount")) / count(col("l_discount"))).as("avg_disc"),
           count(lit(1)).as("count_order"))
       }),
+      // r15: the user-facing money-AVG idiom, stock vs the
+      // FixedPointAvg optimizer rewrite (rule attached via register())
+      ("avg-idiom-stock", () => {
+        graft.functions.VectorFunctions.register(spark)
+        spark.conf.set("graft.dsum.rewrite", "false")
+        li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+          avg(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("avg_qty"),
+          avg(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("avg_price"),
+          avg(col("l_discount").cast(DecimalType(18, 2))).cast("double").as("avg_disc"),
+          count(lit(1)).as("count_order"))
+      }),
+      ("avg-idiom-int128", () => {
+        graft.functions.VectorFunctions.register(spark)
+        spark.conf.set("graft.dsum.rewrite", "true")
+        li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+          avg(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("avg_qty"),
+          avg(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("avg_price"),
+          avg(col("l_discount").cast(DecimalType(18, 2))).cast("double").as("avg_disc"),
+          count(lit(1)).as("count_order"))
+      }),
       ("fxsum-rint", () => {
         import org.apache.spark.sql.graft.FixedPointSum.{dsumD, scaledLong, sumScaled}
         li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
@@ -98,6 +118,16 @@ object Q1Lab {
     if (!ref.sameElements(fx))
       ref.zip(fx).filter(p => p._1 != p._2).take(2).foreach(p =>
         println(s"Q1LAB DIFF\n  dec=${p._1}\n  fx =${p._2}"))
+
+    // avg-idiom parity: rewritten plan == stock plan, bit-for-bit
+    def collectV(n: String) = variants.find(_._1 == n).get._2()
+      .orderBy("l_returnflag", "l_linestatus").collect().map(_.toString)
+    val avgStock = collectV("avg-idiom-stock")
+    val avgFx = collectV("avg-idiom-int128")
+    println(s"Q1LAB equal(avg-idiom)=${avgStock.sameElements(avgFx)}")
+    if (!avgStock.sameElements(avgFx))
+      avgStock.zip(avgFx).filter(p => p._1 != p._2).take(2).foreach(p =>
+        println(s"Q1LAB AVG DIFF\n  stock=${p._1}\n  fx   =${p._2}"))
 
     variants.foreach { case (name, mk) =>
       graft.Bench.force(mk())
