@@ -9,6 +9,14 @@ export interface Payload {
   [key: string]: unknown;
 }
 
+/**
+ * Point ids ride JSON as numbers, so this SDK is exact only for ids up
+ * to Number.MAX_SAFE_INTEGER (2^53 − 1). Ids minted by the Python
+ * adapters' 63-bit SHA-256 hashing exceed that and silently lose
+ * precision through JSON.parse — a get/delete round-trip can then
+ * target the WRONG point. Use ≤2^53 ids from JS, or keep hashed-id
+ * collections on the Python/REST surfaces.
+ */
 export interface Point {
   id: number;
   vector?: number[];

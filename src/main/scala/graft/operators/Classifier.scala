@@ -115,12 +115,24 @@ object Classifier {
   /** Trained model: dense weights (index = fid) + bias. */
   final case class Model(weights: IndexedSeq[Double], bias: Double)
 
+  /** Ceiling on the hashed-feature width: 2^20 doubles ≈ 8 MB of
+    * driver weights / ≤2^20 gradient rows per collect — comfortable on
+    * any driver, and far above useful quality-classifier widths. */
+  val MaxTrainDim: Int = 1 << 20
+
   /** Full-batch logistic GD on (id, fid, tf) features and (id, y∈{0,1})
     * labels. Plain GD, no momentum — determinism over convergence rate;
     * `iters` is small by design (quality classifiers are shallow). */
   def train(feats: DataFrame, labels: DataFrame, idCol: String, dim: Int,
       iters: Int, lr: Double): Model = {
     require(iters >= 0 && dim > 0, s"bad iters=$iters dim=$dim")
+    // the per-iteration gradient collect() and the weights-as-literal
+    // broadcast are both O(dim) on the DRIVER — that contract is only
+    // safe while dim is a hashed-feature width, not a vocabulary
+    require(dim <= MaxTrainDim,
+      s"dim=$dim exceeds $MaxTrainDim: the gradient collect and the " +
+        "weight-array literal are driver-sized by dim; hash features " +
+        "into a bounded width instead")
     val spark = feats.sparkSession
     val ckpt = org.apache.spark.sql.graft.CheckpointBlocks
     val fl = feats.join(labels, idCol).localCheckpoint(true)

@@ -44,6 +44,30 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
   * per rebuild — the build, not the walk, was the scale-killer
   * (r11 VERDICT ask #3).
   */
+/** Concurrent bounded memo for expensive boolean verdicts (parquet
+  * footer reads). Crossing `cap` evicts the least-recently-TOUCHED
+  * half in one pass — hot keys deterministically survive (their
+  * access stamp is recent), and the eviction sweep is rare (once per
+  * cap/2 distinct inserts). Races are benign: a concurrently-touched
+  * victim is re-memoized at one extra verdict read. */
+private[graft] final class LruVerdictCache(cap: Int) {
+  private val clock = new java.util.concurrent.atomic.AtomicLong()
+  private val map = scala.collection.concurrent.TrieMap
+    .empty[String, (Boolean, java.util.concurrent.atomic.AtomicLong)]
+
+  def size: Int = map.size
+  def contains(key: String): Boolean = map.contains(key)
+
+  def getOrElseUpdate(key: String, verdict: => Boolean): Boolean = {
+    if (map.size > cap)
+      map.toSeq.sortBy(_._2._2.get).take(map.size / 2)
+        .foreach(v => map.remove(v._1))
+    val e = map.getOrElseUpdate(key, (verdict, new java.util.concurrent.atomic.AtomicLong()))
+    e._2.set(clock.incrementAndGet())
+    e._1
+  }
+}
+
 object Hnsw {
 
   /** Kernel evaluations spent in [[buildGraph]] since JVM start —
@@ -74,19 +98,16 @@ object Hnsw {
     * hands a scan task whole, so the file can't be split regardless of
     * size. Cached per (path, size, mtime): index files are write-once
     * dirs, and stamping the mtime means even an in-place same-size
-    * rewrite can't serve a stale verdict. Bounded — a long-lived server
-    * sees one entry per live index file, but superseded generations
-    * would otherwise accumulate forever, so the map is cleared (cheap:
-    * one footer read per file to refill) past a few thousand entries. */
-  private val rowGroupCacheCap = 4096
-  private val rowGroupCache =
-    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+    * rewrite can't serve a stale verdict. Bounded with LRU half-evict
+    * (a full clear() would thundering-herd one footer re-read per LIVE
+    * file on the next query; evicting the stalest half keeps every hot
+    * index's verdict across the cap crossing). */
+  private[graft] val rowGroupCache = new LruVerdictCache(4096)
   private def isSingleRowGroup(file: String,
       hconf: org.apache.hadoop.conf.Configuration): Boolean = {
     val p = java.nio.file.Paths.get(new java.net.URI(file))
     val size = java.nio.file.Files.size(p)
     val mtime = java.nio.file.Files.getLastModifiedTime(p).toMillis
-    if (rowGroupCache.size > rowGroupCacheCap) rowGroupCache.clear()
     rowGroupCache.getOrElseUpdate(s"$file#$size#$mtime", {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(file), hconf)

@@ -1344,9 +1344,17 @@ object TextQueries {
       // the gate still replays EVERY document; at scale the collect
       // stays driver-sized (the equivalence property is
       // scale-invariant — an unbounded feats.collect() here was the
-      // one collect in the repo that grew with the corpus)
-      val subFeats = feats.where(col("doc_id") < 1000)
-      val subLabels = labels.where(col("doc_id") < 1000)
+      // one collect in the repo that grew with the corpus). The cap is
+      // the 1000th-smallest ACTUAL doc id — a fixed `< 1000` assumed
+      // dense low ids and went vacuously green (empty vs empty) on any
+      // corpus whose ids start higher
+      val capRow = labels.select(col("doc_id")).orderBy("doc_id")
+        .limit(1000).agg(max("doc_id")).collect()
+      require(capRow.nonEmpty && !capRow(0).isNullAt(0),
+        "sequential-equivalence subset is empty: no labeled documents")
+      val idCap = capRow(0).getLong(0)
+      val subFeats = feats.where(col("doc_id") <= idCap)
+      val subLabels = labels.where(col("doc_id") <= idCap)
       val subModel = Classifier.train(subFeats, subLabels, "doc_id", dim,
         iters = 3, lr = 0.5)
 

@@ -18,19 +18,47 @@ import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
   * (small, latency-sensitive) plans.
   *
   * One twin per session, cached weakly: sessions are few and long-lived,
-  * and a dead parent drops its twin with it. */
+  * and a dead parent drops its twin with it. The VALUE is held through a
+  * WeakReference — the twin strongly references its parent (cloneSession
+  * retains the parent session state in its closures), so a strong value
+  * would pin the WeakHashMap key forever and no pinned session could
+  * ever be GC'd. A collected twin just rebuilds (cloneSession is
+  * milliseconds, and any live pinned frame keeps its own twin reachable).
+  *
+  * Planner-relevant parent conf set AFTER the first pin (shuffle
+  * partitions, broadcast threshold/timeout, the graft rewrites toggle)
+  * is re-synced onto the twin on every fetch — cloneSession snapshots
+  * the conf once, and a stale snapshot would silently plan subsequent
+  * pinned queries under the old settings. */
 object StaticPlanner {
 
-  private val twins =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, ClassicSession]()
+  private val twins = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession, java.lang.ref.WeakReference[ClassicSession]]()
+
+  /** Conf keys a user realistically re-tunes mid-session that change
+    * what the planner produces. AQE stays pinned off on the twin. */
+  private val resyncKeys = Seq(
+    "spark.sql.shuffle.partitions",
+    "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.broadcastTimeout",
+    "graft.dsum.rewrite")
 
   private def noAqeTwin(spark: org.apache.spark.sql.SparkSession): ClassicSession =
     twins.synchronized {
-      var twin = twins.get(spark)
+      var twin = Option(twins.get(spark)).map(_.get).orNull
       if (twin == null) {
         twin = spark.asInstanceOf[ClassicSession].cloneSession()
         twin.sessionState.conf.setConfString("spark.sql.adaptive.enabled", "false")
-        twins.put(spark, twin)
+        twins.put(spark, new java.lang.ref.WeakReference(twin))
+      }
+      val parentConf = spark.sessionState.conf
+      val twinConf = twin.sessionState.conf
+      resyncKeys.foreach { k =>
+        parentConf.getConfString(k, null) match {
+          case null => if (twinConf.contains(k)) twinConf.unsetConf(k)
+          case v => if (twinConf.getConfString(k, null) != v)
+            twinConf.setConfString(k, v)
+        }
       }
       twin
     }

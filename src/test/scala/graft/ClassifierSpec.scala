@@ -77,4 +77,19 @@ class ClassifierSpec extends SparkSpecBase {
     val m = Classifier.train(feats, labels, "id", dim = 4, iters = 0, lr = 1.0)
     assert(m.weights.forall(_ == 0.0) && m.bias == 0.0)
   }
+
+  test("train rejects a feature width past the driver-memory contract") {
+    import spark.implicits._
+    val feats = Seq((1L, 0L, 1.0)).toDF("id", "fid", "tf")
+    val labels = Seq((1L, 1.0)).toDF("id", "y")
+    val e = intercept[IllegalArgumentException] {
+      Classifier.train(feats, labels, "id",
+        dim = Classifier.MaxTrainDim + 1, iters = 1, lr = 0.1)
+    }
+    assert(e.getMessage.contains("driver-sized"), e.getMessage)
+    // the ceiling itself is accepted (argument validation only — zero
+    // iters keeps the case instant)
+    Classifier.train(feats, labels, "id",
+      dim = Classifier.MaxTrainDim, iters = 0, lr = 0.1)
+  }
 }

@@ -152,4 +152,24 @@ class HnswSpec extends SparkSpecBase {
         "WITH (index = 'hnsw')")
     }
   }
+
+  test("rowGroupCache: a hot entry survives the cap crossing (LRU half-evict)") {
+    val cache = new graft.operators.LruVerdictCache(64)
+    var reads = 0
+    def touchHot(): Boolean =
+      cache.getOrElseUpdate("hot", { reads += 1; true })
+    touchHot()
+    assert(reads == 1)
+    // stream 3 caps' worth of cold keys through, re-touching the hot
+    // entry between batches — every eviction sweep must spare it
+    for (batch <- 0 until 6) {
+      (0 until 32).foreach(i =>
+        cache.getOrElseUpdate(s"cold-$batch-$i", false))
+      touchHot()
+    }
+    assert(reads == 1, s"hot entry was evicted and re-read ($reads reads)")
+    assert(cache.size <= 70, s"cache grew past its cap: ${cache.size}")
+    // and a never-retouched cold key from the first batch is gone
+    assert(!cache.contains("cold-0-0"))
+  }
 }
