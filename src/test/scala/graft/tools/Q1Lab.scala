@@ -95,6 +95,25 @@ object Q1Lab {
           avg(col("l_discount").cast(DecimalType(18, 2))).cast("double").as("avg_disc"),
           count(lit(1)).as("count_order"))
       }),
+      // r15: the SHIPPED q01 def (incl. ORDER BY + avg legs) and the
+      // same def with the global sort replaced / removed — isolates
+      // what the tiny-result orderBy exchange costs on top of the agg
+      ("shipped-q01", () =>
+        graft.SparkEntry.queries("q01_tpch_q1")(spark, sfDir)),
+      ("shipped-no-sort", () => {
+        import org.apache.spark.sql.graft.FixedPointSum.{dsumD, scaledLong, sumScaled}
+        def fxd(c: org.apache.spark.sql.Column, s: Int = 2) = dsumD(c, s)
+        li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+          fxd(col("l_quantity")).as("sum_qty"),
+          fxd(col("l_extendedprice")).as("sum_base_price"),
+          fxd(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+          sumScaled(scaledLong(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            * scaledLong(lit(1) + col("l_tax"), 2), 6).as("sum_charge"),
+          (fxd(col("l_quantity")) / count(col("l_quantity"))).as("avg_qty"),
+          (fxd(col("l_extendedprice")) / count(col("l_extendedprice"))).as("avg_price"),
+          (fxd(col("l_discount")) / count(col("l_discount"))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+      }),
       ("fxsum-rint", () => {
         import org.apache.spark.sql.graft.FixedPointSum.{dsumD, scaledLong, sumScaled}
         li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
