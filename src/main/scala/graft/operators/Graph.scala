@@ -227,8 +227,17 @@ object Graph {
       for (d <- 1 to maxDepth) {
         val eD = e.select(col("src").as("__esrc"), col("dst").as("__edst"))
         val lvl = frontierHint(level)
-        val next = lvl.join(eD, lvl("node") === col("__esrc"))
-          .select(lvl("start"), col("__edst").as("node")).distinct()
+        val joined = lvl.join(eD, lvl("node") === col("__esrc"))
+          .select(lvl("start"), col("__edst").as("node"))
+        // Level 1 skips its dedup exchange (r15, BfsLab-measured ~5%
+        // + one job): the start frontier is already distinct, so a
+        // level-1 duplicate requires PARALLEL (src,dst) edges — the
+        // final min-depth agg absorbs those unconditionally (result
+        // exactness never depends on this), and the only cost of one
+        // slipping through is a linear parallel-multiplicity factor on
+        // the depth-2 join input, not the combinatorial path blowup
+        // the deeper distincts guard against (they stay).
+        val next = if (d == 1) joined else joined.distinct()
         val step = next.withColumn("depth", lit(d))
         acc = if (acc == null) step else acc.unionAll(step)
         level = next

@@ -18,7 +18,8 @@ import java.util.concurrent.atomic.AtomicInteger
 object BfsLab {
   def unroll(e0: DataFrame, starts: DataFrame, maxDepth: Int,
       relTypes: Seq[String], perLevelDistinct: Boolean,
-      hintBroadcast: Boolean): DataFrame = {
+      hintBroadcast: Boolean, broadcastEdges: Boolean = false,
+      skipLevel1Distinct: Boolean = false): DataFrame = {
     val e = (if (relTypes.nonEmpty) e0.where(col("label").isin(relTypes: _*))
              else e0).select("src", "dst")
     val startsFrontier =
@@ -28,9 +29,11 @@ object BfsLab {
     for (d <- 1 to maxDepth) {
       val eD = e.select(col("src").as("__esrc"), col("dst").as("__edst"))
       val lvl = if (hintBroadcast) broadcast(level) else level
-      val joined = lvl.join(eD, lvl("node") === col("__esrc"))
+      val eDh = if (broadcastEdges) broadcast(eD) else eD
+      val joined = lvl.join(eDh, lvl("node") === col("__esrc"))
         .select(lvl("start"), col("__edst").as("node"))
-      val next = if (perLevelDistinct) joined.distinct() else joined
+      val next = if (perLevelDistinct && !(skipLevel1Distinct && d == 1))
+        joined.distinct() else joined
       acc = {
         val step = next.withColumn("depth", lit(d))
         if (acc == null) step else acc.unionAll(step)
@@ -95,6 +98,12 @@ object BfsLab {
             .collect().map(_.toString).sorted
           println(s"BFSLAB equal($nm/$vn)=${got.sameElements(ref)}")
         }
+      // one shared EDGE broadcast (ReuseExchange serves all depths)
+      // instead of a sequential frontier broadcast build per depth
+      val gotE = unroll(e, starts(lim), depth, types,
+        perLevelDistinct = true, hintBroadcast = false, broadcastEdges = true)
+        .collect().map(_.toString).sorted
+      println(s"BFSLAB equal($nm/dist+bce)=${gotE.sameElements(ref)}")
       measure(s"$nm/shipped", () => graft.operators.Graph
         .bfsVarLength(e, starts(lim), depth, types).select("start", "node", "depth"))
       Seq(("dist", true, false), ("nodist", false, false),
@@ -102,6 +111,18 @@ object BfsLab {
         .foreach { case (vn, d, bc) =>
           measure(s"$nm/$vn", () => unroll(e, starts(lim), depth, types, d, bc))
         }
+      measure(s"$nm/dist+bce", () => unroll(e, starts(lim), depth, types,
+        perLevelDistinct = true, hintBroadcast = false, broadcastEdges = true))
+      // level-1 distinct skipped: with distinct starts, level-1 dups
+      // require parallel (src,dst) edges, and the final min-depth agg
+      // absorbs any -- the distinct only bounds frontier growth
+      val gotS = unroll(e, starts(lim), depth, types, perLevelDistinct = true,
+        hintBroadcast = true, broadcastEdges = false, skipLevel1Distinct = true)
+        .collect().map(_.toString).sorted
+      println(s"BFSLAB equal($nm/dist1skip+bc)=${gotS.sameElements(ref)}")
+      measure(s"$nm/dist1skip+bc", () => unroll(e, starts(lim), depth, types,
+        perLevelDistinct = true, hintBroadcast = true, broadcastEdges = false,
+        skipLevel1Distinct = true))
       // the robust-gated variant: pay an eager bounded distinct-starts
       // count (the safety gate for the broadcast hint) on every build
       measure(s"$nm/dist+bc+gate", () => {
