@@ -19,7 +19,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 class Graft(
     val spark: SparkSession,
-    dataDir: String,
+    val dataDir: String,
     maxCost: Long = Long.MaxValue,
     parseCacheSize: Int = 256) {
 

@@ -20,6 +20,10 @@ import scala.jdk.CollectionConverters._
   *   - `POST /query`                          → `{query, params}` → unified
   *     response `{type, count, timing_ms, results}` (types.rs:296-320)
   *   - `POST /query/explain`                  → `{query}` → `{steps}`
+  *   - `POST /analytics/events`               → `{op: window|sessions|attribution,
+  *                                               mode?: batch|stream, params?, limit?}`
+  *                                               — mode picks plain-batch twin vs
+  *                                               micro-batch execution, same rows
   *   - `GET  /collections` / `POST /collections` / `DELETE|GET /collections/{n}`
   *   - `POST /collections/{n}/points`         → `{points: [{id, vector, payload}]}`
   *   - `GET|DELETE /collections/{n}/points/{id}`
@@ -100,6 +104,7 @@ class RestServer(g: Graft, port: Int = 0) {
       case "query" :: Nil => "/query"
       case "query" :: "explain" :: Nil => "/query/explain"
       case "query" :: _ => "/query/other"
+      case "analytics" :: _ => "/analytics/events"
       case _ => "/other"
     }
     requestCounts.computeIfAbsent(route,
@@ -184,6 +189,37 @@ class RestServer(g: Graft, port: Int = 0) {
     val query = text(body, "query").getOrElse(badRequest("missing 'query'"))
     val steps = g.explain(query).split("\n").toSeq
     ok(mapper.writeValueAsString(java.util.Map.of("steps", steps.asJava)))
+  })
+
+  // One-shot events analytics with an EXPLICIT execution mode — the
+  // REST face of StreamingOps' mode-agnosticism. `mode: "batch"`
+  // (default) runs the transform as its plain batch twin (the one-shot
+  // shape that beats the oracle at 60×, PERF_r14 §4); `mode: "stream"`
+  // runs the identical transform as a real micro-batch query to
+  // completion. Same rows either way (RestServerSpec pins it); the
+  // collect is limit-bounded like every REST read.
+  server.createContext("/analytics", exchange { ex =>
+    requirePost(ex)
+    if (ex.getRequestURI.getPath.stripSuffix("/") != "/analytics/events")
+      badRequest("unknown analytics route (POST /analytics/events)")
+    val b = json(ex)
+    val op = text(b, "op").getOrElse(badRequest("missing 'op'"))
+    val mode = text(b, "mode").getOrElse("batch")
+    if (mode != "batch" && mode != "stream")
+      badRequest(s"unknown mode '$mode' (batch|stream)")
+    val limit = math.min(intOr(b, "limit", 1000), 100000)
+    val opParams = Option(b.get("params")).filter(_.isObject).map { o =>
+      o.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+    }.getOrElse(Map.empty[String, String])
+    timed { ms =>
+      val df = try graft.streaming.StreamingOps
+          .eventsAnalytics(g.spark, g.dataDir, op, mode, opParams)
+        catch { case e: IllegalArgumentException => badRequest(e.getMessage) }
+      val shaped = df.orderBy(df.columns.map(col).toIndexedSeq: _*).limit(limit)
+      val rows = shaped.toJSON.collect()
+      s"""{"op":"$op","mode":"$mode","count":${rows.length},""" +
+        s""""timing_ms":${ms()},"results":[${rows.mkString(",")}]}"""
+    }
   })
 
   server.createContext("/collections", exchange { ex =>

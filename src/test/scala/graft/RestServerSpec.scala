@@ -56,6 +56,37 @@ class RestServerSpec extends SparkSpecBase {
     assert(r.statusCode() == 200 && r.body().contains("\"ok\""))
   }
 
+  test("POST /analytics/events: batch and stream modes return identical rows") {
+    // canonical row strings: fields sorted, numerics rounded 6dp (double
+    // sums may differ in the last ulp between any two plans)
+    def canonRows(body: String): Seq[String] = {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      import scala.jdk.CollectionConverters._
+      m.readTree(body).get("results").elements().asScala.map { row =>
+        row.properties().asScala.toSeq.sortBy(_.getKey).map { e =>
+          val v = e.getValue
+          s"${e.getKey}=${if (v.isNumber) f"${v.asDouble}%.6f" else v.asText}"
+        }.mkString(",")
+      }.toSeq.sorted
+    }
+    for (op <- Seq("sessions", "attribution")) {
+      val byMode = Seq("batch", "stream").map { mode =>
+        val r = post("/analytics/events",
+          s"""{"op":"$op","mode":"$mode","limit":100000}""")
+        assert(r.statusCode() == 200, s"$op/$mode: ${r.body().take(400)}")
+        assert(r.body().contains(s""""mode":"$mode""""), r.body().take(200))
+        mode -> canonRows(r.body())
+      }.toMap
+      assert(byMode("batch").nonEmpty, s"$op returned no rows")
+      assert(byMode("batch") == byMode("stream"),
+        s"$op: batch/stream rows diverge\n batch=${byMode("batch").take(3)}\n stream=${byMode("stream").take(3)}")
+    }
+    // error surface: unknown op / unknown mode are 400s, not 500s
+    assert(post("/analytics/events", """{"op":"nope"}""").statusCode() == 400)
+    assert(post("/analytics/events",
+      """{"op":"sessions","mode":"sideways"}""").statusCode() == 400)
+  }
+
   test("POST /query runs VelesQL with params and returns the unified shape") {
     val vec = graft.functions.VectorFunctions.syntheticQuery(64)
       .mkString("[", ",", "]")
