@@ -109,6 +109,16 @@ def main():
             check("error surface", False)
         except ApiError as e:
             check("error surface", e.status == 400, f"HTTP {e.status}")
+
+        # one-shot analytics: batch mode (default) over the events table
+        an = db.events_analytics("sessions", limit=5)
+        check("events analytics", an["mode"] == "batch" and an["count"] >= 0,
+              str(an)[:120])
+        try:
+            db.events_analytics("sessions", mode="sideways")
+            check("analytics bad mode", False)
+        except ApiError as e:
+            check("analytics bad mode", e.status == 400, f"HTTP {e.status}")
     finally:
         db.delete_collection(cn)
     check("cleanup", cn not in db.list_collections())

@@ -109,6 +109,18 @@ class Client:
     def explain(self, velesql):
         return self._h.post("/query/explain", {"query": velesql})
 
+    def events_analytics(self, op, mode="batch", params=None, limit=1000):
+        """`POST /analytics/events` — one-shot events analytics with an
+        explicit execution mode. `op` is "window" | "sessions" |
+        "attribution"; `mode="batch"` (default) runs the transform as
+        its plain batch twin (the right call for one-shot queries —
+        micro-batch state-store overhead buys nothing without
+        incremental arrival), `mode="stream"` runs the identical
+        transform as a real micro-batch query to completion. Both
+        return the same rows."""
+        return self._h.post("/analytics/events", {
+            "op": op, "mode": mode, "params": params or {}, "limit": limit})
+
 
 class Collection:
     """The reference SDK's `Collection` role (collection.rs) over REST."""

@@ -112,6 +112,18 @@ try {
     check("error surface", e instanceof ApiError && e.status === 400,
       `HTTP ${e.status}`);
   }
+
+  // one-shot analytics: batch mode (default) over the events table
+  const an = await db.eventsAnalytics("sessions", { limit: 5 });
+  check("events analytics", an.mode === "batch" && an.count >= 0,
+    JSON.stringify(an).slice(0, 120));
+  try {
+    await db.eventsAnalytics("sessions", { mode: "sideways" });
+    check("analytics bad mode", false);
+  } catch (e) {
+    check("analytics bad mode", e instanceof ApiError && e.status === 400,
+      `HTTP ${e.status}`);
+  }
 } finally {
   await db.deleteCollection(cn);
 }

@@ -65,6 +65,11 @@ export declare class Client {
   deleteCollection(name: string): Promise<unknown>;
   query(velesql: string, params?: Record<string, unknown>): Promise<QueryResponse>;
   explain(velesql: string): Promise<unknown>;
+  eventsAnalytics(op: "window" | "sessions" | "attribution", opts?: {
+    mode?: "batch" | "stream";
+    params?: Record<string, string>;
+    limit?: number;
+  }): Promise<{ op: string; mode: string; count: number; results: unknown[] }>;
 }
 
 export declare class Collection {

@@ -108,6 +108,23 @@ export class Client {
   explain(velesql) {
     return this._h.post("/query/explain", { query: velesql });
   }
+
+  /** `POST /analytics/events` — one-shot events analytics with an
+   * explicit execution mode. `op`: "window" | "sessions" |
+   * "attribution". `mode: "batch"` (default) runs the transform as its
+   * plain batch twin — the right call for one-shot queries;
+   * `mode: "stream"` runs the same transform as a real micro-batch
+   * query to completion. Both return the same rows.
+   * @param {string} op
+   * @param {{mode?: "batch"|"stream", params?: Record<string,string>, limit?: number}} [opts] */
+  eventsAnalytics(op, opts = {}) {
+    return this._h.post("/analytics/events", {
+      op,
+      mode: opts.mode ?? "batch",
+      params: opts.params ?? {},
+      limit: opts.limit ?? 1000,
+    });
+  }
 }
 
 /** The reference SDK's per-collection surface over REST. */
