@@ -148,7 +148,11 @@ object StreamingOps {
     * file-source query to completion (AvailableNow trigger, memory
     * sink) — the execution a continuously-landing directory would get,
     * exposed so a caller can validate streaming semantics or warm a
-    * checkpoint against a snapshot.
+    * checkpoint against a snapshot. NOTE the memory sink is
+    * DRIVER-sized (bounded by the result's group/match count, not the
+    * corpus — fine for validation at any corpus size with bounded key
+    * cardinality, wrong as a production continuous pipeline: that
+    * shape writes a durable sink instead, see [[ingestStream]]).
     *
     * Both modes return the same rows for the same input (floating sums
     * may differ in the last ulp from aggregation order, as between any
