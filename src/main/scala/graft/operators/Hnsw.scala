@@ -44,27 +44,33 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
   * per rebuild — the build, not the walk, was the scale-killer
   * (r11 VERDICT ask #3).
   */
-/** Concurrent bounded memo for expensive boolean verdicts (parquet
-  * footer reads). Crossing `cap` evicts the least-recently-TOUCHED
-  * half in one pass — hot keys deterministically survive (their
-  * access stamp is recent), and the eviction sweep is rare (once per
-  * cap/2 distinct inserts). Races are benign: a concurrently-touched
-  * victim is re-memoized at one extra verdict read. */
+/** Bounded LRU memo for expensive boolean verdicts (parquet footer
+  * reads) — the repo's access-order LinkedHashMap idiom (Graft's parse
+  * cache), synchronized because contention here is one footer verdict
+  * per index file on the PLANNING path. Exact LRU: each insert past
+  * `cap` evicts only the single least-recently-touched key, so hot
+  * entries deterministically survive any number of cap crossings.
+  * The verdict thunk is evaluated outside the lock — two threads may
+  * compute the same verdict once each (benign: it's a pure read). */
 private[graft] final class LruVerdictCache(cap: Int) {
-  private val clock = new java.util.concurrent.atomic.AtomicLong()
-  private val map = scala.collection.concurrent.TrieMap
-    .empty[String, (Boolean, java.util.concurrent.atomic.AtomicLong)]
+  private val map = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, java.lang.Boolean](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+        size() > cap
+    })
 
   def size: Int = map.size
-  def contains(key: String): Boolean = map.contains(key)
+  def contains(key: String): Boolean = map.containsKey(key)
 
   def getOrElseUpdate(key: String, verdict: => Boolean): Boolean = {
-    if (map.size > cap)
-      map.toSeq.sortBy(_._2._2.get).take(map.size / 2)
-        .foreach(v => map.remove(v._1))
-    val e = map.getOrElseUpdate(key, (verdict, new java.util.concurrent.atomic.AtomicLong()))
-    e._2.set(clock.incrementAndGet())
-    e._1
+    val hit = map.get(key)
+    if (hit != null) hit.booleanValue()
+    else {
+      val v = verdict
+      map.put(key, java.lang.Boolean.valueOf(v))
+      v
+    }
   }
 }
 
@@ -98,10 +104,10 @@ object Hnsw {
     * hands a scan task whole, so the file can't be split regardless of
     * size. Cached per (path, size, mtime): index files are write-once
     * dirs, and stamping the mtime means even an in-place same-size
-    * rewrite can't serve a stale verdict. Bounded with LRU half-evict
-    * (a full clear() would thundering-herd one footer re-read per LIVE
-    * file on the next query; evicting the stalest half keeps every hot
-    * index's verdict across the cap crossing). */
+    * rewrite can't serve a stale verdict. Bounded with exact LRU
+    * eviction (a full clear() would thundering-herd one footer re-read
+    * per LIVE file on the next query; evicting only the stalest key
+    * keeps every hot index's verdict across any cap crossing). */
   private[graft] val rowGroupCache = new LruVerdictCache(4096)
   private def isSingleRowGroup(file: String,
       hconf: org.apache.hadoop.conf.Configuration): Boolean = {

@@ -48,14 +48,16 @@ object PipelineQueries {
     * partition, and sizing it up measured slower (2.7 → 3.8 s at 10×). */
   // the directory walk is memoized per path: query-def builds run per
   // bench rep, and the size only steers a partition-count heuristic, so
-  // a stale byte count (files landed since first look) is harmless
+  // a stale byte count (files landed since first look) is harmless.
+  // Only SUCCESSFUL non-empty walks memoize — a pre-ingest miss or a
+  // transient IO error must not pin the sizing to 0 for the JVM's life
   private val streamBytesMemo =
     scala.collection.concurrent.TrieMap.empty[String, Long]
 
   private def streamParts(s: SparkSession, d: String, base: Int): Int = {
     val p = java.nio.file.Paths.get(s"$d/events.parquet")
-    val bytes = streamBytesMemo.getOrElseUpdate(p.toString,
-      try {
+    val bytes = streamBytesMemo.get(p.toString).getOrElse {
+      val b = try {
         if (java.nio.file.Files.isDirectory(p)) {
           val walk = java.nio.file.Files.walk(p)
           try {
@@ -64,7 +66,10 @@ object PipelineQueries {
               .map(java.nio.file.Files.size).sum
           } finally walk.close()
         } else java.nio.file.Files.size(p)
-      } catch { case _: Throwable => 0L })
+      } catch { case _: Throwable => 0L }
+      if (b > 0L) streamBytesMemo.put(p.toString, b)
+      b
+    }
     val cap = s.conf.get("spark.sql.shuffle.partitions").toInt
     math.min(math.max(base, (bytes / (4L << 20)).toInt * base), math.max(base, cap))
   }

@@ -104,7 +104,8 @@ class RestServer(g: Graft, port: Int = 0) {
       case "query" :: Nil => "/query"
       case "query" :: "explain" :: Nil => "/query/explain"
       case "query" :: _ => "/query/other"
-      case "analytics" :: _ => "/analytics/events"
+      case "analytics" :: "events" :: Nil => "/analytics/events"
+      case "analytics" :: _ => "/analytics/other"
       case _ => "/other"
     }
     requestCounts.computeIfAbsent(route,
@@ -191,6 +192,8 @@ class RestServer(g: Graft, port: Int = 0) {
     ok(mapper.writeValueAsString(java.util.Map.of("steps", steps.asJava)))
   })
 
+  private val analyticsStreamSlots = new java.util.concurrent.Semaphore(2)
+
   // One-shot events analytics with an EXPLICIT execution mode — the
   // REST face of StreamingOps' mode-agnosticism. `mode: "batch"`
   // (default) runs the transform as its plain batch twin (the one-shot
@@ -208,18 +211,26 @@ class RestServer(g: Graft, port: Int = 0) {
     if (mode != "batch" && mode != "stream")
       badRequest(s"unknown mode '$mode' (batch|stream)")
     val limit = math.min(intOr(b, "limit", 1000), 100000)
+    if (limit <= 0) badRequest("limit must be positive")
     val opParams = Option(b.get("params")).filter(_.isObject).map { o =>
       o.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
     }.getOrElse(Map.empty[String, String])
-    timed { ms =>
-      val df = try graft.streaming.StreamingOps
-          .eventsAnalytics(g.spark, g.dataDir, op, mode, opParams)
-        catch { case e: IllegalArgumentException => badRequest(e.getMessage) }
-      val shaped = df.orderBy(df.columns.map(col).toIndexedSeq: _*).limit(limit)
-      val rows = shaped.toJSON.collect()
-      s"""{"op":"$op","mode":"$mode","count":${rows.length},""" +
-        s""""timing_ms":${ms()},"results":[${rows.mkString(",")}]}"""
-    }
+    // a stream-mode run can legitimately hold its HTTP thread for
+    // minutes — cap the concurrent count well under the pool size so
+    // health/query routes always have threads (429 past the cap)
+    if (mode == "stream" && !analyticsStreamSlots.tryAcquire())
+      (429, """{"error":"analytics stream capacity busy, retry later"}""")
+    else try {
+      timed { ms =>
+        val df = try graft.streaming.StreamingOps
+            .eventsAnalytics(g.spark, g.dataDir, op, mode, opParams)
+          catch { case e: IllegalArgumentException => badRequest(e.getMessage) }
+        val shaped = df.orderBy(df.columns.map(col).toIndexedSeq: _*).limit(limit)
+        val rows = shaped.toJSON.collect()
+        s"""{"op":"$op","mode":"$mode","count":${rows.length},""" +
+          s""""timing_ms":${ms()},"results":[${rows.mkString(",")}]}"""
+      }
+    } finally if (mode == "stream") analyticsStreamSlots.release()
   })
 
   server.createContext("/collections", exchange { ex =>

@@ -194,9 +194,13 @@ object StreamingOps {
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
           // awaitTermination returns FALSE on timeout (no exception) —
-          // fail loudly rather than serve a partial sink
-          try require(q.awaitTermination(300000), s"$qn timed out after 300 s")
-          finally q.stop()
+          // fail loudly rather than serve a partial sink. NOT an
+          // IllegalArgumentException: the REST layer maps IAE to 400
+          // (caller error), and a capacity timeout is a 5xx condition
+          try {
+            if (!q.awaitTermination(300000))
+              throw new IllegalStateException(s"$qn timed out after 300 s")
+          } finally q.stop()
           val res = spark.table(qn).localCheckpoint(true)
           spark.catalog.dropTempView(qn)
           res

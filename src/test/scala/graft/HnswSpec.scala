@@ -153,7 +153,7 @@ class HnswSpec extends SparkSpecBase {
     }
   }
 
-  test("rowGroupCache: a hot entry survives the cap crossing (LRU half-evict)") {
+  test("rowGroupCache: a hot entry survives cap crossings (LRU eviction)") {
     val cache = new graft.operators.LruVerdictCache(64)
     var reads = 0
     def touchHot(): Boolean =

@@ -69,7 +69,7 @@ class RestServerSpec extends SparkSpecBase {
         }.mkString(",")
       }.toSeq.sorted
     }
-    for (op <- Seq("sessions", "attribution")) {
+    for (op <- Seq("window", "sessions", "attribution")) {
       val byMode = Seq("batch", "stream").map { mode =>
         val r = post("/analytics/events",
           s"""{"op":"$op","mode":"$mode","limit":100000}""")
