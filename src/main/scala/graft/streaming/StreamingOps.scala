@@ -163,7 +163,19 @@ object StreamingOps {
     * (gap/watermark), "attribution" (left/right/within/watermark). */
   def eventsAnalytics(spark: SparkSession, dir: String, op: String,
       mode: String = "batch", params: Map[String, String] = Map.empty): DataFrame = {
-    def p(k: String, dflt: String) = params.getOrElse(k, dflt)
+    // duration params are USER input (REST) — validate eagerly so a bad
+    // interval is an IllegalArgumentException (HTTP 400), not a plan-time
+    // AnalysisException surfacing as a server error
+    def p(k: String, dflt: String): String = {
+      val v = params.getOrElse(k, dflt)
+      if (k != "left" && k != "right") {
+        try org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+          org.apache.spark.unsafe.types.UTF8String.fromString(v))
+        catch { case e: Exception => throw new IllegalArgumentException(
+          s"bad '$k' duration '$v'", e) }
+      }
+      v
+    }
     val transform: DataFrame => DataFrame = op match {
       case "window" => windowedAgg(_, p("window", "1 hour"),
         p("slide", "30 minutes"), p("watermark", "2 hours"))

@@ -198,15 +198,23 @@ class FixedPointSumSpec extends SparkSpecBase {
         UnscaledValue(Cast(B.expression(c), DecimalType(p, s))), p, s,
         EvalMode.LEGACY).toAggregateExpression())
     val genV = Gen.chooseNum(-1e9, 1e9)
-    forAll(Gen.listOfN(200, genV), Gen.oneOf(0, 2, 4)) { (xs, s) =>
-      val df = xs.zipWithIndex.map(p => (p._2 % 5, p._1)).toDF("g", "v")
+    // precision varies too: the harvested stock tree's buffer/result
+    // types (p+10, p+4/s+4) and divide precision-loss adjustment all
+    // depend on p, so parity must hold across the fireable range
+    forAll(Gen.listOfN(200, genV), Gen.oneOf((18, 0), (18, 2), (18, 4),
+        (12, 2), (10, 0), (9, 3))) { (xs, ps) =>
+      val (p, s) = ps
+      // keep every value inside DECIMAL(p,s) range (ANSI casts throw on
+      // overflow; parity on the throwing path is not what this pins)
+      val vmax = math.pow(10, p - s - 1)
+      val df = xs.zipWithIndex.map(q => (q._2 % 5, q._1 % vmax)).toDF("g", "v")
         .repartition(7, col("g"))
       val a = df.groupBy("g")
-        .agg(avg(col("v").cast(DecimalType(18, s))).cast("double").as("a"))
+        .agg(avg(col("v").cast(DecimalType(p, s))).cast("double").as("a"))
         .orderBy("g").collect().map(_.toString)
-      val b = df.groupBy("g").agg(fxAvg(col("v"), 18, s).as("a"))
+      val b = df.groupBy("g").agg(fxAvg(col("v"), p, s).as("a"))
         .orderBy("g").collect().map(_.toString)
-      assert(a.sameElements(b), s"scale=$s\n stock=${a.mkString(",")}\n fx=${b.mkString(",")}")
+      assert(a.sameElements(b), s"p=$p scale=$s\n stock=${a.mkString(",")}\n fx=${b.mkString(",")}")
     }
     // nulls skipped, all-null group → null (stock avg semantics)
     val rows = Seq((1, Some(2.5)), (1, None), (1, Some(0.5)), (2, None))

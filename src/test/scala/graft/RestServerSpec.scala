@@ -81,10 +81,16 @@ class RestServerSpec extends SparkSpecBase {
       assert(byMode("batch") == byMode("stream"),
         s"$op: batch/stream rows diverge\n batch=${byMode("batch").take(3)}\n stream=${byMode("stream").take(3)}")
     }
-    // error surface: unknown op / unknown mode are 400s, not 500s
+    // error surface: unknown op / unknown mode / bad duration / bad
+    // limit are 400s, not 500s
     assert(post("/analytics/events", """{"op":"nope"}""").statusCode() == 400)
     assert(post("/analytics/events",
       """{"op":"sessions","mode":"sideways"}""").statusCode() == 400)
+    val badDur = post("/analytics/events",
+      """{"op":"sessions","params":{"gap":"13 parsecs"}}""")
+    assert(badDur.statusCode() == 400, badDur.body().take(200))
+    assert(post("/analytics/events",
+      """{"op":"sessions","limit":-1}""").statusCode() == 400)
   }
 
   test("POST /query runs VelesQL with params and returns the unified shape") {
