@@ -118,6 +118,20 @@ class FixedPointSumRuleSpec extends SparkSpecBase {
     }
   }
 
+  test("SUM and AVG rewrite together in one aggregate (the Q1 shape)") {
+    table()
+    val q = "SELECT g, CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS s, " +
+      "CAST(avg(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS a, count(v) AS c " +
+      "FROM fxr_t GROUP BY g ORDER BY g"
+    val plan = optimized(q)
+    assert(plan.contains("fixed_point_sum") && plan.contains("fixed_point_avg"), plan)
+    val got = ext.sql(q).collect().map(_.toString)
+    ext.conf.set("graft.dsum.rewrite", "false")
+    val stock = try ext.sql(q).collect().map(_.toString)
+      finally ext.conf.unset("graft.dsum.rewrite")
+    assert(got.sameElements(stock))
+  }
+
   test("AVG rewrite skips DISTINCT, wide precision, and decimal consumers") {
     table()
     val skip = Seq(
