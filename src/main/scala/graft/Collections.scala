@@ -23,6 +23,9 @@ import scala.jdk.CollectionConverters._
   */
 object Collections {
 
+  /** Shared (thread-safe after config) mapper for the JSON sidecars. */
+  private[graft] val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** Children of a directory with the `Files.list` stream CLOSED — the
     * raw iterator leaks a directory handle per call in a long session. */
   private[graft] def children(p: Path): Seq[Path] = {
@@ -81,7 +84,19 @@ class Collections(spark: SparkSession, dataDir: String,
   import Collections.{children, deleteRec, PointsManifest}
 
   private def root: Path = Paths.get(dataDir)
-  private def colDir(name: String): Path = root.resolve(name)
+  /** Every name→path resolve goes through here: a name must be ONE
+    * plain path segment. The REST layer validates its own charset, but
+    * library callers (adapters, Migrate, user code) hit this API
+    * directly — without the check, create("../x") escapes the data dir
+    * and drop("..") recursively deletes its PARENT (r15 review
+    * finding). The charset stays permissive (existing stores must keep
+    * resolving); only traversal is blocked. */
+  private def colDir(name: String): Path = {
+    require(name.nonEmpty && !name.contains("/") && !name.contains("\\") &&
+      name != "." && name != "..",
+      s"invalid collection name '$name'")
+    root.resolve(name)
+  }
   private def dataPath(name: String, frame: String = "points"): String =
     colDir(name).resolve(frame).toString
   private def metaPath(name: String): Path = colDir(name).resolve("meta.json")
@@ -123,10 +138,20 @@ class Collections(spark: SparkSession, dataDir: String,
     // a half-created collection behind
     val parsedSchema = graphSchema.map(GraphSchema.parse)
     Files.createDirectories(colDir(name))
-    val vc = vectorCol.map(v => s""""$v"""").getOrElse("null")
-    val sm = storageMode.map(m => s""", "storageMode": "$m"""").getOrElse("")
+    // Jackson-built sidecar: interpolating caller-supplied idCol/
+    // vectorCol/metric (REST passes them through verbatim) could inject
+    // fields or corrupt the JSON with a quote (r15 review finding)
+    val metaNode = Collections.jsonMapper.createObjectNode()
+    metaNode.put("idCol", idCol)
+    vectorCol match {
+      case Some(v) => metaNode.put("vectorCol", v)
+      case None => metaNode.putNull("vectorCol")
+    }
+    metaNode.put("metric", metric)
+    storageMode.foreach(m => metaNode.put("storageMode", m))
+    metaNode.put("buckets", buckets)
     Files.writeString(metaPath(name),
-      s"""{"idCol": "$idCol", "vectorCol": $vc, "metric": "$metric"$sm, "buckets": $buckets}""")
+      Collections.jsonMapper.writeValueAsString(metaNode))
     parsedSchema.foreach(s => Files.writeString(
       colDir(name).resolve("graph_schema.json"), GraphSchema.render(s)))
   }
@@ -150,29 +175,33 @@ class Collections(spark: SparkSession, dataDir: String,
 
   private def idColOf(name: String): String = metaOf(name)._1
 
+  /** The parsed meta sidecar (Jackson — a real JSON parse; the old
+    * regex field-grabs silently misread values containing quotes). */
+  private def metaNodeOf(name: String): com.fasterxml.jackson.databind.JsonNode =
+    Collections.jsonMapper.readTree(Files.readString(metaPath(name)))
+
+  private def metaText(n: com.fasterxml.jackson.databind.JsonNode,
+      k: String): Option[String] =
+    Option(n.get(k)).filter(v => !v.isNull).map(_.asText)
+
   /** (idCol, vectorCol, metric) from the collection's meta sidecar. */
   def metaOf(name: String): (String, Option[String], String) = {
-    val meta = Files.readString(metaPath(name))
-    def field(k: String): Option[String] =
-      (s""""$k":\\s*"([^"]+)"""").r.findFirstMatchIn(meta).map(_.group(1))
-    (field("idCol").getOrElse("id"), field("vectorCol"),
-      field("metric").getOrElse("cosine"))
+    val n = metaNodeOf(name)
+    (metaText(n, "idCol").getOrElse("id"), metaText(n, "vectorCol"),
+      metaText(n, "metric").getOrElse("cosine"))
   }
 
   /** The collection's create-time storage mode, if one was declared
     * ("full"/"sq8"/"binary"/"pq"/"f16"/"bf16"); None means exact
     * full-precision. */
-  def storageModeOf(name: String): Option[String] = {
-    val meta = Files.readString(metaPath(name))
-    """"storageMode":\s*"([^"]+)"""".r.findFirstMatchIn(meta).map(_.group(1))
-  }
+  def storageModeOf(name: String): Option[String] =
+    metaText(metaNodeOf(name), "storageMode")
 
   /** The collection's create-time bucket count (16 when predating the
     * bucketed layout). */
   def bucketsOf(name: String): Int = {
-    val meta = Files.readString(metaPath(name))
-    """"buckets":\s*(\d+)""".r.findFirstMatchIn(meta)
-      .map(_.group(1).toInt).getOrElse(16)
+    val n = metaNodeOf(name)
+    Option(n.get("buckets")).filter(_.isNumber).map(_.asInt).getOrElse(16)
   }
 
   // ---- points-frame manifest IO (Collections.PointsManifest scaladoc
@@ -331,14 +360,16 @@ class Collections(spark: SparkSession, dataDir: String,
     * Returns the new epoch. The file PADS to an epoch-dependent length:
     * the Materialize listing stamp reads (mtime, size) only, and two
     * bumps inside one mtime granule must still change the stamp — the
-    * mod-97 pad guarantees a size change for any two epochs closer than
-    * 97 apart, and 97 bumps cannot fit in one granule. */
+    * mod-97 pad over a FIXED-WIDTH epoch digit field guarantees a size
+    * change for any two epochs closer than 97 apart (a variable-width
+    * field broke the invariant at digit-count boundaries: epochs 1 and
+    * 97 both measured 3 bytes), and 97 bumps cannot fit in one granule. */
   def retrainIndexes(name: String): Long = this.synchronized {
     require(exists(name), s"collection $name does not exist")
     val next = indexEpoch(name) + 1
     val p = indexEpochPath(name)
     val tmp = p.resolveSibling(s"index_epoch.tmp-${java.util.UUID.randomUUID()}")
-    Files.writeString(tmp, s"$next " + "x" * (next % 97).toInt)
+    Files.writeString(tmp, f"$next%020d " + "x" * (next % 97).toInt)
     Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     next
@@ -601,19 +632,38 @@ class Collections(spark: SparkSession, dataDir: String,
       case _ => array(col("labels").cast("string"))
     }
 
-  /** Insert-or-replace by key: the incoming batch wins over stored rows. */
+  /** Insert-or-replace by key: the incoming batch wins over stored
+    * rows, and WITHIN a batch later rows win (ties keyed by
+    * monotonically_increasing_id — exact input order per partition,
+    * partition-ordered across them). Rows whose id is NULL are outside
+    * upsert semantics and pass through untouched: each gets a unique
+    * surrogate partition key, because grouping them under the one NULL
+    * key would collapse every null-id point ever stored into a single
+    * survivor (r15 review finding). A store with no id column at all
+    * keeps its append-only behavior. */
   private def mergeById(existing: Option[DataFrame], batch: DataFrame,
-      idCol: String): DataFrame = existing match {
-    case Some(old0) =>
-      val incoming = batch.withColumn("__pri", lit(1))
-      val old = old0.withColumn("__pri", lit(0))
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col(idCol)).orderBy(col("__pri").desc)
-      incoming.unionByName(old, allowMissingColumns = true)
-        .withColumn("__rn", row_number().over(w))
-        .where(col("__rn") === 1)
-        .drop("__pri", "__rn")
-    case None => batch
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val incoming = batch.withColumn("__pri", lit(1))
+      .withColumn("__seq", monotonically_increasing_id())
+    val unioned = existing match {
+      case Some(old0) => incoming.unionByName(
+        old0.withColumn("__pri", lit(0)).withColumn("__seq", lit(-1L)),
+        allowMissingColumns = true)
+      case None => incoming
+    }
+    if (!unioned.columns.contains(idCol))
+      return batch
+    // __nk computed AFTER the union so every null-id row (old or new)
+    // lands in its own window partition
+    val keyedOrSolo = unioned.withColumn("__nk",
+      when(col(idCol).isNull, monotonically_increasing_id()).otherwise(lit(0L)))
+    val w = Window.partitionBy(col(idCol), col("__nk"))
+      .orderBy(col("__pri").desc, col("__seq").desc)
+    keyedOrSolo
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__pri", "__seq", "__nk", "__rn")
   }
 
   /** S5: edge upsert (graph_api.rs:40-107 `add_edge`) — merge by edge id
@@ -858,11 +908,13 @@ class Collections(spark: SparkSession, dataDir: String,
     * stages, so the publish would run the whole merge twice. The range
     * shuffle's sampling distributes small frames over few non-empty
     * partitions anyway; big frames want the configured width. */
-  private def clusterForIndexes(name: String, df: DataFrame): DataFrame =
+  private def clusterForIndexes(name: String, df: DataFrame,
+      partitions: Option[Int] = None): DataFrame =
     listIndexes(name).headOption.map(_("property").toString)
       .filter(df.columns.contains) match {
       case Some(prop) =>
-        val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+        val parts = partitions.getOrElse(
+          math.max(1, spark.sessionState.conf.numShufflePartitions))
         df.repartitionByRange(parts, col(prop)).sortWithinPartitions(col(prop))
       case None => df
     }
@@ -890,17 +942,20 @@ class Collections(spark: SparkSession, dataDir: String,
     * indexed/legacy layouts fall back to the full filter-and-rewrite. */
   def delete(name: String, ids: Seq[Long]): Unit = this.synchronized {
     val idc = idColOf(name)
+    // keep = NOT coalesce(id IN ids, false): for a null-id row `isin`
+    // is NULL and a bare !NULL is NULL, so the un-coalesced filter
+    // silently deleted every null-id point (the exact trap deleteWhere
+    // documents; r15 review finding)
+    def keep(df: DataFrame) =
+      df.where(!coalesce(col(idc).isin(ids: _*), lit(false)))
     readManifest(name) match {
       case Some(m) if m.buckets > 0 && listIndexes(name).isEmpty
           && ids.nonEmpty =>
         val touched = bucketsForIds(ids, m.buckets).intersect(m.entries.keySet)
         if (touched.nonEmpty)
-          rewriteBuckets(name, m, touched,
-            ex => ex.get.where(!col(idc).isin(ids: _*)))
+          rewriteBuckets(name, m, touched, ex => keep(ex.get))
       case _ =>
-        table(name).foreach { df =>
-          publishPoints(name, df.where(!col(idc).isin(ids: _*)))
-        }
+        table(name).foreach(df => publishPoints(name, keep(df)))
     }
   }
 
@@ -1022,8 +1077,14 @@ class Collections(spark: SparkSession, dataDir: String,
     * generations; ingest-heavy collections usually want [[vacuum]]
     * instead, which reclaims without flattening. */
   def compact(name: String, numFiles: Int = 1): Unit = this.synchronized {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     table(name).foreach { df =>
-      val flat = clusterForIndexes(name, df.coalesce(numFiles))
+      // indexed layout: the range clustering IS the rewrite, so it gets
+      // the requested file count directly — clustering AFTER a coalesce
+      // re-expanded to the session shuffle width and silently ignored
+      // numFiles (r15 review finding); unindexed frames just coalesce
+      val clustered = clusterForIndexes(name, df, partitions = Some(numFiles))
+      val flat = if (clustered eq df) df.coalesce(numFiles) else clustered
       val gen = colDir(name).resolve(s"points-g${java.util.UUID.randomUUID()}")
       flat.write.mode(SaveMode.Overwrite).parquet(gen.toString)
       publishManifest(name, Collections.PointsManifest(0, Map.empty,

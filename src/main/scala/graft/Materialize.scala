@@ -39,12 +39,22 @@ object Materialize {
     * (e.g. a cached corpus-key table another query still reads). All
     * current builders read parquet/local relations, which is the shape
     * to keep. */
+  /** Builds are serialized PER KEY, not globally: a single object lock
+    * convoyed every materialization in the JVM behind whichever build
+    * was slowest (an index rewrite is hours at scale, and an unrelated
+    * collection's already-built artifact only needs the existence
+    * check). Same-key racers still dedup on their shared lock; the
+    * lock map grows one tiny Object per content stamp, the same rate
+    * as the cache itself. */
+  private val buildLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
   def atPaths(spark: SparkSession, token: String, kind: String,
       sources: Seq[Path], partCol: Option[String],
       extraStamp: Option[String] = None)(build: => DataFrame): DataFrame = {
     val key = cacheKey(kind, token, sources, extraStamp)
     val path = Paths.get(s"${sys.props("java.io.tmpdir")}/graft-derived/$key")
-    this.synchronized {
+    buildLocks.getOrElseUpdate(key, new Object).synchronized {
       if (!Files.exists(path.resolve("_SUCCESS"))) {
         val b = build
         // cluster AND sort by the key: tight per-row-group min/max stats
@@ -55,8 +65,15 @@ object Materialize {
           .getOrElse(b)
         val tmp = path.resolveSibling(
           s"${path.getFileName}.tmp-${java.util.UUID.randomUUID()}")
-        clustered.write.mode("overwrite").parquet(tmp.toString)
-        publish(tmp, path)
+        // a failed build must not strand its partial copy: prune skips
+        // `.tmp-` names by design, so nothing else ever reclaims one
+        try {
+          clustered.write.mode("overwrite").parquet(tmp.toString)
+          publish(tmp, path)
+        } catch { case e: Throwable =>
+          try deleteRec(tmp) catch { case _: Throwable => () }
+          throw e
+        }
         pruneStaleSiblings(key, kind, token, path)
         // iterative builders (LPA labels, dedup components) return
         // projections over localCheckpoints — once written to parquet
@@ -139,7 +156,7 @@ object Materialize {
     * anything older. */
   private def pruneStaleSiblings(key: String, kind: String, token: String,
       current: Path): Unit = {
-    val prefix = s"v3_${kind}_${token.replaceAll("[^A-Za-z0-9._-]", "_")}__"
+    val prefix = keyPrefix(kind, token)
     val parent = current.getParent
     if (parent == null || !Files.exists(parent)) return
     val s = Files.list(parent)
@@ -170,6 +187,17 @@ object Materialize {
     * AFTER the `__` prefix boundary, so [[pruneStaleSiblings]] treats a
     * same-(kind, token) entry with a different extraStamp as a stale
     * generation and retires it like any other superseded stamp. */
+  /** The (kind, token) identity prefix of a cache key. LENGTH-PREFIXED:
+    * kind and sanitized token both admit '_' — the same char that used
+    * to join them — so v3's `v3_<kind>_<token>__` was ambiguous
+    * (kind='a'/token='b_c' and kind='a_b'/token='c' shared a prefix and
+    * could prune each other's LIVE generations as stale; r15 review
+    * finding). The digit counts pin the boundaries unambiguously. */
+  private def keyPrefix(kind: String, token: String): String = {
+    val t = token.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"v4_${kind.length}k${kind}_${t.length}t${t}__"
+  }
+
   private def cacheKey(kind: String, token: String,
       sources: Seq[Path], extraStamp: Option[String] = None): String = {
     val stamp = (sources.map { f =>
@@ -178,7 +206,7 @@ object Materialize {
       require(Files.exists(f), s"Materialize($kind): missing source $f")
       listingHash(f)
     } ++ extraStamp.map(_.replaceAll("[^A-Za-z0-9._-]", "_"))).mkString("_")
-    s"v3_${kind}_${token.replaceAll("[^A-Za-z0-9._-]", "_")}__$stamp"
+    keyPrefix(kind, token) + stamp
   }
 
   /** Driver-side memo for the SMALL collected halves of an index (IVF

@@ -111,7 +111,8 @@ class CollectionAnnSpec extends SparkSpecBase {
       val parent = java.nio.file.Paths.get(
         s"${sys.props("java.io.tmpdir")}/graft-derived")
       val token = s"${tmp.toString}_col_gc".replaceAll("[^A-Za-z0-9._-]", "_")
-      val piece = s"^v3_(lsh6_p\\d+)_gc_${java.util.regex.Pattern.quote(token)}__.*$$".r
+      // v4 key shape: v4_<len>k<kind>_<len>t<token>__<stamp>
+      val piece = s"^v4_\\d+k(lsh6_p\\d+)_gc_\\d+t${java.util.regex.Pattern.quote(token)}__.*$$".r
       val s = java.nio.file.Files.list(parent)
       try {
         import scala.jdk.CollectionConverters._
