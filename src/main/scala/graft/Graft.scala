@@ -124,14 +124,29 @@ class Graft(
     val tableStamps = tablesOf(ast).map(stampOf)
     val graphStamps =
       if (ast.matchQuery.isDefined || graphScope.isDefined)
-        "graph" +: graphScope.toSeq.flatMap(n => Seq(stampOf(n),
-          collections.edgesRealPath(n).map(_.toString).getOrElse(s"noedges:$n")))
+        graphScope match {
+          case Some(n) => Seq("graph", stampOf(n),
+            collections.edgesRealPath(n).map(_.toString).getOrElse(s"noedges:$n"))
+          case None =>
+            // the DERIVED dataset graph reads these tables — stamp
+            // their listings, not a constant: a regenerated dataset dir
+            // must recompile MATCH plans exactly like SELECT plans do
+            // (r15 review finding)
+            "graph" +: Seq("orders", "lineitem", "customer", "part",
+              "supplier").map(stampOf)
+        }
       else Nil
     // param values render with their runtime class: Map("p" -> 1) and
     // Map("p" -> "1") bake different literals and must not share a plan
-    // (r11 ADVICE — toString alone collides on type-distinct values)
+    // (r11 ADVICE — toString alone collides on type-distinct values).
+    // Every component is LENGTH-PREFIXED: with plain delimiters a value
+    // containing ";k=java.lang.String:v" rendered identically to a
+    // separate entry, so two different param maps could share one baked
+    // plan (r15 review finding)
     val paramKey = params.toSeq.sortBy(_._1).map { case (k, v) =>
-      s"$k=${if (v == null) "null" else v.getClass.getName}:$v"
+      val cls = if (v == null) "null" else v.getClass.getName
+      val s = String.valueOf(v)
+      s"${k.length}:$k=${cls.length}:$cls=${s.length}:$s"
     }.mkString(";")
     Some((query, paramKey, fixedNowEpoch,
       graphScope, tableStamps, graphStamps).toString)
@@ -159,11 +174,13 @@ class Graft(
     val key = planKey(query, ast, params, fixedNowEpoch, graphScope)
     key.flatMap(k => planCache.synchronized(Option(planCache.get(k))))
       .getOrElse {
-        ast.select.foreach { sel =>
-          (sel.from +: sel.joins.map(_.table)).foreach { t =>
-            if (!catalog.exists(t))
-              throw new velesql.NotFoundError(s"collection not found: $t")
-          }
+        // the typed-error pre-check walks EVERY table the query reads —
+        // compound right sides and subquery FROMs included (checking
+        // only the left SELECT let those surface as raw Spark
+        // AnalysisExceptions; r15 review finding)
+        tablesOf(ast).foreach { t =>
+          if (!catalog.exists(t))
+            throw new velesql.NotFoundError(s"collection not found: $t")
         }
         if (maxCost != Long.MaxValue) {
           try guardrails.admit(ast)

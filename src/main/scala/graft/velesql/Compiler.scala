@@ -123,10 +123,21 @@ class Compiler(
     // hybrid text+vector search (F4, text.rs:113-203): `MATCH … AND
     // vector NEAR … USING FUSION(…)` merges the two legs by weighted RRF
     // (vector leg w/(k+rank), text leg (1-w)/(k+rank), w default 0.5) —
-    // the MATCH is a leg, not a filter, so it leaves the residual tree
+    // the MATCH is a leg, not a filter, so it leaves the residual tree.
+    // Only a TOP-LEVEL AND conjunct qualifies as the leg; MATCHes under
+    // OR/NOT (and any second MATCH) stay filters.
     val hybridText: Option[TextMatch] =
-      if (sel.fusion.isDefined &&
-          near.exists(_.isInstanceOf[VectorNear])) textScore else None
+      if (sel.fusion.isDefined && near.exists(_.isInstanceOf[VectorNear]))
+        sel.where.flatMap(hybridTextLeg)
+      else None
+
+    // no-silent-no-op for the fusion clause itself: USING FUSION must be
+    // consumed by NEAR_FUSED (strategy/params) or by a hybrid MATCH+NEAR
+    // pair — anything else used to silently ignore it (r15 review finding)
+    if (sel.fusion.isDefined && hybridText.isEmpty &&
+        !near.exists(_.isInstanceOf[VectorNearFused]))
+      fail("USING FUSION applies only to NEAR_FUSED or a hybrid " +
+        "MATCH + NEAR pair (the MATCH must be a top-level AND conjunct)")
 
     // vector-search-only WITH keys are CONSUMED only by the plain NEAR
     // branch; accepting them on fused/hybrid/non-vector queries would be
@@ -139,9 +150,13 @@ class Compiler(
     }
 
     // residual predicate (metadata + similarity thresholds + text match);
-    // in hybrid mode the MATCH leg is fused, not filtered
+    // in hybrid mode the FUSED MATCH conjunct leaves the filter tree —
+    // and only that one: other MATCHes keep filtering
     val residualAll = residual.orElse(sel.where.filter(_ => near.isEmpty))
-      .flatMap(c => if (hybridText.isDefined) stripTextMatch(c) else Some(c))
+      .flatMap(c => hybridText match {
+        case Some(leg) => stripConjunct(c, leg)
+        case None => Some(c)
+      })
 
     // CORRELATED scalar subqueries (top-level AND conjuncts) decorrelate
     // to groupBy-on-correlation-keys + join (subquery_optimizer.rs
@@ -203,8 +218,16 @@ class Compiler(
             Window.partitionBy(graft.operators.Ranks.one(col("__vid")))
               .orderBy(vOrd, col("__vid"))).as("__vrank"))
         // text leg: BM25 scores come from the corpus-wide materialized
-        // postings (per-doc scores don't depend on the filter), but the
-        // top-kCand fetch + rank run over the FILTERED doc set
+        // postings, and the top-kCand fetch + rank run over the FILTERED
+        // doc set. Corpus-wide (not filtered-N/avgdl/df like q61's
+        // searchIndexFiltered) is DELIBERATE reference fidelity: the
+        // reference's own hybrid_search_with_filter ranks against the
+        // global text index and applies the filter afterwards
+        // (text.rs:221-280) — only the standalone filtered text search
+        // re-derives stats over the filtered set. We improve on the
+        // post-filter (candidates draw from the filtered frame so a
+        // selective filter can't starve the legs) without changing the
+        // scoring contract.
         val tScores =
           if (residualApplied)
             bm25Scores(df, sel, meta, hybridText.get.query, 0)
@@ -548,7 +571,11 @@ class Compiler(
             } else dfF // 'f32' / absent → exact scan
           base.withColumn("score", fn(col(vcolName), VectorFunctions.vecLit(vec)))
         }
-      case Some(VectorNearFused(vs, fusion)) =>
+      case Some(VectorNearFused(vs, fusion0)) =>
+        // condition-level fusion clause wins; a select-level USING
+        // FUSION is the same user intent and used to be silently
+        // ignored here (r15 review finding)
+        val fusion = fusion0.orElse(sel.fusion)
         val vecs = vs.map(vecOf)
         val (fn, hib) = VectorFunctions.metrics(meta.metric)
         val vcol = col(meta.vectorCol.getOrElse(fail("NEAR_FUSED needs a vector column")))
@@ -646,6 +673,12 @@ class Compiler(
       case SelectItems(items) => items.exists(_.isRight)
       case _ => false
     }
+
+    // HAVING outside an aggregation used to be silently dropped —
+    // compileAgg (which owns the filter) never ran (r15 review
+    // finding); the reference rejects it (aggregation.rs:144-149)
+    if (sel.having.isDefined && sel.groupBy.isEmpty && !hasAggs)
+      fail("HAVING requires GROUP BY or an aggregate select list")
 
     var out: DataFrame =
       if (sel.groupBy.nonEmpty || hasAggs) compileAgg(sel, filtered)
@@ -834,21 +867,29 @@ class Compiler(
     case _ => None
   }
 
-  /** Remove TextMatch nodes from a condition tree (hybrid mode fuses the
-    * MATCH leg instead of filtering on it); None if nothing remains. */
-  private def stripTextMatch(c: Condition): Option[Condition] = c match {
-    case _: TextMatch => None
-    case And(l, r) => (stripTextMatch(l), stripTextMatch(r)) match {
-      case (Some(a), Some(b)) => Some(And(a, b))
-      case (a, b) => a.orElse(b)
-    }
-    case Or(l, r) => (stripTextMatch(l), stripTextMatch(r)) match {
-      case (Some(a), Some(b)) => Some(Or(a, b))
-      case (a, b) => a.orElse(b)
-    }
-    case Not(i) => stripTextMatch(i).map(Not.apply)
-    case other => Some(other)
+  /** The TextMatch eligible to become a hybrid fusion leg: a TOP-LEVEL
+    * AND conjunct only. A MATCH under OR/NOT is a boolean filter arm —
+    * fusing it (and stripping it from the residual) would silently
+    * delete the OR branch (r15 review finding); it stays a filter. */
+  private def hybridTextLeg(c: Condition): Option[TextMatch] = c match {
+    case t: TextMatch => Some(t)
+    case And(l, r) => hybridTextLeg(l).orElse(hybridTextLeg(r))
+    case _ => None
   }
+
+  /** Remove exactly `target` from the top-level AND tree (the one
+    * conjunct hybrid mode fuses instead of filtering); every OTHER
+    * condition — including additional MATCH conjuncts, which remain
+    * ordinary filters — survives. None if nothing remains. */
+  private def stripConjunct(c: Condition, target: Condition): Option[Condition] =
+    c match {
+      case t if t == target => None
+      case And(l, r) => (stripConjunct(l, target), stripConjunct(r, target)) match {
+        case (Some(a), Some(b)) => Some(And(a, b))
+        case (a, b) => a.orElse(b)
+      }
+      case other => Some(other)
+    }
 
   private def firstTextMatch(c: Condition): Option[TextMatch] = c match {
     case t: TextMatch => Some(t)
@@ -1204,6 +1245,11 @@ class Compiler(
 
   /** MATCH WHERE over `alias.property` columns (match_exec.rs:340-399). */
   private def compileMatchCond(c: Condition, df: DataFrame): Column = c match {
+    // a ColumnRef VALUE is another alias's bound property — it needs
+    // the same alias__prop rewrite as the left side (a bare
+    // resolveName produced an unresolvable `b.age` against the joined
+    // frame's `b__age`; r15 review finding)
+    case Compare(column, op, ColumnRef(ref)) => cmp(mcol(column), op, mcol(ref))
     case Compare(column, op, v) => cmp(mcol(column), op, literal(v))
     case In(column, vs) => mcol(column).isin(vs.map(rawLiteral): _*)
     case Between(column, lo, hi) => mcol(column).between(literal(lo), literal(hi))
@@ -1233,11 +1279,25 @@ class Compiler(
   private val segRx = """([^\[\]]+)(?:\[(\d+)\])?""".r
   private def resolveName(name: String): Column =
     if (!name.contains("[")) col(name)
-    else name.split("\\.").foldLeft(null: Column) { (acc, seg) =>
-      val m = segRx.findFirstMatchIn(seg)
-        .getOrElse(fail(s"bad path segment '$seg' in $name"))
-      val base = if (acc == null) col(m.group(1)) else acc.getField(m.group(1))
-      Option(m.group(2)).map(i => base.getItem(i.toInt)).getOrElse(base)
+    else {
+      // everything up to (and including) the first indexed segment's
+      // NAME resolves as one dotted reference — Spark's own resolution
+      // handles frame qualifiers (o.items) and struct fields alike.
+      // Hand-folding from col(firstSegment) broke alias-qualified
+      // indexed paths: col("o") is a frame alias, not a column
+      // (r15 review finding).
+      val segs = name.split("\\.").toSeq
+      val firstIdx = segs.indexWhere(_.contains("["))
+      val m0 = segRx.findFirstMatchIn(segs(firstIdx))
+        .getOrElse(fail(s"bad path segment '${segs(firstIdx)}' in $name"))
+      val base0 = col((segs.take(firstIdx) :+ m0.group(1)).mkString("."))
+      val indexed = Option(m0.group(2)).map(i => base0.getItem(i.toInt)).getOrElse(base0)
+      segs.drop(firstIdx + 1).foldLeft(indexed) { (acc, seg) =>
+        val m = segRx.findFirstMatchIn(seg)
+          .getOrElse(fail(s"bad path segment '$seg' in $name"))
+        val base = acc.getField(m.group(1))
+        Option(m.group(2)).map(i => base.getItem(i.toInt)).getOrElse(base)
+      }
     }
 
   private def fail(msg: String): Nothing =

@@ -260,13 +260,23 @@ object Parser extends RegexParsers {
     K("SELECT") ~> opt(K("DISTINCT")) ~ selectList ~ (K("FROM") ~> identifier) ~
       opt(K("AS") ~> identifier) ~ rep(joinClause) ~ opt(whereClause) ~
       opt(groupByClause) ~ opt(havingClause) ~ opt(orderByClause) ~
-      opt(K("LIMIT") ~> intLit) ~ opt(K("OFFSET") ~> intLit) ~
+      opt(K("LIMIT") ~> boundedIntLit("LIMIT")) ~
+      opt(K("OFFSET") ~> boundedIntLit("OFFSET")) ~
       opt(withClause) ~ opt(usingFusionSelect) ^^ {
         case d ~ sl ~ from ~ fa ~ js ~ w ~ g ~ h ~ o ~ l ~ off ~ wo ~ fu =>
           Select(d.isDefined, sl, from, fa, js, w, g.getOrElse(Nil), h,
-            o.getOrElse(Nil), l.map(_.toInt), off.map(_.toInt),
+            o.getOrElse(Nil), l, off,
             wo.getOrElse(Map.empty), fu)
       }
+
+  /** LIMIT/OFFSET value: a bare `.toInt` silently WRAPPED values past
+    * Int.MaxValue (LIMIT 2^32+1 returned one row) and accepted
+    * negatives into a raw Spark error (r15 review finding). */
+  private def boundedIntLit(kw: String): Parser[Int] = intLit into { v =>
+    if (v < 0) err(s"$kw must be non-negative, got $v")
+    else if (v > Int.MaxValue) err(s"$kw too large: $v")
+    else success(v.toInt)
+  }
 
   private val setOperator: Parser[String] =
     (K("UNION") ~ K("ALL")) ^^^ "union_all" | K("UNION") ^^^ "union" |
