@@ -100,18 +100,27 @@ object Bm25 {
     * only its terms' row groups). Same scores as building in-query,
     * minus the per-query tokenize + stats pass (~0.4 s at sf0.1). */
   def materializedIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-      kind: String, sources: Seq[String])(docs: => DataFrame): Index = Index(
-    graft.Materialize(spark, dir, s"${kind}_postings", sources, Some("term")) {
-      tokens(docs, "doc_id", "text")
-        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-    },
-    graft.Materialize(spark, dir, s"${kind}_docstats", sources, Some("doc_id")) {
-      tokens(docs, "doc_id", "text").groupBy("doc_id").agg(count(lit(1)).as("dlen"))
-    },
-    graft.Materialize(spark, dir, s"${kind}_corpusstats", sources, None) {
-      tokens(docs, "doc_id", "text").groupBy("doc_id").agg(count(lit(1)).as("dlen"))
-        .agg(count(lit(1)).as("n"), avg(col("dlen").cast("double")).as("avgdl"))
-    })
+      kind: String, sources: Seq[String])(docs: => DataFrame): Index = {
+    val postings =
+      graft.Materialize(spark, dir, s"${kind}_postings", sources, Some("term")) {
+        tokens(docs, "doc_id", "text")
+          .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      }
+    // dlen = Σ tf (total token count per doc) and (n, avgdl) derive
+    // from the PREVIOUS artifact, so the expensive corpus
+    // tokenize+explode pass runs ONCE per (re)build instead of three
+    // times (r15 review finding). A zero-token doc is absent from both
+    // shapes identically (explode emits nothing for it either way).
+    val docStats =
+      graft.Materialize(spark, dir, s"${kind}_docstats", sources, Some("doc_id")) {
+        postings.groupBy("doc_id").agg(sum(col("tf")).as("dlen"))
+      }
+    val corpusStats =
+      graft.Materialize(spark, dir, s"${kind}_corpusstats", sources, None) {
+        docStats.agg(count(lit(1)).as("n"), avg(col("dlen").cast("double")).as("avgdl"))
+      }
+    Index(postings, docStats, corpusStats)
+  }
 
   /** The documents-table index. */
   def indexFor(spark: org.apache.spark.sql.SparkSession, dir: String): Index =
@@ -130,7 +139,10 @@ object Bm25 {
       queryText: String, k: Int = 0): DataFrame = {
     val queryTerms = queryText.toLowerCase.split("[^a-z0-9]+")
       .filter(_.length > 1).toSeq.distinct
-    val ids = keepIds.select(col("doc_id"))
+    // DISTINCT: a keep set built from a join/explode filter can carry
+    // duplicate doc_ids, which would double-count dl rows into n/avgdl
+    // and tf rows into every score (r15 review finding)
+    val ids = keepIds.select(col("doc_id")).distinct()
     // gate the broadcast on the COMPONENT estimates: a join output's
     // sizeInBytes is the product of its children's, so the joined tf
     // frame always reads as huge even when both inputs are tiny (the

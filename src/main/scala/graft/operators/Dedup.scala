@@ -463,7 +463,14 @@ object Dedup {
   def embeddingNearDupLsh(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double, nPlanes: Int = 8, tables: Int = 3,
       dim: Option[Int] = None): DataFrame = {
-    val d = dim.getOrElse(df.select(size(col(vecCol))).first().getInt(0))
+    // dim probe must survive an empty slice / null first vector: every
+    // other operator here degrades to an empty output (r15 review)
+    val d = dim.getOrElse(
+      df.select(size(col(vecCol)).as("__d")).where(col("__d") >= 0)
+        .head(1).headOption.map(_.getInt(0)).getOrElse(0))
+    if (d == 0)
+      return df.select(col(idCol).as("a"), col(idCol).as("b"),
+        lit(0.0).as("cosine")).limit(0)
     val cands = (0 until tables).map { t =>
       // per-table planes: offset the plane index so tables are independent
       val sig = Ann.signatureCol(col(vecCol), nPlanes, d, planeOffset = t * nPlanes)

@@ -46,10 +46,17 @@ object Graph {
     if (smallEnough(probe, factor)) graft.SessionTuning.pinStaticPlan(out) else out
   }
 
-  private def smallEnough(probe: DataFrame, factor: Long): Boolean = {
+  /** THE broadcast-class size gate (one implementation — five
+    * hand-rolled copies with drifting margins invited a wrong-margin
+    * paste, r15 review finding): true when `probe`'s own Catalyst
+    * estimate is within `factor`× the session broadcast threshold
+    * (factor < 1 for tighter-than-threshold gates, e.g. 0.25 for the
+    * "×4 fits" form the peel/triangle/superstep hints use). */
+  private def smallEnough(probe: DataFrame, factor: Double): Boolean = {
     val threshold = probe.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
     threshold > 0 &&
-      (try probe.queryExecution.optimizedPlan.stats.sizeInBytes <= factor * threshold
+      (try probe.queryExecution.optimizedPlan.stats.sizeInBytes
+        <= (factor * threshold).toLong
        catch { case _: Throwable => false })
   }
 
@@ -160,12 +167,8 @@ object Graph {
     * bounded by |starts|×|nodes| of an ≤80MB graph) is safely hintable;
     * past it the shuffling joins + AQE remain (the 1000-executor
     * path). GRAFT_BFS_BC=0 disables for A/B. */
-  private def smallGraphGate(edges: DataFrame): Boolean = {
-    val thr = edges.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-    thr > 0 && sys.env.getOrElse("GRAFT_BFS_BC", "1") != "0" &&
-      (try edges.queryExecution.optimizedPlan.stats.sizeInBytes <= thr * 8L
-       catch { case _: Throwable => false })
-  }
+  private def smallGraphGate(edges: DataFrame): Boolean =
+    sys.env.getOrElse("GRAFT_BFS_BC", "1") != "0" && smallEnough(edges, 8.0)
 
   /** Var-length BFS `-[*1..maxDepth]->` from `starts(start)` over
     * `edges(src,dst,label)`: returns (start, node, depth) with the MINIMUM
@@ -189,7 +192,10 @@ object Graph {
     * graph, whose max out-degree is bounded by order line counts). */
   def bfsVarLength(edges: DataFrame, starts: DataFrame, maxDepth: Int,
       relTypes: Seq[String] = Nil): DataFrame = {
-    require(maxDepth <= 10, "depth capped at 10 (match_exec.rs:310)")
+    // lower bound too: maxDepth <= 0 left the unrolled accumulator null
+    // and surfaced as an NPE from the facade/REST paths (r15 review)
+    require(maxDepth >= 1 && maxDepth <= 10,
+      "depth must be in 1..10 (match_exec.rs:310)")
     // no cache: [[edges]] is a materialized parquet table, so the
     // handful of re-scans from lazy depths are cheap pruned reads
     val e = (if (relTypes.nonEmpty) edges.where(col("label").isin(relTypes: _*))
@@ -360,7 +366,13 @@ object Graph {
           (dH("cost") + col("__w")).as("cost"))
       val updated0 = dist.unionAll(relaxed)
         .groupBy("start", "node").agg(min(col("cost")).as("cost"))
-      if ((i == maxHops && !fuseLazy) || i % ckptEvery == 0) {
+      // no i == maxHops checkpoint: the return block below checkpoints
+      // the filtered OUTPUT eagerly anyway, so a final-round checkpoint
+      // here wrote a near-identical node-sized frame twice per call
+      // (r15 review finding); the lazy tail since the last ckptEvery
+      // materialization is ≤ ckptEvery rounds — chain depth the
+      // analyzer handles for free (same class as the fused ≤3 path)
+      if (i % ckptEvery == 0 && i < maxHops) {
         val updated = updated0.localCheckpoint(true)
         if (prevCkpt != null)
           org.apache.spark.sql.graft.CheckpointBlocks.unpersist(prevCkpt)
@@ -501,13 +513,7 @@ object Graph {
     // contribution agg, the graph's actual communication) plus
     // broadcast builds. Above the threshold (big graphs) the hint is
     // withheld and the shuffling SMJ remains the scale path.
-    val bcThreshold = {
-      val c = edges.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-      if (c > 0) c else 0L
-    }
-    val contribSmall =
-      try allNodes.queryExecution.optimizedPlan.stats.sizeInBytes * 4 <= bcThreshold
-      catch { case _: Throwable => false }
+    val contribSmall = smallEnough(allNodes, 0.25)
     // FOLDED superstep (r12 VERDICT ask #2 — q149 was the one
     // non-streaming row still over 2×): when the teleport base is a pure
     // expression of the node id, rank_i never needs to exist as a node
@@ -595,12 +601,7 @@ object Graph {
     // so each peel round's two semi-joins build against one broadcast
     // instead of shuffling the edge frame twice (same gate as
     // triangleCounts; big graphs keep the shuffling joins — scale path)
-    val smallKeep = {
-      val thr = undirected.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-      thr > 0 &&
-        (try undirected.queryExecution.optimizedPlan.stats.sizeInBytes * 4 <= thr
-         catch { case _: Throwable => false })
-    }
+    val smallKeep = smallEnough(undirected, 0.25)
     val keepHint: DataFrame => DataFrame = if (smallKeep) broadcast else identity
     val e0 = undirected.select(col(aCol).cast("long").as("u"),
       col(bCol).cast("long").as("v"))
@@ -667,12 +668,7 @@ object Graph {
   def triangleCounts(undirected: DataFrame,
       aCol: String = "a", bCol: String = "b",
       smallGraph: Option[Boolean] = None): DataFrame = {
-    val small = smallGraph.getOrElse {
-      val thr = undirected.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-      thr > 0 &&
-        (try undirected.queryExecution.optimizedPlan.stats.sizeInBytes * 4 <= thr
-         catch { case _: Throwable => false })
-    }
+    val small = smallGraph.getOrElse(smallEnough(undirected, 0.25))
     val hint: DataFrame => DataFrame =
       if (small) broadcast else identity
     val e = undirected.select(col(aCol).cast("long").as("a"),

@@ -44,7 +44,11 @@ object Knn {
   def batch(df: DataFrame, vecCol: String,
       queries: Seq[(Seq[Float], Option[Column])], k: Int,
       metric: String = "cosine", idCol: String = "id"): DataFrame =
-    queries.zipWithIndex.map { case ((q, f), i) =>
+    if (queries.isEmpty)
+      // an empty batch is an empty result frame, not reduce-on-empty
+      df.select(lit(0).as("query_id"), col(idCol), lit(0.0).as("score"))
+        .limit(0)
+    else queries.zipWithIndex.map { case ((q, f), i) =>
       topK(df, vecCol, q, k, metric, idCol, f)
         .select(lit(i).as("query_id"), col(idCol), col("score"))
     }.reduce(_ unionAll _)

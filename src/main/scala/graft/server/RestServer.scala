@@ -605,8 +605,9 @@ class RestServer(g: Graft, port: Int = 0) {
         val b = json(ex)
         val source = Option(b.get("source")).filter(_.isNumber).map(_.asLong)
           .getOrElse(badRequest("missing 'source'"))
-        val depth = intOr(b, "max_depth", 3)
-        val limit = intOr(b, "limit", 100)
+        val depth = posInt("max_depth", intOr(b, "max_depth", 3))
+        if (depth > 10) badRequest("max_depth capped at 10")
+        val limit = posInt("limit", intOr(b, "limit", 100))
         val rels = Option(b.get("rel_types")).filter(_.isArray)
           .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
         timed { ms =>

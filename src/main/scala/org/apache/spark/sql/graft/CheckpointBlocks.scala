@@ -18,14 +18,24 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object CheckpointBlocks {
   /** Unpersist the checkpoint blocks behind `ds` (no-op for a
-    * non-checkpointed Dataset). UNSAFE if any live plan still references
-    * the blocks: localCheckpoint truncates lineage, so they cannot be
-    * recomputed. */
-  def unpersist(ds: Dataset[_], blocking: Boolean = false): Unit =
-    ds.queryExecution.analyzed match {
-      case lr: LogicalRDD => lr.rdd.unpersist(blocking)
-      case _ => ()
-    }
+    * non-checkpointed Dataset). Descends through Project nodes: an
+    * operator that returns `checkpoint.select(...)`/`drop(...)` is
+    * still "a bare checkpoint" to its caller, and the top-node-only
+    * match silently leaked exactly those (components/lpaCommunities —
+    * every REST request stranded a node-sized checkpoint; r15 review
+    * finding). UNSAFE if any live plan still references the blocks:
+    * localCheckpoint truncates lineage, so they cannot be recomputed. */
+  def unpersist(ds: Dataset[_], blocking: Boolean = false): Unit = {
+    @scala.annotation.tailrec
+    def descend(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+      p match {
+        case lr: LogicalRDD => lr.rdd.unpersist(blocking)
+        case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          descend(pr.child)
+        case _ => ()
+      }
+    descend(ds.queryExecution.analyzed)
+  }
 
   /** Unpersist EVERY checkpoint anywhere in `ds`'s plan (not just a
     * top-level one — operators return projections OVER their final
