@@ -71,7 +71,11 @@ object Ann {
     * one stray dim-probe job. */
   def buildIndex(df: DataFrame, vecCol: String, nPlanes: Int,
       dim: Option[Int] = None): DataFrame = {
-    val d = dim.getOrElse(df.select(size(col(vecCol))).first().getInt(0))
+    val d = dim.getOrElse(
+      df.select(size(col(vecCol)).as("__d")).where(col("__d") >= 0)
+        .head(1).headOption.map(_.getInt(0)).getOrElse(throw
+          new IllegalArgumentException(
+            "LSH buildIndex: empty/vector-less frame and no dim given")))
     df.withColumn("bucket", signatureCol(col(vecCol), nPlanes, d))
   }
 
@@ -159,13 +163,19 @@ object Ann {
     spark.read.parquet(path)
 
   /** ANN top-k: probe buckets within `radius`, exact-rerank candidates.
-    * radius = nPlanes recovers exact search (all buckets probed). */
+    * radius = nPlanes probes ALL buckets — honored by skipping the
+    * bucket predicate outright (an isin over 2^nPlanes literals would
+    * trip probeBuckets' 2e6 enumeration cap past nPlanes 20 and is a
+    * pathological plan well before it; r15 review finding). */
   def search(index: DataFrame, vecCol: String, query: Seq[Float], k: Int,
       nPlanes: Int, radius: Int, metric: String = "cosine",
       idCol: String = "id"): DataFrame = {
-    val sig = signature(query.toArray, planes(nPlanes, query.length))
-    val buckets = probeBuckets(sig, nPlanes, radius)
-    val cands = index.where(col("bucket").isin(buckets: _*))
+    val cands =
+      if (radius >= nPlanes) index // exact: every bucket qualifies
+      else {
+        val sig = signature(query.toArray, planes(nPlanes, query.length))
+        index.where(col("bucket").isin(probeBuckets(sig, nPlanes, radius): _*))
+      }
     Knn.topK(cands, vecCol, query, k, metric, idCol)
   }
 }

@@ -413,8 +413,12 @@ object Hnsw {
       pieces = pieces)
     // v2 in the kind: the r12 insertion build produces different (still
     // contract-conforming) adjacency than the r11 half-matrix build — a
-    // stale same-key cache from the old algorithm must not be served
-    val graphKind = s"hnswv2m${m}s${levelStride}_${metric}_$name"
+    // stale same-key cache from the old algorithm must not be served.
+    // kCells too: the graph's `cell` column is an assignment under the
+    // CURRENT cell count — without it a graft.ivf.cells change served a
+    // graph partitioned under the old k (r15 review finding)
+    val graphKind = s"hnswv2m${m}s${levelStride}c${kCells}_${metric}_$name"
+    val modelSrcAll = modelSources.getOrElse(sources)
     val graph = pieces match {
       case Some((ps, schema)) =>
         // PER-CELL incremental maintenance over the epoch-frozen router
@@ -441,7 +445,8 @@ object Hnsw {
         val sigs = graft.Materialize.pieces(spark, token,
           b => s"hnswsig2v${kCells}_${metric}_p${b}_$name", ps, schema,
           modelSrc, None)(
-          _.select(Ivf.udfAssign(cents)(col(vecCol)).as("cell"),
+          _.where(col(vecCol).isNotNull)
+            .select(Ivf.udfAssign(cents)(col(vecCol)).as("cell"),
               xxhash64(to_json(struct(col("*")))).as("h"))
             .groupBy("cell")
             // bit_xor: order-independent and overflow-free (an ANSI
@@ -470,8 +475,10 @@ object Hnsw {
           }
         }.reduce(_.unionByName(_, allowMissingColumns = true))
       case None =>
-        graft.Materialize.atPaths(spark, token, graphKind, sources,
-          Some("cell")) {
+        // modelSrc in the key (see Ivf): a retrain re-partitions the
+        // cells, so the cached graph must follow the model epoch
+        graft.Materialize.atPaths(spark, token, graphKind,
+          (sources ++ modelSrcAll).distinct, Some("cell")) {
           buildGraph(cells, vecCol, idCol, metric, m, levelStride)
         }
     }

@@ -28,17 +28,24 @@ object Ivf {
   def trainCentroids(df: DataFrame, vecCol: String, k: Int,
       iters: Int = 5): Array[(Int, Array[Float])] = {
     // deterministic seed pick: k rows with the smallest xxhash of the vector
-    var centroids: Array[(Int, Array[Float])] = df
+    // rows without a vector are unsearchable by vector and excluded
+    // from the model and the index alike (the exact path scores them
+    // null); an unfiltered null previously NPEd the whole build
+    val dfv = df.where(col(vecCol).isNotNull)
+    var centroids: Array[(Int, Array[Float])] = dfv
       .select(col(vecCol), xxhash64(col(vecCol).cast("string")).as("h"))
       .orderBy(col("h")).limit(k).collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](0).toArray) }
     for (_ <- 1 to iters) {
-      val bc = df.sparkSession.sparkContext.broadcast(centroids)
-      val assignExpr = udfAssign(bc.value)
-      val means = cellMeans(df.withColumn("cell", assignExpr(col(vecCol))), vecCol)
+      // centroids ride the udf closure (k×dim-small, serialized once
+      // per stage); the old sparkContext.broadcast was dereferenced on
+      // the DRIVER (bc.value into the closure), so it shipped the raw
+      // array anyway and leaked one undestroyed broadcast per round
+      val means = cellMeans(
+        dfv.withColumn("cell", udfAssign(centroids)(col(vecCol))), vecCol)
       centroids = centroids.map { case (c, old) =>
-        means.getOrElse(c, old) match { case m => (c, m) } // empty cell keeps its centroid
+        (c, means.getOrElse(c, old)) // empty cell keeps its centroid
       }
     }
     centroids
@@ -103,7 +110,11 @@ object Ivf {
     * probing prunes partitions). */
   def buildIndex(df: DataFrame, vecCol: String,
       centroids: Array[(Int, Array[Float])]): DataFrame =
-    df.withColumn("cell", udfAssign(centroids)(col(vecCol)))
+    // vector-less rows are unsearchable by vector and excluded from the
+    // index (exact-path parity: kernels score them null); unfiltered
+    // nulls NPEd the assignment udf (r15 review finding)
+    df.where(col(vecCol).isNotNull)
+      .withColumn("cell", udfAssign(centroids)(col(vecCol)))
 
   /** The IVF index for a dataset-dir table, materialized ONCE per
     * dataset (keyed on the source parquet's file listing, like the BM25
@@ -163,8 +174,12 @@ object Ivf {
           b => s"ivf${k}_cells_p${b}_$name", ps, schema, modelSrc,
           Some("cell"))(buildIndex(_, vecCol, centroids))
       case None =>
+        // modelSrc in the key: a retrain must invalidate the assignment
+        // table too, or frozen-then-retrained centroids get probed
+        // against rows assigned under the OLD model (r15 review finding;
+        // the pieces branch already carries modelSrc)
         graft.Materialize.atPaths(spark, token, s"ivf${k}_cells_$name",
-          sources, Some("cell")) {
+          (sources ++ modelSrc).distinct, Some("cell")) {
           buildIndex(base, vecCol, centroids)
         }
     }

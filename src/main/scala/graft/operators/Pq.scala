@@ -107,11 +107,15 @@ object Pq {
       case Some((ps, schema)) =>
         graft.Materialize.pieces(spark, token,
           b => s"pq${m}x${k}_codes_p${b}_$name", ps, schema, modelSrc, None)(
-          _.select(col(idCol), udfEncode(codebooks)(col(vecCol)).as("codes")))
+          _.where(col(vecCol).isNotNull)
+            .select(col(idCol), udfEncode(codebooks)(col(vecCol)).as("codes")))
       case None =>
+        // modelSrc in the key (see Ivf): codes encoded against retired
+        // codebooks must not be served under fresh ones
         graft.Materialize.atPaths(spark, token,
-          s"pq${m}x${k}_codes_$name", sources, None) {
-          base.select(col(idCol), udfEncode(codebooks)(col(vecCol)).as("codes"))
+          s"pq${m}x${k}_codes_$name", (sources ++ modelSrc).distinct, None) {
+          base.where(col(vecCol).isNotNull)
+            .select(col(idCol), udfEncode(codebooks)(col(vecCol)).as("codes"))
         }
     }
     (codebooks, codes)
@@ -150,7 +154,11 @@ object Pq {
     val adcNormSq = lookupSum(normFlat)
     metric match {
       case "dot" => (adcDot, false)
-      case "l2" => (adcNormSq - lit(2.0) * adcDot, true)
+      // "euclidean" is the engine's canonical L2 name
+      // (VectorFunctions.metrics); the bare "l2" spelling stays as an
+      // alias — matching only "l2" made every euclidean-metric PQ
+      // query throw (r15 review finding)
+      case "l2" | "euclidean" => (adcNormSq - lit(2.0) * adcDot, true)
       case "cosine" =>
         // |q| is constant for ordering; guard the zero-vector cell
         (when(adcNormSq > 0.0, adcDot / sqrt(adcNormSq)).otherwise(lit(-2.0)),

@@ -70,8 +70,11 @@ object Quantization {
     }
 
   /** SQ8 scalar quantization (quantization.rs:209-216: per-vector min/max
-    * + 256-level codes). Adds `sq8_codes` (tinyint array), `sq8_min`,
-    * `sq8_scale` — 4× smaller than float32. */
+    * + 256-level codes). Adds `sq8_codes` (int array of 0..255 values —
+    * signed tinyint cannot hold 255, so the 4× shrink vs float32 is
+    * realized at the STORAGE layer through parquet's bit-packing of the
+    * 8-bit value range, not in the in-memory column width), `sq8_min`,
+    * `sq8_scale`. */
   def withSq8(df: DataFrame, vecCol: String): DataFrame =
     df.withColumn("sq8_min", array_min(col(vecCol)).cast("double"))
       .withColumn("sq8_scale",

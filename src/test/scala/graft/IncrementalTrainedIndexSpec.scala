@@ -53,7 +53,7 @@ class IncrementalTrainedIndexSpec extends SparkSpecBase {
     val cellsBefore = entries("ivf8_cells_p", colName)
     val codesBefore = entries("pq8x32_codes_p", colName)
     val sigsBefore = entries("hnswsig2v8_cosine_p", colName)
-    val graphsBefore = entries(s"hnswv2m8s16_cosine_${colName}_c", colName)
+    val graphsBefore = entries(s"hnswv2m8s16c8_cosine_${colName}_c", colName)
     assert(centsBefore.size == 1, s"one frozen centroid table: $centsBefore")
     assert(booksBefore.size == 1, s"one frozen codebook table: $booksBefore")
     assert(cellsBefore.size == 8, s"8 cell-assignment pieces: $cellsBefore")
@@ -83,7 +83,7 @@ class IncrementalTrainedIndexSpec extends SparkSpecBase {
       s"expected 1 rebuilt signature piece")
     // graph: only the cells containing the replaced row rebuild — old
     // vector's cell + new vector's cell at most
-    val graphsNew = entries(s"hnswv2m8s16_cosine_${colName}_c", colName) -- graphsBefore
+    val graphsNew = entries(s"hnswv2m8s16c8_cosine_${colName}_c", colName) -- graphsBefore
     assert(graphsNew.nonEmpty && graphsNew.size <= 2,
       s"expected <=2 rebuilt cell graphs, got ${graphsNew.size}: $graphsNew")
 
