@@ -225,10 +225,16 @@ class RestServer(g: Graft, port: Int = 0) {
         val df = try graft.streaming.StreamingOps
             .eventsAnalytics(g.spark, g.dataDir, op, mode, opParams)
           catch { case e: IllegalArgumentException => badRequest(e.getMessage) }
-        val shaped = df.orderBy(df.columns.map(col).toIndexedSeq: _*).limit(limit)
-        val rows = shaped.toJSON.collect()
-        s"""{"op":"$op","mode":"$mode","count":${rows.length},""" +
-          s""""timing_ms":${ms()},"results":[${rows.mkString(",")}]}"""
+        try {
+          val shaped = df.orderBy(df.columns.map(col).toIndexedSeq: _*).limit(limit)
+          val rows = shaped.toJSON.collect()
+          s"""{"op":"$op","mode":"$mode","count":${rows.length},""" +
+            s""""timing_ms":${ms()},"results":[${rows.mkString(",")}]}"""
+        } finally
+          // stream mode hands back an eager localCheckpoint — free its
+          // blocks like the graph handlers do (no-op for the lazy batch
+          // frame; r15 review finding)
+          org.apache.spark.sql.graft.CheckpointBlocks.unpersist(df)
       }
     } finally if (mode == "stream") analyticsStreamSlots.release()
   })
@@ -314,7 +320,12 @@ class RestServer(g: Graft, port: Int = 0) {
         // collection-declared types so the merge-by-id upsert aligns
         val docs = pts.elements().asScala.map { p =>
           val o = mapper.createObjectNode()
-          o.set[JsonNode](idCol, p.get("id"))
+          // reject-not-coerce: a missing or non-numeric id used to
+          // cast("long") to NULL and land an unreachable point
+          // (r15 review finding)
+          val pid = Option(p.get("id")).filter(_.isNumber)
+            .getOrElse(badRequest("every point needs a numeric 'id'"))
+          o.set[JsonNode](idCol, pid)
           vecColOpt.foreach(vc => Option(p.get("vector")).foreach(o.set[JsonNode](vc, _)))
           Option(p.get("payload")).filter(_.isObject).foreach { pay =>
             pay.properties().asScala.foreach(e => o.set[JsonNode](e.getKey, e.getValue))
@@ -373,19 +384,36 @@ class RestServer(g: Graft, port: Int = 0) {
             ok(s"""{"points":[${out.mkString(",")}],"count":${out.length},"next_after_id":$nextId}""")
         }
       case ("GET", "collections" :: name :: "points" :: id :: Nil) =>
-        val rows = g.collections.get(existingUserCollection(name), Seq(id.toLong)).toJSON.collect()
+        // string-id collections are first-class (the keyset scroll
+        // already supports them); id.toLong made every such point
+        // unreachable over REST (r15 review finding)
+        val cn = existingUserCollection(name)
+        val rows = id.toLongOption match {
+          case Some(l) => g.collections.get(cn, Seq(l)).toJSON.collect()
+          case None =>
+            val idc = g.collections.metaOf(cn)._1
+            g.collections.table(cn)
+              .map(_.where(col(idc).cast("string") === id).limit(2).toJSON.collect())
+              .getOrElse(Array.empty[String])
+        }
         if (rows.isEmpty) error(404, s"point $id not found in $name")
         else ok(rows.head)
       case ("DELETE", "collections" :: name :: "points" :: id :: Nil) =>
-        g.collections.delete(existingUserCollection(name), Seq(id.toLong))
-        ok(s"""{"status":"deleted","id":$id}""")
+        val cn = existingUserCollection(name)
+        id.toLongOption match {
+          case Some(l) => g.collections.delete(cn, Seq(l))
+          case None =>
+            val idc = g.collections.metaOf(cn)._1
+            g.collections.deleteWhere(cn, col(idc).cast("string") === id)
+        }
+        ok(s"""{"status":"deleted","id":${mapper.writeValueAsString(id)}}""")
       case ("POST", "collections" :: name :: "search" :: "batch" :: Nil) =>
         existing(name)
         val b = json(ex)
         val searches = Option(b.get("searches")).filter(_.isArray)
           .getOrElse(badRequest("missing 'searches'"))
         val t0 = System.nanoTime()
-        val parts = searches.elements().asScala.map { s =>
+        val parts = searches.elements().asScala.zipWithIndex.map { case (s, i) =>
           val vec = floatSeq(s.get("vector")).getOrElse(badRequest("search missing 'vector'"))
           val k = intOr(s, "top_k", 10)
           // each batch item is a full SearchRequest: per-item filter
@@ -393,12 +421,18 @@ class RestServer(g: Graft, port: Int = 0) {
           val params = scala.collection.mutable.Map[String, Any]("__v" -> vec)
           val fSql = filterFragment(s, params)
           val w = searchWithOpts(s)
-          searchResponse(name,
+          (i, searchResponse(name,
             s"SELECT * FROM $name WHERE ${fSql}vector NEAR $$__v LIMIT $k$w",
-            params.toMap)._2
+            params.toMap))
         }.toSeq
+        // a failed item fails the BATCH with its own status — embedding
+        // an error body inside a 200 let retrying clients treat the
+        // batch as fully succeeded (r15 review finding)
+        parts.find(_._2._1 != 200).foreach { case (i, (code, body)) =>
+          throw Halt(code, s"""{"error":"batch item $i failed","item":$body}""")
+        }
         val ms = (System.nanoTime() - t0) / 1e6
-        ok(s"""{"results":[${parts.mkString(",")}],"timing_ms":$ms}""")
+        ok(s"""{"results":[${parts.map(_._2._2).mkString(",")}],"timing_ms":$ms}""")
       case ("POST", "collections" :: name :: "search" :: "multi" :: Nil) =>
         // multi-query fused search (main.rs:110, types.rs:214-234) →
         // NEAR_FUSED through the language
@@ -412,6 +446,10 @@ class RestServer(g: Graft, port: Int = 0) {
         if (vecs.isEmpty) badRequest("'vectors' must be non-empty")
         val k = intOr(b, "top_k", 10)
         val strategy = text(b, "strategy").getOrElse("rrf")
+        // closed set, like mode/quantization: client text must never
+        // splice raw into the generated VelesQL (r15 review finding)
+        if (!Set("rrf", "average", "maximum", "weighted").contains(strategy))
+          badRequest(s"unknown strategy '$strategy' (rrf|average|maximum|weighted)")
         val fparams = strategy match {
           case "rrf" => s"(k = ${intOr(b, "rrf_k", 60)})"
           case "weighted" =>
@@ -492,8 +530,13 @@ class RestServer(g: Graft, port: Int = 0) {
               .filterNot(en => reserved(en.getKey))
               .foreach(en => o.set[JsonNode](en.getKey, en.getValue))
           }
-          // structural fields AFTER properties — they always win
-          Option(e.get("id")).filter(_.isNumber).foreach(n => o.put("id", n.asLong))
+          // structural fields AFTER properties — they always win.
+          // A PRESENT but non-numeric id is a 400, not a silent
+          // auto-assign of a different id (r15 review finding)
+          Option(e.get("id")).foreach { n =>
+            if (!n.isNumber) badRequest(s"edge 'id' must be numeric, got $n")
+            o.put("id", n.asLong)
+          }
           o.put("src", Option(e.get("source")).filter(_.isNumber).map(_.asLong)
             .getOrElse(badRequest("edge missing 'source'")))
           o.put("dst", Option(e.get("target")).filter(_.isNumber).map(_.asLong)
@@ -526,7 +569,8 @@ class RestServer(g: Graft, port: Int = 0) {
         // dataset edges carry no id → field omitted by toJSON null rules
         val others = e.columns.filterNot(Set("id", "src", "dst", "label")).toSeq
         val idCol = if (e.columns.contains("id")) col("id") else lit(null).cast("long")
-        val lim = qs.get("limit").map(_.toInt).getOrElse(1000)
+        val lim = math.min(
+          posInt("limit", qs.get("limit").map(_.toInt).getOrElse(1000)), 10000)
         // keyset scroll over the (source, target, id) order:
         // ?after_source=S&after_target=T[&after_id=I] resumes strictly
         // past that key — pushed predicates prune the (label, src)-
@@ -586,7 +630,8 @@ class RestServer(g: Graft, port: Int = 0) {
         }
         val base = edgesFor(existing(name)).where(dirFilter)
         val byLabel = qs.get("label").fold(base)(l => base.where(col("label") === l))
-        val lim = qs.get("limit").map(_.toInt).getOrElse(100)
+        val lim = math.min(
+          posInt("limit", qs.get("limit").map(_.toInt).getOrElse(100)), 10000)
         val rows = byLabel.orderBy(col("src"), col("dst")).limit(lim).toJSON.collect()
         ok(s"""{"edges":[${rows.mkString(",")}],"count":${rows.length}}""")
       case ("GET", "collections" :: name :: "graph" :: "nodes" :: id :: "degree" :: Nil) =>
@@ -732,8 +777,7 @@ class RestServer(g: Graft, port: Int = 0) {
           .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
         val limit = posInt("limit", intOr(b, "limit", 100))
         timed { ms =>
-          val res = g.communities(iters, rels, Some(name).filter(n =>
-            isSafeName(n) && g.collections.exists(n)))
+          val res = g.communities(iters, rels, graphScopeFor(name))
           try {
             val rows = res.orderBy(col("community"), col("node"))
               .limit(limit).toJSON.collect()
@@ -754,8 +798,7 @@ class RestServer(g: Graft, port: Int = 0) {
           // facade derives pairs once and returns the report as a bare
           // checkpoint — rows and the Q sum read ONE execution; an
           // edgeless graph yields an empty report and Q = 0, not a 500
-          val rep = g.modularityReport(iters, rels, Some(name).filter(n =>
-            isSafeName(n) && g.collections.exists(n)))
+          val rep = g.modularityReport(iters, rels, graphScopeFor(name))
           try {
             val rows = rep.orderBy(col("contribution").desc, col("community"))
               .limit(limit).toJSON.collect()
@@ -777,8 +820,7 @@ class RestServer(g: Graft, port: Int = 0) {
           .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
         val limit = posInt("limit", intOr(b, "limit", 100))
         timed { ms =>
-          val res = g.kCore(k, rels, Some(name).filter(n =>
-            isSafeName(n) && g.collections.exists(n)))
+          val res = g.kCore(k, rels, graphScopeFor(name))
           try {
             val rows = res.orderBy(col("core_deg").desc, col("node"))
               .limit(limit).toJSON.collect()
@@ -797,8 +839,7 @@ class RestServer(g: Graft, port: Int = 0) {
           .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
         val limit = posInt("limit", intOr(b, "limit", 100))
         timed { ms =>
-          val rows = g.linkPredict(minCommon, rels, Some(name).filter(n =>
-              isSafeName(n) && g.collections.exists(n)), maxDeg.toLong)
+          val rows = g.linkPredict(minCommon, rels, graphScopeFor(name), maxDeg.toLong)
             .orderBy(col("score_micros").desc, col("a"), col("b"))
             .limit(limit).toJSON.collect()
           s"""{"results":[${rows.mkString(",")}],"timing_ms":${ms()}}"""
@@ -924,7 +965,7 @@ class RestServer(g: Graft, port: Int = 0) {
         // (collection.match_query); built-ins use the derived graph.
         // isSafeName BEFORE collections.exists — the exists check itself
         // resolves dataDir/<name>/meta.json on the filesystem
-        val scope = Some(name).filter(n => isSafeName(n) && g.collections.exists(n))
+        val scope = graphScopeFor(name)
         timedRows(m, Map.empty, graphScope = scope) { (rows, ms) =>
           s"""{"count":${rows.length},"timing_ms":$ms,"results":[${rows.mkString(",")}]}"""
         }
@@ -965,9 +1006,21 @@ class RestServer(g: Graft, port: Int = 0) {
     * exists check — an unsafe name falls through to the derived graph
     * without ever reaching the data dir. */
   private def edgesFor(name: String): DataFrame =
-    if (isSafeName(name) && g.collections.exists(name))
+    if (graphScopeFor(name).isDefined)
       g.catalog.scopedToGraph(name).graphEdges
     else graft.operators.Graph.edges(g.spark, g.catalog.dir)
+
+  /** Graph scope resolution shared by every graph route: a USER
+    * collection scopes to its own edge store; a DATASET table shares
+    * the derived dataset graph (None); a name that exists NOWHERE is a
+    * 404 — the old fall-through answered typos confidently from the
+    * derived graph on half the routes (r15 review finding). */
+  private def graphScopeFor(name: String): Option[String] = {
+    safeName(name)
+    if (g.collections.exists(name)) Some(name)
+    else if (g.catalog.exists(name)) None
+    else throw new graft.velesql.NotFoundError(s"collection not found: $name")
+  }
 
   private def timed(run: (() => Double) => String): (Int, String) = {
     val t0 = System.nanoTime()

@@ -32,7 +32,11 @@ object Importers {
         payload(raw.select("payload.*").columns.toIndexedSeq
           .map(c => c -> col(s"payload.$c")), Set("id", "vector"))
       else Seq.empty
-    raw.select(Seq(col("id").cast("long").as("id"),
+    // string/UUID point ids (officially supported by Qdrant) hash to
+    // long like every other importer — a plain cast nulled them all
+    // (r15 review finding)
+    raw.select(Seq(coalesce(col("id").try_cast("long"),
+        abs(xxhash64(col("id").cast("string")))).as("id"),
       col("vector").cast("array<float>").as("vector")) ++ payloadCols: _*)
   }
 
@@ -59,7 +63,8 @@ object Importers {
     val others = payload(raw.columns.toIndexedSeq
       .filterNot(Set("id", "embedding")).map(c => c -> col(c)),
       Set("id", "vector"))
-    raw.select(Seq(col("id").cast("long").as("id"),
+    raw.select(Seq(coalesce(col("id").try_cast("long"),
+        abs(xxhash64(col("id").cast("string")))).as("id"),
       col("embedding").cast("array<float>").as("vector")) ++ others: _*)
   }
 
@@ -118,7 +123,8 @@ object Importers {
     val others = payload(raw.columns.toIndexedSeq
       .filterNot(c => c == "id" || c == vectorField).map(c => c -> col(c)),
       Set("id", "vector"))
-    raw.select(Seq(col("id").cast("long").as("id"),
+    raw.select(Seq(coalesce(col("id").try_cast("long"),
+        abs(xxhash64(col("id")))).as("id"),
       from_json(col(vectorField),
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.FloatType)).as("vector")) ++ others: _*)

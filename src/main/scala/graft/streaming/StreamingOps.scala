@@ -169,10 +169,17 @@ object StreamingOps {
     def p(k: String, dflt: String): String = {
       val v = params.getOrElse(k, dflt)
       if (k != "left" && k != "right") {
-        try org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
-          org.apache.spark.unsafe.types.UTF8String.fromString(v))
-        catch { case e: Exception => throw new IllegalArgumentException(
-          s"bad '$k' duration '$v'", e) }
+        val iv = try org.apache.spark.sql.catalyst.util.IntervalUtils
+            .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(v))
+          catch { case e: Exception => throw new IllegalArgumentException(
+            s"bad '$k' duration '$v'", e) }
+        // positivity too: "-1 hour" parses fine but the window/session
+        // analysis rule rejects it at collect time — a plan-time 500
+        // where the caller owed a 400 (r15 review finding)
+        if (iv.months < 0 || iv.days < 0 || iv.microseconds < 0 ||
+            (iv.months == 0 && iv.days == 0 && iv.microseconds <= 0))
+          throw new IllegalArgumentException(
+            s"'$k' duration must be positive, got '$v'")
       }
       v
     }

@@ -23,6 +23,16 @@ class ImportersSpec extends SparkSpecBase {
     assert(r.getAs[String]("cat") == "a")
   }
 
+  test("Qdrant UUID point ids hash to long instead of nulling") {
+    val p = write(Seq(
+      """{"id": "550e8400-e29b-41d4-a716-446655440000", "vector": [0.5, 0.6]}""",
+      """{"id": 7, "vector": [0.7, 0.8]}"""))
+    val df = Importers.fromQdrant(spark, p)
+    val ids = df.select("id").collect().map(r => Option(r.get(0)))
+    assert(ids.forall(_.isDefined), s"UUID id nulled: ${ids.mkString(",")}")
+    assert(df.where(df("id") === 7).count() == 1)
+  }
+
   test("Pinecone export maps values→vector and hashes non-numeric ids") {
     val p = write(Seq(
       """{"id": "42", "values": [1.0, 2.0], "metadata": {"genre": "doc"}}""",

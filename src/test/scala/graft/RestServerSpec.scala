@@ -56,6 +56,57 @@ class RestServerSpec extends SparkSpecBase {
     assert(r.statusCode() == 200 && r.body().contains("\"ok\""))
   }
 
+  test("r15 REST hardening: reject-not-coerce + scope 404s") {
+    // non-numeric point id is a 400, not a silent null-id row
+    val cn = s"rh${System.nanoTime % 100000}"
+    g.collections.create(cn)
+    try {
+      val bad = post(s"/collections/$cn/points",
+        """{"points":[{"id":"not-a-number","vector":[1.0,0.0]}]}""")
+      assert(bad.statusCode() == 400, bad.body())
+      val noId = post(s"/collections/$cn/points",
+        """{"points":[{"vector":[1.0,0.0]}]}""")
+      assert(noId.statusCode() == 400, noId.body())
+      // edge with a non-numeric id is a 400, not a silent auto-assign
+      val badEdge = post(s"/collections/$cn/graph/edges",
+        """{"edges":[{"id":"5","source":1,"target":2,"label":"x"}]}""")
+      assert(badEdge.statusCode() == 400, badEdge.body())
+    } finally g.collections.drop(cn)
+    // graph routes 404 on names that exist nowhere (they used to answer
+    // from the derived dataset graph)
+    assert(get("/collections/no_such_thing/graph/nodes/5/degree")
+      .statusCode() == 404)
+    assert(post("/collections/no_such_thing/graph/pagerank", "{}")
+      .statusCode() == 404)
+    // ...but dataset tables keep the derived-graph scope
+    assert(get("/collections/documents/graph/nodes/5/degree")
+      .statusCode() == 200)
+    // edge-listing limit is validated (used to 500 via Dataset.limit(-4))
+    assert(get("/collections/documents/graph/edges?label=placed&limit=-5")
+      .statusCode() == 400)
+    // multi-search strategy is a closed set (no raw splice into VelesQL)
+    val badStrat = post("/collections/embeddings/search/multi",
+      """{"vectors":[[1.0]],"strategy":"rrf' LIMIT 1 --"}""")
+    assert(badStrat.statusCode() == 400, badStrat.body().take(200))
+  }
+
+  test("string-id collections: point GET and DELETE work over REST") {
+    val cn = s"sid${System.nanoTime % 100000}"
+    g.collections.create(cn)
+    try {
+      import spark.implicits._
+      g.collections.upsert(cn,
+        Seq(("doc-abc", 1.5), ("doc-xyz", 2.5)).toDF("id", "v"))
+      val r = get(s"/collections/$cn/points/doc-abc")
+      assert(r.statusCode() == 200, r.body())
+      assert(r.body().contains("doc-abc"))
+      val d = delete(s"/collections/$cn/points/doc-abc")
+      assert(d.statusCode() == 200, d.body())
+      assert(get(s"/collections/$cn/points/doc-abc").statusCode() == 404)
+      assert(get(s"/collections/$cn/points/doc-xyz").statusCode() == 200)
+    } finally g.collections.drop(cn)
+  }
+
   test("POST /analytics/events: batch and stream modes return identical rows") {
     // canonical row strings: fields sorted, numerics rounded 6dp (double
     // sums may differ in the last ulp between any two plans)
@@ -311,10 +362,10 @@ class RestServerSpec extends SparkSpecBase {
 
   test("graph routes: node degree and BFS traverse") {
     // node 1 = customer 1; out-degree = orders placed (q80's surface)
-    val dg = get("/collections/any/graph/nodes/1/degree")
+    val dg = get("/collections/documents/graph/nodes/1/degree")
     assert(dg.statusCode() == 200, dg.body())
     assert(dg.body().contains("\"out_degree\":") && dg.body().contains("\"in_degree\":"))
-    val tr = post("/collections/any/graph/traverse",
+    val tr = post("/collections/documents/graph/traverse",
       """{"source": 1, "max_depth": 2, "limit": 5, "rel_types": ["placed", "contains"]}""")
     assert(tr.statusCode() == 200, tr.body())
     assert(tr.body().contains("\"stats\":{\"visited\":"), tr.body().take(300))
