@@ -35,23 +35,32 @@ object Classifier {
 
   private def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
+  /** Lowercase alnum token array of a text column — THE tokenization
+    * convention, defined once (train/serve skew guard: gramFids and
+    * scoreText used to carry hand-copied twins; r15 review finding). */
+  private def tokenArray(textCol: String): Column =
+    filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Unigrams + adjacent bigrams ("a b") of a token-array column. */
+  private def gramsOf(w: Column): Column = concat(
+    w,
+    zip_with(slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+      slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b)))
+
+  /** fid = first 15 md5 hex chars mod dim. */
+  private def fidOf(g: Column, dim: Int): Column =
+    conv(substring(md5(g), 1, 15), 16, 10).cast(LongType) % dim
+
   /** Exploded (id, fid) gram occurrences — the map-only front half of
     * both feature shapes below (shared with [[Dsir]], which needs the
     * same hashed unigram+bigram bucket ids). */
   private[operators] def gramFids(df: DataFrame, textCol: String, idCol: String,
       dim: Int): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
-    val toks = df.select(col(idCol),
-      filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => length(t) > 0)
-        .as("w"))
-    val grams = toks.select(col(idCol), explode(concat(
-        col("w"),
-        zip_with(slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))),
-          slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
-          (a, b) => concat(a, lit(" "), b)))).as("gram"))
-    grams.select(col(idCol),
-      (conv(substring(md5(col("gram")), 1, 15), 16, 10).cast(LongType)
-        % dim).as("fid"))
+    val toks = df.select(col(idCol), tokenArray(textCol).as("w"))
+    val grams = toks.select(col(idCol), explode(gramsOf(col("w"))).as("gram"))
+    grams.select(col(idCol), fidOf(col("gram"), dim).as("fid"))
   }
 
   /** Hashed (id, fid, tf) features: lowercase alnum tokens (the repo
@@ -91,22 +100,23 @@ object Classifier {
       weights: DataFrame, bias: Double, dim: Int): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
     val dense = Array.fill(dim)(0.0)
-    weights.collect().foreach(r => dense(r.getLong(0).toInt) = r.getDouble(1))
+    // by NAME, with a dim cross-check: positional reads broke on column
+    // order, and a train/score dim mismatch either crashed (fid >= dim)
+    // or silently scored garbage through the wrong hash modulus
+    // (r15 review finding)
+    weights.select(col("fid").cast("long"), col("w").cast("double"))
+      .collect().foreach { r =>
+        val fid = r.getLong(0)
+        require(fid >= 0 && fid < dim,
+          s"weight fid $fid outside dim $dim — train/score dim mismatch")
+        dense(fid.toInt) = r.getDouble(1)
+      }
     val wArr = typedlit(dense.toSeq)
-    val toks = df.select(col(idCol),
-      filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => length(t) > 0)
-        .as("w"))
-    val grams = concat(
-      col("w"),
-      zip_with(slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))),
-        slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
-        (a, b) => concat(a, lit(" "), b)))
-    val fidOf = (g: Column) =>
-      conv(substring(md5(g), 1, 15), 16, 10).cast(LongType) % dim
+    val toks = df.select(col(idCol), tokenArray(textCol).as("w"))
     toks.where(size(col("w")) > 0)
       .select(col(idCol),
-        r6(aggregate(grams, lit(0.0),
-          (acc, g) => acc + element_at(wArr, (fidOf(g) + 1).cast("int"))))
+        r6(aggregate(gramsOf(col("w")), lit(0.0),
+          (acc, g) => acc + element_at(wArr, (fidOf(g, dim) + 1).cast("int"))))
           .as("margin"))
       .withColumn("prob",
         r6(lit(1.0) / (lit(1.0) + exp(-(col("margin") + lit(bias))))))
@@ -133,7 +143,15 @@ object Classifier {
       s"dim=$dim exceeds $MaxTrainDim: the gradient collect and the " +
         "weight-array literal are driver-sized by dim; hash features " +
         "into a bounded width instead")
-    val spark = feats.sparkSession
+    // Semantics note (r15 review, adjudicated): labeled docs with ZERO
+    // feature rows (empty/non-alnum text) contribute no gradient — the
+    // inner feats⋈labels join excludes them — while n counts every
+    // label, so they damp the step size instead. This matches the
+    // score/scoreText convention ("docs with zero grams carry no
+    // score") and is pinned by the sequential-equivalence gate; true
+    // full-batch LR would need a labels-left-join residual and would
+    // change every downstream pinned model output for no quality win
+    // on hashed text features.
     val ckpt = org.apache.spark.sql.graft.CheckpointBlocks
     val fl = feats.join(labels, idCol).localCheckpoint(true)
     val n = labels.count().toDouble

@@ -49,19 +49,26 @@ object Clustering {
     * centroids ride into the plan as broadcast literals; the in-order
     * zip_with/aggregate fold reproduces the same left-associated double
     * sum as any engine's loop, and sqrt is IEEE-exact. */
-  private def nearestStruct(vecCol: String, centroids: Centroids): Column = {
+  /** Per-centroid candidate structs (rounded L2 key, cid, raw d) — the
+    * ONE kernel both the argmin assignment and the silhouette use (two
+    * hand-maintained copies invited silent label drift between predict
+    * and silhouette; r15 review finding). `d` rides third, so the
+    * lexicographic struct compare never reaches it (cid is unique). */
+  private def candStructs(vecCol: String, centroids: Centroids): Seq[Column] = {
     val v = col(vecCol).cast(ArrayType(DoubleType))
-    val cands = centroids.map { case (cid, c) =>
+    centroids.map { case (cid, c) =>
       // codegen'd double-L2 kernel — same left-to-right IEEE fold as the
       // zip_with/aggregate HOF chain it replaces (k×dim interpreted
       // lambdas per row), so assignments are bit-identical
       val d = graft.functions.VectorFunctions.l2_dist_d(
         v, graft.functions.VectorFunctions.vecLitD(c))
       struct(floor(d * lit(1000000L) + lit(0.5)).as("rd"),
-        lit(cid).as("cid"))
+        lit(cid).as("cid"), d.as("d"))
     }
-    array_min(array(cands: _*))
   }
+
+  private def nearestStruct(vecCol: String, centroids: Centroids): Column =
+    array_min(array(candStructs(vecCol, centroids): _*))
 
   /** Lloyd's iterations: `iters - 1` assign→update rounds, returning
     * the final centroids (the ones the `iters`-th assignment uses).
@@ -74,9 +81,13 @@ object Clustering {
     * assignment is a map-only pass against broadcast-literal centroids,
     * and each update is ONE partially-aggregated shuffle whose reduce
     * side is k×dim cells regardless of corpus size. */
-  def fit(df: DataFrame, vecCol: String, idCol: String, k: Int,
+  def fit(df0: DataFrame, vecCol: String, idCol: String, k: Int,
       iters: Int): Centroids = {
     require(k >= 1 && iters >= 1, "k-means needs k >= 1 and iters >= 1")
+    // rows without a vector are outside the embedding-space tier — a
+    // null previously rode the argmin into cluster 0 with a NULL sort
+    // key (r15 review finding)
+    val df = df0.where(col(vecCol).isNotNull)
     var centroids = seed(df, vecCol, idCol, k)
     for (_ <- 1 until iters) {
       val upd = df
@@ -97,7 +108,10 @@ object Clustering {
     * with batch and Structured Streaming sources alike. Appends `cid`
     * to the input columns. */
   def predict(df: DataFrame, vecCol: String, centroids: Centroids): DataFrame =
-    df.withColumn("cid", nearestStruct(vecCol, centroids).getField("cid"))
+    // vector-less rows pass through with a NULL cid (they have no
+    // position in embedding space), never a fabricated cluster 0
+    df.withColumn("cid", when(col(vecCol).isNotNull,
+      nearestStruct(vecCol, centroids).getField("cid")))
 
   /** Fixed-iteration deterministic k-means: returns `(idCol, cid)` for
     * every row. See the object scaladoc for the portability contract
@@ -122,7 +136,11 @@ object Clustering {
       iters: Int, threshold: Double,
       model: Option[Centroids] = None): DataFrame = {
     val centroids = model.getOrElse(fit(df, vecCol, idCol, k, iters))
-    val asg = df
+    // NOT cached/checkpointed although three branches read it: asg is
+    // corpus-sized × dim, so materializing it costs more at scale than
+    // re-running the map-only assignment per branch (the joins, not the
+    // map, dominate) — adjudicated r15 review
+    val asg = df.where(col(vecCol).isNotNull)
       .withColumn("cid", nearestStruct(vecCol, centroids).getField("cid"))
       .select(col(idCol), col("cid"), col(vecCol))
     val a = asg.select(col(idCol).as("a"), col("cid"), col(vecCol).as("va"))
@@ -153,16 +171,12 @@ object Clustering {
       k: Int, iters: Int, model: Option[Centroids] = None): DataFrame = {
     require(k >= 2, "silhouette needs k >= 2 (b is over OTHER clusters)")
     val centroids = model.getOrElse(fit(df, vecCol, idCol, k, iters))
-    val v = col(vecCol).cast(ArrayType(DoubleType))
-    val cands = centroids.map { case (cid, c) =>
-      // codegen'd double-L2 kernel (see nearestStruct) — bit-identical
-      // to the HOF fold, k×dim fewer lambda dispatches per row
-      val d = graft.functions.VectorFunctions.l2_dist_d(
-        v, graft.functions.VectorFunctions.vecLitD(c))
-      struct(floor(d * lit(1000000.0) + lit(0.5)).cast("long").as("rd"),
-        lit(cid).as("cid"), d.as("d"))
-    }
-    val arr = array(cands: _*)
+    // the LIVE model must carry >= 2 centroids too: seeds can collide
+    // and clusters die in the update, and a 1-centroid model makes b a
+    // silent NULL instead of an error (r15 review finding)
+    require(centroids.size >= 2,
+      s"silhouette needs >= 2 live centroids, model has ${centroids.size}")
+    val arr = array(candStructs(vecCol, centroids): _*)
     // same (rounded key, cid) argmin as [[predict]] — labels agree
     val assigned = array_min(arr)
     val a = assigned.getField("d")
@@ -171,7 +185,7 @@ object Clustering {
       filter(arr, s => s.getField("cid") =!= acid), s => s.getField("d")))
     val sil = when(greatest(a, b) > lit(0.0),
       (b - a) / greatest(a, b)).otherwise(lit(0.0))
-    df.select(acid.as("cid"), sil.as("__s"))
+    df.where(col(vecCol).isNotNull).select(acid.as("cid"), sil.as("__s"))
       .groupBy("cid")
       .agg(count(lit(1)).as("n"),
         (floor(avg(col("__s")) * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
@@ -191,7 +205,9 @@ object Clustering {
     import org.apache.spark.sql.expressions.Window
     val centroids = model.getOrElse(fit(df, vecCol, idCol, k, iters))
     val near = nearestStruct(vecCol, centroids)
-    val asg = df.withColumn("__n", near)
+    // null-vector rows ranked FIRST (null __rd sorts ahead) and crowded
+    // real rows out of the kept fraction (r15 review finding)
+    val asg = df.where(col(vecCol).isNotNull).withColumn("__n", near)
       .select(col(idCol), col("__n.cid").as("cid"), col("__n.rd").as("__rd"))
     val w = Window.partitionBy("cid").orderBy(col("__rd"), col(idCol))
     val wc = Window.partitionBy("cid")

@@ -46,6 +46,12 @@ object Dsir {
     * is any boolean Column over `docs` rows selecting the target
     * sample (e.g. `col("lang") === "en"`); the raw distribution is the
     * whole input. */
+  /** Convenience wrapper: the uncached occurrence plan EXECUTES TWICE
+    * (bucket-distribution collect + per-doc agg). Deliberate: occ is
+    * corpus-exploded-sized, so checkpointing it costs more at scale
+    * than re-running the map side — production callers route through
+    * [[importanceWeightsFromOcc]] over the MATERIALIZED occurrence
+    * table (the q179 path), which pays the tokenize exactly once. */
   def importanceWeights(docs: DataFrame, isTarget: Column, dim: Int = 4096,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     importanceWeightsFromOcc(docs, occurrences(docs, dim, textCol, idCol),

@@ -106,11 +106,24 @@ object TemporalJoins {
   def rangeJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       tsCol: String, deltaUs: Long, rightCols: Seq[String]): DataFrame = {
     require(deltaUs > 0, "delta must be positive")
-    val bL = floor(unix_micros(col(tsCol)) / deltaUs)
+    // EXACT long floor-div, never `/`: Divide promotes long/long to
+    // double, whose 53-bit mantissa misassigns buckets for timestamps
+    // past 2^53 µs and silently drops matching pairs (r15 review
+    // finding). Align to the floor multiple with floorMod (all long
+    // ops), then DIV — truncation equals floor on an exact multiple,
+    // sign included.
+    // floorMod-align (pmod is the non-negative remainder), then DIV —
+    // every op stays in LONG and truncation equals floor on the exact
+    // multiple, sign included
+    def bucketOf(ts: Column): Column =
+      org.apache.spark.sql.functions.expr(
+        s"(unix_micros(`$tsCol`) - pmod(unix_micros(`$tsCol`), ${deltaUs}L))" +
+          s" DIV ${deltaUs}L")
+    val bL = bucketOf(col(tsCol))
     val probe = left.withColumn("__b", explode(array(bL, bL + 1)))
     val build = right.select(
       keyCols.map(col) ++ Seq(col(tsCol).as("__r_ts"),
-        floor(unix_micros(col(tsCol)) / deltaUs).as("__b")) ++
+        bucketOf(col(tsCol)).as("__b")) ++
         rightCols.filterNot(keyCols.contains).filterNot(_ == tsCol)
           .map(c => col(c).as(s"r_$c")): _*)
     val gap = unix_micros(col("__r_ts")) - unix_micros(col(tsCol))
