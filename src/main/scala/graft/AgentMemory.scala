@@ -20,8 +20,19 @@ class AgentMemory(spark: SparkSession, collections: Collections,
     if (!collections.exists(name))
       collections.create(name, idCol = "id", vectorCol = Some("embedding"))
 
-  /** Store a batch of memories (upsert by id). */
-  def remember(batch: DataFrame): Unit = collections.upsert(name, batch)
+  /** Store a batch of memories (upsert by id). A TTL'd memory needs a
+    * timestamp to expire FROM — a (ttl, null ts) row was a zombie:
+    * invisible to live() (NULL predicate) yet never matched by
+    * expire()'s delete either (r15 review finding). */
+  def remember(batch: DataFrame): Unit = {
+    if (batch.columns.contains("ttl_seconds") && batch.columns.contains("ts")) {
+      val zombies = batch
+        .where(col("ttl_seconds").isNotNull && col("ts").isNull).limit(1)
+      require(zombies.isEmpty,
+        "a memory with ttl_seconds needs a non-null ts to expire from")
+    }
+    collections.upsert(name, batch)
+  }
 
   /** Live (non-expired) memories at `nowEpoch`; NULL TTL = keep forever. */
   def live(nowEpoch: Long): DataFrame = {
@@ -35,10 +46,12 @@ class AgentMemory(spark: SparkSession, collections: Collections,
   def episodic(nowEpoch: Long): DataFrame = live(nowEpoch).where(col("kind") === "episodic")
   def procedural(nowEpoch: Long): DataFrame = live(nowEpoch).where(col("kind") === "procedural")
 
-  /** Recall: exact top-k over live memories of a kind. */
+  /** Recall: exact top-k over live memories of a kind, ranked under the
+    * collection's OWN declared metric (a hardcoded cosine silently
+    * re-ranked collections created with another metric; r15 review). */
   def recall(kind: String, query: Seq[Float], k: Int, nowEpoch: Long): DataFrame =
     operators.Knn.topK(live(nowEpoch).where(col("kind") === kind),
-      "embedding", query, k, "cosine", idCol = "id")
+      "embedding", query, k, collections.metaOf(name)._3, idCol = "id")
 
   /** Expire: physically delete dead rows (agent snapshot hygiene).
     * A predicate delete — the dead set is filtered out executor-side

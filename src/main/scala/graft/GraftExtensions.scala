@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // AS DOUBLE) → the int128 FixedPointSum (bit-identical, ~2× at 18M
     // rows); graft.dsum.rewrite=false to escape
     e.injectPreCBORule { session =>
+      // marker for VectorFunctions.register(): a session built with the
+      // extensions already carries this rule, so the imperative path
+      // must not add a second copy (r15 review finding)
+      session.conf.set("graft.extensions.installed", "true")
       org.apache.spark.sql.graft.FixedPointSumRule(() =>
         session.conf.get("graft.dsum.rewrite", "true").toBoolean)
     }

@@ -67,6 +67,9 @@ object VectorFunctions {
     // (DoubleToScaledLong), the same semantics as the DataFrame-side
     // FixedPointSum.dsumD — one function, one rounding contract.
     create("dsum", es => {
+      if (es.length != 2)
+        throw new IllegalArgumentException(
+          s"dsum expects exactly (value, scale), got ${es.length} argument(s)")
       val scale = es(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
         case other => throw new IllegalArgumentException(
@@ -82,8 +85,14 @@ object VectorFunctions {
     // ALREADY-BUILT session (REST Serve, REPL, notebook) gets the exact
     // decimal-sum rewrite too — extraOptimizations appends to the
     // optimizer's user-rule batch; idempotent across repeat calls
+    // skip when the session was built WITH GraftExtensions (which
+    // injects the rule pre-CBO): a second copy in extraOptimizations is
+    // output-identical but pattern-matches every plan twice (r15
+    // review). The extensions marker is the conf the injector sets.
     val exp = spark.experimental
-    if (!exp.extraOptimizations.exists(
+    val viaExtensions =
+      spark.conf.getOption("graft.extensions.installed").contains("true")
+    if (!viaExtensions && !exp.extraOptimizations.exists(
         _.isInstanceOf[org.apache.spark.sql.graft.FixedPointSumRule]))
       exp.extraOptimizations = exp.extraOptimizations :+
         org.apache.spark.sql.graft.FixedPointSumRule(() =>

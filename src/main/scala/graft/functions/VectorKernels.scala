@@ -11,21 +11,51 @@ package graft.functions
   * static-forwardable, i.e. a top-level object with no companion class).
   *
   * Accumulation is in Double for cross-engine determinism.
+  *
+  * Length discipline (r15 review finding): the algebraic metrics
+  * (dot/cosine/L2) THROW on dimension mismatch — silent min-length
+  * truncation returned plausible-but-wrong scores when a query vector's
+  * width disagreed with the stored column. Hamming/Jaccard keep their
+  * documented mixed-length semantics (the reference generalizes both to
+  * set/positional views where extra positions are meaningful).
   */
 object VectorKernels {
 
+  private def requireSameDim(a: Array[Float], b: Array[Float]): Unit =
+    if (a.length != b.length)
+      throw new IllegalArgumentException(
+        s"vector dimension mismatch: ${a.length} vs ${b.length}")
+
+  /** Null-element-checked ArrayData→float[] (the bulk toFloatArray reads
+    * a NULL slot as 0.0f on the unsafe path and NPEs on the generic
+    * path — both wrong; r15 review finding). Called from generated code:
+    * keep static-forwardable. */
+  def toFloats(a: org.apache.spark.sql.catalyst.util.ArrayData): Array[Float] = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"vector contains a NULL element at index $i")
+      i += 1
+    }
+    a.toFloatArray()
+  }
+
   def dot(a: Array[Float], b: Array[Float]): Double = {
+    requireSameDim(a, b)
     var s = 0.0
     var i = 0
-    val n = math.min(a.length, b.length)
+    val n = a.length
     while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
     s
   }
 
   def cosine(a: Array[Float], b: Array[Float]): Double = {
+    requireSameDim(a, b)
     var s = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
-    val n = math.min(a.length, b.length)
+    val n = a.length
     while (i < n) {
       val x = a(i).toDouble; val y = b(i).toDouble
       s += x * y; na += x * x; nb += y * y
@@ -36,9 +66,10 @@ object VectorKernels {
   }
 
   def l2(a: Array[Float], b: Array[Float]): Double = {
+    requireSameDim(a, b)
     var s = 0.0
     var i = 0
-    val n = math.min(a.length, b.length)
+    val n = a.length
     while (i < n) {
       val dd = a(i).toDouble - b(i).toDouble
       s += dd * dd
@@ -48,9 +79,10 @@ object VectorKernels {
   }
 
   def l2Squared(a: Array[Float], b: Array[Float]): Double = {
+    requireSameDim(a, b)
     var s = 0.0
     var i = 0
-    val n = math.min(a.length, b.length)
+    val n = a.length
     while (i < n) {
       val dd = a(i).toDouble - b(i).toDouble
       s += dd * dd
@@ -64,9 +96,12 @@ object VectorKernels {
     * HOF fold it replaces (same IEEE accumulation order), ~30× cheaper
     * (no per-element lambda dispatch or array allocation). */
   def l2Double(a: Array[Double], b: Array[Double]): Double = {
+    if (a.length != b.length)
+      throw new IllegalArgumentException(
+        s"vector dimension mismatch: ${a.length} vs ${b.length}")
     var s = 0.0
     var i = 0
-    val n = math.min(a.length, b.length)
+    val n = a.length
     while (i < n) {
       val dd = a(i) - b(i)
       s += dd * dd

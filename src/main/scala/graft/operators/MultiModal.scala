@@ -79,8 +79,13 @@ object MultiModal {
   }
 
   /** STUB frame sampler for `video` rows: split bytes into
-    * `meta.declared_frames` equal chunks, one output row per frame —
-    * the explode-shaped stage a real video pipeline needs. */
+    * `meta.declared_frames` near-equal chunks that TILE the input
+    * (⌊i·len/n⌋ boundaries — every byte lands in exactly one frame; the
+    * old trunc(len/n)-sized chunks skipped interior bytes and dropped
+    * the tail whenever n ∤ len, r15 review finding), one output row per
+    * frame. Rows declaring ≤ 0 frames emit no rows (sequence(0, n−1)
+    * with a negative bound DESCENDS in Spark — it fabricated frames
+    * with end-relative reads). */
   def sampleFrames(media: DataFrame): DataFrame =
     media.where(col("kind") === "video")
       .select(col("media_id"),
@@ -88,10 +93,18 @@ object MultiModal {
       .withColumnRenamed("pos", "frame_no")
       .withColumnRenamed("col", "frame_bytes")
 
-  /** Byte-chunking as an expression: substring on binary. */
+  /** Tiling byte-chunking as an expression: substring on binary with
+    * ⌊i·len/n⌋ boundaries; empty array (no rows after explode) for
+    * n ≤ 0. Long arithmetic throughout — i·len stays far under 2^63
+    * for any real payload. */
   private def split_part_bytes(bytes: org.apache.spark.sql.Column,
-      n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    transform(sequence(lit(0), n - 1), i =>
-      substring(bytes, (i * (length(bytes) / n) + 1).cast("int"),
-        (length(bytes) / n).cast("int")))
+      n: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val len = length(bytes).cast("long")
+    val nn = n.cast("long")
+    def bound(i: org.apache.spark.sql.Column) = (i * len / nn).cast("long")
+    when(nn > 0, transform(sequence(lit(0L), nn - 1), i =>
+      substring(bytes, (bound(i) + 1).cast("int"),
+        (bound(i + 1) - bound(i)).cast("int"))))
+      .otherwise(array().cast("array<binary>"))
+  }
 }

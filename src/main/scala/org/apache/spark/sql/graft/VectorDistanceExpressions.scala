@@ -31,13 +31,17 @@ abstract class VectorDistanceExpression extends BinaryExpression with ExpectsInp
   override def dataType: DataType = DoubleType
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    compute(a.asInstanceOf[ArrayData].toFloatArray(),
-      b.asInstanceOf[ArrayData].toFloatArray())
+    // toFloats: null-ELEMENT-checked conversion — the bulk toFloatArray
+    // silently read null slots as 0.0f (unsafe path) or NPE'd (generic
+    // path); r15 review finding
+    compute(VectorKernels.toFloats(a.asInstanceOf[ArrayData]),
+      VectorKernels.toFloats(b.asInstanceOf[ArrayData]))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val constRight: Option[Array[Float]] =
       if (right.foldable) {
-        Option(right.eval(null)).map(_.asInstanceOf[ArrayData].toFloatArray())
+        Option(right.eval(null)).map(d =>
+          VectorKernels.toFloats(d.asInstanceOf[ArrayData]))
       } else None
     constRight match {
       case Some(q) =>
@@ -49,12 +53,13 @@ abstract class VectorDistanceExpression extends BinaryExpression with ExpectsInp
           double ${ev.value} = 0.0;
           if (!${ev.isNull}) {
             ${ev.value} = graft.functions.VectorKernels.$kernel(
-              ${leftGen.value}.toFloatArray(), $qRef);
+              graft.functions.VectorKernels.toFloats(${leftGen.value}), $qRef);
           }""")
       case None =>
         nullSafeCodeGen(ctx, ev, (a, b) =>
           s"${ev.value} = graft.functions.VectorKernels.$kernel(" +
-            s"$a.toFloatArray(), $b.toFloatArray());")
+            s"graft.functions.VectorKernels.toFloats($a), " +
+            s"graft.functions.VectorKernels.toFloats($b));")
     }
   }
 }

@@ -25,8 +25,26 @@ class PropertySpec extends SparkSpecBase {
     Gen.choose(1, 32).flatMap(n =>
       Gen.listOfN(n, Gen.choose(-10.0f, 10.0f)).map(_.toArray))
 
+  /** Same-dimension pair — the algebraic kernels now THROW on a
+    * dimension mismatch (r15: silent truncation scored garbage). */
+  private val vecPairGen: Gen[(Array[Float], Array[Float])] =
+    Gen.choose(1, 32).flatMap { n =>
+      val one = Gen.listOfN(n, Gen.choose(-10.0f, 10.0f)).map(_.toArray)
+      Gen.zip(one, one)
+    }
+
+  test("dot/cosine/l2 throw on dimension mismatch (no silent truncation)") {
+    val a = Array(1.0f, 2.0f)
+    val b = Array(1.0f, 2.0f, 3.0f)
+    for (k <- Seq[(Array[Float], Array[Float]) => Double](
+        VectorKernels.dot, VectorKernels.cosine, VectorKernels.l2,
+        VectorKernels.l2Squared))
+      intercept[IllegalArgumentException](k(a, b))
+  }
+
   test("cosine is symmetric, bounded, and 1 on self (non-zero vectors)") {
-    forAll(vecGen, vecGen) { (a: Array[Float], b: Array[Float]) =>
+    forAll(vecPairGen) { (p: (Array[Float], Array[Float])) =>
+      val (a, b) = p
       val ab = VectorKernels.cosine(a, b)
       val ba = VectorKernels.cosine(b, a)
       assert(math.abs(ab - ba) < 1e-12)
@@ -37,7 +55,8 @@ class PropertySpec extends SparkSpecBase {
   }
 
   test("l2 satisfies identity and symmetry; dot is bilinear in scale") {
-    forAll(vecGen, vecGen) { (a: Array[Float], b: Array[Float]) =>
+    forAll(vecPairGen) { (p: (Array[Float], Array[Float])) =>
+      val (a, b) = p
       assert(VectorKernels.l2(a, a) == 0.0)
       assert(math.abs(VectorKernels.l2(a, b) - VectorKernels.l2(b, a)) < 1e-12)
       val scaled = a.map(_ * 2.0f)

@@ -22,7 +22,7 @@ class VectorSpec extends SparkSpecBase {
     assert(VectorKernels.hamming(a, a) == 0.0)
     assert(VectorKernels.jaccard(a, b) == 1.0) // all non-zero both sides
     assert(VectorKernels.jaccard(Array(1f, 0f), Array(1f, 1f)) == 0.5)
-    assert(VectorKernels.cosine(Array(0f, 0f), b) == 0.0) // zero-norm guard
+    assert(VectorKernels.cosine(Array(0f, 0f, 0f), b) == 0.0) // zero-norm guard
   }
 
   test("codegen expression equals kernel on real data") {
