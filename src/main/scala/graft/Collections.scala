@@ -23,6 +23,10 @@ import scala.jdk.CollectionConverters._
   */
 object Collections {
 
+  /** Built-in VelesQL catalog names a user collection must not shadow. */
+  private[graft] val ReservedNames: Set[String] =
+    graft.Tables.All.toSet ++ Set("corpus", "embeddings_wide")
+
   /** Shared (thread-safe after config) mapper for the JSON sidecars. */
   private[graft] val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -129,6 +133,12 @@ class Collections(spark: SparkSession, dataDir: String,
       graphSchema: Option[String] = None,
       buckets: Int = 16): Unit = {
     require(!exists(name), s"collection $name already exists")
+    // built-in dataset/derived table names shadow user collections in
+    // the VelesQL catalog (Catalog.table prefers the meta map) — a
+    // collection created under one would be silently unreachable
+    // (r15 review finding)
+    require(!Collections.ReservedNames.contains(name),
+      s"'$name' is a reserved dataset table name")
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     storageMode.foreach { m =>
       require(Set("full", "sq8", "binary", "pq", "f16", "bf16").contains(m),

@@ -156,7 +156,13 @@ class Graft(
     val counts = catalog.meta.keys.flatMap { n =>
       try Some(n -> catalog.table(n).count()) catch { case _: Exception => None }
     }.toMap
-    new Guardrails(counts, maxCost)
+    // MATCH estimation keys on "edges" — without a real edge count every
+    // MATCH costed against the 1M fallback, decoupling admission from
+    // the actual graph size (r15 review finding)
+    val withEdges =
+      try counts + ("edges" -> catalog.graphEdges.count())
+      catch { case _: Exception => counts }
+    new Guardrails(withEdges, maxCost)
   }
 
   /** Execute VelesQL text with optional parameters. Errors follow the

@@ -2,6 +2,7 @@ package graft.cli
 
 import graft.Graft
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Interactive VelesQL REPL — the reference's CLI surface
   * (`crates/velesdb-cli/src/repl.rs`, `repl_commands.rs:26-50`)
@@ -41,10 +42,16 @@ class ReplSession(val g: Graft, out: java.io.PrintStream) {
   private var params: Map[String, Any] = Map.empty
   private val defaultMaxResults = 100
 
-  private def maxResults: Int = params.get("max_results") match {
-    case Some(n: Long) => n.toInt
-    case Some(n: Double) => n.toInt
-    case _ => defaultMaxResults
+  private def maxResults: Int = {
+    // clamp: a negative value turned every query into a Spark
+    // negative-limit error, and Int.MaxValue overflowed the +1 probe
+    // (r15 review finding)
+    def clamp(n: Long): Int = math.min(math.max(n, 1L), 1000000L).toInt
+    params.get("max_results") match {
+      case Some(n: Long) => clamp(n)
+      case Some(n: Double) => clamp(n.toLong)
+      case _ => defaultMaxResults
+    }
   }
 
   /** Handle one input line; returns false when the session should end. */
@@ -82,9 +89,19 @@ class ReplSession(val g: Graft, out: java.io.PrintStream) {
       case ".describe" | ".desc" => target(parts).foreach(describe); true
       case ".count" => target(parts).foreach { c =>
         out.println(s"Count: ${rowCount(c)} records") }; true
-      case ".sample" => target(parts).foreach { c =>
-        val n = parts.drop(2).headOption.flatMap(p => p.toIntOption).getOrElse(5)
-        render(g.catalog.table(c).limit(n)) }; true
+      case ".sample" =>
+        // `.sample 10` with an active collection: the bare number is
+        // the row count, not a collection name (r15 review finding)
+        val numericOnly = parts.drop(1) match {
+          case Seq(x) if x.toIntOption.isDefined && active.isDefined => true
+          case _ => false
+        }
+        val tparts = if (numericOnly) Seq(parts.head) else parts
+        target(tparts).foreach { c =>
+          val n = (if (numericOnly) parts.drop(1) else parts.drop(2))
+            .headOption.flatMap(_.toIntOption).filter(_ > 0).getOrElse(5)
+          render(g.catalog.table(c).limit(n))
+        }; true
       case ".timing" => parts.drop(1).headOption match {
         case None => out.println(s"Timing is ${if (timing) "ON" else "OFF"}")
         case Some(v) if Set("on", "true", "1")(v.toLowerCase) =>
@@ -160,7 +177,8 @@ class ReplSession(val g: Graft, out: java.io.PrintStream) {
       // reference estimates vectors-only memory as dim × 4 bytes × count
       // (repl_commands.rs:157-163); dimension read from one stored row
       vecCol.foreach { v =>
-        val dim = g.catalog.table(c).select(v).limit(1).collect()
+        val dim = g.catalog.table(c).select(v).where(col(v).isNotNull)
+          .limit(1).collect()
           .headOption.map(_.getSeq[Any](0).length).getOrElse(0)
         val mb = rowCount(c).toDouble * dim * 4 / 1e6
         out.println(f"  Dimension: $dim")
@@ -245,6 +263,9 @@ class ReplSession(val g: Graft, out: java.io.PrintStream) {
     case s: Seq[_] => s.map(jsonCell).mkString("[", ",", "]")
     case a: Array[_] => a.map(jsonCell).mkString("[", ",", "]")
     case b: Boolean => b.toString
+    // bare NaN/Infinity are invalid JSON — emit null like JSON APIs do
+    case d: java.lang.Double if d.isNaN || d.isInfinite => "null"
+    case f: java.lang.Float if f.isNaN || f.isInfinite => "null"
     case n: Number => n.toString
     case r: Row => r.schema.fieldNames.zip(r.toSeq)
       .map { case (k, x) => s"${jsonCell(k)}:${jsonCell(x)}" }
@@ -295,7 +316,10 @@ class ReplSession(val g: Graft, out: java.io.PrintStream) {
   * `velesdb query` subcommand, main.rs Commands::Query). */
 object Repl {
   def main(args: Array[String]): Unit = {
-    val dataDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    // a leading flag is NOT a data dir (`Repl -c "..."` used to treat
+    // "-c" as the directory; r15 review finding)
+    val dataDir = args.headOption.filterNot(_.startsWith("-"))
+      .getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")

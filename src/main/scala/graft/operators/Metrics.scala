@@ -86,12 +86,16 @@ object Metrics {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id").orderBy("rank")
     val marked = preds.where(col("rank") <= k)
-      .join(truth.withColumn("rel", lit(1)), Seq("query_id", "doc_id"), "left")
+      .join(truth.select("query_id", "doc_id").distinct()
+        .withColumn("rel", lit(1)), Seq("query_id", "doc_id"), "left")
       .withColumn("rel", coalesce(col("rel"), lit(0)))
       .withColumn("cum_hits", sum(col("rel")).over(w))
       .where(col("rel") === 1)
       .withColumn("prec_at_hit", col("cum_hits") / col("rank"))
-    val nRel = truth.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    // distinct pairs: duplicated truth rows inflated n_hit/cum_hits
+    // into impossible precision values (r15 review finding)
+    val nRel = truth.select("query_id", "doc_id").distinct()
+      .groupBy("query_id").agg(count(lit(1)).as("n_rel"))
     val ap = marked.groupBy("query_id").agg(sum("prec_at_hit").as("sum_prec"))
     val q = preds.select("query_id").distinct()
     q.join(ap, Seq("query_id"), "left").join(nRel, Seq("query_id"), "left")
@@ -117,7 +121,8 @@ object Metrics {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id").orderBy("rank")
     val marked = preds.where(col("rank") <= k)
-      .join(truth.withColumn("rel", lit(1)), Seq("query_id", "doc_id"), "left")
+      .join(truth.select("query_id", "doc_id").distinct()
+        .withColumn("rel", lit(1)), Seq("query_id", "doc_id"), "left")
       .withColumn("rel", coalesce(col("rel"), lit(0)))
       .withColumn("cum_hits", sum(col("rel")).over(w))
     val perq = marked.groupBy("query_id").agg(
@@ -126,7 +131,10 @@ object Metrics {
       sum(when(col("rel") === 1, lit(1.0) / log2(col("rank") + 1))
         .otherwise(lit(0.0))).as("dcg"),
       sum(when(col("rel") === 1, col("cum_hits") / col("rank"))).as("sum_prec"))
-    val nRel = truth.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    // distinct pairs: duplicated truth rows inflated n_hit/cum_hits
+    // into impossible precision values (r15 review finding)
+    val nRel = truth.select("query_id", "doc_id").distinct()
+      .groupBy("query_id").agg(count(lit(1)).as("n_rel"))
     perq.join(nRel, Seq("query_id"), "left")
       .withColumn("idcg", expr(
         s"aggregate(sequence(1, int(least(n_rel, $k))), 0.0D, (acc, i) -> acc + 1.0 / log2(i + 1))"))

@@ -32,12 +32,18 @@ object Skew {
       salt: Int): DataFrame = {
     require(salt >= 1)
     val spark = left.sparkSession
-    // position-based salt, not hash-of-row: hashing the whole row sends
-    // DUPLICATE probe rows to the same reducer (the spread comes from
-    // row diversity), and pays a wide hash per row. Partition-local
-    // positions cycle 0..salt-1, spreading duplicates too.
+    // DETERMINISTIC hash-of-row salt. Position-based salting
+    // (monotonically_increasing_id) was measurably cheaper and spread
+    // duplicate rows too, but it is NONDETERMINISTIC under task retry:
+    // feeding it into the shuffle key is the SPARK-23207 class of
+    // silent duplication/loss when a lost executor forces recompute —
+    // disqualifying at exactly the scale salting exists for (r15
+    // review finding). The tradeoff: identical probe rows now share a
+    // reducer (spread comes from row diversity), and each row pays one
+    // wide hash.
     val salted = left.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*),
+        lit(salt.toLong)).cast("int"))
     val replicated = right.crossJoin(
       broadcast(spark.range(salt).select(col("id").cast("int").as("__salt"))))
     salted.join(replicated,

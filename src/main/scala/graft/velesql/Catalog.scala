@@ -72,8 +72,24 @@ class Catalog(spark: SparkSession, val dir: String) {
     * any collection created through the CRUD API. */
   private lazy val userCollections = new graft.Collections(spark, dir)
 
+  /** Backing parquet of a built-in meta name (derived tables map to
+    * their source files). */
+  private def builtinSources(name: String): Seq[java.nio.file.Path] = {
+    val srcs = name match {
+      case "corpus" => Seq("documents", "embeddings")
+      case "embeddings_wide" => Seq("embeddings")
+      case other => Seq(other)
+    }
+    srcs.map(t => java.nio.file.Paths.get(s"$dir/$t.parquet"))
+  }
+
   def exists(name: String): Boolean =
-    meta.contains(name) || userCollections.exists(name)
+    // a built-in name only exists when its parquet is actually there —
+    // a collections-only data dir used to list ten phantom tables and
+    // then die in the listing stamp instead of 404ing (r15 review)
+    (meta.contains(name) &&
+      builtinSources(name).forall(java.nio.file.Files.exists(_))) ||
+      userCollections.exists(name)
 
   def table(name: String): DataFrame =
     if (!meta.contains(name) && userCollections.exists(name))
