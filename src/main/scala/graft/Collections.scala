@@ -646,14 +646,29 @@ class Collections(spark: SparkSession, dataDir: String,
     * rows, and WITHIN a batch later rows win (ties keyed by
     * monotonically_increasing_id — exact input order per partition,
     * partition-ordered across them). Rows whose id is NULL are outside
-    * upsert semantics and pass through untouched: each gets a unique
-    * surrogate partition key, because grouping them under the one NULL
-    * key would collapse every null-id point ever stored into a single
-    * survivor (r15 review finding). A store with no id column at all
-    * keeps its append-only behavior. */
+    * upsert semantics and are SPLIT OUT before the window and unioned
+    * back untouched — never grouped under a surrogate key, because a
+    * nondeterministic shuffle key is the SPARK-23207-class hazard: a
+    * task retry recomputes different key values and silently
+    * duplicates or drops rows (r15 advice). __seq remains
+    * monotonically_increasing_id, which is deterministic for the
+    * request-shaped inputs this store sees (parallelized batches, file
+    * scans); it is only an ORDER key inside an id partition, so a
+    * retry on a shuffled upstream batch can at worst flip which of two
+    * same-id duplicates wins, never duplicate or lose a row — callers
+    * handing a shuffled batch with duplicate explicit ids should dedup
+    * first. A store with no id column on EITHER side appends (union,
+    * widening): the old early-return published only the batch,
+    * silently discarding every stored row (r15 advice). */
   private def mergeById(existing: Option[DataFrame], batch: DataFrame,
       idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val hasId = batch.columns.contains(idCol) ||
+      existing.exists(_.columns.contains(idCol))
+    if (!hasId) return existing match {
+      case Some(old0) => old0.unionByName(batch, allowMissingColumns = true)
+      case None => batch
+    }
     val incoming = batch.withColumn("__pri", lit(1))
       .withColumn("__seq", monotonically_increasing_id())
     val unioned = existing match {
@@ -662,18 +677,14 @@ class Collections(spark: SparkSession, dataDir: String,
         allowMissingColumns = true)
       case None => incoming
     }
-    if (!unioned.columns.contains(idCol))
-      return batch
-    // __nk computed AFTER the union so every null-id row (old or new)
-    // lands in its own window partition
-    val keyedOrSolo = unioned.withColumn("__nk",
-      when(col(idCol).isNull, monotonically_increasing_id()).otherwise(lit(0L)))
-    val w = Window.partitionBy(col(idCol), col("__nk"))
+    val nullRows = unioned.where(col(idCol).isNull).drop("__pri", "__seq")
+    val w = Window.partitionBy(col(idCol))
       .orderBy(col("__pri").desc, col("__seq").desc)
-    keyedOrSolo
+    unioned.where(col(idCol).isNotNull)
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
-      .drop("__pri", "__seq", "__nk", "__rn")
+      .drop("__pri", "__seq", "__rn")
+      .unionByName(nullRows)
   }
 
   /** S5: edge upsert (graph_api.rs:40-107 `add_edge`) — merge by edge id
@@ -713,7 +724,9 @@ class Collections(spark: SparkSession, dataDir: String,
       val w = Window.partitionBy(col("id").isNull)
         .orderBy(monotonically_increasing_id())
       val batchMax = withId.agg(coalesce(max(col("id")), lit(-1L)).as("__batch_max"))
-      withId.crossJoin(batchMax)
+      // 1-row global-agg side: bounded by construction, broadcast like
+      // every other stats crossJoin in this codebase
+      withId.crossJoin(broadcast(batchMax))
         .withColumn("id", coalesce(col("id"),
           greatest(lit(base), col("__batch_max") + 1L)
             + row_number().over(w).cast("long") - 1L))

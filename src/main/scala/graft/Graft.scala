@@ -132,8 +132,11 @@ class Graft(
             // their listings, not a constant: a regenerated dataset dir
             // must recompile MATCH plans exactly like SELECT plans do
             // (r15 review finding)
+            // "embeddings" included: deriveNodes joins it onto customer
+            // nodes, so a regenerated embeddings.parquet must invalidate
+            // cached MATCH plans with similarity() predicates (r15 ADVICE)
             "graph" +: Seq("orders", "lineitem", "customer", "part",
-              "supplier").map(stampOf)
+              "supplier", "embeddings").map(stampOf)
         }
       else Nil
     // param values render with their runtime class: Map("p" -> 1) and

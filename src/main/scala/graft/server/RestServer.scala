@@ -406,7 +406,12 @@ class RestServer(g: Graft, port: Int = 0) {
             val idc = g.collections.metaOf(cn)._1
             g.collections.deleteWhere(cn, col(idc).cast("string") === id)
         }
-        ok(s"""{"status":"deleted","id":${mapper.writeValueAsString(id)}}""")
+        // numeric ids stay JSON numbers on the wire (the pre-r15 shape);
+        // only genuinely-string ids are quoted — always quoting was a
+        // silent wire-format regression for {"id":123} clients (r15 ADVICE)
+        val idJson = id.toLongOption.map(_.toString)
+          .getOrElse(mapper.writeValueAsString(id))
+        ok(s"""{"status":"deleted","id":$idJson}""")
       case ("POST", "collections" :: name :: "search" :: "batch" :: Nil) =>
         existing(name)
         val b = json(ex)

@@ -23,6 +23,19 @@ object Importers {
       structural: Set[String]): Seq[org.apache.spark.sql.Column] =
     cols.map { case (n, c) => c.as(if (structural(n)) s"payload_$n" else n) }
 
+  /** String/UUID ids hash into the RESERVED NEGATIVE range
+    * [Long.MinValue, -1] (sign bit forced): a hashed id can never
+    * collide with a genuine non-negative numeric id in the same import,
+    * and abs()'s Long.MinValue fixed point (abs stays negative) is gone
+    * (r15 ADVICE). Documented tradeoff: two DISTINCT string ids can
+    * still collide in the 63-bit space (p ≈ n²/2⁶⁴ — negligible at
+    * import scale, ~3·10⁻¹⁰ for a billion-point migration), and a
+    * genuinely NEGATIVE numeric source id would share the range —
+    * no surveyed source emits those (Qdrant ids are unsigned, the rest
+    * export strings/UUIDs). */
+  private def hashedId(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    xxhash64(c.cast("string")).bitwiseOR(lit(Long.MinValue))
+
   /** Qdrant scroll/snapshot export: JSON lines of
     * `{"id": …, "vector": […], "payload": {…}}`. */
   def fromQdrant(spark: SparkSession, path: String): DataFrame = {
@@ -36,7 +49,7 @@ object Importers {
     // long like every other importer — a plain cast nulled them all
     // (r15 review finding)
     raw.select(Seq(coalesce(col("id").try_cast("long"),
-        abs(xxhash64(col("id").cast("string")))).as("id"),
+        hashedId(col("id"))).as("id"),
       col("vector").cast("array<float>").as("vector")) ++ payloadCols: _*)
   }
 
@@ -51,7 +64,7 @@ object Importers {
           .map(c => c -> col(s"metadata.$c")), Set("id", "vector"))
       else Seq.empty
     val idCol = coalesce(col("id").try_cast("long"),
-      abs(xxhash64(col("id")))).as("id")
+      hashedId(col("id"))).as("id")
     raw.select(Seq(idCol,
       col("values").cast("array<float>").as("vector")) ++ metaCols: _*)
   }
@@ -64,7 +77,7 @@ object Importers {
       .filterNot(Set("id", "embedding")).map(c => c -> col(c)),
       Set("id", "vector"))
     raw.select(Seq(coalesce(col("id").try_cast("long"),
-        abs(xxhash64(col("id").cast("string")))).as("id"),
+        hashedId(col("id"))).as("id"),
       col("embedding").cast("array<float>").as("vector")) ++ others: _*)
   }
 
@@ -86,7 +99,7 @@ object Importers {
         Seq(col("document").cast("string").as("document"))
       else Seq.empty
     val idCol = coalesce(col("id").try_cast("long"),
-      abs(xxhash64(col("id")))).as("id")
+      hashedId(col("id"))).as("id")
     raw.select(Seq(idCol,
       col("embedding").cast("array<float>").as("vector")) ++ docCol ++ metaCols: _*)
   }
@@ -106,7 +119,7 @@ object Importers {
     val payloadCols = payload(srcCols.filterNot(_ == vectorField)
       .map(c => c -> col(s"_source.$c")), Set("id", "vector"))
     val idCol = coalesce(col("_id").try_cast("long"),
-      abs(xxhash64(col("_id").cast("string")))).as("id")
+      hashedId(col("_id"))).as("id")
     raw.select(Seq(idCol,
       col(s"_source.$vectorField").cast("array<float>").as("vector")) ++ payloadCols: _*)
   }
@@ -124,7 +137,7 @@ object Importers {
       .filterNot(c => c == "id" || c == vectorField).map(c => c -> col(c)),
       Set("id", "vector"))
     raw.select(Seq(coalesce(col("id").try_cast("long"),
-        abs(xxhash64(col("id")))).as("id"),
+        hashedId(col("id"))).as("id"),
       from_json(col(vectorField),
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.FloatType)).as("vector")) ++ others: _*)
@@ -140,7 +153,7 @@ object Importers {
     val others = payload(raw.columns.toIndexedSeq
       .filterNot(Set("id", "vector")).map(c => c -> col(c)), Set("id", "vector"))
     val idCol = coalesce(col("id").try_cast("long"),
-      abs(xxhash64(col("id").cast("string")))).as("id")
+      hashedId(col("id"))).as("id")
     raw.select(Seq(idCol,
       col("vector").cast("array<float>").as("vector")) ++ others: _*)
   }
@@ -164,7 +177,7 @@ object Importers {
         Seq(col("class").cast("string").as("class"))
       else Seq.empty
     val idCol = coalesce(col("id").try_cast("long"),
-      abs(xxhash64(col("id").cast("string")))).as("id")
+      hashedId(col("id"))).as("id")
     raw.select(Seq(idCol,
       col("vector").cast("array<float>").as("vector")) ++ classCol ++ propCols: _*)
   }
@@ -185,7 +198,7 @@ object Importers {
       case _ => col("_id")
     }
     val idCol = coalesce(idBase.try_cast("long"),
-      abs(xxhash64(idBase.cast("string")))).as("id")
+      hashedId(idBase)).as("id")
     val others = payload(raw.columns.toIndexedSeq
       .filterNot(c => c == "_id" || c == vectorField).map(c => c -> col(c)),
       Set("id", "vector"))
@@ -206,8 +219,8 @@ object Importers {
     require(raw.columns.contains(textField),
       s"importer: no '$textField' field in $path (columns: ${raw.columns.mkString(", ")})")
     val idCol = idField match {
-      case Some(f) => coalesce(col(f).try_cast("long"), abs(xxhash64(col(f))))
-      case None => abs(xxhash64(col(textField)))
+      case Some(f) => coalesce(col(f).try_cast("long"), hashedId(col(f)))
+      case None => hashedId(col(textField))
     }
     val others = payload(raw.columns.toIndexedSeq
       .filterNot(c => c == textField || idField.contains(c)).map(c => c -> col(c)),

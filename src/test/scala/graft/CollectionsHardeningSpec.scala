@@ -30,6 +30,23 @@ class CollectionsHardeningSpec extends SparkSpecBase {
     assert(rows.filter(!_.isNullAt(0)).map(_.getString(1)).toSeq == Seq("a2"))
   }
 
+  test("id-less store appends across batches instead of discarding stored rows") {
+    // r15 ADVICE: when NEITHER side has the id column, the old merge
+    // `return batch` published only the incoming batch — every stored
+    // row was silently lost
+    val (c, _) = freshStore()
+    c.create("noid")
+    c.upsert("noid", Seq(("a", 1), ("b", 2)).toDF("v", "n"))
+    c.upsert("noid", Seq(("c", 3)).toDF("v", "n"))
+    val rows = c.table("noid").get.orderBy("n").collect()
+    assert(rows.length == 3, rows.mkString(","))
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    // widening still applies on the append path
+    c.upsert("noid", Seq(("d", 4, "x")).toDF("v", "n", "extra"))
+    val widened = c.table("noid").get
+    assert(widened.columns.contains("extra") && widened.count() == 4)
+  }
+
   test("delete by ids keeps null-id rows (three-valued NOT IN trap)") {
     val (c, _) = freshStore()
     c.create("deln")

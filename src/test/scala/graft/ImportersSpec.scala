@@ -41,7 +41,9 @@ class ImportersSpec extends SparkSpecBase {
     assert(df.columns.toSet == Set("id", "vector", "genre"))
     assert(df.where(df("id") === 42L).count() == 1)   // numeric id preserved
     val ids = df.select("id").collect().map(_.getLong(0))
-    assert(ids.forall(_ >= 0) && ids.toSet.size == 2) // string id hashed
+    // hashed string id lands in the reserved negative range, disjoint
+    // from genuine numeric ids (r15 ADVICE)
+    assert(ids.toSet.size == 2 && ids.exists(_ < 0))
   }
 
   test("Supabase export passes extra columns through") {
@@ -131,7 +133,8 @@ class ImportersSpec extends SparkSpecBase {
     val df = Importers.fromWeaviate(spark, p)
     assert(df.columns.toSet == Set("id", "vector", "class", "title"))
     val r = df.first()
-    assert(r.getLong(r.fieldIndex("id")) >= 0 &&
+    // UUID hashes into the reserved negative range (r15 ADVICE)
+    assert(r.getLong(r.fieldIndex("id")) < 0 &&
       r.getAs[String]("class") == "Doc" && r.getAs[String]("title") == "hi")
   }
 

@@ -102,6 +102,9 @@ class RestServerSpec extends SparkSpecBase {
       assert(r.body().contains("doc-abc"))
       val d = delete(s"/collections/$cn/points/doc-abc")
       assert(d.statusCode() == 200, d.body())
+      // string ids are quoted on the wire; numeric ids stay JSON numbers
+      // (r15 ADVICE — always-quoting regressed {"id":123} clients)
+      assert(d.body().contains(""""id":"doc-abc""""), d.body())
       assert(get(s"/collections/$cn/points/doc-abc").statusCode() == 404)
       assert(get(s"/collections/$cn/points/doc-xyz").statusCode() == 200)
     } finally g.collections.drop(cn)
@@ -327,6 +330,8 @@ class RestServerSpec extends SparkSpecBase {
       val del = client.send(HttpRequest.newBuilder(URI.create(s"$b/collections/pts/points/1"))
         .DELETE().build(), HttpResponse.BodyHandlers.ofString())
       assert(del.statusCode() == 200)
+      // numeric id stays a JSON number on the wire (r15 ADVICE)
+      assert(del.body().contains(""""id":1"""), del.body())
       assert(get2("/collections/pts/points/1").statusCode() == 404)
       // empty: remaining points removed, collection still listed
       val emp = p("/collections/pts/empty", "")
