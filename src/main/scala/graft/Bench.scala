@@ -141,9 +141,18 @@ object Bench {
     // line LAST — compact (headline subset, 4-decimal times, ~800 chars)
     // so it always survives the tail whole.
     val colds = results.map { case (k, c, _, _) => (k, c) }
+    // Per-query rep spread (max−min over finite reps; -1 with <2 finite):
+    // the noise-domination signal the driver record itself carries (r15
+    // verdict ask #5) — a row whose spread rivals its min is co-tenancy
+    // noise, not a regression, and is adjudicable without a re-run.
+    val varianceAll = results.map { case (k, _, _, ts) =>
+      val fin = ts.filterNot(_.isInfinity)
+      (k, if (fin.size >= 2) fin.max - fin.min else -1.0)
+    }
+    val (varMaxQ, varMax) = varianceAll.maxBy(_._2)
     println("BENCH_DETAIL " +
-      s"""{"queries_all":${jsonMap(warm)},"reps_all":$repsAll,"colds_all":${jsonMap(colds)},"cold_total_sec":${fmt(coldTotal)}}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(warm.filter(q => Headline.contains(q._1)))},"n_queries":${warm.size},"cold_total_sec":${fmt(coldTotal)},"reps":$reps,"reps_headline":$headlineReps,"sf":"$sfDir"}""")
+      s"""{"queries_all":${jsonMap(warm)},"reps_all":$repsAll,"variance_all":${jsonMap(varianceAll)},"colds_all":${jsonMap(colds)},"cold_total_sec":${fmt(coldTotal)}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(warm.filter(q => Headline.contains(q._1)))},"n_queries":${warm.size},"cold_total_sec":${fmt(coldTotal)},"reps":$reps,"reps_headline":$headlineReps,"var_max":${fmt(varMax)},"var_max_q":"$varMaxQ","sf":"$sfDir"}""")
     spark.stop()
   }
 }

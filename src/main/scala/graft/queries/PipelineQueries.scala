@@ -247,6 +247,100 @@ object PipelineQueries {
       s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("import_ok"))
     },
 
+    // ---- S2/S3 edge, lifecycle-pinned (crud.rs id semantics): null-id
+    // rows ride along upserts untouched and survive targeted deletes;
+    // replacing an id touches ONLY that id; an id-less store appends
+    // rather than discarding stored rows. Promotes the r15 null-id
+    // CollectionsHardeningSpec findings to the oracle gate.
+    QueryDef.lifecyclePin("q201_nullid_crud",
+      "SELECT CAST(1 AS INT) AS nullid_ok") { (s, _) =>
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q201")
+      val ok = try {
+        val c = new graft.Collections(s, tmp.resolve("store").toString)
+        c.create("nid")
+        c.upsert("nid", Seq((Some(1L), "a"), (None, "n1"), (None, "n2"))
+          .toDF("id", "v"))
+        val afterFirst = c.count("nid") == 3
+        c.upsert("nid", Seq((Some(1L), "a2"), (None, "n3")).toDF("id", "v"))
+        val rows = c.table("nid").get.collect()
+        val afterSecond = rows.length == 4 &&
+          rows.count(_.isNullAt(0)) == 3 &&
+          rows.filter(!_.isNullAt(0)).map(_.getString(1)).toSeq == Seq("a2")
+        c.delete("nid", Seq(1L))
+        val afterDelete = c.count("nid") == 3 &&
+          c.table("nid").get.collect().forall(_.isNullAt(0))
+        // id-less stores append across batches (r15 ADVICE fix)
+        c.create("noid")
+        c.upsert("noid", Seq(("x", 1)).toDF("v", "n"))
+        c.upsert("noid", Seq(("y", 2)).toDF("v", "n"))
+        val append = c.count("noid") == 2
+        afterFirst && afterSecond && afterDelete && append
+      } finally graft.Collections.deleteRec(tmp)
+      s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("nullid_ok"))
+    },
+
+    // ---- S9 edge, lifecycle-pinned (velesdb-migrate UUID ids): string
+    // /UUID point ids hash into the reserved NEGATIVE long range —
+    // never colliding with a genuine numeric id in the same import —
+    // deterministically across re-imports (re-upsert replaces, not
+    // duplicates), and the hashed id round-trips through get/delete.
+    QueryDef.lifecyclePin("q202_uuid_import",
+      "SELECT CAST(1 AS INT) AS uuid_ok") { (s, _) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q202")
+      val ok = try {
+        val q = tmp.resolve("qdrant.jsonl")
+        java.nio.file.Files.writeString(q,
+          """{"id": "550e8400-e29b-41d4-a716-446655440000", "vector": [1.0, 0.0], "payload": {"k": "u1"}}
+            |{"id": "6ba7b810-9dad-11d1-80b4-00c04fd430c8", "vector": [0.0, 1.0], "payload": {"k": "u2"}}
+            |{"id": 7, "vector": [0.5, 0.5], "payload": {"k": "n7"}}
+            |""".stripMargin)
+        val df = graft.sources.Importers.fromQdrant(s, q.toString)
+        val ids = df.select("id").collect().map(_.getLong(0))
+        val hashedOk = ids.count(_ < 0) == 2 && ids.count(_ == 7L) == 1 &&
+          ids.toSet.size == 3
+        val c = new graft.Collections(s, tmp.resolve("store").toString)
+        c.create("uu", idCol = "id", vectorCol = Some("vector"))
+        c.upsert("uu", df)
+        c.upsert("uu", df) // re-import: same hashes → replace, not append
+        val stable = c.count("uu") == 3
+        val hid = ids.min
+        val roundTrip = c.get("uu", Seq(hid)).count() == 1
+        c.delete("uu", Seq(hid))
+        val deleted = c.count("uu") == 2
+        hashedOk && stable && roundTrip && deleted
+      } finally graft.Collections.deleteRec(tmp)
+      s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("uuid_ok"))
+    },
+
+    // ---- A5 edge, lifecycle-pinned: HAVING without GROUP BY is a
+    // rejection (aggregation.rs:144-149; r15: was silently dropped) —
+    // both with a plain select list AND over a global aggregate — while
+    // HAVING with GROUP BY stays legal.
+    QueryDef.lifecyclePin("q203_having_guard",
+      "SELECT CAST(1 AS INT) AS having_ok") { (s, d) =>
+      def compiler() =
+        new graft.velesql.Compiler(s, new graft.velesql.Catalog(s, d))
+      // Compiler.fail raises IllegalArgumentException("VelesQL: …");
+      // Graft.sql maps it into the SemanticError taxonomy — accept either
+      // surface but ONLY for the HAVING guard (a parse error must not pass)
+      def rejectsHaving(q: String): Boolean = try { compiler().run(q); false }
+        catch {
+          case _: graft.velesql.SemanticError => true
+          case e: IllegalArgumentException => e.getMessage.contains("HAVING")
+        }
+      val rejected =
+        rejectsHaving("SELECT o_orderkey FROM orders HAVING min(o_totalprice) > 0") &&
+          rejectsHaving("SELECT count(*) AS c FROM orders HAVING count(*) > 0")
+      val grouped = compiler()
+        .run("""SELECT o_orderpriority, count(*) AS c FROM orders
+                |GROUP BY o_orderpriority HAVING count(*) > 0""".stripMargin)
+        .collect()
+      val allowed = grouped.length == 5 && grouped.forall(_.getLong(1) > 0)
+      s.range(1).select(lit(if (rejected && allowed) 1 else 0)
+        .cast("int").as("having_ok"))
+    },
+
     // ---- L5 streaming collection ingest, lifecycle-pinned: two
     // micro-batches through the foreachBatch upsert sink must land with
     // merge-by-id semantics (later batch wins per id), and the result

@@ -25,6 +25,11 @@ object VelesqlQueries {
 
   private val qvec: Seq[Float] = graft.functions.VectorFunctions.syntheticQuery(64)
   private val qvecSql = qvec.map(_.toDouble.toString).mkString("[", ",", "]::DOUBLE[]")
+  /** Second fixed query vector (the same formula the fused/recall pins
+    * inline) for multi-leg fusion rows. */
+  private val qvecB: Seq[Float] =
+    (0 until 64).map(i => (math.cos(i * 0.31) * 0.4 - 0.05).toFloat)
+  private val qvecBSql = qvecB.map(_.toDouble.toString).mkString("[", ",", "]::DOUBLE[]")
 
   /** Exact top-10 truth for a recall pin's (fixed) query vector,
     * materialized ONCE per corpus stamp — the brute-force oracle is
@@ -628,6 +633,111 @@ object VelesqlQueries {
       """SELECT o_orderkey, o_orderpriority FROM orders
         |WHERE o_orderpriority IN ($p1, $p2) AND o_totalprice > $minprice
         |ORDER BY o_orderkey ASC""".stripMargin,
-      params = Map("p1" -> "1-URGENT", "p2" -> "2-HIGH", "minprice" -> 350000.0))
+      params = Map("p1" -> "1-URGENT", "p2" -> "2-HIGH", "minprice" -> 350000.0)),
+
+    // ---- W3 edge: OFFSET+LIMIT spanning past the END of the result set
+    // returns the partial tail (not an error, not empty) — nation is 25
+    // rows at every SF, so OFFSET 20 LIMIT 10 is exactly the last 5.
+    // Promotes the r15 OFFSET/LIMIT hardening to an oracle pin.
+    vql("q196_vql_offset_tail",
+      "SELECT n_name FROM nation ORDER BY n_name ASC LIMIT 10 OFFSET 20",
+      "SELECT n_name FROM nation ORDER BY n_name ASC LIMIT 10 OFFSET 20"),
+
+    // ---- G4 edge: alias-vs-alias MATCH WHERE — the RHS of a comparison
+    // is ANOTHER alias's bound property (`a.name < b.name`,
+    // match_exec.rs:340-399), over a V-shaped pattern binding TWO rel
+    // aliases. Promotes the r15 alias-ref-RHS resolution fix from
+    // unit-pinned (VelesqlHardeningSpec) to oracle-pinned. Data-
+    // dependent: part pairs within one order, name-ordered.
+    vql("q197_vql_match_alias_cmp",
+      s"""WITH edges AS (${graft.operators.Graph.edgesSql}),
+         |ce AS (SELECT * FROM edges WHERE label = 'contains' AND weight > 49),
+         |pn AS (SELECT p_partkey + 20000000 AS pid, p_name FROM part)
+         |SELECT a.pid AS part_a, b.pid AS part_b
+         |FROM ce e1 JOIN ce e2 ON e1.src = e2.src
+         |JOIN pn a ON a.pid = e1.dst JOIN pn b ON b.pid = e2.dst
+         |WHERE a.p_name < b.p_name
+         |ORDER BY part_a ASC, part_b ASC LIMIT 50""".stripMargin,
+      """MATCH (a:Part)<-[r1:contains]-(o:Order)-[r2:contains]->(b:Part)
+        |WHERE r1.weight > 49 AND r2.weight > 49 AND a.name < b.name
+        |RETURN a.id AS part_a, b.id AS part_b
+        |ORDER BY part_a ASC, part_b ASC LIMIT 50""".stripMargin),
+
+    // ---- F4 edge: a SECOND MATCH conjunct stays a boolean FILTER while
+    // the first becomes the fused text leg (text.rs:221-280; the r15
+    // single-conjunct strip). The filter (second MATCH + lang) applies
+    // BEFORE both legs (filter-then-search); BM25 per-doc stats stay
+    // corpus-wide (deliberate reference fidelity, as in q104).
+    vql("q198_vql_hybrid_second_match",
+      s"""WITH corpus AS (
+         |  SELECT d.doc_id, d.text, d.lang, e.embedding
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+         |fc AS (SELECT * FROM corpus WHERE lang = 'en'
+         |  AND len(list_intersect(
+         |        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 1),
+         |        ['data'])) > 0),
+         |vr AS (
+         |  SELECT doc_id, row_number() OVER (
+         |    ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+         |      $qvecSql) DESC, doc_id) AS vrank
+         |  FROM fc QUALIFY vrank <= 2000),
+         |tok AS (SELECT doc_id, u.t AS term
+         |  FROM corpus, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+         |  WHERE len(u.t) > 1),
+         |dl AS (SELECT doc_id, count(*) AS dlen FROM tok GROUP BY doc_id),
+         |stats AS (SELECT count(*) AS n, avg(CAST(dlen AS DOUBLE)) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       WHERE term IN ('spark', 'stream') GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+         |bm AS (SELECT tf.doc_id, sum(
+         |    ln((n - df + 0.5) / (df + 0.5) + 1.0)
+         |    * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dlen / avgdl))) AS score
+         |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         |  GROUP BY tf.doc_id),
+         |tr AS (SELECT bm.doc_id, row_number() OVER (ORDER BY bm.score DESC, bm.doc_id) AS trank
+         |       FROM bm JOIN fc ON fc.doc_id = bm.doc_id QUALIFY trank <= 2000),
+         |cand AS (
+         |  SELECT coalesce(vr.doc_id, tr.doc_id) AS doc_id,
+         |    coalesce(0.5 / (60 + vrank), 0.0) + coalesce(0.5 / (60 + trank), 0.0) AS score
+         |  FROM vr FULL JOIN tr ON tr.doc_id = vr.doc_id)
+         |SELECT doc_id, score FROM cand
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+      """SELECT doc_id, score FROM corpus
+        |WHERE text MATCH 'spark stream' AND text MATCH 'data'
+        |  AND vector NEAR $q AND lang = 'en'
+        |LIMIT 10
+        |USING FUSION(strategy = 'rrf', k = 60, vector_weight = 0.5)""".stripMargin,
+      params = Map("q" -> qvec)),
+
+    // ---- F4/T edge: MATCH under OR is a boolean filter ARM — the r15
+    // fix stopped the fused-leg strip from silently deleting the OR
+    // branch. Membership semantics: any query term present (len>1
+    // tokens), same as q94.
+    vql("q199_vql_match_under_or",
+      """SELECT doc_id, lang FROM documents
+        |WHERE (len(list_intersect(
+        |        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 1),
+        |        ['spark'])) > 0 OR lang = 'fr')
+        |  AND n_chars > 200 ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, lang FROM documents
+        |WHERE (text MATCH 'spark' OR lang = 'fr') AND n_chars > 200
+        |ORDER BY doc_id ASC""".stripMargin),
+
+    // ---- V6 edge: a SELECT-LEVEL `USING FUSION(…)` clause applies to
+    // NEAR_FUSED exactly like the condition-level form
+    // (grammar.pest:78-83; r15: used to be silently ignored) —
+    // 'average' over the label-filtered frame (filter-then-search).
+    vql("q200_vql_fused_select_fusion",
+      s"""SELECT vec_id, score FROM (
+         |  SELECT vec_id,
+         |    (list_cosine_similarity(CAST(embedding AS DOUBLE[]), $qvecSql)
+         |     + list_cosine_similarity(CAST(embedding AS DOUBLE[]), $qvecBSql)) / 2.0 AS score
+         |  FROM embeddings WHERE label IN (1, 2, 3)
+         |  ORDER BY score DESC, vec_id LIMIT 10)""".stripMargin,
+      """SELECT vec_id, score FROM embeddings
+        |WHERE label IN (1, 2, 3) AND vector NEAR_FUSED [$a, $b]
+        |LIMIT 10
+        |USING FUSION(strategy = 'average')""".stripMargin,
+      params = Map("a" -> qvec, "b" -> qvecB))
   )
 }

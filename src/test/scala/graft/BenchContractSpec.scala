@@ -25,7 +25,9 @@ class BenchContractSpec extends AnyFunSuite {
     // `"name":dddd.dddd` entry per headline query (worst case 9 digits)
     val fixed = ("""{"metric":"total","value":99999.9999,"unit":"sec",""" +
       """"queries":{},"n_queries":999,"cold_total_sec":99999.9999,""" +
-      """"reps":9,"sf":"/root/testdata/sf0.1"}""").length
+      """"reps":9,"reps_headline":9,"var_max":9999.9999,""" +
+      """"var_max_q":"q999_a_very_long_query_name_here",""" +
+      """"sf":"/root/testdata/sf0.1"}""").length
     val perQuery = Bench.Headline.toSeq.map(_.length + 13).sum // "n":9999.9999,
     val worst = fixed + perQuery
     // leave headroom for sbt's [info]/[success] framing inside the tail
@@ -40,7 +42,8 @@ class BenchContractSpec extends AnyFunSuite {
       "q136_streaming_ingest", "q137_storage_mode", "q138_graph_schema",
       "q142_collection_ann", "q165_streaming_predict", "q172_bpe_train",
       "q174_classifier_train", "q176_pca", "q187_storage_half",
-      "q191_streaming_classify", "q192_bloom_dedup", "q194_merge_lifecycle"),
+      "q191_streaming_classify", "q192_bloom_dedup", "q194_merge_lifecycle",
+      "q201_nullid_crud", "q202_uuid_import", "q203_having_guard"),
       s"unexpected unbenchmarked queries: $pins — every exclusion from " +
         "bench timing must be a deliberate lifecycle pin")
   }
