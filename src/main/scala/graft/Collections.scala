@@ -82,9 +82,20 @@ object Collections {
   *   unreferenced data dirs — ≥2 keeps the just-superseded generation
   *   alive for in-flight readers whose plans resolved file lists
   *   already (the reference's compaction/autovacuum analog,
-  *   storage/compaction.rs / column_store/mod.rs:420-573). */
+  *   storage/compaction.rs / column_store/mod.rs:420-573).
+  * @param generationGraceMs minimum AGE before an unreferenced data dir
+  *   is physically deleted. The count-based window alone is not a
+  *   correctness guarantee: under rapid successive publishes a reader's
+  *   resolved plan can fall more than `retainGenerations` publishes
+  *   behind mid-execution and hit FAILED_READ_FILE on vanished parquet
+  *   (found by StressSpec's 12-thread storm, r16). Deletion requires
+  *   BOTH beyond-retention AND older-than-grace — the same
+  *   time-based tombstone retention Delta Lake uses for vacuum safety.
+  *   Manifest files themselves stay count-pruned (cheap, and readers
+  *   hold resolved FILE lists, not manifests). */
 class Collections(spark: SparkSession, dataDir: String,
-    retainGenerations: Int = 2) {
+    retainGenerations: Int = 2,
+    generationGraceMs: Long = 600000L) {
   import Collections.{children, deleteRec, PointsManifest}
 
   private def root: Path = Paths.get(dataDir)
@@ -306,16 +317,24 @@ class Collections(spark: SparkSession, dataDir: String,
       else Set.empty
     val referenced = keep.filter(Files.exists(_)).map(parseManifest)
       .flatMap(_.topDirs).toSet ++ stillLegacy
+    // unreferenced dirs younger than the grace window stay: an in-flight
+    // reader may still hold their file paths (see generationGraceMs) —
+    // they age out on a later publish/vacuum. Generation dirs are
+    // immutable after publish, so mtime IS creation time.
+    val cutoff = System.currentTimeMillis() - generationGraceMs
     children(dir)
       .filter(p => p.getFileName.toString.startsWith("points-g")
-        && !referenced.contains(p.getFileName.toString))
+        && !referenced.contains(p.getFileName.toString)
+        && Files.getLastModifiedTime(p).toMillis < cutoff)
       .foreach(deleteRec)
   }
 
   /** Drop every generation but the current one — the explicit vacuum
-    * (reference autovacuum, column_store/mod.rs:420-573). Unreferenced
-    * data dirs and superseded manifests are deleted; snapshots are
-    * physical copies and unaffected. */
+    * (reference autovacuum, column_store/mod.rs:420-573). Superseded
+    * manifests are deleted immediately; unreferenced data dirs
+    * additionally honor generationGraceMs (an in-flight reader may
+    * still hold their file paths), aging out on a later pass. Snapshots
+    * are physical copies and unaffected. */
   def vacuum(name: String): Unit = this.synchronized {
     if (Files.exists(manifestLink(name))) gcPoints(name, retain = 1)
   }
@@ -1145,8 +1164,9 @@ class Collections(spark: SparkSession, dataDir: String,
     * `table()` returned None and planned scans hit vanishing files).
     * Because [[table]] resolves the symlink BEFORE planning, an in-flight
     * reader keeps addressing the immutable superseded directory, which
-    * survives exactly one publish (bounded 2× disk per collection);
-    * generations older than that are removed. */
+    * survives at least one publish AND the generationGraceMs age window
+    * (disk bounded by publish rate × grace); older generations are
+    * removed. */
   /** Edge frames cluster by (label, src) on every publish: typed MATCH
     * traversals filter on `label` and probe by `src`, so tight per-file/
     * row-group min-max stats prune both — the user-collection mirror of
@@ -1176,10 +1196,14 @@ class Collections(spark: SparkSession, dataDir: String,
     if (previous.contains(target)) deleteRec(target) // legacy dir blocks the rename
     // POSIX rename(2): atomically replaces an existing symlink entry
     Files.move(link, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    // keep the just-superseded generation for in-flight readers; drop older
+    // keep the just-superseded generation for in-flight readers; drop
+    // older generations once they age past the grace window (same
+    // rapid-publish race as gcPoints — see generationGraceMs)
+    val cutoff = System.currentTimeMillis() - generationGraceMs
     children(dir)
       .filter(p => p.getFileName.toString.startsWith(s"$frame-g")
-        && p != gen && !previous.contains(p))
+        && p != gen && !previous.contains(p)
+        && Files.getLastModifiedTime(p).toMillis < cutoff)
       .foreach(deleteRec)
   }
 }

@@ -53,6 +53,42 @@ class ManifestConcurrencySpec extends SparkSpecBase {
     } finally { pool.shutdown(); Collections.deleteRec(java.nio.file.Paths.get(tmp)) }
   }
 
+  test("grace window: a plan MANY publishes behind still reads; grace=0 reclaims") {
+    // r16 StressSpec finding: the count-based retention window alone let
+    // rapid successive publishes delete parquet under an in-flight plan
+    // (FAILED_READ_FILE). Deletion now also requires age > grace.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-grace").toString
+    val cols = new Collections(spark, tmp) // default grace: 10 min
+    cols.create("c", buckets = 4)
+    cols.upsert("c", (1L to 50L).map(i => (i, i * 2)).toDF("id", "score"))
+    val before = cols.table("c").get
+    before.count() // resolve + list files
+    // push the resolved plan FOUR publishes behind (retention keeps 2)
+    (1 to 4).foreach(i => cols.upsert("c", Seq((i.toLong, 9000L + i)).toDF("id", "score")))
+    // the old plan still executes: its generation is unreferenced but
+    // younger than the grace window
+    assert(before.count() == 50)
+    assert(before.where(col("id") === 1L).select("score").first().getLong(0) == 2L)
+    Collections.deleteRec(java.nio.file.Paths.get(tmp))
+
+    // grace = 0 restores immediate reclamation (bounded disk for churny
+    // batch jobs that never hold stale plans): identical operations on a
+    // zero-grace store leave strictly fewer generation dirs on disk
+    def churn(grace: Long): Int = {
+      val t = java.nio.file.Files.createTempDirectory(s"graft-grace$grace").toString
+      val c = new Collections(spark, t, generationGraceMs = grace)
+      c.create("c", buckets = 4)
+      (1 to 5).foreach(i => c.upsert("c", Seq((i.toLong, s"v$i")).toDF("id", "v")))
+      assert(c.count("c") == 5)
+      val n = Collections.children(java.nio.file.Paths.get(t, "c"))
+        .count(_.getFileName.toString.startsWith("points-g"))
+      Collections.deleteRec(java.nio.file.Paths.get(t))
+      n
+    }
+    assert(churn(0L) < churn(600000L),
+      "zero grace must reclaim unreferenced dirs immediately")
+  }
+
   test("a plan resolved before a publish still reads (retention window)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-conc2").toString
     val cols = new Collections(spark, tmp)
