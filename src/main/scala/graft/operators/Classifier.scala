@@ -48,9 +48,15 @@ object Classifier {
       slice(w, lit(2), greatest(size(w) - 1, lit(0))),
       (a, b) => concat(a, lit(" "), b)))
 
-  /** fid = first 15 md5 hex chars mod dim. */
+  /** fid = first 15 md5 hex chars mod dim — computed from the digest
+    * BYTES by the codegen kernel (bit-parity with the hex/conv chain
+    * pinned by TextKernelsSpec). The built-in chain allocated a 32-char
+    * hex string + substring + base-16 parse per gram; at ~200 grams/doc
+    * that was q173's whole gap to the oracle (r16 ClassifierLab). */
   private def fidOf(g: Column, dim: Int): Column =
-    conv(substring(md5(g), 1, 15), 16, 10).cast(LongType) % dim
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.Md5Fid(
+        org.apache.spark.sql.graft.Bridge.expression(g), dim))
 
   /** Exploded (id, fid) gram occurrences — the map-only front half of
     * both feature shapes below (shared with [[Dsir]], which needs the
@@ -111,12 +117,15 @@ object Classifier {
           s"weight fid $fid outside dim $dim — train/score dim mismatch")
         dense(fid.toInt) = r.getDouble(1)
       }
-    val wArr = typedlit(dense.toSeq)
     val toks = df.select(col(idCol), tokenArray(textCol).as("w"))
+    // one codegen kernel call per row (unigrams then bigrams, the exact
+    // gram order + left-to-right IEEE fold of the aggregate() HOF it
+    // replaces — HOF lambdas evaluate interpreted per element, and the
+    // per-gram md5-hex/conv/concat allocations dominated; r16 lab)
+    import org.apache.spark.sql.graft.{Bridge, HashedGramMargin}
     toks.where(size(col("w")) > 0)
       .select(col(idCol),
-        r6(aggregate(gramsOf(col("w")), lit(0.0),
-          (acc, g) => acc + element_at(wArr, (fidOf(g, dim) + 1).cast("int"))))
+        r6(Bridge.column(HashedGramMargin(Bridge.expression(col("w")), dense)))
           .as("margin"))
       .withColumn("prob",
         r6(lit(1.0) / (lit(1.0) + exp(-(col("margin") + lit(bias))))))
