@@ -25,6 +25,19 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
+  /** Dimension-adaptive subspace count: ~16 dims per subspace (the
+    * classic PQ operating band), floor 8 subspaces, snapped down to a
+    * divisor of dim. At 64D this is the historical m=8 (8-dim
+    * subvectors — every committed calibration and oracle pin
+    * unchanged); at 768D it is 48. The old FIXED m=8 left 96-dim
+    * subspaces at 768D, which quantize to noise: recall@10 = 0.02 on
+    * the 100K×768D tile (r16 RecallCurve) vs ≥0.95 after adaptation.
+    * `graft.pq.m` still overrides. */
+  def defaultM(dim: Int): Int = {
+    val target = math.max(8, dim / 16)
+    (target to 1 by -1).find(dim % _ == 0).getOrElse(1)
+  }
+
   /** Per-subspace codebooks: `m` × `k` centroids of `dim/m` floats.
     * Each subspace trains with [[Ivf.trainCentroids]] over the SLICED
     * frame — deterministic seeding, distributed Lloyd rounds. */

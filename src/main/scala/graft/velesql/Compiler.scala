@@ -319,11 +319,24 @@ class Compiler(
             // (calibrated via RecallProbe on the near-uniform worst-case
             // testdata: accurate = nprobe 7, ef 96 → ≥29/30 recall@10)
             val nprobe = t match { case "fast" => 2; case "balanced" => 4; case _ => kCells - 1 }
-            val ef = t match { case "fast" => 24; case "balanced" => 48; case _ => 96 }
             val (cents, graph) = Hnsw.materializedIndexAt(spark, src.token,
               src.paths, sel.from, src.frame(), vcolName, meta.idCol,
               meta.metric, kCells, m,
               modelSources = src.modelPaths, pieces = src.pieces)
+            // accurate is the ≥0.95-recall contract tier, and recall at
+            // a FIXED walk budget decays as cells grow: ef=96 measured
+            // 0.68 on the 100K×768D tile vs 0.96 at ~corpus/96
+            // (RecallCurve r16 — the reference scales the same knob,
+            // HnswParams::for_dataset_size params.rs:72-102). ef adapts
+            // to ~1% of the corpus, floored at the sf-scale calibration;
+            // the count is parquet-footer metadata on the narrow graph
+            // table, once per compile. fast/balanced stay fixed — they
+            // are the speed tiers.
+            val ef = t match {
+              case "fast" => 24
+              case "balanced" => 48
+              case _ => math.max(96, (graph.count() / 96L).toInt)
+            }
             val cellsToProbe = Hnsw.probeCells(cents, vec.toArray, nprobe)
             val idx = graph.as(sel.fromAlias.getOrElse(sel.from))
             // filter-then-search: the residual predicate gates ACCEPTANCE
@@ -507,7 +520,11 @@ class Compiler(
               "(the LSH buckets aren't trained with the codebooks); add " +
               "index='ivf' or drop the mode for a full-codes ADC scan")
           import graft.operators.{IvfPq, Pq}
-          val m = spark.conf.get("graft.pq.m", "8").toInt
+          // m adapts to the vector width (~16 dims/subspace; 64D keeps
+          // the historical 8) — a fixed m=8 quantized 768D vectors to
+          // noise (r16 RecallCurve); conf still overrides
+          val m = spark.conf.getOption("graft.pq.m").map(_.toInt)
+            .getOrElse(Pq.defaultM(vec.length))
           val kc = spark.conf.get("graft.pq.k", "32").toInt
           // IVF-PQ (probing tier + index='ivf'): phase 1 scans only the
           // probed cells of the combined (id, cell, codes) table —
@@ -518,7 +535,7 @@ class Compiler(
           // of 8 cells at the composed default oversampling=64 →
           // recall@10 29/30 (sf0.01) / 30/30 (sf0.1), pinned by
           // q139_ivfpq_recall.
-          val (cb, codes) =
+          val (cb, codes, totalCodes) =
             if (probing) {
               val cellsN = spark.conf.get("graft.ivf.cells", "8").toInt
               val nprobe = tier.get match {
@@ -530,10 +547,27 @@ class Compiler(
                 modelSources = pqSrc.modelPaths, pieces = pqSrc.pieces)
               val probes = IvfPq.probeCells(cents, vec.toArray, nprobe)
               (books,
-                combined.where(col("cell").isin(probes: _*)).drop("cell"))
-            } else Pq.materializedIndexAt(spark, pqSrc.token, pqSrc.paths,
-              sel.from, pqSrc.frame(), vcolName, meta.idCol, vec.length, m, kc,
-              modelSources = pqSrc.modelPaths, pieces = pqSrc.pieces)
+                combined.where(col("cell").isin(probes: _*)).drop("cell"),
+                combined.count())
+            } else {
+              val (books, enc) = Pq.materializedIndexAt(spark, pqSrc.token,
+                pqSrc.paths, sel.from, pqSrc.frame(), vcolName, meta.idCol,
+                vec.length, m, kc,
+                modelSources = pqSrc.modelPaths, pieces = pqSrc.pieces)
+              (books, enc, enc.count())
+            }
+          // corpus-adaptive candidate pool when the user gave no explicit
+          // oversampling: raw-code ADC ranks COARSELY inside a tight
+          // cluster, so the pool must grow with the corpus (the cluster
+          // population grows with it) — the fixed 16 measured recall@10
+          // 0.14 on the 100K×768D clustered tile vs 0.96 at ~corpus/200
+          // (RecallCurve r16); sf-scale corpora stay on their calibrated
+          // floors (6k/200 = 30 < 64; q133 pins EXPLICIT oversampling).
+          // The count is parquet-footer metadata on the narrow codes
+          // table, once per compile.
+          val osEff = sel.withOptions.get("oversampling").map(_.toDouble.toInt)
+            .getOrElse(math.max(if (probing) 64 else 16,
+              (totalCodes / 200L).toInt))
           val (ord, asc) = Pq.adcOrdering(col("codes"), vec.toArray, cb, meta.metric)
           // filter-then-search: with a residual WHERE, candidates come
           // from the filtered frame's ids only
@@ -544,7 +578,7 @@ class Compiler(
           val candIds = scoped.withColumn("__adc", ord)
             .orderBy(if (asc) col("__adc").asc else col("__adc").desc,
               col(meta.idCol).asc)
-            .limit(k * oversample)
+            .limit(k * osEff)
             .select(meta.idCol)
           dfF.join(candIds, meta.idCol :: Nil)
             .withColumn("score", fn(col(vcolName), VectorFunctions.vecLit(vec)))

@@ -57,6 +57,12 @@ object RecallCurve {
           (math.sin(qi * 13.7 + j * 1.9) * 0.3)).toFloat)
     }
 
+    // GRAFT_CURVE_ONLY=pq,hnsw → run only those index sections (the
+    // exact truth always computes; it is the recall denominator)
+    val sections: Set[String] = sys.env.get("GRAFT_CURVE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("lsh", "ivf", "hnsw", "pq"))
+
     def timed[A](f: => A): (A, Double) = {
       f // warm
       val reps = (1 to 2).map { _ =>
@@ -84,7 +90,7 @@ object RecallCurve {
     report("exact", "perfect", "full scan", 100L, exactSec)
 
     // LSH: planes=6 (graft.ann.planes default), radius per tier
-    {
+    if (sections("lsh")) {
       val t0 = System.nanoTime()
       val idx = Ann.buildIndex(emb, "embedding", 6, dim = Some(dim)).cache()
       idx.count()
@@ -112,7 +118,7 @@ object RecallCurve {
     }
     val cells = Ivf.buildIndex(emb, "embedding", cents).cache()
     cells.count()
-    for ((tier, np) <- Seq(("fast", 2), ("balanced", 4), ("accurate", 7))) {
+    if (sections("ivf")) for ((tier, np) <- Seq(("fast", 2), ("balanced", 4), ("accurate", 7))) {
       var hits = 0L; var sec = 0.0
       queries.zipWithIndex.foreach { case (q, i) =>
         val probes = Hnsw.probeCells(cents, q.toArray, np)
@@ -126,12 +132,21 @@ object RecallCurve {
     }
 
     // HNSW: IVF router + per-cell graph walk, (nprobe, ef) per tier
-    {
+    if (sections("hnsw")) {
       val t0 = System.nanoTime()
       val graph = Hnsw.buildGraph(cells, "embedding", "vec_id", "cosine", m = 8).cache()
       graph.count()
       println(f"BUILD hnsw-graph ${(System.nanoTime() - t0) / 1e9}%.1f s")
-      for ((tier, np, ef) <- Seq(("fast", 2, 24), ("balanced", 4, 48), ("accurate", 7, 96))) {
+      // accurate = the product's corpus-adaptive walk budget
+      // (Compiler: max(96, rows/96) — the ≥0.95 contract tier)
+      val efAcc = math.max(96, n / 96)
+      val hnswPoints = Seq(("fast", 2, 24), ("balanced", 4, 48), ("accurate", 7, efAcc)) ++
+        // calibration ladder for the dataset-size-adaptive ef (the
+        // reference's HnswParams::for_dataset_size shape): the fixed
+        // ef=96 calibrated on sf-scale cells measured 0.68 here
+        sys.env.get("GRAFT_HNSW_EF_SWEEP").toSeq.flatMap(_ =>
+          Seq(("cal-ef256", 7, 256), ("cal-ef512", 7, 512), ("cal-ef1024", 7, 1024)))
+      for ((tier, np, ef) <- hnswPoints) {
         var hits = 0L; var sec = 0.0
         queries.zipWithIndex.foreach { case (q, i) =>
           val probes = Hnsw.probeCells(cents, q.toArray, np)
@@ -151,14 +166,21 @@ object RecallCurve {
     }
     cells.unpersist()
 
-    // PQ: ADC candidates + exact rerank at the calibrated oversample=16
-    {
+    // PQ: ADC candidates + exact rerank, m dimension-adaptive
+    // (Pq.defaultM — 8 at 64D, 48 at 768D)
+    if (sections("pq")) {
       val t0 = System.nanoTime()
-      val cb = Pq.train(emb, "embedding", dim, 8, 32)
+      val pm = Pq.defaultM(dim)
+      val cb = Pq.train(emb, "embedding", dim, pm, 32)
       val enc = Pq.encodeForProbe(emb, "embedding", "vec_id", cb).cache()
       enc.count()
       println(f"BUILD pq ${(System.nanoTime() - t0) / 1e9}%.1f s")
-      for ((tier, os) <- Seq(("balanced", 4), ("accurate", 16))) {
+      // accurate = the product's corpus-adaptive candidate pool
+      // (Compiler: max(16, rows/200))
+      val pqPoints = Seq(("balanced", 4), ("accurate", math.max(16, n / 200))) ++
+        sys.env.get("GRAFT_PQ_OS_SWEEP").toSeq.flatMap(_ =>
+          Seq(("cal-os64", 64), ("cal-os128", 128), ("cal-os256", 256), ("cal-os512", 512)))
+      for ((tier, os) <- pqPoints) {
         var hits = 0L; var sec = 0.0
         queries.zipWithIndex.foreach { case (q, i) =>
           val (ord, asc) = Pq.adcOrdering(col("codes"), q.toArray, cb, "cosine")
@@ -171,7 +193,7 @@ object RecallCurve {
           }
           hits += ids.intersect(truth(i)).size; sec += s
         }
-        report("pq", tier, s"m=8 k=32 oversample=$os", hits, sec)
+        report("pq", tier, s"m=$pm k=32 oversample=$os", hits, sec)
       }
       enc.unpersist()
     }
