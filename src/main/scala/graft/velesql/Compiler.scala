@@ -548,13 +548,13 @@ class Compiler(
               val probes = IvfPq.probeCells(cents, vec.toArray, nprobe)
               (books,
                 combined.where(col("cell").isin(probes: _*)).drop("cell"),
-                combined.count())
+                () => combined.count())
             } else {
               val (books, enc) = Pq.materializedIndexAt(spark, pqSrc.token,
                 pqSrc.paths, sel.from, pqSrc.frame(), vcolName, meta.idCol,
                 vec.length, m, kc,
                 modelSources = pqSrc.modelPaths, pieces = pqSrc.pieces)
-              (books, enc, enc.count())
+              (books, enc, () => enc.count())
             }
           // corpus-adaptive candidate pool when the user gave no explicit
           // oversampling: raw-code ADC ranks COARSELY inside a tight
@@ -564,10 +564,11 @@ class Compiler(
           // (RecallCurve r16); sf-scale corpora stay on their calibrated
           // floors (6k/200 = 30 < 64; q133 pins EXPLICIT oversampling).
           // The count is parquet-footer metadata on the narrow codes
-          // table, once per compile.
+          // table, once per compile — and a THUNK, so an explicit
+          // oversampling never pays it.
           val osEff = sel.withOptions.get("oversampling").map(_.toDouble.toInt)
             .getOrElse(math.max(if (probing) 64 else 16,
-              (totalCodes / 200L).toInt))
+              (totalCodes() / 200L).toInt))
           val (ord, asc) = Pq.adcOrdering(col("codes"), vec.toArray, cb, meta.metric)
           // filter-then-search: with a residual WHERE, candidates come
           // from the filtered frame's ids only
