@@ -308,7 +308,7 @@ class Compiler(
             // scanning the whole cell — fewer scored candidates at equal
             // recall (HnswSpec asserts the count; q195_ann_recall_hnsw
             // pins recall@10 ≥ 0.95 at the accurate tier).
-            import graft.operators.Hnsw
+            import graft.operators.{Hnsw, Ivf}
             val src = (if (sel.joins.isEmpty) catalog.indexSource(sel.from) else None)
               .getOrElse(fail("WITH index='hnsw' needs a dataset table or a " +
                 "written user collection (the graph index is materialized " +
@@ -319,44 +319,81 @@ class Compiler(
             // (calibrated via RecallProbe on the near-uniform worst-case
             // testdata: accurate = nprobe 7, ef 96 → ≥29/30 recall@10)
             val nprobe = t match { case "fast" => 2; case "balanced" => 4; case _ => kCells - 1 }
-            val (cents, graph) = Hnsw.materializedIndexAt(spark, src.token,
-              src.paths, sel.from, src.frame(), vcolName, meta.idCol,
-              meta.metric, kCells, m,
+            // The IVF half is the centroid router AND the cost-aware
+            // fallback target; resolving it first yields the corpus
+            // count WITHOUT touching the graph (Hnsw.materializedIndexAt
+            // builds on the same memoized artifact, so nothing doubles).
+            val (cents, ivfCells) = Ivf.materializedIndexAt(spark, src.token,
+              src.paths, sel.from, src.frame(), vcolName, kCells,
               modelSources = src.modelPaths, pieces = src.pieces)
-            // accurate is the ≥0.95-recall contract tier, and recall at
-            // a FIXED walk budget decays as cells grow: ef=96 measured
-            // 0.68 on the 100K×768D tile vs 0.96 at ~corpus/96
-            // (RecallCurve r16 — the reference scales the same knob,
-            // HnswParams::for_dataset_size params.rs:72-102). ef adapts
-            // to ~1% of the corpus, floored at the sf-scale calibration;
-            // the count is parquet-footer metadata on the narrow graph
-            // table, once per compile. fast/balanced stay fixed — they
-            // are the speed tiers.
-            val ef = t match {
-              case "fast" => 24
-              case "balanced" => 48
-              case _ => math.max(96, (graph.count() / 96L).toInt)
-            }
+            // Corpus count: known the moment the index materializes, so
+            // it is persisted per content stamp (Materialize.countMemo)
+            // — NO Spark job on any later compile, including fresh-JVM
+            // serving with a new query vector per request (r16 VERDICT
+            // #1 / ADVICE: the unconditional per-compile count() doubled
+            // q195). Every index family counts the same non-null-vector
+            // corpus, so the memo kind is shared with the PQ path.
+            val corpusN = graft.Materialize.countMemo(
+              s"corpusn_${vcolName}_${sel.from}", src.token, src.paths)(
+              ivfCells.count())
             val cellsToProbe = Hnsw.probeCells(cents, vec.toArray, nprobe)
-            val idx = graph.as(sel.fromAlias.getOrElse(sel.from))
-            // filter-then-search: the residual predicate gates ACCEPTANCE
-            // inside the walk (navigation still crosses non-matching
-            // nodes — filtered-HNSW), so survivors all satisfy it
-            val (probedIdx, keepCol) = residualCond match {
-              case Some(c) =>
-                (idx.withColumn("__keep", compileCond(c, idx, meta)), Some("__keep"))
-              case None => (idx, None)
+            // Cost-aware tier routing (r16 VERDICT #2): accurate is the
+            // ≥0.95-recall contract tier, and recall at a FIXED walk
+            // budget decays as cells grow — ef must scale as ~corpus/96
+            // (RecallCurve r16; the reference scales the same knob,
+            // HnswParams::for_dataset_size params.rs:72-102). But the
+            // batch walk reads every probed row anyway (mapPartitions
+            // materializes the cell) — its only saving is exact-kernel
+            // evals, and the measured per-visit bookkeeping exceeds a
+            // codegen eval at every dim tested (100K×768D: 662 ms walk
+            // vs 92 ms exact scan, PERF_r16_ann). So once the adaptive
+            // ef exceeds the calibrated floor (corpus > 96·96), the walk
+            // is a strictly worse linear scan: route accurate to the
+            // per-cell EXACT scan over the probed cells (the ivf-tier
+            // plan, recall 1.0 within the probe — the recall pins only
+            // strengthen), and skip building the adjacency entirely.
+            // fast/balanced keep their fixed small ef — genuinely
+            // sublinear candidate counts at every corpus size.
+            if (t == "accurate" && corpusN > 96L * 96L) {
+              val idx = ivfCells.as(sel.fromAlias.getOrElse(sel.from))
+              val idxF = residualCond match {
+                case Some(c) => idx.where(compileCond(c, idx, meta))
+                case None => idx
+              }
+              idxF.where(col("cell").isin(cellsToProbe: _*)).drop("cell")
+            } else {
+              val (_, graph) = Hnsw.materializedIndexAt(spark, src.token,
+                src.paths, sel.from, src.frame(), vcolName, meta.idCol,
+                meta.metric, kCells, m,
+                modelSources = src.modelPaths, pieces = src.pieces)
+              val ef = t match {
+                case "fast" => 24
+                case "balanced" => 48
+                // the sf-scale calibration floor; larger corpora routed
+                // to the exact scan above, so the walk never pays an
+                // asymptotically-linear ef
+                case _ => 96
+              }
+              val idx = graph.as(sel.fromAlias.getOrElse(sel.from))
+              // filter-then-search: the residual predicate gates ACCEPTANCE
+              // inside the walk (navigation still crosses non-matching
+              // nodes — filtered-HNSW), so survivors all satisfy it
+              val (probedIdx, keepCol) = residualCond match {
+                case Some(c) =>
+                  (idx.withColumn("__keep", compileCond(c, idx, meta)), Some("__keep"))
+                case None => (idx, None)
+              }
+              Hnsw.walkCandidates(
+                probedIdx.where(col("cell").isin(cellsToProbe: _*)),
+                vcolName, meta.idCol, meta.metric, vec, ef, keepCol,
+                // the materialized graph is written clustered by cell, so
+                // the walk may skip its co-locating shuffle when no
+                // parquet file can split (walkCandidates gates on file
+                // sizes; the residual __keep projection doesn't change
+                // the underlying scan's files)
+                cellClusteredFiles = true)
+                .drop("cell", "neighbors", "neighbors1", "level", "__keep")
             }
-            Hnsw.walkCandidates(
-              probedIdx.where(col("cell").isin(cellsToProbe: _*)),
-              vcolName, meta.idCol, meta.metric, vec, ef, keepCol,
-              // the materialized graph is written clustered by cell, so
-              // the walk may skip its co-locating shuffle when no
-              // parquet file can split (walkCandidates gates on file
-              // sizes; the residual __keep projection doesn't change
-              // the underlying scan's files)
-              cellClusteredFiles = true)
-              .drop("cell", "neighbors", "neighbors1", "level", "__keep")
           case Some(t @ ("fast" | "balanced" | "accurate"))
               if indexKind.contains("ivf") =>
             import graft.operators.Ivf
@@ -548,13 +585,18 @@ class Compiler(
               val probes = IvfPq.probeCells(cents, vec.toArray, nprobe)
               (books,
                 combined.where(col("cell").isin(probes: _*)).drop("cell"),
-                () => combined.count())
+                () => graft.Materialize.countMemo(
+                  s"corpusn_${vcolName}_${sel.from}", pqSrc.token,
+                  pqSrc.paths)(combined.count()))
             } else {
               val (books, enc) = Pq.materializedIndexAt(spark, pqSrc.token,
                 pqSrc.paths, sel.from, pqSrc.frame(), vcolName, meta.idCol,
                 vec.length, m, kc,
                 modelSources = pqSrc.modelPaths, pieces = pqSrc.pieces)
-              (books, enc, () => enc.count())
+              (books, enc,
+                () => graft.Materialize.countMemo(
+                  s"corpusn_${vcolName}_${sel.from}", pqSrc.token,
+                  pqSrc.paths)(enc.count()))
             }
           // corpus-adaptive candidate pool when the user gave no explicit
           // oversampling: raw-code ADC ranks COARSELY inside a tight
@@ -563,9 +605,11 @@ class Compiler(
           // 0.14 on the 100K×768D clustered tile vs 0.96 at ~corpus/200
           // (RecallCurve r16); sf-scale corpora stay on their calibrated
           // floors (6k/200 = 30 < 64; q133 pins EXPLICIT oversampling).
-          // The count is parquet-footer metadata on the narrow codes
-          // table, once per compile — and a THUNK, so an explicit
-          // oversampling never pays it.
+          // The count is a THUNK (explicit oversampling never pays it)
+          // AND persisted per content stamp (Materialize.countMemo) —
+          // the default path runs the count job once per corpus stamp
+          // EVER, not once per compile (r16 VERDICT #1: per-request
+          // count jobs in ANN serving).
           val osEff = sel.withOptions.get("oversampling").map(_.toDouble.toInt)
             .getOrElse(math.max(if (probing) 64 else 16,
               (totalCodes() / 200L).toInt))
