@@ -92,10 +92,22 @@ object Collections {
   *   BOTH beyond-retention AND older-than-grace — the same
   *   time-based tombstone retention Delta Lake uses for vacuum safety.
   *   Manifest files themselves stay count-pruned (cheap, and readers
-  *   hold resolved FILE lists, not manifests). */
+  *   hold resolved FILE lists, not manifests).
+  * @param graceRetainMax hard COUNT cap on grace-retained unreferenced
+  *   generations. Each publish rewrites a full copy of the collection,
+  *   so an age-only grace makes steady-state disk = publish-rate ×
+  *   grace × collection size — a streaming foreachBatch sink or a REST
+  *   upsert storm retained hundreds of full copies where the old count
+  *   window kept 2, and vacuum() no longer reclaimed them either
+  *   (r16 ADVICE). Beyond the cap, the OLDEST unreferenced dirs delete
+  *   regardless of age: a reader must now fall `graceRetainMax`
+  *   publishes behind mid-execution to notice, instead of
+  *   `retainGenerations` — bounded disk with the same Delta-style
+  *   safety shape. */
 class Collections(spark: SparkSession, dataDir: String,
     retainGenerations: Int = 2,
-    generationGraceMs: Long = 600000L) {
+    generationGraceMs: Long = 600000L,
+    graceRetainMax: Int = 16) {
   import Collections.{children, deleteRec, PointsManifest}
 
   private def root: Path = Paths.get(dataDir)
@@ -320,13 +332,21 @@ class Collections(spark: SparkSession, dataDir: String,
     // unreferenced dirs younger than the grace window stay: an in-flight
     // reader may still hold their file paths (see generationGraceMs) —
     // they age out on a later publish/vacuum. Generation dirs are
-    // immutable after publish, so mtime IS creation time.
+    // immutable after publish, so mtime IS creation time. The grace is
+    // COUNT-capped at graceRetainMax (newest-first): beyond the cap the
+    // oldest delete regardless of age, or a publish storm retains a
+    // full collection copy per publish for the whole window (r16
+    // ADVICE — bounded disk beats an unbounded in-flight guarantee).
     val cutoff = System.currentTimeMillis() - generationGraceMs
-    children(dir)
+    val unreferenced = children(dir)
       .filter(p => p.getFileName.toString.startsWith("points-g")
-        && !referenced.contains(p.getFileName.toString)
-        && Files.getLastModifiedTime(p).toMillis < cutoff)
+        && !referenced.contains(p.getFileName.toString))
+      .sortBy(p => (Files.getLastModifiedTime(p).toMillis, p.getFileName.toString))
+      .reverse
+    val (graced, overCap) = unreferenced.splitAt(math.max(graceRetainMax, 0))
+    graced.filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
       .foreach(deleteRec)
+    overCap.foreach(deleteRec)
   }
 
   /** Drop every generation but the current one — the explicit vacuum

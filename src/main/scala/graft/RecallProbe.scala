@@ -56,6 +56,31 @@ object RecallProbe {
       enc.unpersist()
     }
 
+    // RESIDUAL PQ calibration (the r17 product path): recall@10 after
+    // exact rerank of k×os ADC candidates over the residual
+    // (cell, codes) frame, per (m, k, oversample)
+    val cents8 = operators.Ivf.trainCentroids(emb, "embedding", 8, iters = 2)
+    for ((m, kCent) <- Seq((8, 32), (8, 64), (8, 256), (16, 32))) {
+      val cb = operators.Pq.trainResidual(emb, "embedding", 64, cents8, m, kCent)
+      val enc = operators.Pq.encodeResidual(emb, "embedding", "vec_id", cb, cents8).cache()
+      enc.count()
+      for (os <- Seq(4, 8, 16, 64)) {
+        val hits = Seq(qa, qb, qc).map { q =>
+          val exact = Knn.topK(emb, "embedding", q, 10, "cosine", idCol = "vec_id").select("vec_id")
+          val (ord, asc) = operators.Pq.adcOrderingResidual(col("codes"),
+            col("cell"), q.toArray, cb, cents8, "cosine")
+          val cand = enc.withColumn("__adc", ord)
+            .orderBy(if (asc) col("__adc").asc else col("__adc").desc, col("vec_id").asc)
+            .limit(10 * os).select("vec_id")
+          val rer = Knn.topK(emb.join(cand, "vec_id"), "embedding", q, 10, "cosine",
+            idCol = "vec_id").select("vec_id")
+          rer.join(exact, "vec_id").count()
+        }.sum
+        println(s"PROBE pqr m=$m k=$kCent oversample=$os hits=$hits/30")
+      }
+      enc.unpersist()
+    }
+
     // HNSW calibration: recall@10 + scored-candidate count per
     // (nprobe, ef), vs the IVF full-cell-scan candidate count
     {

@@ -219,6 +219,36 @@ object VectorKernels {
     out
   }
 
+  /** Residual-PQ ADC ordering score over one row's (codes, cell) — the
+    * per-row half of [[graft.operators.Pq.adcOrderingResidual]]. The
+    * driver folds every query-dependent term into the flat tables
+    * (dot(q, cb) / |cb|² shared across cells; dot(q, cent), |cent|² and
+    * the cent×cb cross table per cell); this kernel is m array reads
+    * per table plus two scalar reads by cell. Called from generated
+    * code (PqAdcScore): keep static-forwardable. `mode`: 0 = dot
+    * (higher better), 1 = l2 (lower better), 2 = cosine (higher
+    * better, −2 sentinel for the zero vector — below any true cosine). */
+  def adcScore(codes: org.apache.spark.sql.catalyst.util.ArrayData,
+      cell: Int, dotFlat: Array[Double], normFlat: Array[Double],
+      crossFlat: Array[Double], dotQC: Array[Double], normC: Array[Double],
+      k: Int, mode: Int): Double = {
+    val m = codes.numElements()
+    var dot = dotQC(cell)
+    var norm = normC(cell)
+    val cbase = cell * m * k
+    var i = 0
+    while (i < m) {
+      val idx = i * k + codes.getInt(i)
+      dot += dotFlat(idx)
+      norm += 2.0 * crossFlat(cbase + idx) + normFlat(idx)
+      i += 1
+    }
+    if (mode == 0) dot
+    else if (mode == 1) norm - 2.0 * dot
+    else if (norm > 0) dot / math.sqrt(norm)
+    else -2.0
+  }
+
   /** Reject null ELEMENTS before a kernel's toFloatArray — called from
     * generated code (HalfRound). Without this, ArrayData.toFloatArray
     * throws an opaque NPE on `[1.0, null]`; a vector with null

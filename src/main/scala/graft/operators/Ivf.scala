@@ -91,20 +91,27 @@ object Ivf {
       .toMap
   }
 
+  /** Nearest-centroid cell for ONE vector — the single assignment rule,
+    * shared by the build-time UDF and the residual encoders ([[Pq]]):
+    * residual codes only decode correctly against the centroid their
+    * row was assigned to, so assignment and encoding must never
+    * diverge. */
+  private[operators] def assignCell(cs: Array[(Int, Array[Float])],
+      a: Array[Float]): Int = {
+    var best = -1
+    var bestD = Double.MaxValue
+    cs.foreach { case (c, cen) =>
+      val d = VectorKernels.l2Squared(a, cen)
+      if (d < bestD) { bestD = d; best = c }
+    }
+    best
+  }
+
   /** Nearest-centroid assignment as a UDF over the broadcast centroid
     * set (k is small — tens to thousands; the loop is per-row O(k·dim),
     * same cost shape as FAISS IVF assignment). */
   private[operators] def udfAssign(cs: Array[(Int, Array[Float])]) =
-    udf { (v: Seq[Float]) =>
-      val a = v.toArray
-      var best = -1
-      var bestD = Double.MaxValue
-      cs.foreach { case (c, cen) =>
-        val d = VectorKernels.l2Squared(a, cen)
-        if (d < bestD) { bestD = d; best = c }
-      }
-      best
-    }
+    udf { (v: Seq[Float]) => assignCell(cs, v.toArray) }
 
   /** Index = data + `cell` column (persist `partitionBy("cell")` so
     * probing prunes partitions). */

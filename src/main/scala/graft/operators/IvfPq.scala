@@ -20,13 +20,18 @@ import org.apache.spark.sql.functions._
   * (nprobe/cells) × (codes table ≈ base/8), two orders of magnitude
   * under an exact scan, and both factors are knobs.
   *
-  * Codes encode the RAW vectors, not per-cell residuals: the codebooks
-  * stay shared across cells (ONE m×k ADC lookup table per query instead
-  * of nprobe of them, and the codes table is reusable by the plain PQ
-  * tier), at a small recall cost that the calibration absorbs —
-  * measured 29/30 recall@10 at nprobe=7/8, oversampling=16 on the
-  * near-uniform worst-case testdata (RecallProbe), pinned by
-  * q139_ivfpq_recall.
+  * Codes encode per-cell RESIDUALS (v − centroid[cell], the FAISS
+  * IndexIVFPQ default; r16 VERDICT #3): a raw-code book spans the whole
+  * corpus diameter, so inside a tight cluster every member quantizes to
+  * near-identical codes and ADC ranks coarsely — r16 compensated with a
+  * corpus-proportional candidate pool (rows/200 = 512 reranked ids at
+  * 100K). Residual books span only local offsets; ADC separates cluster
+  * members and a small FIXED pool holds the ≥0.95 recall bar at every
+  * corpus size. The books stay POOLED across cells, so the query still
+  * pays one shared m×k table set plus per-cell constants
+  * ([[Pq.adcOrderingResidual]]) — no per-cell retrain, no per-cell plan
+  * branches. This artifact also serves the plain `quantization='pq'`
+  * tier (same table, ADC over ALL cells instead of the probed ones).
   *
   * Reference anchor: the reference's quality tiers (vector.rs:69-115)
   * and quantized rerank (with_clause.rs:106-131) compose here into one
@@ -61,24 +66,38 @@ object IvfPq {
       pieces: Option[(Seq[(Int, java.nio.file.Path)],
         org.apache.spark.sql.types.StructType)] = None)
       : (Array[(Int, Array[Float])], Array[Array[Array[Float]]], DataFrame) = {
-    val (cents, cellsDf) = Ivf.materializedIndexAt(spark, token, sources,
+    import spark.implicits._
+    val (cents, _) = Ivf.materializedIndexAt(spark, token, sources,
       name, base, vecCol, cells, modelSources = modelSources, pieces = pieces)
-    val (cb, codes) = Pq.materializedIndexAt(spark, token, sources, name,
-      base, vecCol, idCol, dim, m, k, modelSources = modelSources,
-      pieces = pieces)
     val modelSrc = modelSources.getOrElse(sources)
+    // residual codebooks: trained once per model epoch against the
+    // frozen coarse centroids, memoized like the IVF centroids
+    // (kind 'ivfpqr' — residual codes must never be served from a stale
+    // raw-code cache and vice versa)
+    val cb = graft.Materialize.memo(
+        s"ivfpqr${cells}_${m}x${k}_codebooks_$name", token, modelSrc) {
+      val rows = graft.Materialize.atPaths(spark, token,
+        s"ivfpqr${cells}_${m}x${k}_codebooks_$name", modelSrc, None) {
+        Pq.trainResidual(base, vecCol, dim, cents, m, k)
+          .zipWithIndex.flatMap { case (book, i) =>
+            book.zipWithIndex.map { case (cen, j) => (i, j, cen.toSeq) }
+          }.toSeq.toDF("sub", "code", "centroid")
+      }.collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Float](2).toArray))
+      Array.tabulate(m)(i => rows.filter(_._1 == i).sortBy(_._2).map(_._3))
+    }
+    def encode(df: DataFrame): DataFrame =
+      Pq.encodeResidual(df, vecCol, idCol, cb, cents)
     val combined = pieces match {
       case Some((ps, schema)) =>
         graft.Materialize.pieces(spark, token,
-          b => s"ivfpq${cells}_${m}x${k}_codes_p${b}_$name", ps, schema,
-          modelSrc, Some("cell"))(
-          _.select(col(idCol),
-            Ivf.udfAssign(cents)(col(vecCol)).as("cell"),
-            Pq.udfEncode(cb)(col(vecCol)).as("codes")))
+          b => s"ivfpqr${cells}_${m}x${k}_codes_p${b}_$name", ps, schema,
+          modelSrc, Some("cell"))(encode)
       case None =>
         graft.Materialize.atPaths(spark, token,
-          s"ivfpq${cells}_${m}x${k}_codes_$name", sources, Some("cell")) {
-          cellsDf.select(col(idCol), col("cell")).join(codes, Seq(idCol))
+          s"ivfpqr${cells}_${m}x${k}_codes_$name",
+          (sources ++ modelSrc).distinct, Some("cell")) {
+          encode(base)
         }
     }
     (cents, cb, combined)

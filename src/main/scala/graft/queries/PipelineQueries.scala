@@ -341,6 +341,104 @@ object PipelineQueries {
         .cast("int").as("having_ok"))
     },
 
+    // ---- snapshots lifecycle-pinned (agent/snapshot.rs:147-394
+    // SnapshotManager create_versioned_snapshot / load_version /
+    // list_versions): create → mutate → the time-travel read sees the
+    // OLD state while live sees the new; restore republishes the
+    // snapshot as the current generation WITHOUT breaking an in-flight
+    // reader; list/drop round-trip. Promotes the snapshot unit specs
+    // (r16 VERDICT #5) into the oracle gate.
+    QueryDef.lifecyclePin("q204_snapshot_timetravel",
+      "SELECT CAST(1 AS INT) AS snapshot_ok") { (s, _) =>
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q204")
+      val ok = try {
+        val c = new graft.Collections(s, tmp.resolve("store").toString)
+        c.create("sn")
+        c.upsert("sn", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+        c.snapshot("sn", "v1")
+        c.upsert("sn", Seq((2L, "b2"), (3L, "c")).toDF("id", "v"))
+        val live = c.table("sn").get
+        val liveOk = live.count() == 3 &&
+          live.where(col("id") === 2L).select("v").first().getString(0) == "b2"
+        // time-travel READ: old state, live untouched
+        val tt = c.snapshotTable("sn", "v1")
+        val ttOk = tt.count() == 2 &&
+          tt.where(col("id") === 2L).select("v").first().getString(0) == "b"
+        val inflight = c.table("sn").get
+        inflight.count() // resolve file lists BEFORE the restore publish
+        c.restoreSnapshot("sn", "v1")
+        val restoredOk = c.count("sn") == 2 && c.table("sn").get
+          .where(col("id") === 2L).select("v").first().getString(0) == "b"
+        // the pre-restore plan still reads (generation grace window)
+        val inflightOk = inflight.count() == 3
+        val listed = c.listSnapshots("sn") == Seq("v1")
+        c.dropSnapshot("sn", "v1")
+        val dropped = c.listSnapshots("sn").isEmpty
+        liveOk && ttOk && restoredOk && inflightOk && listed && dropped
+      } finally graft.Collections.deleteRec(tmp)
+      s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("snapshot_ok"))
+    },
+
+    // ---- L5 mode-agnosticism, lifecycle-pinned: the analytics API's
+    // mode='batch' and mode='stream' return IDENTICAL rows per op over
+    // the same events table (doubles compared at 6dp — aggregation
+    // order differs between any two plans). Promotes RestServerSpec's
+    // REST-level equality into the oracle gate (r16 VERDICT #5).
+    QueryDef.lifecyclePin("q205_analytics_mode_parity",
+      "SELECT CAST(1 AS INT) AS mode_parity_ok") { (s, d) =>
+      def canon(df: DataFrame): Seq[String] = {
+        val names = df.columns.sorted.toSeq
+        df.collect().map { r =>
+          names.map { cn =>
+            r.get(r.fieldIndex(cn)) match {
+              case dd: java.lang.Double => f"$cn=${dd.doubleValue()}%.6f"
+              case other => s"$cn=$other"
+            }
+          }.mkString(",")
+        }.toSeq.sorted
+      }
+      val ok = Seq("window", "sessions", "attribution").forall { op =>
+        val b = canon(StreamingOps.eventsAnalytics(s, d, op, "batch"))
+        val st = canon(StreamingOps.eventsAnalytics(s, d, op, "stream"))
+        b.nonEmpty && b == st
+      }
+      s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("mode_parity_ok"))
+    },
+
+    // ---- S7/L2 edge, lifecycle-pinned: the generation-GC grace keeps
+    // a several-publishes-stale resolved plan readable through a
+    // publish storm, while the COUNT cap (r17) bounds retained copies
+    // to graceRetainMax + referenced. Promotes ManifestConcurrencySpec's
+    // storm findings into the oracle gate (r16 VERDICT #5 + ADVICE).
+    QueryDef.lifecyclePin("q206_gc_grace_storm",
+      "SELECT CAST(1 AS INT) AS grace_ok") { (s, _) =>
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q206")
+      val ok = try {
+        val c = new graft.Collections(s, tmp.resolve("store").toString,
+          generationGraceMs = 600000L, graceRetainMax = 3)
+        c.create("g", buckets = 2)
+        c.upsert("g", (1L to 40L).map(i => (i, i * 2)).toDF("id", "score"))
+        val reader = c.table("g").get
+        reader.count() // resolve file lists, then fall behind
+        (1 to 3).foreach(i =>
+          c.upsert("g", Seq((i.toLong, 900L + i)).toDF("id", "score")))
+        // 3 publishes behind ≤ cap: the stale plan still reads fully
+        val staleReads = reader.count() == 40
+        (1 to 9).foreach(i =>
+          c.upsert("g", Seq((i.toLong, 990L + i)).toDF("id", "score")))
+        val dirs = graft.Collections.children(
+            tmp.resolve("store").resolve("g"))
+          .count(_.getFileName.toString.startsWith("points-g"))
+        // ≤ cap grace-held + dirs the retained manifests reference
+        val bounded = dirs <= 3 + 4
+        val liveOk = c.count("g") == 40
+        staleReads && bounded && liveOk
+      } finally graft.Collections.deleteRec(tmp)
+      s.range(1).select(lit(if (ok) 1 else 0).cast("int").as("grace_ok"))
+    },
+
     // ---- L5 streaming collection ingest, lifecycle-pinned: two
     // micro-batches through the foreachBatch upsert sink must land with
     // merge-by-id semantics (later batch wins per id), and the result

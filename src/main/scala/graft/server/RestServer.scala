@@ -145,6 +145,18 @@ class RestServer(g: Graft, port: Int = 0) {
     name
   }
 
+  /** Whether the collection's id COLUMN is string-typed — the /points/{id}
+    * routes dispatch (and quote their echo) on this, never on whether the
+    * path segment happens to parse as a number (r16 ADVICE: a stored
+    * string id "0123" routed to the long-delete branch, deleted nothing,
+    * and echoed back as the JSON number 123). A collection with no
+    * written manifest keeps the numeric default (long ids are the
+    * create-time default schema). */
+  private def idColIsString(cn: String): Boolean =
+    g.collections.manifestSchema(cn).exists(sch =>
+      sch.fields.find(_.name == g.collections.metaOf(cn)._1)
+        .exists(_.dataType == org.apache.spark.sql.types.StringType))
+
   /** Bound port (useful when constructed with port 0 for tests). */
   def boundPort: Int = server.getAddress.getPort
 
@@ -386,9 +398,12 @@ class RestServer(g: Graft, port: Int = 0) {
       case ("GET", "collections" :: name :: "points" :: id :: Nil) =>
         // string-id collections are first-class (the keyset scroll
         // already supports them); id.toLong made every such point
-        // unreachable over REST (r15 review finding)
+        // unreachable over REST (r15 review finding). Dispatch on the id
+        // COLUMN's type, not the path segment's lexical shape — on a
+        // string-id collection a stored id like "0123" or "+5" parses as
+        // a long and used to route to the wrong branch (r16 ADVICE).
         val cn = existingUserCollection(name)
-        val rows = id.toLongOption match {
+        val rows = (if (idColIsString(cn)) None else id.toLongOption) match {
           case Some(l) => g.collections.get(cn, Seq(l)).toJSON.collect()
           case None =>
             val idc = g.collections.metaOf(cn)._1
@@ -400,17 +415,23 @@ class RestServer(g: Graft, port: Int = 0) {
         else ok(rows.head)
       case ("DELETE", "collections" :: name :: "points" :: id :: Nil) =>
         val cn = existingUserCollection(name)
-        id.toLongOption match {
+        // same column-type dispatch as GET: a string-id collection
+        // deletes by string equality even for numeric-looking segments
+        val stringIds = idColIsString(cn)
+        (if (stringIds) None else id.toLongOption) match {
           case Some(l) => g.collections.delete(cn, Seq(l))
           case None =>
             val idc = g.collections.metaOf(cn)._1
             g.collections.deleteWhere(cn, col(idc).cast("string") === id)
         }
         // numeric ids stay JSON numbers on the wire (the pre-r15 shape);
-        // only genuinely-string ids are quoted — always quoting was a
-        // silent wire-format regression for {"id":123} clients (r15 ADVICE)
-        val idJson = id.toLongOption.map(_.toString)
-          .getOrElse(mapper.writeValueAsString(id))
+        // string-COLUMN ids are always quoted, so the echoed value is
+        // byte-identical to the stored id ("0123" must not echo as 123
+        // — r16 ADVICE)
+        val idJson =
+          if (stringIds) mapper.writeValueAsString(id)
+          else id.toLongOption.map(_.toString)
+            .getOrElse(mapper.writeValueAsString(id))
         ok(s"""{"status":"deleted","id":$idJson}""")
       case ("POST", "collections" :: name :: "search" :: "batch" :: Nil) =>
         existing(name)

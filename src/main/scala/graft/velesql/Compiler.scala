@@ -557,63 +557,48 @@ class Compiler(
               "(the LSH buckets aren't trained with the codebooks); add " +
               "index='ivf' or drop the mode for a full-codes ADC scan")
           import graft.operators.{IvfPq, Pq}
-          // m adapts to the vector width (~16 dims/subspace; 64D keeps
-          // the historical 8) — a fixed m=8 quantized 768D vectors to
-          // noise (r16 RecallCurve); conf still overrides
+          // (m, k) adapt to the vector width: ~8 dims/subspace, 256
+          // centroids — the classic 8-bit PQ operating point (64D keeps
+          // the historical m=8). A fixed m=8 quantized 768D vectors to
+          // noise (r16 RecallCurve), and the r16 (dim/16, k=32) point
+          // still needed a corpus-proportional candidate pool (r17
+          // RecallCurve); conf still overrides both.
           val m = spark.conf.getOption("graft.pq.m").map(_.toInt)
             .getOrElse(Pq.defaultM(vec.length))
-          val kc = spark.conf.get("graft.pq.k", "32").toInt
-          // IVF-PQ (probing tier + index='ivf'): phase 1 scans only the
-          // probed cells of the combined (id, cell, codes) table —
-          // row-group-pruned by the cell clustering — then ADC-orders as
-          // below; rerank joins back to dfF, which the tier match above
-          // already scoped to the same probed cells (+ residual filter).
-          // Calibration (RecallProbe, near-uniform worst case): nprobe=7
-          // of 8 cells at the composed default oversampling=64 →
-          // recall@10 29/30 (sf0.01) / 30/30 (sf0.1), pinned by
-          // q139_ivfpq_recall.
-          val (cb, codes, totalCodes) =
+          val kc = spark.conf.get("graft.pq.k", "256").toInt
+          val cellsN = spark.conf.get("graft.ivf.cells", "8").toInt
+          // ONE residual-code artifact serves both pq regimes (IvfPq
+          // scaladoc): codes quantize v − centroid[cell], so ADC ranks
+          // tightly inside clusters and a FIXED candidate pool holds the
+          // recall bar at every corpus size — the r16 corpus-adaptive
+          // pool (rows/200, 512 reranked ids at 100K) and its count job
+          // are gone (r16 VERDICT #3).
+          //  - probing (tier + index='ivf'): phase 1 scans only the
+          //    probed cells — row-group-pruned by the cell clustering —
+          //    and rerank joins back to dfF, which the tier match above
+          //    already scoped to the same probed cells (+ residual
+          //    filter). q139_ivfpq_recall pins the accurate tier.
+          //  - plain pq: same table, ADC over ALL cells. q133 pins the
+          //    EXPLICIT-oversampling contract at 16.
+          val (cents, cb, combined) = IvfPq.materializedIndexAt(spark,
+            pqSrc.token, pqSrc.paths, sel.from, pqSrc.frame(), vcolName,
+            meta.idCol, vec.length, cellsN, m, kc,
+            modelSources = pqSrc.modelPaths, pieces = pqSrc.pieces)
+          val codes =
             if (probing) {
-              val cellsN = spark.conf.get("graft.ivf.cells", "8").toInt
               val nprobe = tier.get match {
                 case "fast" => 2; case "balanced" => 4; case _ => cellsN - 1
               }
-              val (cents, books, combined) = IvfPq.materializedIndexAt(spark,
-                pqSrc.token, pqSrc.paths, sel.from, pqSrc.frame(), vcolName,
-                meta.idCol, vec.length, cellsN, m, kc,
-                modelSources = pqSrc.modelPaths, pieces = pqSrc.pieces)
               val probes = IvfPq.probeCells(cents, vec.toArray, nprobe)
-              (books,
-                combined.where(col("cell").isin(probes: _*)).drop("cell"),
-                () => graft.Materialize.countMemo(
-                  s"corpusn_${vcolName}_${sel.from}", pqSrc.token,
-                  pqSrc.paths)(combined.count()))
-            } else {
-              val (books, enc) = Pq.materializedIndexAt(spark, pqSrc.token,
-                pqSrc.paths, sel.from, pqSrc.frame(), vcolName, meta.idCol,
-                vec.length, m, kc,
-                modelSources = pqSrc.modelPaths, pieces = pqSrc.pieces)
-              (books, enc,
-                () => graft.Materialize.countMemo(
-                  s"corpusn_${vcolName}_${sel.from}", pqSrc.token,
-                  pqSrc.paths)(enc.count()))
-            }
-          // corpus-adaptive candidate pool when the user gave no explicit
-          // oversampling: raw-code ADC ranks COARSELY inside a tight
-          // cluster, so the pool must grow with the corpus (the cluster
-          // population grows with it) — the fixed 16 measured recall@10
-          // 0.14 on the 100K×768D clustered tile vs 0.96 at ~corpus/200
-          // (RecallCurve r16); sf-scale corpora stay on their calibrated
-          // floors (6k/200 = 30 < 64; q133 pins EXPLICIT oversampling).
-          // The count is a THUNK (explicit oversampling never pays it)
-          // AND persisted per content stamp (Materialize.countMemo) —
-          // the default path runs the count job once per corpus stamp
-          // EVER, not once per compile (r16 VERDICT #1: per-request
-          // count jobs in ANN serving).
+              combined.where(col("cell").isin(probes: _*))
+            } else combined
+          // fixed default pool, calibrated on residual codes (RecallCurve
+          // 100K×768D: recall@10 ≥0.95 at os=64; near-uniform sf-scale
+          // worst case holds its floor at 16 — q133's explicit pin)
           val osEff = sel.withOptions.get("oversampling").map(_.toDouble.toInt)
-            .getOrElse(math.max(if (probing) 64 else 16,
-              (totalCodes() / 200L).toInt))
-          val (ord, asc) = Pq.adcOrdering(col("codes"), vec.toArray, cb, meta.metric)
+            .getOrElse(64)
+          val (ord, asc) = Pq.adcOrderingResidual(col("codes"), col("cell"),
+            vec.toArray, cb, cents, meta.metric)
           // filter-then-search: with a residual WHERE, candidates come
           // from the filtered frame's ids only
           val scoped = residualCond match {

@@ -43,7 +43,9 @@ class BenchContractSpec extends AnyFunSuite {
       "q142_collection_ann", "q165_streaming_predict", "q172_bpe_train",
       "q174_classifier_train", "q176_pca", "q187_storage_half",
       "q191_streaming_classify", "q192_bloom_dedup", "q194_merge_lifecycle",
-      "q201_nullid_crud", "q202_uuid_import", "q203_having_guard"),
+      "q201_nullid_crud", "q202_uuid_import", "q203_having_guard",
+      "q204_snapshot_timetravel", "q205_analytics_mode_parity",
+      "q206_gc_grace_storm"),
       s"unexpected unbenchmarked queries: $pins — every exclusion from " +
         "bench timing must be a deliberate lifecycle pin")
   }

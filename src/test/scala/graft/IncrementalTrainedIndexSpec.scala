@@ -49,9 +49,9 @@ class IncrementalTrainedIndexSpec extends SparkSpecBase {
     assert(run("mode = 'accurate', index = 'hnsw'").nonEmpty)
 
     val centsBefore = entries(s"ivf8_centroids_$colName", colName)
-    val booksBefore = entries(s"pq8x32_codebooks_$colName", colName)
+    val booksBefore = entries(s"ivfpqr8_8x256_codebooks_$colName", colName)
     val cellsBefore = entries("ivf8_cells_p", colName)
-    val codesBefore = entries("pq8x32_codes_p", colName)
+    val codesBefore = entries("ivfpqr8_8x256_codes_p", colName)
     val sigsBefore = entries("hnswsig2v8_cosine_p", colName)
     val graphsBefore = entries(s"hnswv2m8s16c8_cosine_${colName}_c", colName)
     assert(centsBefore.size == 1, s"one frozen centroid table: $centsBefore")
@@ -70,15 +70,15 @@ class IncrementalTrainedIndexSpec extends SparkSpecBase {
     // models FROZEN: no new centroid/codebook materialization
     assert(entries(s"ivf8_centroids_$colName", colName) == centsBefore,
       "publish must not re-train centroids")
-    assert(entries(s"pq8x32_codebooks_$colName", colName) == booksBefore,
+    assert(entries(s"ivfpqr8_8x256_codebooks_$colName", colName) == booksBefore,
       "publish must not re-train codebooks")
     // encodings: exactly 1 new piece each (old piece survives one
     // Materialize retention cycle)
     assert(cellsBefore.subsetOf(entries("ivf8_cells_p", colName)))
     assert((entries("ivf8_cells_p", colName) -- cellsBefore).size == 1,
       s"expected 1 rebuilt cell piece, got ${entries("ivf8_cells_p", colName) -- cellsBefore}")
-    assert((entries("pq8x32_codes_p", colName) -- codesBefore).size == 1,
-      s"expected 1 rebuilt code piece, got ${entries("pq8x32_codes_p", colName) -- codesBefore}")
+    assert((entries("ivfpqr8_8x256_codes_p", colName) -- codesBefore).size == 1,
+      s"expected 1 rebuilt code piece, got ${entries("ivfpqr8_8x256_codes_p", colName) -- codesBefore}")
     assert((entries("hnswsig2v8_cosine_p", colName) -- sigsBefore).size == 1,
       s"expected 1 rebuilt signature piece")
     // graph: only the cells containing the replaced row rebuild — old

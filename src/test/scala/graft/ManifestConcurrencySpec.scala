@@ -89,6 +89,35 @@ class ManifestConcurrencySpec extends SparkSpecBase {
       "zero grace must reclaim unreferenced dirs immediately")
   }
 
+  test("grace retention is COUNT-capped: a publish storm cannot retain unbounded copies") {
+    // r16 ADVICE: age-only grace made steady-state disk = publish-rate ×
+    // grace × collection size (a streaming sink retained a full copy per
+    // publish for 10 minutes). Beyond graceRetainMax the oldest
+    // unreferenced generations delete regardless of age.
+    def storm(cap: Int): Int = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-gracecap$cap").toString
+      val cols = new Collections(spark, tmp,
+        generationGraceMs = 600000L, graceRetainMax = cap)
+      cols.create("c", buckets = 2)
+      (1 to 12).foreach(i => cols.upsert("c", Seq((i.toLong, s"v$i")).toDF("id", "v")))
+      assert(cols.count("c") == 12)
+      // the current generation still reads fine after the capped GC
+      assert(cols.table("c").get.count() == 12)
+      val n = Collections.children(java.nio.file.Paths.get(tmp, "c"))
+        .count(_.getFileName.toString.startsWith("points-g"))
+      Collections.deleteRec(java.nio.file.Paths.get(tmp))
+      n
+    }
+    // capped: ≤ cap grace-held + dirs the retained manifests reference
+    // (2 manifests × up to 2 buckets); uncapped: one full copy per
+    // publish survives the whole window
+    val capped = storm(3)
+    val uncapped = storm(1000)
+    assert(capped <= 3 + 4, s"storm retained $capped generation dirs (cap 3 + ≤4 referenced)")
+    assert(uncapped > capped,
+      s"cap had no effect: capped=$capped uncapped=$uncapped")
+  }
+
   test("a plan resolved before a publish still reads (retention window)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-conc2").toString
     val cols = new Collections(spark, tmp)

@@ -25,14 +25,41 @@ class PqSpec extends SparkSpecBase {
     }
   }
 
-  test("materialized codes index is narrow (id + codes only)") {
-    val (cb, codes) = Pq.materializedIndex(spark, sfDir, "embeddings",
-      "embedding", "vec_id", dim, m = 8, k = 32)
-    assert(codes.columns.toSeq == Seq("vec_id", "codes"),
-      "phase-1 must scan a narrow table, not the base columns")
-    assert(cb.length == 8 && cb.forall(_.length == 32))
-    val c = codes.select("codes").first().getSeq[Int](0)
-    assert(c.length == 8 && c.forall(code => code >= 0 && code < 32))
+  test("defaultM: divisor snap with upward fallback under the 8-subspace floor") {
+    assert(Pq.defaultM(64) == 8,   "historical 64D operating point")
+    assert(Pq.defaultM(768) == 96, "~8 dims/subspace at 768D (8-bit PQ convention)")
+    // r16 ADVICE: downward-only snap degraded awkward dims
+    assert(Pq.defaultM(100) == 10, "down-snap from 12 lands at 10 (≥ floor)")
+    assert(Pq.defaultM(127) == 127, "prime dim: scalar subspaces, not m=1")
+  }
+
+  test("residual ADC ordering equals its scalar reference (per-cell tables fold)") {
+    // the folded literal tables (dot(q,cent) + cross(cent, cb) + shared
+    // dot/norm) must reproduce cosine(q, centroid[cell] + decode(codes))
+    // exactly — the algebra, not just the ranking
+    val (cents, cb, combined) = graft.operators.IvfPq.materializedIndex(
+      spark, sfDir, "embeddings", "embedding", "vec_id", dim,
+      cells = 8, m = 4, k = 8)
+    assert(combined.columns.sorted.toSeq == Seq("cell", "codes", "vec_id"))
+    val q = functions.VectorFunctions.syntheticQuery(dim).toArray
+    val (ord, asc) = Pq.adcOrderingResidual(col("codes"), col("cell"),
+      q, cb, cents, "cosine")
+    assert(!asc)
+    val centOf = cents.toMap
+    val sub = dim / 4
+    combined.withColumn("__adc", ord).collect().foreach { r =>
+      val cell = r.getInt(r.fieldIndex("cell"))
+      val codes = r.getSeq[Int](r.fieldIndex("codes"))
+      val vhat = centOf(cell).map(_.toDouble)
+      for (i <- 0 until 4; t <- 0 until sub)
+        vhat(i * sub + t) += cb(i)(codes(i))(t)
+      val dot = vhat.zip(q).map { case (a, b) => a * b }.sum
+      val n2 = vhat.map(x => x * x).sum
+      val expected = if (n2 > 0) dot / math.sqrt(n2) else -2.0
+      val got = r.getDouble(r.fieldIndex("__adc"))
+      assert(math.abs(got - expected) < 1e-6,
+        s"cell=$cell codes=$codes: adc=$got expected=$expected")
+    }
   }
 
   test("pq via the language: exact reranked scores, filter-then-search") {

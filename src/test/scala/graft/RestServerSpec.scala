@@ -107,6 +107,20 @@ class RestServerSpec extends SparkSpecBase {
       assert(d.body().contains(""""id":"doc-abc""""), d.body())
       assert(get(s"/collections/$cn/points/doc-abc").statusCode() == 404)
       assert(get(s"/collections/$cn/points/doc-xyz").statusCode() == 200)
+      // numeric-LOOKING string ids: dispatch follows the id COLUMN's
+      // type, not the path segment's lexical shape — "0123" must resolve
+      // by string equality and echo byte-identically quoted, never as
+      // the JSON number 123 (r16 ADVICE)
+      g.collections.upsert(cn,
+        Seq(("0123", 3.5), ("+5", 4.5)).toDF("id", "v"))
+      assert(get(s"/collections/$cn/points/0123").statusCode() == 200)
+      val d2 = delete(s"/collections/$cn/points/0123")
+      assert(d2.statusCode() == 200, d2.body())
+      assert(d2.body().contains(""""id":"0123""""), d2.body())
+      assert(get(s"/collections/$cn/points/0123").statusCode() == 404)
+      val d3 = delete(s"/collections/$cn/points/+5")
+      assert(d3.body().contains(""""id":"+5""""), d3.body())
+      assert(get(s"/collections/$cn/points/+5").statusCode() == 404)
     } finally g.collections.drop(cn)
   }
 

@@ -137,13 +137,16 @@ object RecallCurve {
       val graph = Hnsw.buildGraph(cells, "embedding", "vec_id", "cosine", m = 8).cache()
       graph.count()
       println(f"BUILD hnsw-graph ${(System.nanoTime() - t0) / 1e9}%.1f s")
-      // accurate = the product's corpus-adaptive walk budget
-      // (Compiler: max(96, rows/96) — the ≥0.95 contract tier)
+      // accurate at this corpus: the product ROUTES to the per-cell
+      // exact scan once the adaptive ef would exceed the calibrated
+      // floor (corpus > 96·96 — Compiler cost-aware routing, r17): the
+      // batch walk reads every probed row anyway, so a linearly-growing
+      // ef is a strictly worse linear scan. The routed row is measured
+      // through the same plan the product compiles; 'cal-walk' keeps
+      // the unrouted adaptive walk in the table as the cost it avoids.
       val efAcc = math.max(96, n / 96)
-      val hnswPoints = Seq(("fast", 2, 24), ("balanced", 4, 48), ("accurate", 7, efAcc)) ++
-        // calibration ladder for the dataset-size-adaptive ef (the
-        // reference's HnswParams::for_dataset_size shape): the fixed
-        // ef=96 calibrated on sf-scale cells measured 0.68 here
+      val hnswPoints = Seq(("fast", 2, 24), ("balanced", 4, 48)) ++
+        (if (n > 96 * 96) Seq(("cal-walk", 7, efAcc)) else Seq(("accurate", 7, 96))) ++
         sys.env.get("GRAFT_HNSW_EF_SWEEP").toSeq.flatMap(_ =>
           Seq(("cal-ef256", 7, 256), ("cal-ef512", 7, 512), ("cal-ef1024", 7, 1024)))
       for ((tier, np, ef) <- hnswPoints) {
@@ -162,28 +165,44 @@ object RecallCurve {
         }
         report("hnsw", tier, s"nprobe=$np ef=$ef", hits, sec)
       }
+      if (n > 96 * 96) {
+        // the routed accurate tier: exact scan over the probed cells
+        var hits = 0L; var sec = 0.0
+        queries.zipWithIndex.foreach { case (q, i) =>
+          val probes = Hnsw.probeCells(cents, q.toArray, 7)
+          val (ids, s) = timed(
+            Knn.topK(cells.where(col("cell").isin(probes: _*)),
+              "embedding", q, 10, "cosine", idCol = "vec_id")
+              .select("vec_id").collect().map(_.getLong(0)).toSet)
+          hits += ids.intersect(truth(i)).size; sec += s
+        }
+        report("hnsw", "accurate", "nprobe=7 routed→cell-scan", hits, sec)
+      }
       graph.unpersist()
     }
     cells.unpersist()
 
-    // PQ: ADC candidates + exact rerank, m dimension-adaptive
-    // (Pq.defaultM — 8 at 64D, 48 at 768D)
+    // PQ: RESIDUAL codes (v − centroid[cell], the product artifact since
+    // r17) + codegen ADC + exact rerank, (m, k) dimension-adaptive
+    // (Pq.defaultM ~8 dims/subspace, k=256 — 8 at 64D, 96 at 768D). The
+    // fixed default pool (os=64) replaces r16's corpus-proportional
+    // rows/200.
     if (sections("pq")) {
       val t0 = System.nanoTime()
-      val pm = Pq.defaultM(dim)
-      val cb = Pq.train(emb, "embedding", dim, pm, 32)
-      val enc = Pq.encodeForProbe(emb, "embedding", "vec_id", cb).cache()
+      val pm = sys.env.get("GRAFT_PQ_M").map(_.toInt).getOrElse(Pq.defaultM(dim))
+      val pk = sys.env.get("GRAFT_PQ_K").map(_.toInt).getOrElse(256)
+      val cb = Pq.trainResidual(emb, "embedding", dim, cents, pm, pk)
+      val enc = Pq.encodeResidual(emb, "embedding", "vec_id", cb, cents).cache()
       enc.count()
-      println(f"BUILD pq ${(System.nanoTime() - t0) / 1e9}%.1f s")
-      // accurate = the product's corpus-adaptive candidate pool
-      // (Compiler: max(16, rows/200))
-      val pqPoints = Seq(("balanced", 4), ("accurate", math.max(16, n / 200))) ++
+      println(f"BUILD pq-residual ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val pqPoints = Seq(("balanced", 16), ("accurate", 64)) ++
         sys.env.get("GRAFT_PQ_OS_SWEEP").toSeq.flatMap(_ =>
-          Seq(("cal-os64", 64), ("cal-os128", 128), ("cal-os256", 256), ("cal-os512", 512)))
+          Seq(("cal-os32", 32), ("cal-os128", 128), ("cal-os256", 256)))
       for ((tier, os) <- pqPoints) {
         var hits = 0L; var sec = 0.0
         queries.zipWithIndex.foreach { case (q, i) =>
-          val (ord, asc) = Pq.adcOrdering(col("codes"), q.toArray, cb, "cosine")
+          val (ord, asc) = Pq.adcOrderingResidual(col("codes"), col("cell"),
+            q.toArray, cb, cents, "cosine")
           val (ids, s) = timed {
             val cand = enc.withColumn("__adc", ord)
               .orderBy(if (asc) col("__adc").asc else col("__adc").desc, col("vec_id").asc)
@@ -193,7 +212,7 @@ object RecallCurve {
           }
           hits += ids.intersect(truth(i)).size; sec += s
         }
-        report("pq", tier, s"m=$pm k=32 oversample=$os", hits, sec)
+        report("pq", tier, s"residual m=$pm k=$pk oversample=$os", hits, sec)
       }
       enc.unpersist()
     }
