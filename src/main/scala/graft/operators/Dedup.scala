@@ -52,7 +52,7 @@ object Dedup {
     val joinParts =
       if (dfCap.isDefined) None
       else Some(spark.sessionState.conf.numShufflePartitions *
-        spark.conf.get("graft.dedup.exactPairPartsFactor", "8").toInt)
+        spark.conf.get("graft.dedup.exactPairPartsFactor", "4").toInt)
     def spread(df: DataFrame): DataFrame =
       joinParts.map(p => df.repartition(p, col("sh"))).getOrElse(df)
     val x = spread(sh.select(col("doc_id").as("a"), col("sh")))

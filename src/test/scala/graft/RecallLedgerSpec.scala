@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Pins the committed reference-scale ANN recall table (PERF_r16_ann.md,
+/** Pins the committed reference-scale ANN recall table (PERF_r17_ann.md,
   * produced by tools.RecallCurve on the 100K×768D tile) to the
   * reference's Accurate bar: every `accurate` tier row and the exact
   * `perfect` row must carry recall@10 ≥ 0.95 (docs/BENCHMARKS.md:96-102
@@ -14,11 +14,11 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class RecallLedgerSpec extends AnyFunSuite {
 
-  private val path = java.nio.file.Paths.get("PERF_r16_ann.md")
+  private val path = java.nio.file.Paths.get("PERF_r17_ann.md")
 
   test("committed 100Kx768D recall table holds the >=0.95 Accurate+ bar") {
     assert(java.nio.file.Files.exists(path),
-      "PERF_r16_ann.md missing — run tools.RecallCurve and commit the table")
+      "PERF_r17_ann.md missing — run tools.RecallCurve and commit the table")
     val lines = scala.jdk.CollectionConverters
       .ListHasAsScala(java.nio.file.Files.readAllLines(path)).asScala
     // table rows: | index | tier | params | recall@10 | avg ms |

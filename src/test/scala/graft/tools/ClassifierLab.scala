@@ -91,6 +91,32 @@ object ClassifierLab {
         .withColumn("prob", r6(lit(1.0) / (lit(1.0) + exp(-col("margin")))))
         .queryExecution.toRdd.count()
     }
+
+    // r17 (VERDICT ask #6): the TRAIN-side kernel A/B — q174/q179's
+    // shared gram→fid front half (Classifier.gramFids, also Dsir's
+    // occurrence build) with the shipped Md5Fid kernel vs the pre-r16
+    // hex/conv chain. Bit-parity is TextKernelsSpec-pinned, so the
+    // delta is pure per-gram allocation cost.
+    val gramsT = docs
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0).as("w"))
+      .select(col("doc_id"), explode(concat(col("w"),
+        zip_with(slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))),
+          slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b)))).as("gram"))
+    def feats(fid: org.apache.spark.sql.Column): Long = gramsT
+      .select(col("doc_id"), fid.as("fid"))
+      .groupBy(col("doc_id"), col("fid")).agg(count(lit(1)).as("tf"))
+      .queryExecution.toRdd.count()
+    time("train-feats-kernel") {
+      feats(org.apache.spark.sql.graft.Bridge.column(
+        org.apache.spark.sql.graft.Md5Fid(
+          org.apache.spark.sql.graft.Bridge.expression(col("gram")), dim)))
+    }
+    time("train-feats-oldchain") {
+      feats(conv(substring(md5(col("gram")), 1, 15), 16, 10)
+        .cast(LongType) % dim)
+    }
     spark.stop()
   }
 }
