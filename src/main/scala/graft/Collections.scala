@@ -255,7 +255,31 @@ class Collections(spark: SparkSession, dataDir: String,
       else link))
   }
 
+  /** Parsed-manifest LRU: a manifest file is immutable once written (a
+    * publish writes a NEW `points.manifest-*` and re-points the
+    * symlink), so (path, mtime, size) is a sound identity. REST point
+    * routes resolve meta + schema per REQUEST (r16 ADVICE follow-up:
+    * the id-type dispatch made the hottest route parse the manifest —
+    * incl. `DataType.fromJson` of the full schema — twice per hit);
+    * access-ordered cap keeps retired generations from pinning a
+    * long-lived server. */
+  private val manifestCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, PointsManifest](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, PointsManifest]): Boolean =
+        size() > 256
+    })
+
   private def parseManifest(p: Path): PointsManifest = {
+    val key = s"$p:${Files.getLastModifiedTime(p).toMillis}:${Files.size(p)}"
+    val hit = manifestCache.get(key)
+    if (hit != null) return hit
+    val m = parseManifest0(p)
+    manifestCache.put(key, m)
+    m
+  }
+
+  private def parseManifest0(p: Path): PointsManifest = {
     val n = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(Files.readString(p))
     val entries = Option(n.get("entries")).map { e =>

@@ -282,6 +282,45 @@ object Materialize {
     }
   }
 
+  /** One-time reclamation of artifacts whose KIND a code upgrade
+    * retired: [[pruneStaleSiblings]] only retires same-(kind, token)
+    * generations, so renaming a kind (e.g. r17's raw-code `pq*`/`ivfpq*`
+    * → residual `ivfpqr*`) strands every old-kind directory — corpus-
+    * sized code tables sitting in the temp dir forever on a long-lived
+    * host. Callers name the retired-kind predicate; the sweep runs once
+    * per (note, token) per JVM and only parses v4 names (the
+    * length-prefixed grammar makes kind extraction unambiguous). */
+  private val retiredSweeps =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+  def retireKinds(token: String, note: String)(
+      pred: String => Boolean): Unit =
+    retiredSweeps.getOrElseUpdate(s"$note|$token", {
+      val t = token.replaceAll("[^A-Za-z0-9._-]", "_")
+      val tokSeg = s"_${t.length}t${t}__"
+      val root = Paths.get(s"${sys.props("java.io.tmpdir")}/graft-derived")
+      if (Files.exists(root)) {
+        val s = Files.list(root)
+        val stale = try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith("v4_") && n.contains(tokSeg) &&
+              !n.contains(".tmp-") && {
+                val rest = n.drop(3) // <len>k<kind>_...
+                val digits = rest.takeWhile(_.isDigit)
+                digits.nonEmpty && digits.length <= 4 && {
+                  val len = digits.toInt
+                  val after = rest.drop(digits.length)
+                  after.length > len + 1 && after.startsWith("k") &&
+                    pred(after.substring(1, 1 + len))
+                }
+              }
+          }.toSeq
+        } finally s.close()
+        stale.foreach(Collections.deleteRec)
+      }
+    })
+
   /** Test hook: evict a countMemo's in-memory entry so specs can
     * exercise the persisted-sidecar path (fresh-JVM simulation). */
   private[graft] def evictCountMemo(kind: String, token: String): Unit = {

@@ -152,20 +152,22 @@ object Ivf {
     * the frozen model: each piece's cell assignment caches per
     * (bucket dir, model stamp) — O(touched buckets) index upkeep per
     * publish, the r11 VERDICT's remaining ingest scale-killer. */
-  def materializedIndexAt(spark: SparkSession, token: String,
+  /** The coarse quantizer ALONE — trained/collected/memoized per model
+    * stamp, WITHOUT touching the cell-assignment table. Consumers that
+    * only route on centroids (residual PQ's encode + ADC constants,
+    * [[IvfPq]]) must not pay a corpus-sized full-width cells build as a
+    * side effect (r17 review finding: plain `quantization='pq'` wrote a
+    * complete corpus copy it never read). Collected table is k×dim-small
+    * — the in-memory quantizer cache every ANN engine keeps. */
+  def materializedCentroidsAt(spark: SparkSession, token: String,
       sources: Seq[java.nio.file.Path], name: String, base: => DataFrame,
       vecCol: String, k: Int,
       iters: Int = 2,
-      modelSources: Option[Seq[java.nio.file.Path]] = None,
-      pieces: Option[(Seq[(Int, java.nio.file.Path)],
-        org.apache.spark.sql.types.StructType)] = None)
-      : (Array[(Int, Array[Float])], DataFrame) = {
+      modelSources: Option[Seq[java.nio.file.Path]] = None)
+      : Array[(Int, Array[Float])] = {
     import spark.implicits._
     val modelSrc = modelSources.getOrElse(sources)
-    // Collected centroid table is k×dim-small; memoized per model
-    // stamp so repeat queries skip the read+collect job entirely (the
-    // in-memory quantizer cache every ANN engine keeps).
-    val centroids = graft.Materialize.memo(
+    graft.Materialize.memo(
         s"ivf${k}_centroids_$name", token, modelSrc) {
       graft.Materialize.atPaths(spark, token,
         s"ivf${k}_centroids_$name", modelSrc, None) {
@@ -175,6 +177,19 @@ object Ivf {
         .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
         .sortBy(_._1)
     }
+  }
+
+  def materializedIndexAt(spark: SparkSession, token: String,
+      sources: Seq[java.nio.file.Path], name: String, base: => DataFrame,
+      vecCol: String, k: Int,
+      iters: Int = 2,
+      modelSources: Option[Seq[java.nio.file.Path]] = None,
+      pieces: Option[(Seq[(Int, java.nio.file.Path)],
+        org.apache.spark.sql.types.StructType)] = None)
+      : (Array[(Int, Array[Float])], DataFrame) = {
+    val centroids = materializedCentroidsAt(spark, token, sources, name,
+      base, vecCol, k, iters, modelSources)
+    val modelSrc = modelSources.getOrElse(sources)
     val cells = pieces match {
       case Some((ps, schema)) =>
         graft.Materialize.pieces(spark, token,

@@ -67,9 +67,20 @@ object IvfPq {
         org.apache.spark.sql.types.StructType)] = None)
       : (Array[(Int, Array[Float])], Array[Array[Array[Float]]], DataFrame) = {
     import spark.implicits._
-    val (cents, _) = Ivf.materializedIndexAt(spark, token, sources,
-      name, base, vecCol, cells, modelSources = modelSources, pieces = pieces)
+    // centroids ONLY — the cells table is neither read by the combined
+    // artifact nor by either pq query shape, and building it here made
+    // every plain-pq first touch write a full-width corpus copy as a
+    // side effect (r17 review finding)
+    val cents = Ivf.materializedCentroidsAt(spark, token, sources,
+      name, base, vecCol, cells, modelSources = modelSources)
     val modelSrc = modelSources.getOrElse(sources)
+    // reclaim the r16-era RAW-code artifacts this kind supersedes: the
+    // per-(kind, token) generation pruning can't see across a kind
+    // rename, so without the sweep every old codes/codebook table (full
+    // corpus-sized) sits in the temp dir forever (r17 review finding)
+    graft.Materialize.retireKinds(token, s"rawpq_$name")(k =>
+      k.endsWith(s"_$name") && (k.startsWith("pq") ||
+        (k.startsWith("ivfpq") && !k.startsWith("ivfpqr"))))
     // residual codebooks: trained once per model epoch against the
     // frozen coarse centroids, memoized like the IVF centroids
     // (kind 'ivfpqr' — residual codes must never be served from a stale

@@ -158,35 +158,67 @@ object Pq {
     * it replaces ran on Catalyst's interpreted path and dominated the
     * phase-1 scan at large m). Ordering-only, like [[adcOrdering]] —
     * exact scores come from the rerank phase. */
-  def adcOrderingResidual(codesCol: Column, cellCol: Column,
-      query: Array[Float], codebooks: Array[Array[Array[Float]]],
-      cents: Array[(Int, Array[Float])], metric: String): (Column, Boolean) = {
+  private def dotAt(a: Array[Float], off: Int, b: Array[Float]): Double = {
+    var s = 0.0; var t = 0
+    while (t < b.length) { s += a(off + t) * b(t); t += 1 }
+    s
+  }
+
+  /** The QUERY-INDEPENDENT halves of the residual-ADC tables — pure
+    * model artifacts (|cb|², the cent×cb cross table, |cent|²).
+    * Callers on a serving path memoize this per model stamp
+    * (Materialize.memo, like the codebooks themselves): the cross
+    * table is nCells×m×k doubles and its fill is the dominant
+    * table-build cost, so recomputing it per REQUEST would be the same
+    * per-request-floor class the r16 count job was — and memoizing also
+    * means every cached plan shares ONE array object instead of each
+    * retaining its own copy. */
+  final case class AdcModelTables(normFlat: Array[Double],
+      crossFlat: Array[Double], normC: Array[Double])
+
+  def adcModelTables(codebooks: Array[Array[Array[Float]]],
+      cents: Array[(Int, Array[Float])]): AdcModelTables = {
     val m = codebooks.length
     val k = codebooks(0).length
-    val sub = query.length / m
-    def dot(a: Array[Float], off: Int, b: Array[Float]): Double = {
-      var s = 0.0; var t = 0
-      while (t < b.length) { s += a(off + t) * b(t); t += 1 }
-      s
-    }
-    val dotFlat = Array.tabulate(m * k)(x =>
-      dot(query, (x / k) * sub, codebooks(x / k)(x % k)))
     val normFlat = Array.tabulate(m * k)(x =>
       codebooks(x / k)(x % k).map(v => v.toDouble * v).sum)
     val nCells = cents.map(_._1).max + 1
-    val dotQC = Array.fill(nCells)(0.0)
     val normC = Array.fill(nCells)(0.0)
     val crossFlat = Array.fill(nCells * m * k)(0.0)
     cents.foreach { case (c, cen) =>
       var t = 0
-      var dq = 0.0; var nc = 0.0
-      while (t < cen.length) {
-        dq += query(t) * cen(t); nc += cen(t).toDouble * cen(t); t += 1
-      }
-      dotQC(c) = dq; normC(c) = nc
+      var nc = 0.0
+      while (t < cen.length) { nc += cen(t).toDouble * cen(t); t += 1 }
+      normC(c) = nc
+      val sub = cen.length / m
       for (i <- 0 until m; j <- 0 until k)
-        crossFlat(c * m * k + i * k + j) = dot(cen, i * sub, codebooks(i)(j))
+        crossFlat(c * m * k + i * k + j) = dotAt(cen, i * sub, codebooks(i)(j))
     }
+    AdcModelTables(normFlat, crossFlat, normC)
+  }
+
+  def adcOrderingResidual(codesCol: Column, cellCol: Column,
+      query: Array[Float], codebooks: Array[Array[Array[Float]]],
+      cents: Array[(Int, Array[Float])], metric: String,
+      model: Option[AdcModelTables] = None): (Column, Boolean) = {
+    val m = codebooks.length
+    val k = codebooks(0).length
+    val sub = query.length / m
+    // per-query tables: m×k dots + nCells scalars — small by design
+    val dotFlat = Array.tabulate(m * k)(x =>
+      dotAt(query, (x / k) * sub, codebooks(x / k)(x % k)))
+    val nCells = cents.map(_._1).max + 1
+    val dotQC = Array.fill(nCells)(0.0)
+    cents.foreach { case (c, cen) =>
+      var t = 0
+      var dq = 0.0
+      while (t < cen.length) { dq += query(t) * cen(t); t += 1 }
+      dotQC(c) = dq
+    }
+    val mt = model.getOrElse(adcModelTables(codebooks, cents))
+    val normFlat = mt.normFlat
+    val crossFlat = mt.crossFlat
+    val normC = mt.normC
     val mode = metric match {
       case "dot" => 0
       // "euclidean" is the engine's canonical L2 name

@@ -145,17 +145,21 @@ class RestServer(g: Graft, port: Int = 0) {
     name
   }
 
-  /** Whether the collection's id COLUMN is string-typed — the /points/{id}
-    * routes dispatch (and quote their echo) on this, never on whether the
-    * path segment happens to parse as a number (r16 ADVICE: a stored
-    * string id "0123" routed to the long-delete branch, deleted nothing,
-    * and echoed back as the JSON number 123). A collection with no
-    * written manifest keeps the numeric default (long ids are the
-    * create-time default schema). */
-  private def idColIsString(cn: String): Boolean =
-    g.collections.manifestSchema(cn).exists(sch =>
-      sch.fields.find(_.name == g.collections.metaOf(cn)._1)
-        .exists(_.dataType == org.apache.spark.sql.types.StringType))
+  /** The collection's id column name and whether it is string-TYPED —
+    * the /points/{id} routes dispatch (and quote their echo) on the
+    * column's type, never on whether the path segment happens to parse
+    * as a number (r16 ADVICE: a stored string id "0123" routed to the
+    * long-delete branch, deleted nothing, and echoed back as the JSON
+    * number 123). One meta read + one manifest lookup per request (the
+    * manifest parse itself is LRU-cached per generation in
+    * Collections). A collection with no written manifest keeps the
+    * numeric default (long ids are the create-time default schema). */
+  private def idColInfo(cn: String): (String, Boolean) = {
+    val idc = g.collections.metaOf(cn)._1
+    (idc, g.collections.manifestSchema(cn).exists(
+      _.fields.find(_.name == idc)
+        .exists(_.dataType == org.apache.spark.sql.types.StringType)))
+  }
 
   /** Bound port (useful when constructed with port 0 for tests). */
   def boundPort: Int = server.getAddress.getPort
@@ -403,10 +407,10 @@ class RestServer(g: Graft, port: Int = 0) {
         // string-id collection a stored id like "0123" or "+5" parses as
         // a long and used to route to the wrong branch (r16 ADVICE).
         val cn = existingUserCollection(name)
-        val rows = (if (idColIsString(cn)) None else id.toLongOption) match {
+        val (idc, stringIds) = idColInfo(cn)
+        val rows = (if (stringIds) None else id.toLongOption) match {
           case Some(l) => g.collections.get(cn, Seq(l)).toJSON.collect()
           case None =>
-            val idc = g.collections.metaOf(cn)._1
             g.collections.table(cn)
               .map(_.where(col(idc).cast("string") === id).limit(2).toJSON.collect())
               .getOrElse(Array.empty[String])
@@ -417,11 +421,10 @@ class RestServer(g: Graft, port: Int = 0) {
         val cn = existingUserCollection(name)
         // same column-type dispatch as GET: a string-id collection
         // deletes by string equality even for numeric-looking segments
-        val stringIds = idColIsString(cn)
+        val (idc, stringIds) = idColInfo(cn)
         (if (stringIds) None else id.toLongOption) match {
           case Some(l) => g.collections.delete(cn, Seq(l))
           case None =>
-            val idc = g.collections.metaOf(cn)._1
             g.collections.deleteWhere(cn, col(idc).cast("string") === id)
         }
         // numeric ids stay JSON numbers on the wire (the pre-r15 shape);

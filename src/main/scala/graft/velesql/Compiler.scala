@@ -331,8 +331,11 @@ class Compiler(
             // — NO Spark job on any later compile, including fresh-JVM
             // serving with a new query vector per request (r16 VERDICT
             // #1 / ADVICE: the unconditional per-compile count() doubled
-            // q195). Every index family counts the same non-null-vector
-            // corpus, so the memo kind is shared with the PQ path.
+            // q195). The kind is deliberately index-family-agnostic
+            // (every family's count is the same non-null-vector corpus),
+            // so any future consumer can share the persisted value —
+            // since the r17 residual-PQ rework dropped its corpus-size
+            // knob, this routing decision is the only consumer.
             val corpusN = graft.Materialize.countMemo(
               s"corpusn_${vcolName}_${sel.from}", src.token, src.paths)(
               ivfCells.count())
@@ -597,8 +600,18 @@ class Compiler(
           // worst case holds its floor at 16 — q133's explicit pin)
           val osEff = sel.withOptions.get("oversampling").map(_.toDouble.toInt)
             .getOrElse(64)
+          // query-independent ADC tables (|cb|², cent×cb cross, |cent|²)
+          // memoized per model stamp, like the codebooks: rebuilding the
+          // nCells×m×k cross table per request would be the same
+          // per-request floor the r16 count job was, and memoizing lets
+          // every cached plan share one array object
+          val adcModel = graft.Materialize.memo(
+            s"ivfpqr${cellsN}_${m}x${kc}_adctables_${sel.from}", pqSrc.token,
+            pqSrc.modelPaths.getOrElse(pqSrc.paths)) {
+            Pq.adcModelTables(cb, cents)
+          }
           val (ord, asc) = Pq.adcOrderingResidual(col("codes"), col("cell"),
-            vec.toArray, cb, cents, meta.metric)
+            vec.toArray, cb, cents, meta.metric, model = Some(adcModel))
           // filter-then-search: with a residual WHERE, candidates come
           // from the filtered frame's ids only
           val scoped = residualCond match {

@@ -109,6 +109,36 @@ class IncrementalTrainedIndexSpec extends SparkSpecBase {
     Collections.deleteRec(java.nio.file.Paths.get(tmp))
   }
 
+  test("retireKinds reclaims renamed-kind artifacts, spares current kinds and other tokens") {
+    // r17 review finding: pruneStaleSiblings can't see across a kind
+    // rename, so the pq*→ivfpqr* upgrade would strand every r16-era
+    // codes table in the temp dir forever without this sweep
+    java.nio.file.Files.createDirectories(derivedRoot)
+    val tok = s"sweeptok${System.nanoTime() % 100000}"
+    def mk(kind: String, token: String): java.nio.file.Path = {
+      val p = derivedRoot.resolve(
+        s"v4_${kind.length}k${kind}_${token.length}t${token}__deadbeef")
+      java.nio.file.Files.createDirectories(p)
+      p
+    }
+    val old1 = mk("pq8x32_codes_p3_c1", tok)
+    val old2 = mk("ivfpq8_8x32_codes_c1", tok)
+    val cur = mk("ivfpqr8_8x256_codes_c1", tok)
+    val otherTok = mk("pq8x32_codes_p3_c1", tok + "x")
+    val otherName = mk("pq8x32_codes_p3_c2", tok)
+    try {
+      Materialize.retireKinds(tok, s"spec_${System.nanoTime()}")(k =>
+        k.endsWith("_c1") && (k.startsWith("pq") ||
+          (k.startsWith("ivfpq") && !k.startsWith("ivfpqr"))))
+      assert(!java.nio.file.Files.exists(old1), "retired pq kind must be swept")
+      assert(!java.nio.file.Files.exists(old2), "retired ivfpq kind must be swept")
+      assert(java.nio.file.Files.exists(cur), "current ivfpqr kind must survive")
+      assert(java.nio.file.Files.exists(otherTok), "other tokens untouched")
+      assert(java.nio.file.Files.exists(otherName), "other collections untouched")
+    } finally Seq(cur, otherTok, otherName, old1, old2)
+      .foreach(p => if (java.nio.file.Files.exists(p)) Collections.deleteRec(p))
+  }
+
   test("payload-only upsert dirties its hnsw cell (no stale graph)") {
     // r12 ADVICE (high): the per-cell signature hashed only (id, vector),
     // so a same-vector payload change left the cell hash unchanged and
