@@ -214,6 +214,27 @@ object RecallCurve {
         }
         report("pq", tier, s"residual m=$pm k=$pk oversample=$os", hits, sec)
       }
+      // IVF-PQ composed (the cluster-scale product shape, q139's path):
+      // probe nprobe cells, ADC-order the probed cells' codes only,
+      // exact rerank — same residual artifact, scan bounded by the probe
+      for ((tier, np) <- Seq(("fast", 2), ("balanced", 4), ("accurate", 7))) {
+        var hits = 0L; var sec = 0.0
+        queries.zipWithIndex.foreach { case (q, i) =>
+          val probes = Hnsw.probeCells(cents, q.toArray, np)
+          val (ord, asc) = Pq.adcOrderingResidual(col("codes"), col("cell"),
+            q.toArray, cb, cents, "cosine")
+          val (ids, s) = timed {
+            val cand = enc.where(col("cell").isin(probes: _*))
+              .withColumn("__adc", ord)
+              .orderBy(if (asc) col("__adc").asc else col("__adc").desc, col("vec_id").asc)
+              .limit(10 * 64).select("vec_id")
+            Knn.topK(emb.join(cand, "vec_id"), "embedding", q, 10, "cosine",
+              idCol = "vec_id").select("vec_id").collect().map(_.getLong(0)).toSet
+          }
+          hits += ids.intersect(truth(i)).size; sec += s
+        }
+        report("ivfpq", tier, s"residual m=$pm k=$pk nprobe=$np oversample=64", hits, sec)
+      }
       enc.unpersist()
     }
 
