@@ -340,24 +340,30 @@ class Compiler(
               s"corpusn_${vcolName}_${sel.from}", src.token, src.paths)(
               ivfCells.count())
             val cellsToProbe = Hnsw.probeCells(cents, vec.toArray, nprobe)
-            // Cost-aware tier routing (r16 VERDICT #2): accurate is the
-            // ≥0.95-recall contract tier, and recall at a FIXED walk
-            // budget decays as cells grow — ef must scale as ~corpus/96
-            // (RecallCurve r16; the reference scales the same knob,
-            // HnswParams::for_dataset_size params.rs:72-102). But the
-            // batch walk reads every probed row anyway (mapPartitions
-            // materializes the cell) — its only saving is exact-kernel
-            // evals, and the measured per-visit bookkeeping exceeds a
-            // codegen eval at every dim tested (100K×768D: 662 ms walk
-            // vs 92 ms exact scan, PERF_r16_ann). So once the adaptive
-            // ef exceeds the calibrated floor (corpus > 96·96), the walk
-            // is a strictly worse linear scan: route accurate to the
-            // per-cell EXACT scan over the probed cells (the ivf-tier
-            // plan, recall 1.0 within the probe — the recall pins only
-            // strengthen), and skip building the adjacency entirely.
-            // fast/balanced keep their fixed small ef — genuinely
-            // sublinear candidate counts at every corpus size.
-            if (t == "accurate" && corpusN > 96L * 96L) {
+            // Cost-aware tier routing (r16 VERDICT #2, widened to every
+            // tier in r17): the batch walk reads every probed row anyway
+            // (mapPartitions materializes the cell) — its only saving is
+            // exact-kernel evals, and the measured per-visit bookkeeping
+            // exceeds a codegen eval at every dim tested. Above the
+            // calibration corpus that trade never pays, on EITHER axis:
+            //  - accurate: recall at a FIXED ef decays as cells grow —
+            //    ef must scale as ~corpus/96 (RecallCurve r16; the
+            //    reference scales the same knob, HnswParams::
+            //    for_dataset_size params.rs:72-102) — and a linearly-
+            //    growing ef is a strictly worse linear scan (100K×768D:
+            //    662 ms walk at 0.96 vs the probed exact scan at 1.0);
+            //  - fast/balanced: their fixed small ef keeps the cost
+            //    DOWN but the recall collapses with cell size (0.31 /
+            //    0.48 on the tile at 512/500 ms — dominated by the
+            //    nprobe-matched cell scan at 1.0 recall and ~70 ms,
+            //    PERF_r17_ann).
+            // So once corpus > 96·96 every tier routes to the per-cell
+            // EXACT scan over its OWN nprobe probe set (the ivf-tier
+            // plan — the probe width stays the speed/recall knob), and
+            // the adjacency never builds. At calibration scale the walk
+            // keeps the reference's navigable-graph semantics (HnswSpec;
+            // q195's recall pin path).
+            if (corpusN > 96L * 96L) {
               val idx = ivfCells.as(sel.fromAlias.getOrElse(sel.from))
               val idxF = residualCond match {
                 case Some(c) => idx.where(compileCond(c, idx, meta))

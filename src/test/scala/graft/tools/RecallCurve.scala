@@ -137,16 +137,21 @@ object RecallCurve {
       val graph = Hnsw.buildGraph(cells, "embedding", "vec_id", "cosine", m = 8).cache()
       graph.count()
       println(f"BUILD hnsw-graph ${(System.nanoTime() - t0) / 1e9}%.1f s")
-      // accurate at this corpus: the product ROUTES to the per-cell
-      // exact scan once the adaptive ef would exceed the calibrated
-      // floor (corpus > 96·96 — Compiler cost-aware routing, r17): the
-      // batch walk reads every probed row anyway, so a linearly-growing
-      // ef is a strictly worse linear scan. The routed row is measured
-      // through the same plan the product compiles; 'cal-walk' keeps
-      // the unrouted adaptive walk in the table as the cost it avoids.
+      // Above the calibration corpus (n > 96·96) the product ROUTES
+      // every hnsw tier to the per-cell exact scan over its own probe
+      // set (Compiler cost-aware routing, r17): the batch walk reads
+      // every probed row anyway, so at scale it loses on BOTH axes —
+      // the adaptive accurate walk is a strictly worse linear scan, and
+      // the fixed-ef fast/balanced walks keep the cost down while
+      // recall collapses with cell size. The 'cal-*' rows keep the
+      // unrouted walks in the table as the costs routing avoids.
+      val routed = n > 96 * 96
       val efAcc = math.max(96, n / 96)
-      val hnswPoints = Seq(("fast", 2, 24), ("balanced", 4, 48)) ++
-        (if (n > 96 * 96) Seq(("cal-walk", 7, efAcc)) else Seq(("accurate", 7, 96))) ++
+      val hnswPoints =
+        (if (routed)
+          Seq(("cal-walk-fast", 2, 24), ("cal-walk-balanced", 4, 48),
+            ("cal-walk", 7, efAcc))
+        else Seq(("fast", 2, 24), ("balanced", 4, 48), ("accurate", 7, 96))) ++
         sys.env.get("GRAFT_HNSW_EF_SWEEP").toSeq.flatMap(_ =>
           Seq(("cal-ef256", 7, 256), ("cal-ef512", 7, 512), ("cal-ef1024", 7, 1024)))
       for ((tier, np, ef) <- hnswPoints) {
@@ -165,18 +170,18 @@ object RecallCurve {
         }
         report("hnsw", tier, s"nprobe=$np ef=$ef", hits, sec)
       }
-      if (n > 96 * 96) {
-        // the routed accurate tier: exact scan over the probed cells
+      if (routed) for ((tier, np) <- Seq(("fast", 2), ("balanced", 4), ("accurate", 7))) {
+        // the routed tiers: exact scan over each tier's probed cells
         var hits = 0L; var sec = 0.0
         queries.zipWithIndex.foreach { case (q, i) =>
-          val probes = Hnsw.probeCells(cents, q.toArray, 7)
+          val probes = Hnsw.probeCells(cents, q.toArray, np)
           val (ids, s) = timed(
             Knn.topK(cells.where(col("cell").isin(probes: _*)),
               "embedding", q, 10, "cosine", idCol = "vec_id")
               .select("vec_id").collect().map(_.getLong(0)).toSet)
           hits += ids.intersect(truth(i)).size; sec += s
         }
-        report("hnsw", "accurate", "nprobe=7 routed→cell-scan", hits, sec)
+        report("hnsw", tier, s"nprobe=$np routed-cell-scan", hits, sec)
       }
       graph.unpersist()
     }
