@@ -85,6 +85,23 @@ class PqSpec extends SparkSpecBase {
     assert(filtered.nonEmpty && filtered.forall(r => label3(r.getLong(0))))
   }
 
+  test("pq phase 1 plans the codegen ADC kernel over the narrow codes scan") {
+    val q = functions.VectorFunctions.syntheticQuery(dim)
+    val c = new Compiler(spark, new Catalog(spark, sfDir), Map("q" -> q))
+    val df = c.run("SELECT vec_id, score FROM embeddings WHERE vector NEAR $q " +
+      "LIMIT 5 WITH (quantization = 'pq', oversampling = 16)")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pq_adc_score"),
+      s"phase-1 ordering must be the codegen kernel, not a HOF chain:\n$plan")
+    // the ordering input is the materialized residual-codes table — the
+    // scan that feeds the kernel must read only its narrow columns
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(readSchemas.exists(s =>
+      s.contains("codes") && s.contains("cell") && !s.contains("embedding")),
+      s"expected a narrow (id, cell, codes) scan feeding ADC; schemas: $readSchemas")
+  }
+
   test("pq validation: probing-mode conflict and unsupported metric fail loudly") {
     val q = functions.VectorFunctions.syntheticQuery(dim)
     val c = new Compiler(spark, new Catalog(spark, sfDir), Map("q" -> q))
