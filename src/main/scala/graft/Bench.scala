@@ -95,22 +95,38 @@ object Bench {
     // 15 s per bench run buys a min the judge doesn't need to re-run)
     val headlineReps = math.max(reps,
       sys.env.get("SPARK_GRAFT_BENCH_REPS_HEADLINE").map(_.toInt).getOrElse(5))
+    // drop per-query cached intermediates so each timed run pays its
+    // own caching cost (and doesn't bleed memory pressure forward).
+    // clearCache only reaches catalog-registered InMemoryRelations; the
+    // iterative/streaming query fns RETURN localCheckpoint frames whose
+    // RDD blocks it never frees — over 171 queries × reps those dead
+    // blocks accumulated in storage memory and spilled into the tmpfs
+    // local dir, taxing LATER queries with eviction + memory pressure
+    // they didn't cause (measured r17: q146 1.19 s in-bench vs 0.39 s
+    // isolated, same plan). Freeing the consumed frame's checkpoint
+    // blocks after each timed run is the same hygiene, one level down;
+    // the timed region itself is unchanged.
+    def afterRun(df: Option[org.apache.spark.sql.DataFrame]): Unit = {
+      df.foreach(org.apache.spark.sql.graft.CheckpointBlocks.unpersistAll(_))
+      spark.catalog.clearCache()
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { force(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
+      val coldDf = try { val df = fn(spark, sfDir); force(df); Some(df) }
+        catch { case _: Throwable => None }
       val cold = (System.nanoTime() - t0) / 1e9
-      // drop per-query cached intermediates so each timed run pays its
-      // own caching cost (and doesn't bleed memory pressure forward)
-      spark.catalog.clearCache()
+      afterRun(coldDf)
       // a failed rep must never win the min (its fast time-to-error would
       // masquerade as a good run) — it counts as +∞; all-reps-failed
       // reports -1 so the record shows failure instead of a bogus time
       val nReps = if (Headline.contains(name)) headlineReps else reps
       val times = (1 to nReps).map { _ =>
         val t1 = System.nanoTime()
-        val failed = try { force(fn(spark, sfDir)); false } catch { case _: Throwable => true }
+        val (failed, repDf) =
+          try { val df = fn(spark, sfDir); force(df); (false, Some(df)) }
+          catch { case _: Throwable => (true, None) }
         val t = (System.nanoTime() - t1) / 1e9
-        spark.catalog.clearCache()
+        afterRun(repDf)
         if (failed) Double.PositiveInfinity else t
       }
       val warm = if (times.min.isInfinity) -1.0 else times.min

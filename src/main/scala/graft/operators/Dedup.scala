@@ -92,10 +92,16 @@ object Dedup {
     // Graph squaring (2 hops/round) was tried and measured NEUTRAL here:
     // near-dup components converge in 2-3 rounds already, so the extra
     // setup checkpoint cancels the saved rounds.
+    // LAZY checkpoint: round 1's convergence count is the first action,
+    // so the expensive pair join materializes inside that job instead
+    // of paying its own standalone checkpoint job (r17, guide §1.2).
+    // The distinct STAYS: unlike kCore/lpa the pair source here is any
+    // caller's similarity join output, with no canonical-distinct
+    // contract to lean on.
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionAll(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("comp", col("id"))
     var prevCkpt: DataFrame = null
@@ -113,7 +119,10 @@ object Dedup {
       val updated = labels.join(nb, labels("id") === col("u"), "left")
         .select(labels("id"), newComp.as("comp"),
           (newComp =!= labels("comp")).as("__chg"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
+      // LAZY checkpoint: the convergence count is the materializing
+      // action (eager paid a checkpoint job PLUS this count job — two
+      // sync jobs per round; r17, guide §1.2)
       changed = updated.where(col("__chg")).count()
       if (prevCkpt != null)
         org.apache.spark.sql.graft.CheckpointBlocks.unpersist(prevCkpt)

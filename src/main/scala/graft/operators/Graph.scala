@@ -605,8 +605,17 @@ object Graph {
     val keepHint: DataFrame => DataFrame = if (smallKeep) broadcast else identity
     val e0 = undirected.select(col(aCol).cast("long").as("u"),
       col(bCol).cast("long").as("v"))
+    // No distinct on the symmetrized union: the input contract is
+    // canonical DISTINCT pairs (a < b) — every caller (coPurchasePairs,
+    // Graft.undirectedPairs) dedups — so the swapped half is disjoint
+    // from the original and the union is already a set; the defensive
+    // distinct paid a full exchange + dedup inside the materializing
+    // job for nothing (r17, guide §2.4). LAZY checkpoint + count fuses
+    // materialization and the convergence read into ONE job (the eager
+    // form ran a checkpoint job, then a second count job over the
+    // fresh blocks — 2 jobs per sync point; r17, guide §1.2).
     var edges = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint(true)
+      .localCheckpoint(false)
     var nEdges = edges.count()
     var it = 0
     var converged = nEdges == 0L
@@ -614,19 +623,63 @@ object Graph {
     // checkpoint+count halves the sync points but doubles each plan's
     // join depth — a QTime A/B read as a wash inside host noise, so the
     // simpler one-round loop stays)
-    while (!converged && it < maxIters) {
+    //
+    // Local tail finish (r17, guide §1.1/§1.2): peeling shrinks the
+    // edge set monotonically, and every sync point KNOWS the exact
+    // remaining count — once it is broadcast-class small the later
+    // rounds are pure job-scheduling floor (KcoreLab at sf0.1: rounds
+    // 2-6 each ran 4 jobs over ≤726 edges, ~1.1 s of the row's 1.5 s
+    // for microseconds of arithmetic). Below the bound the fixpoint
+    // finishes on the driver over the collected (u,v) longs — the same
+    // size-gated driver transfer as a broadcast-join build side, NOT an
+    // unbounded collect: the gate is the checkpoint's own exact count.
+    // At scale the early (data-sized) rounds stay distributed and only
+    // the convergence tail collapses.
+    val localFinish = edges.sparkSession.conf
+      .get("graft.kcore.localFinishEdges", "100000").toLong
+    while (!converged && it < maxIters && nEdges > localFinish) {
       val keep = keepHint(edges.groupBy("u").agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k).select(col("u").as("__n")))
       val pruned = edges
         .join(keep, edges("u") === col("__n")).drop("__n")
         .join(keep, edges("v") === col("__n")).drop("__n")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
+      // the convergence count doubles as the checkpoint materializer
       val n = pruned.count()
       org.apache.spark.sql.graft.CheckpointBlocks.unpersist(edges)
       converged = n == nEdges || n == 0L
       edges = pruned
       nEdges = n
       it += 1
+    }
+    if (!converged && nEdges <= localFinish) {
+      // ≤ localFinish symmetrized edges (two longs each) — bounded,
+      // exact-integer arithmetic, so results are bit-identical to the
+      // distributed rounds
+      var es = edges.select(col("u"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      org.apache.spark.sql.graft.CheckpointBlocks.unpersist(edges)
+      while (!converged && it < maxIters) {
+        val deg = es.groupBy(_._1).map { case (u, g) => (u, g.length) }
+        val keep = deg.collect { case (u, d) if d >= k => u }.toSet
+        val pruned = es.filter(e => keep(e._1) && keep(e._2))
+        converged = pruned.length == es.length || pruned.isEmpty
+        es = pruned
+        it += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"kCore: no fixpoint after $maxIters rounds")
+      val spark = undirected.sparkSession
+      val rows = es.groupBy(_._1).toSeq
+        .map { case (u, g) => org.apache.spark.sql.Row(u, g.length.toLong) }
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("core_deg",
+            org.apache.spark.sql.types.LongType, nullable = false))))
     }
     if (!converged) {
       org.apache.spark.sql.graft.CheckpointBlocks.unpersist(edges)
@@ -792,8 +845,13 @@ object Graph {
     require(iters >= 1, "iters must be >= 1")
     val e0 = undirected.select(col(aCol).cast("long").as("u"),
       col(bCol).cast("long").as("v"))
+    // no distinct (input contract: canonical distinct pairs — the
+    // swapped half is disjoint, see kCore) and a LAZY checkpoint: the
+    // first sync point (the round-`ckptEvery`/last-round eager
+    // checkpoint) materializes adj inside its own job, saving a
+    // standalone build job per call (r17, guide §1.2/§2.4)
     val adj = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint(true)
+      .localCheckpoint(false)
     var labels = adj.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
     var prevCkpt: DataFrame = null

@@ -237,9 +237,17 @@ object StreamingOps {
   /** Read the events parquet directory as a stream (file source — at
     * scale this is the landing-zone pattern: new files appear, Spark
     * incrementally processes them). */
+  // schema inference lists the path and reads parquet footers on the
+  // DRIVER on every call — each streaming row paid it once per bench
+  // rep / REST request. The schema is stable per dataset dir for a
+  // session's lifetime (the same invariant Tables.table leans on), so
+  // memoize per path (r17, guide §1.2).
+  private val schemaMemo = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.types.StructType]
+
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
+    val schema = schemaMemo.getOrElseUpdate(path, spark.read.parquet(path).schema)
     // driver testdata ships events as a FLAT FILE inside the dataset dir
     // (the file source needs a directory → glob-filter to that one file);
     // Spark-written datasets (ScaleGen, user ingests) ship a parquet

@@ -90,6 +90,22 @@ class TriangleSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](core(g, 0))
   }
 
+  test("kCore: local tail finish ≡ distributed rounds (r17 path parity)") {
+    // clique 1-4 (3-core) + cycle 5-8 (2-core) + tails that cascade-peel
+    val g = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (7L, 8L), (5L, 8L),
+      (4L, 9L), (9L, 10L), (8L, 11L))
+    def run(): Map[Long, Long] = core(g, 2)
+    val local = run() // default threshold: whole fixpoint on the driver
+    spark.conf.set("graft.kcore.localFinishEdges", "0")
+    val dist = try run() // threshold 0: every round distributed
+      finally spark.conf.unset("graft.kcore.localFinishEdges")
+    assert(local == dist)
+    assert(local == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 2L, 6L -> 2L, 7L -> 2L, 8L -> 2L))
+  }
+
   private def aa(edges: Seq[(Long, Long)], minCommon: Int = 1,
       maxDeg: Long = Long.MaxValue): Map[(Long, Long), (Long, Long)] =
     Graph.adamicAdar(edges.toDF("a", "b"), minCommon, maxDeg)
