@@ -202,6 +202,16 @@ object StreamingOps {
         // aggregations emit their final state in complete mode; the
         // stream-stream join is append-only by construction
         val om = if (op == "attribution") "append" else "complete"
+        // one-shot AvailableNow replay: trailing no-data batches are
+        // pure state-maintenance cost here and output-neutral for these
+        // shapes (inner+append join emits on match; complete mode
+        // re-emits full state) — same rationale and pins as the q127/
+        // q131/q147 wrapper, RestServerSpec holds batch ≡ stream rows.
+        // Restored after termination (the stream clones the session
+        // conf on its own thread during batch-0 planning).
+        val prevNd = spark.conf
+          .get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         val shm = new java.io.File("/dev/shm")
         val ck = if (shm.isDirectory && shm.canWrite)
           java.nio.file.Files.createTempDirectory(shm.toPath, "graft-analytics-")
@@ -224,6 +234,8 @@ object StreamingOps {
           spark.catalog.dropTempView(qn)
           res
         } finally {
+          spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prevNd)
           import scala.jdk.CollectionConverters._
           val walk = java.nio.file.Files.walk(ck)
           try walk.iterator().asScala.toSeq.reverse.foreach(_.toFile.delete())
