@@ -449,10 +449,14 @@ object Dedup {
     // localCheckpoint once: the sketch aggregation, the sizing count
     // and the exact join all read those blocks — ONE corpus scan total
     // (blocks live until the consumer's plan is dropped).
-    val ck = corpus.select(key.as("__k")).distinct().localCheckpoint(true)
+    // LAZY checkpoint: the sizing count right below is the first action
+    // and doubles as the materializer (one corpus-scan job, not two —
+    // r17, guide §1.2); the sketch agg and exact join then read blocks
+    val ck = corpus.select(key.as("__k")).distinct().localCheckpoint(false)
+    val ckCount = ck.count()
     val probeOf = (k: Column) => xxhash64(k.cast("string"))
     val bf = ck.select(probeOf(col("__k")).as("__h"))
-      .stat.bloomFilter("__h", math.max(ck.count(), 1L), fpp)
+      .stat.bloomFilter("__h", math.max(ckCount, 1L), fpp)
     val spark = batch.sparkSession
     val bfB = spark.sparkContext.broadcast(bf)
     val maybe = udf((h: Long) => bfB.value.mightContainLong(h))
