@@ -293,8 +293,11 @@ class Graft(
 
   /** k-core over the same graph surface, undirected (optionally
     * restricted to `relTypes`) — iterative peeling, see
-    * [[operators.Graph.kCore]]. Returns a bare checkpoint; free it
-    * with `CheckpointBlocks.unpersist` after consuming. */
+    * [[operators.Graph.kCore]]. Returns a bare checkpoint — or, when
+    * the peel finished on the driver below the local-finish gate, a
+    * plain local-relation frame — so `CheckpointBlocks.unpersist`
+    * after consuming is correct either way (a safe no-op on the
+    * local-path result). */
   def kCore(k: Int, relTypes: Seq[String] = Nil,
       graphScope: Option[String] = None): DataFrame =
     operators.Graph.kCore(undirectedPairs(relTypes, graphScope), k)

@@ -92,16 +92,17 @@ object Dedup {
     // Graph squaring (2 hops/round) was tried and measured NEUTRAL here:
     // near-dup components converge in 2-3 rounds already, so the extra
     // setup checkpoint cancels the saved rounds.
-    // LAZY checkpoint: round 1's convergence count is the first action,
-    // so the expensive pair join materializes inside that job instead
-    // of paying its own standalone checkpoint job (r17, guide §1.2).
-    // The distinct STAYS: unlike kCore/lpa the pair source here is any
+    // The distinct STAYS (unlike kCore/lpa the pair source here is any
     // caller's similarity join output, with no canonical-distinct
-    // contract to lean on.
+    // contract), and so does the EAGER checkpoint: round 1's job has
+    // TWO independent consumers of edges (the labels-init distinct and
+    // the nb join) whose stages the scheduler can run concurrently — a
+    // lazy checkpoint would let both recompute the expensive dedup
+    // reduce side before any block persists (r17 review finding).
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionAll(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("comp", col("id"))
     var prevCkpt: DataFrame = null

@@ -586,13 +586,25 @@ object Graph {
     * surviving nodes with their degree INSIDE the core; empty when the
     * graph has no k-core.
     *
+    * INPUT CONTRACT (load-bearing since r17): the pairs MUST be
+    * distinct and canonical (`a < b`, no self-loops) — duplicates or
+    * reversed pairs silently double degrees and corrupt the peel. Both
+    * in-repo producers ([[graft.queries.GraphQueries]]' co-purchase
+    * projection, `Graft.undirectedPairs`) canonicalize; external
+    * callers must too (the defensive distinct that used to absorb
+    * garbage paid a full exchange per call and was removed).
+    *
     * Scale shape: each peel round is one degree agg + one semi-join
     * edge restriction — the superstep shape, shuffled on the node key;
     * round count is bounded by the graph's degeneracy ordering depth
-    * (typically ≲ 10 on real graphs). Lineage truncates per round with
-    * the eager-checkpoint + unpersist discipline ([[bfsVarLength]]);
-    * the convergence check reads the checkpointed edge count, nothing
-    * data-sized reaches the driver. */
+    * (typically ≲ 10 on real graphs). Each round materializes a lazy
+    * checkpoint through its convergence count (one job per sync point),
+    * superseded blocks are freed in-loop ([[bfsVarLength]] discipline),
+    * and once the exactly-known remainder fits the
+    * `graft.kcore.localFinishEdges` gate (default 100k edges) the
+    * fixpoint tail finishes on the driver — the long floor-round tail
+    * of the peel costs zero jobs, and nothing unbounded reaches the
+    * driver. */
   def kCore(undirected: DataFrame, k: Int, maxIters: Int = 30,
       aCol: String = "a", bCol: String = "b"): DataFrame = {
     require(k >= 1, "k must be >= 1")
@@ -815,7 +827,9 @@ object Graph {
   }
 
   /** Label-propagation communities over an UNDIRECTED simple graph
-    * given as canonical distinct pairs `(a < b)` (beyond-reference:
+    * given as canonical distinct pairs `(a < b)` — a load-bearing
+    * input contract since r17, exactly as [[kCore]]'s: duplicates or
+    * reversed pairs silently double votes (beyond-reference:
     * Raghavan et al. 2007 — the near-linear community detector, the
     * same algorithm GraphFrames ships as `labelPropagation`). This is
     * the SYNCHRONOUS fixed-iteration deterministic variant: every

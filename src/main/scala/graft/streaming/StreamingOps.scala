@@ -207,35 +207,44 @@ object StreamingOps {
         // shapes (inner+append join emits on match; complete mode
         // re-emits full state) — same rationale and pins as the q127/
         // q131/q147 wrapper, RestServerSpec holds batch ≡ stream rows.
-        // Restored after termination (the stream clones the session
-        // conf on its own thread during batch-0 planning).
-        val prevNd = spark.conf
-          .get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        // The flip-run-restore happens under [[ndLock]] because the
+        // session conf is SHARED (the REST pool serves this on 8
+        // threads) and the stream clones it on its own thread during
+        // batch-0 planning — restore must wait for termination, so two
+        // interleaved flips could strand the session at false. The
+        // flip itself sits inside the try so a failure on any setup
+        // step still restores.
         val shm = new java.io.File("/dev/shm")
         val ck = if (shm.isDirectory && shm.canWrite)
           java.nio.file.Files.createTempDirectory(shm.toPath, "graft-analytics-")
         else java.nio.file.Files.createTempDirectory("graft-analytics-")
         try {
-          val q = out.writeStream.format("memory").queryName(qn)
-            .option("checkpointLocation", ck.toString)
-            .outputMode(om)
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          // awaitTermination returns FALSE on timeout (no exception) —
-          // fail loudly rather than serve a partial sink. NOT an
-          // IllegalArgumentException: the REST layer maps IAE to 400
-          // (caller error), and a capacity timeout is a 5xx condition
-          try {
-            if (!q.awaitTermination(300000))
-              throw new IllegalStateException(s"$qn timed out after 300 s")
-          } finally q.stop()
+          ndLock.synchronized {
+            val prevNd = spark.conf
+              .get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+            try {
+              spark.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", "false")
+              val q = out.writeStream.format("memory").queryName(qn)
+                .option("checkpointLocation", ck.toString)
+                .outputMode(om)
+                .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                .start()
+              // awaitTermination returns FALSE on timeout (no exception) —
+              // fail loudly rather than serve a partial sink. NOT an
+              // IllegalArgumentException: the REST layer maps IAE to 400
+              // (caller error), and a capacity timeout is a 5xx condition
+              try {
+                if (!q.awaitTermination(300000))
+                  throw new IllegalStateException(s"$qn timed out after 300 s")
+              } finally q.stop()
+            } finally spark.conf.set(
+              "spark.sql.streaming.noDataMicroBatches.enabled", prevNd)
+          }
           val res = spark.table(qn).localCheckpoint(true)
           spark.catalog.dropTempView(qn)
           res
         } finally {
-          spark.conf.set(
-            "spark.sql.streaming.noDataMicroBatches.enabled", prevNd)
           import scala.jdk.CollectionConverters._
           val walk = java.nio.file.Files.walk(ck)
           try walk.iterator().asScala.toSeq.reverse.foreach(_.toFile.delete())
@@ -249,17 +258,45 @@ object StreamingOps {
   /** Read the events parquet directory as a stream (file source — at
     * scale this is the landing-zone pattern: new files appear, Spark
     * incrementally processes them). */
+  /** Serializes the flip-run-restore of the session-global
+    * noDataMicroBatches conf in [[eventsAnalytics]] — see the comment
+    * at the use site. */
+  private val ndLock = new Object
+
   // schema inference lists the path and reads parquet footers on the
   // DRIVER on every call — each streaming row paid it once per bench
-  // rep / REST request. The schema is stable per dataset dir for a
-  // session's lifetime (the same invariant Tables.table leans on), so
-  // memoize per path (r17, guide §1.2).
+  // rep / REST request. Memoized per path, STAMPED on the path's
+  // (mtime, size) like Materialize's content stamps so a re-ingested
+  // dataset at the same path re-infers instead of serving a stale
+  // schema to a long-running server (r17, guide §1.2).
   private val schemaMemo = scala.collection.concurrent.TrieMap
-    .empty[String, org.apache.spark.sql.types.StructType]
+    .empty[String, ((Long, Long), org.apache.spark.sql.types.StructType)]
+
+  private def pathStamp(p: java.nio.file.Path): (Long, Long) = try {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        val fs = walk.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_)).toSeq
+        (fs.map(f => java.nio.file.Files.getLastModifiedTime(f).toMillis)
+          .foldLeft(0L)(math.max),
+         fs.map(java.nio.file.Files.size).sum)
+      } finally walk.close()
+    } else (java.nio.file.Files.getLastModifiedTime(p).toMillis,
+      java.nio.file.Files.size(p))
+  } catch { case _: Throwable => (-1L, -1L) }
 
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    val schema = schemaMemo.getOrElseUpdate(path, spark.read.parquet(path).schema)
+    val stamp = pathStamp(java.nio.file.Paths.get(path))
+    val schema = schemaMemo.get(path) match {
+      case Some((s, sch)) if s == stamp => sch
+      case _ =>
+        val sch = spark.read.parquet(path).schema
+        schemaMemo.put(path, (stamp, sch))
+        sch
+    }
     // driver testdata ships events as a FLAT FILE inside the dataset dir
     // (the file source needs a directory → glob-filter to that one file);
     // Spark-written datasets (ScaleGen, user ingests) ship a parquet
