@@ -36,6 +36,26 @@ object TextKernels {
     top60(md.digest()) % dim
   }
 
+  /** First `nibbles` (1..15) hex chars of md5(g) as a non-negative long —
+    * the generalized convention behind `conv(substring(md5(g), 1, N),
+    * 16, 10)`: nibbles=15 is the 60-bit dedup/shingle hash, nibbles=8
+    * the simhash 32-bit bit source. Computed from the digest bytes
+    * directly (no hex string, no substring, no base-16 parse per row);
+    * bit-parity with the built-in chain is pinned by TextKernelsSpec.
+    * 16 nibbles would read the sign bit — callers stay ≤ 15 so the
+    * value is always non-negative, matching conv's unsigned parse. */
+  def md5Prefix(g: UTF8String, nibbles: Int): Long = {
+    val md = md5.get()
+    md.reset()
+    md.update(g.getBytes)
+    val d = md.digest()
+    var v = 0L
+    var i = 0
+    val nb = (nibbles + 1) / 2
+    while (i < nb) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    if ((nibbles & 1) == 1) v >>> 4 else v
+  }
+
   private val SpaceByte = ' '.toByte
 
   /** Per-document hashed-gram margin: Σ weights[fid(gram)] over the

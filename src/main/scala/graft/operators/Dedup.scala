@@ -155,29 +155,36 @@ object Dedup {
 
   /** Ordered char k-gram hashes per doc (fine-grained fingerprinting —
     * ~|text| hashes per doc; prefer [[tokenGramHashes]] at corpus scale). */
+  /** Byte-direct 60-bit md5 prefix (bit-parity with the
+    * conv(substring(md5(x),1,15),16,10) chain, pinned by
+    * TextKernelsSpec) — inside a transform() lambda the chain's 3
+    * allocations per gram ran INTERPRETED (HOFs don't codegen), the
+    * worst-cost placement in the fingerprint builders below. */
+  private def hash60(c: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.Md5Prefix(
+        org.apache.spark.sql.graft.Bridge.expression(c), 15))
+
   def charGramHashes(docs: DataFrame, k: Int = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.where(length(col(textCol)) >= k)
-      .select(col(idCol).as("doc_id"), expr(
-        s"""transform(sequence(1, length($textCol) - ${k - 1}),
-           |  i -> cast(conv(substring(md5(substring($textCol, i, $k)), 1, 15), 16, 10) as bigint))"""
-          .stripMargin).as("h"))
+      .select(col(idCol).as("doc_id"),
+        transform(sequence(lit(1), length(col(textCol)) - (k - 1)),
+          i => hash60(col(textCol).substr(i, lit(k)))).as("h"))
 
   /** Ordered word n-gram hashes per doc (the corpus-scale granularity:
     * ~|tokens| hashes per doc; same tokenizer and 60-bit md5 hash as the
     * shingle/minhash family). */
   def tokenGramHashes(docs: DataFrame, n: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val gram = (0 until n).map(j => s"tks[i + $j]").mkString("concat_ws(' ', ", ", ", ")")
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs
       .select(col(idCol).as("doc_id"),
         expr(s"filter(split(lower($textCol), '[^a-z0-9]+'), t -> length(t) > 1)").as("tks"))
       .where(size(col("tks")) >= n)
-      .select(col("doc_id"), expr(
-        s"""transform(sequence(0, size(tks) - $n),
-           |  i -> cast(conv(substring(md5($gram), 1, 15), 16, 10) as bigint))"""
-          .stripMargin).as("h"))
-  }
+      .select(col("doc_id"),
+        transform(sequence(lit(0), size(col("tks")) - n),
+          i => hash60(concat_ws(" ",
+            (0 until n).map(j => col("tks")(i + j)): _*))).as("h"))
 
   /** Winnowing fingerprints from word 3-grams with window 4 — shared
     * runs of ≥ 6 tokens fingerprint. */

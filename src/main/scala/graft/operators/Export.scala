@@ -32,8 +32,12 @@ object Export {
     * md5 hex parses identically everywhere; `pos` counts from 1. */
   def shuffleShards(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
-    val shard = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
-      .cast(LongType) % nShards
+    // byte-direct twin of conv(substring(md5(x),1,15),16,10) — parity
+    // pinned by TextKernelsSpec
+    val shard = org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.Md5Prefix(
+        org.apache.spark.sql.graft.Bridge.expression(
+          col(idCol).cast("string")), 15)) % nShards
     val ord = md5(concat(lit("s"), col(idCol).cast("string")))
     val w = Window.partitionBy("shard").orderBy(col("ord"), col(idCol))
     df.withColumn("shard", shard)

@@ -147,9 +147,14 @@ object TextQueries {
   private val MinhashB: Seq[Long] = Seq(471684861L, 1459339182L, 299509856L, 1287164177L, 127334851L, 1114989172L, 2102643493L, 942814167L, 1930468488L, 770639162L, 1758293483L, 598464157L, 1586118478L, 426289152L, 1413943473L, 254114147L)
 
   /** 60-bit integer hash of a string column — identical in DuckDB via
-    * CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT). */
+    * CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT). Byte-direct
+    * codegen kernel (bit-parity with the conv/substring chain pinned by
+    * TextKernelsSpec); the chain allocated a 32-char hex string, a
+    * substring and a base-16 parse per row. */
   private def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.Md5Prefix(
+        org.apache.spark.sql.graft.Bridge.expression(c), 15))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -455,9 +460,15 @@ object TextQueries {
       // shape crossJoined a 32-row bit table → 32× the rows and an
       // extra shuffle); the oracle keeps the per-bit formulation —
       // same values, different plan
+      // h = first 8 md5 hex chars as a 32-bit int, via the byte-direct
+      // Md5Prefix kernel (bit-parity with the conv/substring chain
+      // pinned by TextKernelsSpec; the chain allocated 3 objects per
+      // distinct (doc, term) row — ~10% of this row's time, r17 lab)
       val tok = tokens(t(s, d, "documents"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        .withColumn("h", conv(substring(md5(col("term")), 1, 8), 16, 10).cast(LongType))
+        .withColumn("h", org.apache.spark.sql.graft.Bridge.column(
+          org.apache.spark.sql.graft.Md5Prefix(
+            org.apache.spark.sql.graft.Bridge.expression(col("term")), 8)))
       val wCols = (0 until 32).map(j =>
         sum(col("tf") * (lit(2) * (shiftright(col("h"), j) % 2) - 1)).as(s"w$j"))
       val sim = (0 until 32).map(j =>
@@ -675,8 +686,7 @@ object TextQueries {
         |WHERE h < gate ORDER BY doc_id""".stripMargin) { (s, d) =>
       val sid = substring(col("source"), 4, 10).cast("int")
       val gate = when(sid < 5, 1000).when(sid < 10, 500).otherwise(200)
-      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast(LongType) % 1000
+      val h = hash60(col("doc_id").cast("string")) % 1000
       t(s, d, "documents")
         .select(col("doc_id"), col("source"), h.as("h"), gate.as("gate"))
         .where(col("h") < col("gate"))

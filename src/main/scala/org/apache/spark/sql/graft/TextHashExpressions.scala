@@ -38,6 +38,30 @@ case class Md5Fid(child: Expression, dim: Int)
     copy(child = c)
 }
 
+/** First `nibbles` (1..15) hex chars of md5(child) as LongType — the
+  * byte-direct twin of `conv(substring(md5(x), 1, nibbles), 16, 10)`
+  * (cast to bigint). Shared by the dedup 60-bit shingle/fingerprint
+  * hash (nibbles=15) and simhash's 32-bit bit source (nibbles=8);
+  * bit-parity with the built-in chain is pinned by TextKernelsSpec. */
+case class Md5Prefix(child: Expression, nibbles: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(nibbles >= 1 && nibbles <= 15,
+    s"Md5Prefix: nibbles must be in 1..15 (16 reads the sign bit), got $nibbles")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix"
+
+  override def nullSafeEval(g: Any): Any =
+    TextKernels.md5Prefix(g.asInstanceOf[UTF8String], nibbles)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, g =>
+      s"${ev.value} = graft.functions.TextKernels.md5Prefix($g, $nibbles);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Per-document margin Σ weights[fid(gram)] over unigrams then adjacent
   * bigrams of a token array — one kernel call per row replacing the
   * interpreted `aggregate(gramsOf(w))` fold AND its per-gram

@@ -78,4 +78,53 @@ class TextKernelsSpec extends SparkSpecBase {
     val e = intercept[Exception](df.select(kernel).collect())
     assert(e.getMessage != null)
   }
+
+  test("Md5Prefix equals the hex/conv chain on random unicode strings") {
+    val rnd = new scala.util.Random(43)
+    val strs = (1 to 500).map { _ =>
+      val n = rnd.nextInt(40)
+      (0 until n).map { _ =>
+        rnd.nextInt(6) match {
+          case 0 => ('a' + rnd.nextInt(26)).toChar.toString
+          case 1 => ('0' + rnd.nextInt(10)).toChar.toString
+          case 2 => " "
+          case 3 => "é"
+          case 4 => "日"
+          case 5 => ('A' + rnd.nextInt(26)).toChar.toString
+        }
+      }.mkString
+    } ++ Seq("", "a", "12345", "spark stream", "a b c")
+    val df = strs.toDF("g")
+    Seq(1, 8, 15).foreach { nib =>
+      val cmp = df.select(
+        org.apache.spark.sql.graft.Bridge.column(
+          org.apache.spark.sql.graft.Md5Prefix(
+            org.apache.spark.sql.graft.Bridge.expression(col("g")), nib)).as("k"),
+        conv(substring(md5(col("g")), 1, nib), 16, 10).cast(LongType).as("c"))
+      assert(cmp.where(col("k") =!= col("c")).count() == 0,
+        s"md5Prefix diverges from hex/conv chain at nibbles=$nib")
+    }
+  }
+
+  test("Md5Prefix propagates null and stays parity inside a transform lambda") {
+    // null input → null output (same as the built-in chain)
+    val withNull = Seq(Some("abc"), None).toDF("g")
+    val k = withNull.select(org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.Md5Prefix(
+        org.apache.spark.sql.graft.Bridge.expression(col("g")), 15)).as("k"))
+      .collect()
+    assert(!k(0).isNullAt(0) && k(1).isNullAt(0))
+    // the fingerprint builders run the kernel INSIDE transform() (HOFs
+    // evaluate interpreted) — pin that placement explicitly
+    val arr = Seq(Tuple1(Seq("spark", "joins", "fast", "43"))).toDF("tks")
+    val viaKernel = arr.select(transform(col("tks"), t =>
+      org.apache.spark.sql.graft.Bridge.column(
+        org.apache.spark.sql.graft.Md5Prefix(
+          org.apache.spark.sql.graft.Bridge.expression(t), 15))).as("h"))
+      .collect()(0).getSeq[Long](0)
+    val viaChain = arr.select(expr(
+      "transform(tks, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))")
+      .as("h")).collect()(0).getSeq[Long](0)
+    assert(viaKernel == viaChain)
+  }
 }
