@@ -211,11 +211,34 @@ class R5FeaturesSpec extends SparkSpecBase {
     assert(Seq(1L, 2L, 3L, 4L, 5L).forall(got(_) == 1L), s"chain: $got")
     assert(Seq(10L, 11L, 12L).forall(got(_) == 10L), s"triangle: $got")
     assert(Seq(20L, 21L).forall(got(_) == 20L), s"pair: $got")
-    // non-convergence guard: a 5-chain can't settle in 1 round
-    intercept[IllegalStateException](
+    // non-convergence guard: a 5-chain can't settle in 1 round —
+    // DISTRIBUTED path only (the driver-local union-find finish always
+    // reaches the fixpoint; gate 0 forces every round distributed)
+    spark.conf.set("graft.components.localFinishEdges", "0")
+    try intercept[IllegalStateException](
       graft.operators.Dedup.components(
         Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b"),
         maxIters = 1).collect())
+    finally spark.conf.unset("graft.components.localFinishEdges")
+  }
+
+  test("Dedup.components: local union-find finish ≡ distributed rounds (r17 path parity)") {
+    import spark.implicits._
+    // chain (diameter 4 — multi-round distributed), triangle, pair
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("a", "b")
+    def run(): Map[Long, Long] =
+      graft.operators.Dedup.components(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = run() // default gate: whole fixpoint on the driver
+    spark.conf.set("graft.components.localFinishEdges", "0")
+    val dist = try run() // gate 0: every round distributed
+      finally spark.conf.unset("graft.components.localFinishEdges")
+    assert(local == dist)
+    assert(local == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
   test("Dedup.chunkDedup: first occurrence wins, within-doc dups drop, order kept") {
