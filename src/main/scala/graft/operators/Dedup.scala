@@ -86,12 +86,14 @@ object Dedup {
     * maxIters — not a near-dup shape; raise the cap explicitly).
     *
     * When the distinct symmetrized edge set fits the
-    * `graft.components.localFinishEdges` gate (default 100k) and ids
-    * are longs, the whole fixpoint runs as driver-side union-find with
-    * min-root union — bit-identical labels (DedupSpec pin), zero loop
-    * jobs (ComponentsLab at sf0.1: the distributed loop spent 3.2-4.9 s
-    * / 18 jobs on 255 pairs). Union-find always reaches the fixpoint,
-    * so `maxIters` guards only the distributed path. */
+    * `graft.components.localFinishEdges` gate (default 1M edges =
+    * 16 MB, broadcast-relation class) and ids are longs, the whole
+    * fixpoint runs as driver-side union-find with min-root union —
+    * bit-identical labels (R5FeaturesSpec pin), zero loop jobs
+    * (ComponentsLab: 3.2-4.9 s / 18 jobs → 0.3-0.7 s at sf0.1;
+    * 2.5-6.7 s → 1.3-1.9 s on the 10× tile's 501k edges). Union-find
+    * always reaches the fixpoint, so `maxIters` guards only the
+    * distributed path. */
   def components(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
       maxIters: Int = 20): DataFrame = {
     // materialize the edge list ONCE — the pair source is an expensive
@@ -117,16 +119,22 @@ object Dedup {
     // pattern): near-dup pair graphs at any scale funnel into a SMALL
     // edge set relative to the corpus — ComponentsLab at sf0.1 measured
     // the distributed loop at 3.2-4.9 s / 18 jobs over 255 pairs, pure
-    // job-scheduling floor. Below the size gate (exact count from the
-    // checkpoint — a broadcast-class bounded transfer, never an
-    // unbounded collect) the fixpoint runs as driver union-find with
-    // min-root union: comp(id) = min id of the component, the exact
-    // value min-label propagation converges to, over exact integers —
-    // bit-identical results (DedupSpec pins local ≡ distributed).
+    // job-scheduling floor; at the 10× tile (501k symmetrized edges)
+    // the local path still wins 2.5-6.7 s → 1.3-1.9 s. Below the size
+    // gate (exact count from the checkpoint — a broadcast-class bounded
+    // transfer, never an unbounded collect) the fixpoint runs as driver
+    // union-find with min-root union: comp(id) = min id of the
+    // component, the exact value min-label propagation converges to,
+    // over exact integers — bit-identical results (R5FeaturesSpec pins
+    // local ≡ distributed). Gate default 1M symmetrized edges = 16 MB
+    // on the wire and a transient ≤~200 MB boxed parent map at the
+    // extreme — the same resource class as building a broadcast-join
+    // relation (8g driver heap here; size down via
+    // graft.components.localFinishEdges on thin drivers).
     // Non-long id types keep the distributed loop: local parity would
     // have to replicate Spark's per-type ordering for `min`.
     val localFinish = pairs.sparkSession.conf
-      .get("graft.components.localFinishEdges", "100000").toLong
+      .get("graft.components.localFinishEdges", "1000000").toLong
     if (nEdges <= localFinish &&
         edges.schema("u").dataType == org.apache.spark.sql.types.LongType &&
         edges.schema("v").dataType == org.apache.spark.sql.types.LongType) {

@@ -7,11 +7,15 @@ import org.apache.spark.sql.functions._
   * cold path of q73/q146 and the REST dedup route): where does the
   * build go — shingle table, similarity-join pairs, or the components
   * label-propagation loop — and how many jobs/rounds the loop runs.
-  * Usage: Test/runMain graft.tools.ComponentsLab <sfDir>
+  * Usage: Test/runMain graft.tools.ComponentsLab <sfDir> [localFinishEdges]
+  * (second arg overrides graft.components.localFinishEdges — pass 0 to
+  * force every round distributed, isolating the local-finish delta on
+  * identical code)
   */
 object ComponentsLab {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val gate = if (args.length > 1) Some(args(1)) else None
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -22,6 +26,7 @@ object ComponentsLab {
       .config(graft.SessionTuning.localConfigMap)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    gate.foreach(g => spark.conf.set("graft.components.localFinishEdges", g))
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
