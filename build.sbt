@@ -32,3 +32,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // Forward stdin to forked `run` JVMs so graft.cli.Repl reads its
 // input (interactive or piped); no effect on the other mains.
 run / connectInput := true
+
+// Driver contract: the bench's ONE JSON line must be the literal last
+// line of stdout. The default LoggedOutput strategy wraps the forked
+// process's stdout in `[info] ` prefixes and sbt appends a
+// `[success] Total time: ...` trailer — BENCH_r16/r17 both recorded
+// parsed:null because the driver's parser never saw a bare-JSON last
+// line. StdoutOutput passes the forked JVM's stdout through verbatim
+// (stderr stays on stderr, so Spark WARN chatter cannot land after the
+// JSON line), and showSuccess:=false drops the trailer.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false

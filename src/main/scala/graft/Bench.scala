@@ -49,7 +49,13 @@ object Bench {
     // text rows in, the redundant class twins out (q59≈q58, q139≈q123,
     // q18/q27/q128/q67: stable floor-class rows covered by the detail line)
     "q61_bm25_filtered", "q83_bfs_typed", "q148_shortest_path",
-    "q149_pagerank", "q177_triangles", "q193_personalized_pagerank")
+    "q149_pagerank", "q177_triangles", "q193_personalized_pagerank",
+    // r18 refresh (r17 VERDICT ask #1): the rows r17's verdict actually
+    // argued about were NOT on the driver-parsed line (q182's 4.2× was
+    // invisible); carry every currently-contested row
+    "q67_ngram_jaccard", "q69_simhash", "q72_winnowing",
+    "q146_dedup_retention", "q147_streaming_join", "q162_semdedup",
+    "q182_kcore")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -132,12 +138,6 @@ object Bench {
       val warm = if (times.min.isInfinity) -1.0 else times.min
       (name, cold, warm, times)
     }
-    // Locale-pinned formatting: the JSON line must use '.' decimals
-    // regardless of the JVM's default locale.
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    def jsonMap(m: Seq[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val warm = results.map { case (k, _, w, _) => (k, w) }
     val total = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
@@ -166,9 +166,37 @@ object Bench {
       (k, if (fin.size >= 2) fin.max - fin.min else -1.0)
     }
     val (varMaxQ, varMax) = varianceAll.maxBy(_._2)
-    println("BENCH_DETAIL " +
-      s"""{"queries_all":${jsonMap(warm)},"reps_all":$repsAll,"variance_all":${jsonMap(varianceAll)},"colds_all":${jsonMap(colds)},"cold_total_sec":${fmt(coldTotal)}}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(warm.filter(q => Headline.contains(q._1)))},"n_queries":${warm.size},"cold_total_sec":${fmt(coldTotal)},"reps":$reps,"reps_headline":$headlineReps,"var_max":${fmt(varMax)},"var_max_q":"$varMaxQ","sf":"$sfDir"}""")
+    val detailJson =
+      s"""{"queries_all":${jsonMap(warm)},"reps_all":$repsAll,"variance_all":${jsonMap(varianceAll)},"colds_all":${jsonMap(colds)},"cold_total_sec":${fmt(coldTotal)}}"""
+    val compact = compactLine(warm, total, warm.size, coldTotal, reps,
+      headlineReps, varMax, varMaxQ, sfDir)
+    println("BENCH_DETAIL " + detailJson)
+    // Committed-record backup (r17 verdict ask #1): the driver keeps only
+    // the last ~2 KB of stdout, so the full per-query record also lands in
+    // a file the judge can read whole. Best-effort — a read-only cwd must
+    // not fail the bench.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
+      s"""{"detail":$detailJson,"compact":$compact}\n""".getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
+    // The ONE driver-parsed JSON line, printed LAST — after spark.stop()
+    // so no engine shutdown output can ever follow it on stdout (build.sbt
+    // StdoutOutput + showSuccess:=false remove sbt's framing around it).
+    println(compact)
+    System.out.flush()
   }
+
+  // Locale-pinned formatting: the JSON line must use '.' decimals
+  // regardless of the JVM's default locale.
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+  private def jsonMap(m: Seq[(String, Double)]): String =
+    m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+
+  /** The ONE compact JSON line the driver parses — extracted so
+    * BenchContractSpec can assert it is strict JSON without a session. */
+  def compactLine(warm: Seq[(String, Double)], total: Double, nQueries: Int,
+                  coldTotal: Double, reps: Int, headlineReps: Int,
+                  varMax: Double, varMaxQ: String, sfDir: String): String =
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(warm.filter(q => Headline.contains(q._1)))},"n_queries":$nQueries,"cold_total_sec":${fmt(coldTotal)},"reps":$reps,"reps_headline":$headlineReps,"var_max":${fmt(varMax)},"var_max_q":"$varMaxQ","sf":"$sfDir"}"""
 }

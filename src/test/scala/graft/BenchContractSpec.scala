@@ -35,6 +35,30 @@ class BenchContractSpec extends AnyFunSuite {
       "trim Bench.Headline or the driver will record parsed:null again")
   }
 
+  test("compact line is strict JSON with the driver-contract fields") {
+    // r17 verdict ask #1: BENCH_r16/r17 both recorded parsed:null. The
+    // line itself must parse as one strict JSON object (sbt framing is
+    // handled by build.sbt: run/outputStrategy=StdoutOutput drops the
+    // [info] prefix, showSuccess:=false the [success] trailer).
+    val warm = SparkEntry.allDefs.filter(_.benchmarked)
+      .map(q => (q.name, 1234.5678))
+    val line = Bench.compactLine(warm, 99999.9999, warm.size, 99999.9999,
+      3, 7, 9999.9999, "q999_a_very_long_query_name_here",
+      "/root/testdata/sf0.1")
+    assert(!line.contains("\n"), "compact line must be a single line")
+    val parsed = org.json4s.jackson.JsonMethods.parse(line)
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    assert((parsed \ "metric").extract[String] == "total")
+    assert((parsed \ "value").extract[Double] == 99999.9999)
+    assert((parsed \ "unit").extract[String] == "sec")
+    val qs = (parsed \ "queries").extract[Map[String, Double]]
+    assert(qs.keySet == Bench.Headline,
+      "queries map must carry exactly the headline subset")
+    assert((parsed \ "n_queries").extract[Int] == warm.size)
+    assert((parsed \ "sf").extract[String] == "/root/testdata/sf0.1")
+  }
+
   test("lifecycle pins are exactly the declared set") {
     val pins = SparkEntry.allDefs.filterNot(_.benchmarked).map(_.name).sorted
     assert(pins == Seq("q126_edge_store", "q129_agent_memory",
