@@ -43,3 +43,6 @@ run / connectInput := true
 // JSON line), and showSuccess:=false drops the trailer.
 run / outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+// showSuccess is read by the command layer, not a task — exclude it
+// from sbt's unused-key lint so builds stay warning-free
+Global / excludeLintKeys += showSuccess

@@ -138,36 +138,50 @@ object Dedup {
     if (nEdges <= localFinish &&
         edges.schema("u").dataType == org.apache.spark.sql.types.LongType &&
         edges.schema("v").dataType == org.apache.spark.sql.types.LongType) {
-      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
-      org.apache.spark.sql.graft.CheckpointBlocks.unpersist(edges)
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent(r) != r) r = parent(r)
-        var c = x
-        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      es.foreach { case (u, v) =>
-        parent.getOrElseUpdate(u, u)
-        parent.getOrElseUpdate(v, v)
-        val ru = find(u); val rv = find(v)
-        if (ru != rv) {
-          if (ru < rv) parent(rv) = ru else parent(ru) = rv
+      val rows0 = edges.collect()
+      // Null endpoints fall through to the distributed loop: there a
+      // null is inert (null never joins, its label stays null), while
+      // Row.getLong would silently unbox it to 0L and merge it into
+      // component 0 (r17 ADVICE). Pair generators join on ids, so this
+      // path is not expected to fire — correctness guard, not a perf
+      // branch.
+      if (rows0.forall(r => !r.isNullAt(0) && !r.isNullAt(1))) {
+        val es = rows0.map(r => (r.getLong(0), r.getLong(1)))
+        org.apache.spark.sql.graft.CheckpointBlocks.unpersist(edges)
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
         }
+        es.foreach { case (u, v) =>
+          parent.getOrElseUpdate(u, u)
+          parent.getOrElseUpdate(v, v)
+          val ru = find(u); val rv = find(v)
+          if (ru != rv) {
+            if (ru < rv) parent(rv) = ru else parent(ru) = rv
+          }
+        }
+        val spark = pairs.sparkSession
+        val rows = parent.keys.toSeq.map(id => org.apache.spark.sql.Row(id, find(id)))
+        // label rows are ~2 per edge at the extreme — slice so the
+        // downstream artifact write/join doesn't run as ONE task at the
+        // 1M-edge gate (r17 ADVICE); small maps still get one slice
+        val slices = math.max(1, math.min(
+          spark.sparkContext.defaultParallelism, rows.size / 100000))
+        // nullable=true mirrors the distributed labels frame (clustersTab
+        // materializes this to parquet — keep the artifact schema stable
+        // across paths)
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, slices),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType, nullable = true),
+            org.apache.spark.sql.types.StructField("comp",
+              org.apache.spark.sql.types.LongType, nullable = true))))
       }
-      val spark = pairs.sparkSession
-      val rows = parent.keys.toSeq.map(id => org.apache.spark.sql.Row(id, find(id)))
-      // nullable=true mirrors the distributed labels frame (clustersTab
-      // materializes this to parquet — keep the artifact schema stable
-      // across paths)
-      return spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id",
-            org.apache.spark.sql.types.LongType, nullable = true),
-          org.apache.spark.sql.types.StructField("comp",
-            org.apache.spark.sql.types.LongType, nullable = true))))
     }
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("comp", col("id"))
@@ -211,16 +225,20 @@ object Dedup {
     * two documents is guaranteed to yield a shared fingerprint — the
     * local-minima selection makes the set position-robust, unlike a
     * fixed stride. Map-only per doc (no shuffle); downstream joins are
-    * inverted-index shaped ([[sharedFingerprintPairs]]). */
+    * inverted-index shaped ([[sharedFingerprintPairs]]).
+    *
+    * Input contract: ONE row per doc (the gram builders below emit
+    * exactly that). Under it the output is already globally distinct —
+    * array_distinct dedups within the doc's array and doc_id separates
+    * rows — so no distinct() follows the explode: it re-shuffled the
+    * entire fingerprint table to remove zero rows (r18, guide §2.4
+    * "a distinct on data that is already unique"). */
   def winnowHashes(grams: DataFrame, w: Int = 4): DataFrame =
     grams.where(size(col("h")) >= w)
       .select(col("doc_id"), explode(array_distinct(expr(
         s"transform(sequence(1, size(h) - ${w - 1}), j -> array_min(slice(h, j, $w)))")))
         .as("fp"))
-      .distinct()
 
-  /** Ordered char k-gram hashes per doc (fine-grained fingerprinting —
-    * ~|text| hashes per doc; prefer [[tokenGramHashes]] at corpus scale). */
   /** Byte-direct 60-bit md5 prefix (bit-parity with the
     * conv(substring(md5(x),1,15),16,10) chain, pinned by
     * TextKernelsSpec) — inside a transform() lambda the chain's 3
@@ -231,6 +249,8 @@ object Dedup {
       org.apache.spark.sql.graft.Md5Prefix(
         org.apache.spark.sql.graft.Bridge.expression(c), 15))
 
+  /** Ordered char k-gram hashes per doc (fine-grained fingerprinting —
+    * ~|text| hashes per doc; prefer [[tokenGramHashes]] at corpus scale). */
   def charGramHashes(docs: DataFrame, k: Int = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.where(length(col(textCol)) >= k)

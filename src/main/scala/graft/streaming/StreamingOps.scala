@@ -197,52 +197,48 @@ object StreamingOps {
     mode match {
       case "batch" => transform(graft.Tables.table(spark, dir, "events"))
       case "stream" =>
-        val out = transform(eventsStream(spark, dir))
-        val qn = s"analytics_${op}_${System.nanoTime()}"
-        // aggregations emit their final state in complete mode; the
-        // stream-stream join is append-only by construction
-        val om = if (op == "attribution") "append" else "complete"
+        // Per-request CLONED session (shared SparkContext, own runtime
+        // conf copied from `spark`): the no-data-micro-batch flip lands
+        // on the clone only, so concurrent mode=stream requests on the
+        // REST pool (8 threads) run in parallel — r17 shipped the flip
+        // under a session-global lock held for the stream's lifetime,
+        // a serialization cliff on the declared serving surface (r17
+        // VERDICT #4). The stream, its memory sink and the temp view
+        // all live in the clone; no restore needed, the clone dies with
+        // the request. StressSpec pins 8-way parallel execution.
+        val session = org.apache.spark.sql.graft.Bridge.cloneSession(spark)
+        session.conf.set(
+          "spark.sql.streaming.noDataMicroBatches.enabled", "false")
         // one-shot AvailableNow replay: trailing no-data batches are
         // pure state-maintenance cost here and output-neutral for these
         // shapes (inner+append join emits on match; complete mode
         // re-emits full state) — same rationale and pins as the q127/
         // q131/q147 wrapper, RestServerSpec holds batch ≡ stream rows.
-        // The flip-run-restore happens under [[ndLock]] because the
-        // session conf is SHARED (the REST pool serves this on 8
-        // threads) and the stream clones it on its own thread during
-        // batch-0 planning — restore must wait for termination, so two
-        // interleaved flips could strand the session at false. The
-        // flip itself sits inside the try so a failure on any setup
-        // step still restores.
+        val out = transform(eventsStream(session, dir))
+        val qn = s"analytics_${op}_${System.nanoTime()}"
+        // aggregations emit their final state in complete mode; the
+        // stream-stream join is append-only by construction
+        val om = if (op == "attribution") "append" else "complete"
         val shm = new java.io.File("/dev/shm")
         val ck = if (shm.isDirectory && shm.canWrite)
           java.nio.file.Files.createTempDirectory(shm.toPath, "graft-analytics-")
         else java.nio.file.Files.createTempDirectory("graft-analytics-")
         try {
-          ndLock.synchronized {
-            val prevNd = spark.conf
-              .get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-            try {
-              spark.conf.set(
-                "spark.sql.streaming.noDataMicroBatches.enabled", "false")
-              val q = out.writeStream.format("memory").queryName(qn)
-                .option("checkpointLocation", ck.toString)
-                .outputMode(om)
-                .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-                .start()
-              // awaitTermination returns FALSE on timeout (no exception) —
-              // fail loudly rather than serve a partial sink. NOT an
-              // IllegalArgumentException: the REST layer maps IAE to 400
-              // (caller error), and a capacity timeout is a 5xx condition
-              try {
-                if (!q.awaitTermination(300000))
-                  throw new IllegalStateException(s"$qn timed out after 300 s")
-              } finally q.stop()
-            } finally spark.conf.set(
-              "spark.sql.streaming.noDataMicroBatches.enabled", prevNd)
-          }
-          val res = spark.table(qn).localCheckpoint(true)
-          spark.catalog.dropTempView(qn)
+          val q = out.writeStream.format("memory").queryName(qn)
+            .option("checkpointLocation", ck.toString)
+            .outputMode(om)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          // awaitTermination returns FALSE on timeout (no exception) —
+          // fail loudly rather than serve a partial sink. NOT an
+          // IllegalArgumentException: the REST layer maps IAE to 400
+          // (caller error), and a capacity timeout is a 5xx condition
+          try {
+            if (!q.awaitTermination(300000))
+              throw new IllegalStateException(s"$qn timed out after 300 s")
+          } finally q.stop()
+          val res = session.table(qn).localCheckpoint(true)
+          session.catalog.dropTempView(qn)
           res
         } finally {
           import scala.jdk.CollectionConverters._
@@ -254,14 +250,6 @@ object StreamingOps {
         s"unknown mode '$other' (batch|stream)")
     }
   }
-
-  /** Read the events parquet directory as a stream (file source — at
-    * scale this is the landing-zone pattern: new files appear, Spark
-    * incrementally processes them). */
-  /** Serializes the flip-run-restore of the session-global
-    * noDataMicroBatches conf in [[eventsAnalytics]] — see the comment
-    * at the use site. */
-  private val ndLock = new Object
 
   // schema inference lists the path and reads parquet footers on the
   // DRIVER on every call — each streaming row paid it once per bench
@@ -287,6 +275,9 @@ object StreamingOps {
       java.nio.file.Files.size(p))
   } catch { case _: Throwable => (-1L, -1L) }
 
+  /** Read the events parquet directory as a stream (file source — at
+    * scale this is the landing-zone pattern: new files appear, Spark
+    * incrementally processes them). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val stamp = pathStamp(java.nio.file.Paths.get(path))

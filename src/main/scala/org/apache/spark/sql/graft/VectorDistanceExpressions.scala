@@ -211,4 +211,12 @@ object Bridge {
     ExpressionUtils.column(
       org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
         df.queryExecution.analyzed))
+
+  /** Clone of `s` sharing the SparkContext but with its OWN SessionState
+    * — runtime conf, temp views — copied from `s` (what Structured
+    * Streaming itself does per query). `cloneSession` is private[sql],
+    * hence surfaced here. Unlike `newSession()`, runtime conf changes
+    * made on `s` since startup carry over. */
+  def cloneSession(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
 }

@@ -136,4 +136,46 @@ class StressSpec extends SparkSpecBase {
       Collections.deleteRec(java.nio.file.Paths.get(tmp))
     }
   }
+
+  test("8 concurrent mode=stream analytics run in parallel on private sessions") {
+    // r17 VERDICT #4: the stream-mode conf flip used to run under a
+    // session-global lock held for each stream's whole lifetime — the
+    // REST pool's 8 threads serialized. Now every request clones the
+    // session and flips noDataMicroBatches on the CLONE only. Two pins:
+    //  - the SHARED session's conf is never observed flipped while the
+    //    8-way storm runs (the old code held it at false for ~all of it);
+    //  - all 8 results are identical to the batch twin (parity).
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val batchRows = graft.streaming.StreamingOps
+      .eventsAnalytics(spark, sfDir, "window", "batch")
+      .collect().map(_.toString).sorted.toSeq
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val flips = new java.util.concurrent.atomic.AtomicInteger(0)
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val watcher = Future {
+      while (!done.get()) {
+        if (spark.conf.get(ndKey, "true") != "true") flips.incrementAndGet()
+        Thread.sleep(5)
+      }
+    }(ExecutionContext.global)
+    try {
+      val runs = Future.sequence((1 to 8).map(_ => Future {
+        graft.streaming.StreamingOps
+          .eventsAnalytics(spark, sfDir, "window", "stream")
+          .collect().map(_.toString).sorted.toSeq
+      }))
+      val results = Await.result(runs, 300.seconds)
+      done.set(true)
+      Await.result(watcher, 10.seconds)
+      results.foreach(r => assert(r == batchRows,
+        s"stream rows diverge from batch twin (${r.size} vs ${batchRows.size})"))
+      assert(flips.get() == 0,
+        s"shared session conf observed flipped ${flips.get()} times — " +
+          "stream requests are mutating shared state again")
+    } finally {
+      done.set(true)
+      pool.shutdown()
+    }
+  }
 }
