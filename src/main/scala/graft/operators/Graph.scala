@@ -853,19 +853,83 @@ object Graph {
     * appears once per level, so the plan grows linearly — and only
     * every `ckptEvery`-th (and the last) round eagerly truncates
     * lineage, each skipped checkpoint saving a full local job floor
-    * ([[pageRank]]'s discipline). */
+    * ([[pageRank]]'s discipline).
+    *
+    * Below the `graft.lpa.localFinishEdges` gate (default 1M
+    * symmetrized edges — exact count from the checkpoint, a
+    * broadcast-class bounded transfer) ALL rounds run on the driver
+    * with exact-integer votes and the identical plurality/tie-break —
+    * the kCore/components pattern (r18, guide §1.1/§1.2): at
+    * projected-graph sizes each distributed round is 1 join + 2
+    * aggregation exchanges of pure job-scheduling floor. TriangleSpec
+    * pins local ≡ distributed (gate 0 forces every round distributed). */
   def lpaCommunities(undirected: DataFrame, iters: Int,
       aCol: String = "a", bCol: String = "b"): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val e0 = undirected.select(col(aCol).cast("long").as("u"),
       col(bCol).cast("long").as("v"))
     // no distinct (input contract: canonical distinct pairs — the
-    // swapped half is disjoint, see kCore) and a LAZY checkpoint: the
-    // first sync point (the round-`ckptEvery`/last-round eager
-    // checkpoint) materializes adj inside its own job, saving a
-    // standalone build job per call (r17, guide §1.2/§2.4)
+    // swapped half is disjoint, see kCore); LAZY checkpoint whose
+    // materializing action is the gate count below (1 job — the r17
+    // shape materialized inside round 1's sync job instead, so the
+    // distributed path pays the same job count, r18)
     val adj = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(false)
+    val localFinish = undirected.sparkSession.conf
+      .get("graft.lpa.localFinishEdges", "1000000").toLong
+    val nEdges = adj.count()
+    if (nEdges <= localFinish) {
+      val rows0 = adj.collect()
+      // null endpoints: the distributed loop carries them inertly (null
+      // never joins) — fall through rather than unbox null to 0L (the
+      // components discipline)
+      if (rows0.forall(r => !r.isNullAt(0) && !r.isNullAt(1))) {
+        org.apache.spark.sql.graft.CheckpointBlocks.unpersist(adj)
+        // adjacency WITH multiplicity: the distributed rounds count one
+        // vote per adj ROW, so duplicate edges (off-contract input)
+        // double votes identically on both paths
+        val nbrs = scala.collection.mutable.HashMap
+          .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+        rows0.foreach { r =>
+          nbrs.getOrElseUpdate(r.getLong(0),
+            new scala.collection.mutable.ArrayBuffer[Long]) += r.getLong(1)
+        }
+        var lab = scala.collection.mutable.HashMap.empty[Long, Long]
+        nbrs.keysIterator.foreach(k => lab.update(k, k))
+        for (_ <- 1 to iters) {
+          // synchronous: every vote reads the PREVIOUS round's labels
+          val next = scala.collection.mutable.HashMap.empty[Long, Long]
+          nbrs.foreach { case (u, vs) =>
+            val cnt = scala.collection.mutable.HashMap.empty[Long, Long]
+            vs.foreach { v =>
+              val l = lab(v); cnt.update(l, cnt.getOrElse(l, 0L) + 1L)
+            }
+            // plurality, ties → smallest label: exactly the distributed
+            // min(struct(-count, label)) ordering
+            var bestL = Long.MaxValue; var bestC = 0L
+            cnt.foreach { case (l, c) =>
+              if (c > bestC || (c == bestC && l < bestL)) { bestC = c; bestL = l }
+            }
+            next.update(u, bestL)
+          }
+          lab = next
+        }
+        val spark = undirected.sparkSession
+        val rows = lab.iterator
+          .map { case (n, l) => org.apache.spark.sql.Row(n, l) }.toSeq
+        val slices = math.max(1, math.min(
+          spark.sparkContext.defaultParallelism, rows.size / 100000))
+        // nullable=true mirrors the distributed frame (communitiesTab
+        // materializes this to parquet — keep the artifact schema stable)
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, slices),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node",
+              org.apache.spark.sql.types.LongType, nullable = true),
+            org.apache.spark.sql.types.StructField("community",
+              org.apache.spark.sql.types.LongType, nullable = true))))
+      }
+    }
     var labels = adj.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
     var prevCkpt: DataFrame = null

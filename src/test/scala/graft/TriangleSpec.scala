@@ -178,6 +178,21 @@ class TriangleSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](lpa(k4, 0))
   }
 
+  test("lpaCommunities: local finish ≡ distributed rounds (gate 0)") {
+    // bridged triangles + a pendant chain: plurality ties (every vote
+    // count 1 on the chain) AND real majorities in one graph, over the
+    // iters values the tests above hand-traced
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L), (6L, 7L), (7L, 8L))
+    for (iters <- 1 to 4) {
+      val local = lpa(g, iters) // default gate: driver-local rounds
+      spark.conf.set("graft.lpa.localFinishEdges", "0")
+      val dist = try lpa(g, iters) // gate 0: every round distributed
+        finally spark.conf.unset("graft.lpa.localFinishEdges")
+      assert(local == dist, s"iters=$iters: local $local != distributed $dist")
+    }
+  }
+
   test("modularityByCommunity: bridged triangles, hand-computed Q") {
     val g = Seq((1L, 2L), (1L, 3L), (2L, 3L),
       (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)) // m = 7

@@ -110,6 +110,62 @@ object TextPipeLab {
     println(s"q135 parity: ${a135 == b135} (${a135.size} rows)")
     time("q135 crossJoin replicate (cur)")(saltedCross())
     time("q135 explode replicate (cand)")(saltedExplode())
+    // r18 join-strategy variants (guide §3.1): SHUFFLE_HASH on the
+    // replicated build side (no sort), and the broadcast EXIT — when the
+    // build side fits the broadcast threshold, salting is strictly
+    // dominated by broadcasting it (same skew immunity, ZERO exchanges)
+    def saltedShj(): DataFrame = {
+      val salt = 8
+      val salted = li.withColumn("__salt",
+        pmod(xxhash64(li.columns.map(col).toIndexedSeq: _*),
+          lit(salt.toLong)).cast("int"))
+      val replicated = ord.crossJoin(
+        broadcast(spark.range(salt).select(col("id").cast("int").as("__salt"))))
+        .hint("shuffle_hash")
+      q135Tail(salted.join(replicated,
+          salted("k") === replicated("k") && salted("__salt") === replicated("__salt"))
+        .drop(salted("__salt")).drop(replicated("__salt")).drop(replicated("k")))
+    }
+    def saltedBcast(): DataFrame =
+      q135Tail(li.join(broadcast(ord), li("k") === ord("k")).drop(ord("k")))
+    val c135 = saltedShj().collect().map(_.toSeq).toSeq
+    val d135 = saltedBcast().collect().map(_.toSeq).toSeq
+    println(s"q135 shj parity: ${a135 == c135}  bcast parity: ${a135 == d135}")
+    time("q135 shuffle-hash build (cand)")(saltedShj())
+    time("q135 broadcast exit (cand)")(saltedBcast())
+
+    // ---------- 1b. q143 unigram logprob: one tokenize pass ----------
+    val tok143 = docs.select(col("doc_id"),
+      explode(expr("filter(split(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)"))
+        .as("term"))
+    def q143Current(): DataFrame = {
+      val tf = tok143.groupBy("term").agg(count(lit(1)).as("c"))
+      val tot = tf.agg(sum(col("c")).as("n"))
+      tok143.join(broadcast(tf), "term").crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(r6(avg(-log2(col("c") * lit(1.0) / col("n")))).as("bits_per_token"))
+        .orderBy("doc_id")
+    }
+    // candidate: per-(doc,term) counts ONCE (checkpointed), tf and the
+    // probe both read the blocks — one corpus tokenize instead of two;
+    // avg becomes the cnt-weighted mean (same doubles, reassociated —
+    // r6 rounding is the declared tolerance, parity checked below)
+    def q143OnePass(): DataFrame = {
+      val g = tok143.groupBy("doc_id", "term").agg(count(lit(1)).as("k"))
+        .localCheckpoint(false)
+      val tf = g.groupBy("term").agg(sum(col("k")).as("c"))
+      val tot = tf.agg(sum(col("c")).as("n"))
+      g.join(broadcast(tf), "term").crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(r6(sum(col("k") * -log2(col("c") * lit(1.0) / col("n")))
+          / sum(col("k"))).as("bits_per_token"))
+        .orderBy("doc_id")
+    }
+    val a143 = q143Current().collect().map(_.toSeq).toSeq
+    val b143 = q143OnePass().collect().map(_.toSeq).toSeq
+    println(s"q143 parity(r6): ${a143 == b143} (${a143.size} rows)")
+    time("q143 two-pass (current)")(q143Current())
+    time("q143 one-pass ckpt (cand)")(q143OnePass())
 
     // ---------- 3. q69 attribution ----------
     val tok69 = docs.select(col("doc_id"),
