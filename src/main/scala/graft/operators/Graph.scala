@@ -52,7 +52,7 @@ object Graph {
     * estimate is within `factor`× the session broadcast threshold
     * (factor < 1 for tighter-than-threshold gates, e.g. 0.25 for the
     * "×4 fits" form the peel/triangle/superstep hints use). */
-  private def smallEnough(probe: DataFrame, factor: Double): Boolean = {
+  private[operators] def smallEnough(probe: DataFrame, factor: Double): Boolean = {
     val threshold = probe.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
     threshold > 0 &&
       (try probe.queryExecution.optimizedPlan.stats.sizeInBytes

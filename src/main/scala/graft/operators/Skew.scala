@@ -27,10 +27,24 @@ object Skew {
 
   /** Inner equi-join `left.key = right.key` with the hot-key fan-out of
     * `left` spread across `salt` partitions; `right` (the smaller /
-    * build side) is replicated `salt` times. */
+    * build side) is replicated `salt` times.
+    *
+    * Broadcast EXIT (r18, guide §2.4/§3.1): when `right`'s own Catalyst
+    * estimate fits the session broadcast threshold, salting is strictly
+    * dominated by broadcasting it — every executor probes a local hash
+    * relation, so a hot key's fan-out never concentrates on a reducer
+    * (the full skew immunity salting buys) and BOTH exchanges disappear
+    * (TextPipeLab at sf0.1: 0.657 → 0.246 s). Identical rows: same
+    * inner equi-join, same output columns. Above the threshold — the
+    * 100 TB shape salting exists for — the salted sort-merge path is
+    * unchanged. Force the salted path in tests/probes by setting
+    * `spark.sql.autoBroadcastJoinThreshold=-1`. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       salt: Int): DataFrame = {
     require(salt >= 1)
+    if (Graph.smallEnough(right, 1.0))
+      return left.join(broadcast(right), left(key) === right(key))
+        .drop(right(key))
     val spark = left.sparkSession
     // DETERMINISTIC hash-of-row salt. Position-based salting
     // (monotonically_increasing_id) was measurably cheaper and spread

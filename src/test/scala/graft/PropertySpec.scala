@@ -127,11 +127,21 @@ class PropertySpec extends SparkSpecBase {
     val plain = left.join(right, "k").agg(
       org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
       org.apache.spark.sql.functions.sum("v")).first()
-    val salted = graft.operators.Skew.saltedJoin(left, right, "k", salt = 8).agg(
+    def salted() = graft.operators.Skew.saltedJoin(left, right, "k", salt = 8).agg(
       org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
       org.apache.spark.sql.functions.sum("v")).first()
-    assert(plain.getLong(0) == salted.getLong(0))
-    assert(plain.getLong(1) == salted.getLong(1))
+    // default gate: the r18 broadcast exit (right fits the threshold)
+    val viaExit = salted()
+    assert(plain.getLong(0) == viaExit.getLong(0))
+    assert(plain.getLong(1) == viaExit.getLong(1))
+    // threshold -1 disables the exit: the TRUE salted replicate/spread
+    // path must produce the same rows (the pre-r18 pin)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val viaSalt = try salted()
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    assert(plain.getLong(0) == viaSalt.getLong(0))
+    assert(plain.getLong(1) == viaSalt.getLong(1))
   }
 
   test("BFS over a celebrity-node graph: salted frontier expansion equals plain") {
@@ -148,10 +158,16 @@ class PropertySpec extends SparkSpecBase {
     // salted depth-1 expansion: edges are the skewed (left) side, the
     // frontier the replicated (right) side, joined on the hot src key
     val frontier = starts.select(col("start"), col("start").as("node"))
-    val d1 = graft.operators.Skew
+    // threshold -1: pin the TRUE salted expansion (the r18 broadcast
+    // exit would otherwise take over for this broadcast-sized frontier)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val d1 = try graft.operators.Skew
       .saltedJoin(edges.select(col("src"), col("dst")),
         frontier.select(col("node").as("src"), col("start")), "src", salt = 8)
       .select(col("start"), col("dst").as("node")).distinct()
+      .localCheckpoint(true)
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
     val d1Set = d1.collect().map(r => (r.getLong(0), r.getLong(1), 1)).toSet
     assert(d1Set == plain.filter(_._3 == 1), s"salted d1 ${d1Set.size} vs plain")
     assert(d1Set.size == 5000)
